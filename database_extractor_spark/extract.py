@@ -1,0 +1,217 @@
+"""The central pipeline composer — Spark-native ``query_database``.
+
+Replaces the reference's Flux-string compilation + remote execution +
+pandas post-processing (reference src/database_extractor/
+database_extractor.py:251-323 and :335-355) with ONE lazy DataFrame plan:
+
+    scan -> time-range filter -> tz shift -> row predicate
+         -> 1s downsample take-last (long)  [moved BEFORE the pivot]
+         -> pivot long->wide -> drop all-null rows -> drop columns -> sort
+
+The reference's order is scan->range->shift->filter->pivot->sort (server
+side), then resample->dropna (client side). We fuse both phases into one
+Catalyst-optimized plan and hoist the downsample ahead of the pivot (same
+per-(bin,key) take-last semantics, far cheaper: the aggregate shrinks data
+at the first shuffle instead of shipping raw points through the pivot).
+The Flux ``group()`` stage (database_extractor.py:296) is a no-op here —
+a DataFrame is already one flat relation.
+
+Returns are *lazy* DataFrames — callers compose further or ``.toPandas()``
+as the compatibility escape hatch (the reference returns materialized
+pandas).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from datetime import datetime
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_extractor_spark.operators.core import (
+    downsample_last,
+    drop_all_null_rows,
+    drop_columns,
+    has_min_rows,
+    pivot_wide,
+    row_predicate,
+    sort_by_columns,
+    time_range,
+    time_shift,
+)
+from database_extractor_spark.sinks import write_dated_csv, write_day_partitioned
+from database_extractor_spark.sources import read_source
+from database_extractor_spark.timeutil import (
+    DEFAULT_TIME_FORMAT,
+    construct_query_time_endpoints,
+    timezone_offset,
+)
+
+logger = logging.getLogger(__name__)
+
+#: the reference's production drop list (database_extractor.py:374-377);
+#: includes a duplicate "_measurement" on purpose — drops are tolerant.
+REFERENCE_DROP_LIST = [
+    "result", "table", "_start",
+    "_stop", "_measurement", "datatype",
+    "_field", "_measurement", "category",
+    "level", "machine", "module", "display_name",
+]
+
+
+def query_database(
+    client: SparkSession,
+    bucket: str = "",
+    query_time: Union[str, datetime, None] = None,
+    delta_time_start=(0, 0, 0, 0),
+    delta_time_end=(0, 0, 0, 0),
+    columns_to_drop: Optional[Sequence[str]] = None,
+    filter: Optional[str] = None,  # noqa: A002 - name kept for reference parity
+    column_key: str = "id",
+    tz_offset: int = 0,
+    time_format: str = DEFAULT_TIME_FORMAT,
+    aggregate_function: str = "last",
+    aggregate_window: Optional[str] = "1 second",
+    sort_by: Sequence[str] = ("_time", "_field"),
+    # --- Spark-native knobs (optional) ---
+    source: str = "",
+    time_col: str = "_time",
+    value_col: str = "_value",
+    pivot_values: Optional[Sequence[str]] = None,
+    tiebreak_cols: Sequence[str] = (),
+    pivot: bool = True,
+) -> DataFrame:
+    """Extract a time window as a wide, time-indexed DataFrame (lazy).
+
+    Signature mirrors the reference's ``query_database``
+    (database_extractor.py:251-264) with ``client`` = SparkSession and
+    ``bucket``/``source`` = parquet path or table name.
+
+    Only ``aggregate_function="last"`` is specialized (deterministic
+    max_by); other aggregate names are applied via the built-in function
+    of that name, matching Flux's fn parameter surface.
+    """
+    src = source or bucket
+    df = read_source(client, src)
+
+    start_utc, end_utc = construct_query_time_endpoints(
+        query_time, delta_time_start, delta_time_end,
+        tz_offset=tz_offset, time_format=time_format,
+    )
+    started = time.perf_counter()
+
+    df = time_range(df, time_col, start_utc.replace("Z", ""), end_utc.replace("Z", ""))
+    df = time_shift(df, time_col, hours=tz_offset)
+    df = row_predicate(df, filter)
+
+    if aggregate_window:
+        if aggregate_function == "last":
+            df = downsample_last(
+                df, time_col, key_cols=[column_key], value_col=value_col,
+                every=aggregate_window, tiebreak_cols=tiebreak_cols,
+            )
+        else:
+            from database_extractor_spark.operators.core import _floor_time
+
+            agg_col = getattr(F, aggregate_function)(F.col(value_col)).alias(value_col)
+            df = df.groupBy(
+                _floor_time(F.col(time_col), aggregate_window).alias(time_col),
+                column_key,
+            ).agg(agg_col)
+
+    if pivot:
+        # after a downsample, (ts, key) is unique so the pivot's dedup
+        # order is just the row key; otherwise tiebreakers disambiguate
+        pivot_order = [time_col] if aggregate_window else [time_col, *tiebreak_cols]
+        df = pivot_wide(
+            df, row_key=time_col, column_key=column_key, value_col=value_col,
+            values=pivot_values, order_cols=pivot_order,
+        )
+        df = drop_all_null_rows(df, subset=[c for c in df.columns if c != time_col])
+
+    df = drop_columns(df, columns_to_drop)
+    df = sort_by_columns(df, sort_by)
+
+    logger.info(
+        "Built extraction plan for %s in window [%s, %s) in %.4fs (lazy)",
+        src, start_utc, end_utc, time.perf_counter() - started,
+    )
+    return df
+
+
+def query_data_for_day(
+    client: SparkSession,
+    current_date: datetime,
+    source: str,
+    out_dir: Optional[str] = None,
+    min_rows: int = 10,
+    **overrides,
+) -> Optional[DataFrame]:
+    """One local calendar day ``[midnight, midnight+24h)`` -> wide frame,
+    optionally written as a dated CSV when it clears the row guard.
+
+    Parity: reference ``query_data_for_day`` + ``process_results``
+    (database_extractor.py:369-399, :335-355) — tz offset from the date
+    (DST-aware), 24 h window, <10-row results discarded.
+    """
+    tz = overrides.pop("tz_offset", timezone_offset(current_date))
+    params = dict(
+        source=source,
+        query_time=current_date.strftime(DEFAULT_TIME_FORMAT),
+        delta_time_start=(0, 0, 0, 0),
+        delta_time_end=(0, 24, 0, 0),
+        tz_offset=tz,
+        columns_to_drop=REFERENCE_DROP_LIST,
+        sort_by=["_time"],
+        column_key="id",
+    )
+    params.update(overrides)
+    result = query_database(client, **params)
+
+    if not has_min_rows(result, min_rows):
+        logger.info("Fewer than %d rows for %s; ignoring results.", min_rows, current_date.date())
+        return None
+    if out_dir:
+        write_dated_csv(result, out_dir, current_date)
+    return result
+
+
+def query_data_for_range(
+    client: SparkSession,
+    start_date: datetime,
+    end_date: datetime,
+    source: str,
+    out_path: Optional[str] = None,
+    **overrides,
+) -> DataFrame:
+    """Extract ``[start_date, end_date)`` as ONE distributed query.
+
+    The reference loops days on the driver (database_extractor.py:402-420,
+    with a hand-rolled 2024-only calendar); the day-at-a-time isolation it
+    buys is exactly what partitioning gives for free, so here the whole
+    range is a single plan and the sink is day-partitioned
+    (``partitionBy(date)``) — per-day output atomicity, real parallelism
+    across days, and correct calendars for every year.
+    """
+    ndays = (datetime(end_date.year, end_date.month, end_date.day)
+             - datetime(start_date.year, start_date.month, start_date.day)).days
+    tz = overrides.pop("tz_offset", timezone_offset(start_date))
+    params = dict(
+        source=source,
+        query_time=datetime(start_date.year, start_date.month, start_date.day).strftime(DEFAULT_TIME_FORMAT),
+        delta_time_start=(0, 0, 0, 0),
+        delta_time_end=(0, 24 * ndays, 0, 0),
+        tz_offset=tz,
+        columns_to_drop=REFERENCE_DROP_LIST,
+        sort_by=["_time"],
+        column_key="id",
+    )
+    params.update(overrides)
+    result = query_database(client, **params)
+    time_col = params.get("time_col", "_time")
+    if out_path:
+        write_day_partitioned(result, time_col, out_path)
+    return result

@@ -1,0 +1,78 @@
+"""SparkSession factory — the engine's "client".
+
+Replaces the reference's ``create_influxdb_client`` (reference:
+src/database_extractor/database_extractor.py:187-205): instead of an HTTP
+client pinged against a server, we build/get a SparkSession and smoke-check
+it with a trivial job.
+
+Scale posture: config here assumes the session may run on a real cluster —
+AQE on (runtime shuffle-partition coalescing + skew-join splitting), Arrow
+on (fast pandas interchange for the few Pandas-UDF operators), session
+timezone pinned UTC (all engine timestamps are UTC; convert at the edges
+with from_utc_timestamp).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "database-extractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning.
+
+    Local test default: ``local[$SPARK_GRAFT_CPUS or *]`` with
+    shuffle partitions sized to cores rather than Spark's default 200 —
+    at cluster scale callers pass their own master/conf and AQE coalescing
+    corrects partition counts at runtime.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS), which vanilla
+        # Spark refuses; read as long + convert (sources.read_source).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def create_spark_client(config_path: str | None = None) -> SparkSession:
+    """Create a session and verify it executes a job (the reference pings
+    InfluxDB and raises ConnectionError on failure; we run a 1-row job)."""
+    conf = {}
+    if config_path:
+        from database_extractor_spark.config import load_config
+
+        loaded = load_config(config_path)
+        if isinstance(loaded, dict):
+            conf = {str(k): str(v) for k, v in loaded.get("spark", {}).items()}
+    spark = get_spark(extra_conf=conf)
+    if spark.range(1).count() != 1:
+        raise ConnectionError("SparkSession failed its smoke job")
+    return spark

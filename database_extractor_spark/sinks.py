@@ -1,0 +1,59 @@
+"""Sinks: dated CSV (reference parity) and parquet (engine-native).
+
+Parity targets:
+- dated CSV write  -> reference database_extractor.py:349-355, main.py:147-149
+- pickle sink      -> reference main.py:72 (pandas pickle); the Spark-native
+  serialized form is parquet.
+
+Scale: the reference writes one CSV per day from a driver-side loop. Here a
+single write with ``partitionBy("date")`` produces the same per-day file
+layout from one distributed job, with per-partition atomicity via the
+commit protocol.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """CSV sink with header; ``single_file`` coalesces to 1 task for the
+    reference's one-file-per-day shape (only sane for small results —
+    guards upstream enforce that, as in the reference)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_dated_csv(df: DataFrame, base_dir: str, current_date: datetime, prefix: str = "extract") -> str:
+    """Reference-shaped dated path: ``{base}/{prefix}_{Y}-{m}-{d}.csv``."""
+    path = f"{base_dir}/{prefix}_{current_date.year}-{current_date.month:02d}-{current_date.day:02d}.csv"
+    write_csv(df, path, single_file=True)
+    return path
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+) -> None:
+    out = df.write.mode(mode)
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.parquet(path)
+
+
+def write_day_partitioned(df: DataFrame, ts_col: str, path: str, mode: str = "overwrite") -> None:
+    """One distributed write replacing the reference's day loop: derive a
+    ``date`` column and ``partitionBy`` it — downstream readers get
+    partition pruning on date predicates for free."""
+    write_parquet(
+        df.withColumn("date", F.to_date(F.col(ts_col))),
+        path,
+        mode=mode,
+        partition_by=["date"],
+    )
