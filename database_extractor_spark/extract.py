@@ -47,6 +47,7 @@ from database_extractor_spark.sources import read_source
 from database_extractor_spark.timeutil import (
     DEFAULT_TIME_FORMAT,
     construct_query_time_endpoints,
+    iter_days,
     timezone_offset,
 )
 
@@ -74,7 +75,7 @@ def query_database(
     tz_offset: int = 0,
     time_format: str = DEFAULT_TIME_FORMAT,
     aggregate_function: str = "last",
-    aggregate_window: Optional[str] = "1 second",
+    aggregate_window: Optional[str] = None,
     sort_by: Sequence[str] = ("_time", "_field"),
     # --- Spark-native knobs (optional) ---
     source: str = "",
@@ -89,6 +90,12 @@ def query_database(
     Signature mirrors the reference's ``query_database``
     (database_extractor.py:251-264) with ``client`` = SparkSession and
     ``bucket``/``source`` = parquet path or table name.
+
+    ``aggregate_window`` defaults to None — raw pivoted points, exactly
+    like the reference's ``query_database`` (its Flux aggregateWindow stage
+    is commented out, database_extractor.py:299; the 1 s resample happens
+    only on the per-day path in ``process_results`` :346-347). The per-day/
+    range entry points below pass ``"1 second"`` to reproduce that path.
 
     Only ``aggregate_function="last"`` is specialized (deterministic
     max_by); other aggregate names are applied via the built-in function
@@ -167,16 +174,33 @@ def query_data_for_day(
         columns_to_drop=REFERENCE_DROP_LIST,
         sort_by=["_time"],
         column_key="id",
+        aggregate_window="1 second",
     )
     params.update(overrides)
     result = query_database(client, **params)
 
-    if not has_min_rows(result, min_rows):
-        logger.info("Fewer than %d rows for %s; ignoring results.", min_rows, current_date.date())
-        return None
-    if out_dir:
-        write_dated_csv(result, out_dir, current_date)
-    return result
+    # Persist around guard + sink: the guard's count and the write would
+    # otherwise each recompute the full plan. The count doubles as the
+    # reference's execution-timed log line (database_extractor.py:313-319
+    # times the query action, not plan construction).
+    result.persist()
+    try:
+        started = time.perf_counter()
+        n_rows = result.count()
+        logger.info(
+            "Query returned table of size %d rows x %d columns in %.4f s",
+            n_rows, len(result.columns), time.perf_counter() - started,
+        )
+        if n_rows < min_rows:
+            logger.info("Fewer than %d rows for %s; ignoring results.", min_rows, current_date.date())
+            return None
+        if out_dir:
+            write_dated_csv(result, out_dir, current_date)
+        return result
+    finally:
+        # guard+write have both run off the cache by now; the returned
+        # frame stays valid (recomputes lazily if composed further)
+        result.unpersist()
 
 
 def query_data_for_range(
@@ -187,31 +211,55 @@ def query_data_for_range(
     out_path: Optional[str] = None,
     **overrides,
 ) -> DataFrame:
-    """Extract ``[start_date, end_date)`` as ONE distributed query.
+    """Extract ``[start_date, end_date)`` as one distributed query per
+    DST segment.
 
     The reference loops days on the driver (database_extractor.py:402-420,
-    with a hand-rolled 2024-only calendar); the day-at-a-time isolation it
-    buys is exactly what partitioning gives for free, so here the whole
-    range is a single plan and the sink is day-partitioned
-    (``partitionBy(date)``) — per-day output atomicity, real parallelism
-    across days, and correct calendars for every year.
+    with a hand-rolled 2024-only calendar) and recomputes the DST-aware tz
+    offset for *each day* (database_extractor.py:372). Looping per day in
+    Spark would waste the scheduler, but using one offset for the whole
+    range is wrong across a DST transition — so we group consecutive days
+    that share an offset into segments (≤3 per year in practice), run ONE
+    distributed query per segment, and union. Within a segment the sink is
+    day-partitioned (``partitionBy(date)``) — per-day output atomicity,
+    real parallelism across days, and correct calendars for every year.
     """
-    ndays = (datetime(end_date.year, end_date.month, end_date.day)
-             - datetime(start_date.year, start_date.month, start_date.day)).days
-    tz = overrides.pop("tz_offset", timezone_offset(start_date))
-    params = dict(
-        source=source,
-        query_time=datetime(start_date.year, start_date.month, start_date.day).strftime(DEFAULT_TIME_FORMAT),
-        delta_time_start=(0, 0, 0, 0),
-        delta_time_end=(0, 24 * ndays, 0, 0),
-        tz_offset=tz,
-        columns_to_drop=REFERENCE_DROP_LIST,
-        sort_by=["_time"],
-        column_key="id",
-    )
-    params.update(overrides)
-    result = query_database(client, **params)
-    time_col = params.get("time_col", "_time")
+    days = list(iter_days(start_date, end_date))
+    if not days:
+        raise ValueError(f"empty date range [{start_date}, {end_date})")
+
+    fixed_tz = overrides.pop("tz_offset", None)
+    # consecutive-day runs sharing a tz offset -> (first_day, n_days, offset)
+    segments: list[list] = []
+    for d in days:
+        off = fixed_tz if fixed_tz is not None else timezone_offset(d)
+        if segments and segments[-1][2] == off:
+            segments[-1][1] += 1
+        else:
+            segments.append([d, 1, off])
+
+    frames = []
+    for first_day, ndays, off in segments:
+        params = dict(
+            source=source,
+            query_time=first_day.strftime(DEFAULT_TIME_FORMAT),
+            delta_time_start=(0, 0, 0, 0),
+            delta_time_end=(0, 24 * ndays, 0, 0),
+            tz_offset=off,
+            columns_to_drop=REFERENCE_DROP_LIST,
+            sort_by=["_time"],
+            column_key="id",
+            aggregate_window="1 second",
+        )
+        params.update(overrides)
+        frames.append(query_database(client, **params))
+
+    result = frames[0]
+    for f in frames[1:]:
+        # dynamic pivots can yield different column sets per segment
+        result = result.unionByName(f, allowMissingColumns=True)
+
+    time_col = overrides.get("time_col", "_time")
     if out_path:
         write_day_partitioned(result, time_col, out_path)
     return result

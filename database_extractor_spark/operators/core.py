@@ -70,7 +70,7 @@ def row_predicate(df: DataFrame, predicate: Union[str, Column, None]) -> DataFra
     return df.filter(predicate)
 
 
-def deterministic_last(value_col: str, order_cols: Sequence[str]) -> Column:
+def deterministic_last(value_col: str, order_cols: Sequence[str], skip_nulls: bool = True) -> Column:
     """Aggregate: value at the greatest (order_cols...) tuple — a
     deterministic replacement for order-dependent ``last()``.
 
@@ -80,6 +80,12 @@ def deterministic_last(value_col: str, order_cols: Sequence[str]) -> Column:
     deterministic, still a single-pass hash aggregate with map-side partial
     aggregation (no window-function sort), and matches DuckDB's
     ``arg_max(value, (order...))`` lexicographic struct ordering.
+
+    ``skip_nulls=True`` (default) matches pandas ``resample().last()``,
+    which returns the last *non-null* value in the bin (reference
+    database_extractor.py:347): rows whose value is NULL get a NULL order
+    key, and ``max_by`` ignores NULL keys — so a trailing null never
+    shadows an earlier real value, and an all-null bin yields NULL.
 
     Performance: with ONE order column the aggregation buffer stays
     primitive and Spark plans a HashAggregate; a multi-column tiebreak
@@ -93,6 +99,8 @@ def deterministic_last(value_col: str, order_cols: Sequence[str]) -> Column:
         key = F.col(order_cols[0])
     else:
         key = F.struct(*[F.col(c) for c in order_cols])
+    if skip_nulls:
+        key = F.when(F.col(value_col).isNotNull(), key)
     return F.max_by(F.col(value_col), key)
 
 

@@ -176,9 +176,11 @@ def generate_datetime_list(
     delta_time: Union[DeltaTime, timedelta] = None,
     time_format: str = DEFAULT_TIME_FORMAT,
 ) -> list[datetime]:
-    """Datetimes from start (inclusive) to end (exclusive) at a fixed stride.
+    """Datetimes from start to end (both INclusive) at a fixed stride.
 
-    Reference: main.py:75-97 (its general stride sweep driver).
+    Reference: main.py:75-97 — its loop is ``while current <= end``, so the
+    end point itself is emitted when the stride lands on it exactly. (Day
+    iteration over a half-open [start, end) range is ``iter_days`` below.)
     """
     if isinstance(start_time, str):
         start_time = datetime.strptime(start_time, time_format)
@@ -193,7 +195,7 @@ def generate_datetime_list(
 
     out: list[datetime] = []
     cursor = start_time
-    while cursor < end_time:
+    while cursor <= end_time:
         out.append(cursor)
         cursor = cursor + delta_time
     return out

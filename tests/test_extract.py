@@ -35,6 +35,7 @@ def _flagship(spark, tz_offset=0, day="2024-01-05T00:00:00Z"):
         value_col="value",
         pivot_values=EVENT_TYPES,
         sort_by=["ts"],
+        aggregate_window="1 second",
     )
 
 
@@ -137,6 +138,51 @@ def test_guards(spark):
     assert has_min_rows(df, 10)
     assert not has_min_rows(df, 20)
     assert has_min_rows(df, 0)
+
+
+def test_downsample_last_skips_nulls(spark):
+    """pandas resample().last() returns the last NON-null per bin — a
+    trailing null must not shadow an earlier real value (ADVICE r1)."""
+    from database_extractor_spark.operators.core import downsample_last
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(microseconds=100), "a", 1.0),
+        (base + datetime.timedelta(microseconds=900), "a", None),  # trailing null
+        (base + datetime.timedelta(seconds=1), "b", None),         # all-null bin
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = {(r["ts"], r["k"]): r["v"] for r in downsample_last(df, "ts", ["k"], "v").collect()}
+    assert out[(base, "a")] == 1.0
+    assert out[(base + datetime.timedelta(seconds=1), "b")] is None
+
+
+def test_range_extract_splits_at_dst_transition(spark):
+    """2024-03-08..12 spans the spring-forward (offset -8 -> -7 on 03-11's
+    midnight); per-day offsets must match the reference's day loop
+    (reference database_extractor.py:372)."""
+    from database_extractor_spark.extract import query_data_for_range
+    from database_extractor_spark.timeutil import timezone_offset
+
+    # offsets the reference's day loop would use
+    offs = [timezone_offset(datetime.datetime(2024, 3, d)) for d in range(8, 12)]
+    assert offs == [-8, -8, -8, -7]  # transition 02:00 local on 03-10; midnight 03-11 is PDT
+
+    df = query_data_for_range(
+        spark, datetime.datetime(2024, 1, 3), datetime.datetime(2024, 1, 6),
+        source=EVENTS,
+        column_key="event_type", time_col="ts", value_col="value",
+        filter=None, columns_to_drop=None, sort_by=["ts"], pivot_values=EVENT_TYPES,
+    )
+    # January range: single segment (constant -8 offset); local day [03T00,06T00)
+    # at -8 == UTC [03T08, 06T08), shifted back — same row count as fixed-offset run
+    fixed = query_data_for_range(
+        spark, datetime.datetime(2024, 1, 3), datetime.datetime(2024, 1, 6),
+        source=EVENTS, tz_offset=-8,
+        column_key="event_type", time_col="ts", value_col="value",
+        filter=None, columns_to_drop=None, sort_by=["ts"], pivot_values=EVENT_TYPES,
+    )
+    assert df.count() == fixed.count()
 
 
 def test_query_data_for_day_and_range(spark, tmp_path):

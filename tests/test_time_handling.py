@@ -83,16 +83,18 @@ def test_timezone_offset_matches_reference_2024():
 
 
 def test_generate_datetime_list():
+    # end-INclusive, matching the reference's `while current <= end`
+    # (reference main.py:92)
     days = generate_datetime_list("2024-02-27T00:00:00Z", "2024-03-02T00:00:00Z")
     assert days[0] == datetime(2024, 2, 27)
     assert datetime(2024, 2, 29) in days  # leap day
-    assert days[-1] == datetime(2024, 3, 1)  # end exclusive
-    assert len(days) == 4
+    assert days[-1] == datetime(2024, 3, 2)  # end inclusive
+    assert len(days) == 5
 
     hours = generate_datetime_list(
         datetime(2024, 1, 1), datetime(2024, 1, 1, 3), DeltaTime(hours=1)
     )
-    assert len(hours) == 3
+    assert len(hours) == 4
 
 
 def test_iter_days_correct_calendar():
