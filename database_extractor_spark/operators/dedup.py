@@ -1,0 +1,319 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH banding,
+SimHash, and n-gram Jaccard verification.
+
+Not in the reference (single-table numeric extractor); these are north-star
+LLM-pipeline operators over ``documents``. Design rules for 100 TB:
+
+- Never all-pairs. Candidate generation is always bucketed (LSH bands or
+  simhash bit-bands); the only joins are equi-joins on bucket keys, so the
+  plan is shuffle-on-key + within-bucket pairs — no cartesian product.
+- No Python UDFs. Shingling, minhash signatures, simhash bit votes are all
+  built-in higher-order functions (``transform``/``aggregate``/``filter``)
+  over arrays — JVM-side, Arrow never involved.
+- xxhash64 is the hash everywhere (64-bit, JVM built-in, seedable via an
+  extra column). It is engine-specific, so LSH outputs are pinned by
+  property tests + an exact-jaccard verification join, not a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database_extractor_spark.operators.text import tokens, with_fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact (optionally normalization-insensitive) dedup: one survivor per
+    distinct text, the row with the smallest ``id_col``.
+
+    Scale: group on a 128-bit md5 fingerprint instead of the raw text —
+    the shuffle ships 16 bytes + id per row, not document bodies. A
+    min_by/min pair keeps it a single hash aggregate (no window sort).
+    """
+    if normalized:
+        keyed = with_fingerprint(df, text_col, "__key")
+    else:
+        keyed = df.withColumn("__key", F.md5(F.col(text_col)))
+    survivors = keyed.groupBy("__key").agg(F.min(F.col(id_col)).alias(id_col))
+    return survivors.select(id_col)
+
+
+# --------------------------------------------------------------------------
+# shingling + minhash
+# --------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column -> array<string>.
+
+    Documents shorter than ``n`` tokens contribute their full token string
+    as a single shingle (so they can still match exact copies).
+    """
+    toks = tokens(col)
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed h in [0, num_hashes), the min xxhash64
+    over the shingle set -> array<bigint> of length ``num_hashes``.
+
+    Per-row, no shuffle: num_hashes × |shingles| JVM hash evaluations.
+    P[sig_a[h] == sig_b[h]] = Jaccard(a, b) — the estimator LSH banding
+    exploits below.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, h))),
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(sig_col, minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band, and emit candidate pairs
+    (id_a < id_b) that collide in at least one band.
+
+    Scale: explode to (id, band_idx, band_hash) — bands× the id count,
+    tiny rows — then a self equi-join on (band_idx, band_hash). The join
+    is shuffle-on-bucket; within-bucket pairing is quadratic in bucket
+    size, so degenerate buckets (boilerplate that hashes identically
+    across millions of docs) are capped at ``max_bucket`` members and
+    dropped — at that size the docs are duplicates of each other anyway
+    and are better handled by the exact-dedup pass that precedes this.
+    """
+    rpb = num_hashes // bands
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # xxhash64 hashes the array<bigint> band slice directly
+                        F.xxhash64(F.slice(F.col(sig_col), b * rpb + 1, rpb)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    # cap pathological buckets (see docstring)
+    sized = banded.withColumn(
+        "__bsize", F.count("*").over(__bucket_window())
+    ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
+
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def __bucket_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("band", "bucket")
+
+
+def estimate_jaccard(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "minhash") -> DataFrame:
+    """Attach the MinHash Jaccard estimate (fraction of agreeing signature
+    components) to candidate pairs."""
+    s = sigs.select(F.col(id_col), F.col(sig_col))
+    out = (
+        pairs.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed(sig_col, "__sa"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed(sig_col, "__sb"), "id_b")
+    )
+    agree = F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v))
+    return out.withColumn(
+        "est_jaccard", F.round(agree / F.size(F.col("__sa")), 4)
+    ).drop("__sa", "__sb")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup: shingle -> minhash -> band -> bucket-join ->
+    estimate -> keep one survivor (min id) per connected duplicate pair.
+
+    Survivor rule: a doc is dropped iff it appears as the *larger* id in a
+    pair at/above threshold (single-pass approximation of connected
+    components — exact for the dominant case of pairwise-similar groups;
+    iterative label propagation is the full-graph upgrade path).
+
+    Returns the surviving rows of ``df``.
+    """
+    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
+    scored = estimate_jaccard(pairs, sigs, id_col=id_col)
+    losers = scored.filter(F.col("est_jaccard") >= threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    from database_extractor_spark.operators.relational import anti_join
+
+    return anti_join(df, losers, on=id_col)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join; SQL-oracle-able)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram-set Jaccard for all pairs sharing >= 1 shingle, via an
+    inverted-index self-join (shuffle on shingle, never cartesian):
+
+        common(a,b) = |shingles(a) ∩ shingles(b)|  (count per joined pair)
+        jaccard = common / (|a| + |b| - common)
+
+    Scale: the join fan-out is sum over shingles of bucket², so rare
+    shingles are cheap and the hot-shingle tail is the cost driver —
+    at corpus scale run AFTER minhash banding as the verification step
+    (candidates only), or cap hot shingles as in lsh_candidate_pairs.
+    This standalone form is the oracle-checkable reference semantics.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        common.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash of the token multiset: per token a 64-bit xxhash64; each bit
+    position votes +1/-1; the sign of the vote total sets that bit.
+
+    Near-duplicate docs differ in few bits (small Hamming distance).
+    Per-row: bits × |tokens| JVM ops via higher-order functions; the bit
+    loop is unrolled in Python so masks are plan-time literals (two's-
+    complement: bit 63's contribution is Long.MIN_VALUE).
+    """
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+    def bit_vote(mask: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # signed-long bit pattern
+        out = out + F.when(bit_vote(mask) > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-pairs by SimHash: bucket on each of ``bands`` 16-bit bands of
+    the 64-bit simhash (pigeonhole: any pair within Hamming distance
+    ``bands-1`` shares at least one exact band), then verify
+    ``bit_count(xor) <= max_hamming`` on candidates only.
+
+    Output: (id_a, id_b, hamming).
+    """
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    width = 64 // bands
+    banded = sh.select(
+        id_col, "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

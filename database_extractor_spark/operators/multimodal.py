@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode/feature steps as Arrow-batched Pandas functions.
+
+North-star LLM-pipeline operator (not in the reference). The container has
+no image/audio libraries, so the actual byte decoding is STUBBED — each
+stub either raises NotImplementedError (real decode) or produces a
+deterministic fake (testable plumbing). Everything Spark-side is real and
+tested: the binary schema, metadata extraction, the mapInPandas batch
+shape, and partitioning posture.
+
+Scale rules:
+- payloads stay opaque ``binary``; only metadata (length, hash, parsed
+  JSON fields) flows through relational operators, so shuffles never ship
+  image bytes unless a stage genuinely transforms them;
+- decode runs in ``mapInPandas`` (Arrow batches, one Python worker per
+  partition) — the only sanctioned Python hop in the engine;
+- batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set it small for large payloads).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of a decoded-image feature row (what a real decoder would emit)
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, src_col: str, payload_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary payload column (here: UTF-8 bytes of a
+    string column — in production the bytes come off object storage or an
+    upstream parquet binary column; the engine treats both identically)."""
+    return df.withColumn(payload_col, F.encode(F.col(src_col), "UTF-8"))
+
+
+def payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over opaque bytes — JVM-side only: byte length and a
+    content hash (md5). This is the stage relational ops filter/join on;
+    the bytes themselves are never shuffled by it."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
+        "content_md5", F.md5(F.col(payload_col))
+    )
+
+
+def decode_image_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """REAL image decode — requires PIL/opencv, absent in this container.
+
+    Kept as the documented integration point; raises until a decoder is
+    installed."""
+    raise NotImplementedError(
+        "image decoding requires an image library (PIL/opencv) not present "
+        "in this environment; use fake_decode_images for plumbing tests"
+    )
+
+
+def fake_decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic FAKE decode standing in for decode_image_batch: derives
+    (format, width, height) from the payload bytes alone, so the full
+    mapInPandas pipeline — Arrow batch in, typed rows out — runs and is
+    assertable without an image library.
+
+    fake semantics (documented so the oracle can mirror them):
+      format = 'png' if n_bytes % 2 == 0 else 'jpeg'
+      width  = 16 + n_bytes % 624
+      height = 16 + (n_bytes * 7) % 464
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = b[payload_col].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "format": (n % 2).map({0: "png", 1: "jpeg"}),
+                    "width": (16 + n % 624).astype("int32"),
+                    "height": (16 + (n * 7) % 464).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Video frame-sampling *plan*: expand each clip row into the frame
+    indices a decoder would extract (every ``every_n``-th frame). The
+    decode of each sampled frame is the stubbed step; the expansion is
+    real Spark (explode of a sequence — no UDF).
+    """
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))),
+    )

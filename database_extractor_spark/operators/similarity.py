@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing and a
+partition-pruned (IVF-style) variant as the scale paths.
+
+North-star LLM-pipeline operator (not in the reference) over the
+``embeddings`` table. Design rules for 100 TB:
+
+- The exact path never cross-joins: the query vector is a plan-time
+  literal array, cosine is a per-row expression (zip_with + aggregate,
+  JVM-side), and top-k compiles to TakeOrderedAndProject (per-partition
+  heaps, k×partitions rows to the driver).
+- The ANN paths prune candidates BEFORE scoring: LSH bucket equality or a
+  coarse partition key (IVF list / any precomputed cluster id) — both are
+  scan-with-filter plans, broadcastable and partition-prunable when the
+  table is written bucketed/partitioned by the key.
+- All math in double: float32 accumulation drifts from every oracle.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double (sequential
+    left-to-right fold — matches DuckDB's list_dot_product on DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; 0.0 for a zero vector
+    (instead of NaN) so ordering stays total."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Output: (id, cos) ordered by (cos desc, id) — the id tiebreak keeps
+    the selected set deterministic under score ties.
+
+    Scale: one narrow scan computing a double per row + TakeOrdered; no
+    shuffle, no cartesian. This is the correctness baseline the ANN paths
+    are measured against (recall@k).
+    """
+    q = _query_lit(query_vec)
+    # zip_with silently truncates on length mismatch — score only rows whose
+    # dimensionality matches the query instead of producing wrong numbers
+    scored = df.filter(F.size(F.col(vec_col)) == len(query_vec)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos")
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic Rademacher (+1/-1) hyperplanes — reproducible across
+    driver restarts, so bucket ids are stable table state."""
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-of-projection bit per hyperplane, packed into an int bucket id.
+
+    Per-row expression (n_planes × dim multiply-adds, JVM-side). Vectors
+    with small angle agree on most sign bits -> land in the same bucket
+    with high probability.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(out_col, lsh_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed)))
+
+
+def _py_bucket(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    """Driver-side bucket of the query vector (same math as lsh_bucket)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        if sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket.
+
+    Scale: candidate filter is `bucket IN (probe set)` — a pushable
+    predicate; when the table is bucketed/partitioned by `bucket` this
+    prunes file groups at the scan. Expected candidates ≈ N × (probe
+    buckets / 2^n_planes); recall tunes with n_planes (fewer planes =
+    bigger buckets = higher recall, more scoring).
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qb = _py_bucket(query_vec, planes)
+    probes = [qb]
+    if multiprobe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = with_lsh_bucket(df, dim, vec_col, n_planes, seed)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned (IVF-style) search
+# --------------------------------------------------------------------------
+
+def partitioned_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    partition_col: str,
+    partition_values: Sequence,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k restricted to the coarse partitions nearest the query (IVF
+    semantics: ``partition_col`` is the inverted-list id — a k-means
+    cluster label, a category, a shard key).
+
+    Scale: the partition predicate prunes at the scan (partition/row-group
+    level on a partitioned layout); scoring touches only the probed lists.
+    """
+    pruned = df.filter(F.col(partition_col).isin(list(partition_values)))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def pairwise_similar_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, candidate-generated by shared
+    LSH bucket (embedding-cosine near-dup detection).
+
+    Scale: equi-self-join on bucket — shuffle on bucket id, quadratic only
+    within buckets (2^n_planes buckets keeps them small); never cartesian.
+    High thresholds want more planes (smaller buckets, still ~full recall
+    because near-identical vectors agree on almost all sign bits).
+    """
+    b = with_lsh_bucket(df.select(id_col, vec_col), dim, vec_col, n_planes, seed)
+    lhs, rhs = b.alias("a"), b.alias("b")
+    pairs = (
+        lhs.join(rhs, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,167 @@
+"""Text analysis for training-data pipelines: tokenization stats, quality
+scoring, language ID, document fingerprinting.
+
+Not in the reference (it is a numeric time-series extractor); these are the
+north-star LLM-pipeline operators over the ``documents`` table. Design rule:
+everything here is built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen) — no Python UDFs anywhere, so a 100 TB corpus scan
+stays a single embarrassingly-parallel stage with no Arrow hops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-vote language
+#: heuristic. Deliberately small: language ID at corpus scale is a
+#: prefilter, not a classifier — anything ambiguous should fall through to
+#: "und" and a downstream model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string>. The BPE-ish variant below
+    (``subword_token_count``) approximates subword counts with a regex."""
+    return F.split(F.trim(col), _WS)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_chars / mean token length per document.
+
+    Scale: per-row narrow transforms only — no shuffle, full codegen.
+    """
+    t = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn("n_chars_calc", F.length(F.col(text_col)))
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (F.length(F.regexp_replace(F.col(text_col), _WS, "")))
+                / F.greatest(F.size(t), F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def subword_token_count(col: Column) -> Column:
+    """BPE-ish token-count estimate without a tokenizer model: count
+    alternating letter-runs / digit-runs / single punctuation marks, the
+    units a byte-pair tokenizer rarely crosses. Cheap upper-ish bound used
+    for budget accounting in data pipelines."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword ratio,
+    alphabetic ratio — the classic cheap filters (C4/Gopher-style) that run
+    before any model-based scoring.
+
+    Output columns: punct_ratio, alpha_ratio, stopword_ratio, quality_ok.
+    """
+    txt = F.col(text_col)
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    toks = tokens(F.lower(txt))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length(F.regexp_replace(txt, r"[^!-/:-@\[-`{-~]", ""))
+    alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+
+    out = (
+        df.withColumn("punct_ratio", F.round(punct / n_chars, 4))
+        .withColumn("alpha_ratio", F.round(alpha / n_chars, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / n_toks, 4))
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.length(txt) >= 20)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("alpha_ratio") >= 0.5),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword list scores
+    the most hits wins; ties and zero-hit rows -> 'und'.
+
+    Scale: per-row expression over a handful of tiny literal arrays —
+    no shuffle, no UDF, no model. Suitable as a 100 TB prefilter.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over (hits, lang): deterministic tiebreak by language code —
+    # but a genuine tie should read 'und', so require a strict winner
+    best = F.greatest(*scores)
+    total_best = F.size(
+        F.filter(F.array(*scores), lambda s: s["hits"] == best["hits"])
+    )
+    return df.withColumn(
+        out_col,
+        F.when((best["hits"] > 0) & (total_best == 1), best["lang"]).otherwise("und"),
+    )
+
+
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). The canonical exact-dedup key —
+    content-addressed, stable across engines (md5 is everywhere), and
+    joinable/groupable at scale (128-bit hex vs arbitrary-length text).
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    return df.withColumn(out_col, F.md5(normalized))
+
+
+def rolling_hashes(col: Column, window: int = 8) -> Column:
+    """Array of rolling window fingerprints (winnowing-style): hash of each
+    ``window``-token shingle, via xxhash64 (JVM-side, 64-bit).
+
+    Used by near-dup detection (see operators.dedup); xxhash64 is not
+    portable to other engines, so results are pinned by property tests,
+    not a SQL oracle.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Corpus token frequency table (the explode->count classic).
+
+    Scale: explode multiplies rows by tokens/doc before the aggregation
+    shuffle; partial aggregation collapses most of it map-side. For very
+    hot tokens AQE skew handling keeps reducers balanced.
+    """
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .count()
+        .filter(F.col("count") >= min_count)
+    )
