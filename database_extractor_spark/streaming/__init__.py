@@ -1,0 +1,106 @@
+"""Structured Streaming analog of the reference's cron-batch mode.
+
+The reference's "streaming" is a scheduler: a cron job that re-runs the
+daily batch extraction at midnight (reference main.py:36-43). The
+Spark-native equivalent is a Structured Streaming query over the same
+source with an ``availableNow`` trigger — process everything that has
+arrived, then stop — which reproduces the cron-batch semantics exactly
+while also scaling to a genuinely continuous feed (just switch the
+trigger) with watermarked late-data handling.
+
+Scale posture: the streaming plan is the same windowed-aggregate plan as
+batch (incremental hash aggregation with state store); the watermark
+bounds state size — without it a continuous run accumulates one state row
+per (window, key) forever.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_extractor_spark.sources import read_source
+
+
+def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Open a file-based streaming source with the schema inferred from a
+    batch read of the same path (file streams require an explicit schema).
+    Applies the same nanos->micros timestamp normalization as the batch
+    reader so batch and stream plans are interchangeable."""
+    batch = spark.read.format(fmt).load(path)
+    if os.path.isfile(path):
+        # FileStreamSource only monitors directories; expose a single-file
+        # fixture as a one-file directory via symlink
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    stream = spark.readStream.schema(batch.schema).format(fmt).load(path)
+    from database_extractor_spark.sources import _normalize_nanos
+
+    return _normalize_nanos(spark, stream)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    every: str = "1 minute",
+    watermark: Optional[str] = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count per key — the streaming flavor of the
+    reference's per-window aggregation (left-edge labeled, empty windows
+    never emitted, matching operators.core.downsample_last conventions)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, every).getField("start").alias("window_start"), *key_cols)
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming aggregation with the ``availableNow`` trigger
+    into an in-memory sink and return the result table (batch DataFrame).
+
+    This IS the reference's cron semantics: "process everything currently
+    in the bucket, then stop" (reference main.py:36-43) — but exactly-once
+    and incremental. For a real deployment swap the memory sink for a
+    parquet/Delta sink + checkpoint dir and keep the same plan.
+    """
+    name = f"avail_now_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def streaming_event_counts(spark: SparkSession, events_path: str, every: str = "1 minute") -> DataFrame:
+    """End-to-end streaming analog over the events table: stream-read ->
+    watermark -> tumbling window counts -> availableNow -> result frame.
+
+    Returns the same rows a batch `groupBy(date_trunc(minute), type)` would
+    — pinned by the driver oracle."""
+    stream = stream_source(spark, events_path)
+    agg = windowed_counts(stream, "ts", ("event_type",), every)
+    return run_available_now(spark, agg)
