@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced to full materialization through the noop sink (count()
+alone can let Catalyst prune the expensive columns). Session startup and a
+warm-up job are excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: representative spread: extraction pipeline, star joins, agg suite,
+#: window fns, LLM ops, streaming analog
+HEADLINE = [
+    "flagship_day_extract",
+    "o08_downsample_1s_last",
+    "o19_day_partition_counts",
+    "join_broadcast_agg",
+    "join_star_5way",
+    "agg_suite",
+    "window_rank",
+    "topk_global",
+    "json_funcs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_bruteforce_topk",
+    "text_token_stats",
+    "streaming_event_counts",
+]
+
+
+def main() -> None:
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,15 +102,18 @@ def query_database(
     of that name, matching Flux's fn parameter surface.
     """
     src = source or bucket
-    df = read_source(client, src)
-
     start_utc, end_utc = construct_query_time_endpoints(
         query_time, delta_time_start, delta_time_end,
         tz_offset=tz_offset, time_format=time_format,
     )
     started = time.perf_counter()
 
-    df = time_range(df, time_col, start_utc.replace("Z", ""), end_utc.replace("Z", ""))
+    start_s, end_s = start_utc.replace("Z", ""), end_utc.replace("Z", "")
+    # the window is also pushed into the scan in the column's native space
+    # (prunes parquet row groups even for nanos-long fixtures); the
+    # time_range below is the equivalent semantic filter
+    df = read_source(client, src, ts_filter=(time_col, start_s, end_s))
+    df = time_range(df, time_col, start_s, end_s)
     df = time_shift(df, time_col, hours=tz_offset)
     df = row_predicate(df, filter)
 

@@ -37,27 +37,74 @@ def _normalize_nanos(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def read_source(spark: SparkSession, source: str, fmt: Optional[str] = None) -> DataFrame:
+def read_source(
+    spark: SparkSession,
+    source: str,
+    fmt: Optional[str] = None,
+    ts_filter: Optional[tuple] = None,
+) -> DataFrame:
     """Resolve a source string to a DataFrame.
 
     Dispatch: explicit ``fmt`` wins; else by extension; a path-less name is
     treated as a catalog table/view. Directories default to parquet
     (partitioned layouts like ``.../date=2024-01-01/`` prune on filter).
+
+    ``ts_filter=(col, start, stop)`` applies the half-open time window IN
+    THE COLUMN'S NATIVE SPACE, before any type normalization. This matters
+    for nanos-long timestamp columns: a filter on the converted timestamp
+    cannot reach parquet row-group stats (Catalyst can't invert
+    ``timestamp_micros``), but the exactly-equivalent raw predicate
+    ``raw_nanos >= start_micros*1000 AND raw_nanos < stop_micros*1000``
+    (floor-division equivalence, no widening needed) prunes row groups at
+    the scan. The timestamp-space filter applied later by
+    ``operators.core.time_range`` stays as the semantic source of truth —
+    the two are equivalent, so the extra predicate is pure pushdown.
     """
+    if fmt == "table" or (fmt is None and not (
+        os.path.sep in source or os.path.isdir(source)
+        or source.lower().endswith((".parquet", ".pq", ".csv", ".json", ".jsonl"))
+    )):
+        return spark.table(source)
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if fmt:
-        df = spark.read.format(fmt).load(source) if fmt != "table" else spark.table(source)
-        return _normalize_nanos(spark, df)
     lowered = source.lower()
-    if lowered.endswith(".parquet") or lowered.endswith(".pq"):
-        return _normalize_nanos(spark, spark.read.parquet(source))
-    if lowered.endswith(".csv"):
-        return spark.read.csv(source, header=True, inferSchema=True)
-    if lowered.endswith(".json") or lowered.endswith(".jsonl"):
-        return spark.read.json(source)
-    if os.path.sep in source or os.path.isdir(source):
-        return _normalize_nanos(spark, spark.read.parquet(source))
-    return spark.table(source)
+    if fmt:
+        raw = spark.read.format(fmt).load(source)
+    elif lowered.endswith(".csv"):
+        raw = spark.read.csv(source, header=True, inferSchema=True)
+    elif lowered.endswith((".json", ".jsonl")):
+        raw = spark.read.json(source)
+    else:
+        raw = spark.read.parquet(source)
+
+    if ts_filter is not None:
+        raw = _apply_native_ts_filter(raw, *ts_filter)
+    return _normalize_nanos(spark, raw)
+
+
+def _apply_native_ts_filter(df: DataFrame, col: str, start, stop) -> DataFrame:
+    """Half-open [start, stop) in the column's on-disk representation, so
+    the predicate reaches parquet stats (see read_source docstring)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    if isinstance(field.dataType, LongType) and col in NANOS_TS_COLS:
+        def to_nanos(v) -> int:
+            if isinstance(v, str):
+                v = datetime.fromisoformat(v)
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            td = v - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            return micros * 1000
+
+        return df.filter((F.col(col) >= to_nanos(start)) & (F.col(col) < to_nanos(stop)))
+    return df.filter((F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(stop)))
 
 
 def read_jdbc(
