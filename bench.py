@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_bruteforce_topk",
     "text_token_stats",
+    "text_tfidf",
+    "asof_join",
+    "ffill_resample",
     "streaming_event_counts",
 ]
 

@@ -56,6 +56,12 @@ from database_extractor_spark.operators.text import (
     with_quality_score,
     with_token_stats,
 )
+from database_extractor_spark.operators.timeseries import (
+    asof_join,
+    ffill_resample,
+    session_windows,
+    sliding_counts,
+)
 
 __all__ = [
     # core (reference parity)
@@ -77,4 +83,6 @@ __all__ = [
     # text
     "with_token_stats", "with_quality_score", "with_lang_id",
     "with_fingerprint", "token_frequencies",
+    # timeseries
+    "asof_join", "ffill_resample", "sliding_counts", "session_windows",
 ]

@@ -1,0 +1,143 @@
+"""Time-series operators beyond the reference's pipeline: as-of join,
+gap-filled resampling (forward fill), sliding windows, session windows.
+
+The reference stops at tumbling-window take-last (database_extractor.py:
+299,346-347); these are the operators a time-series engine at scale needs
+next, each expressed as stock DataFrame plans:
+
+- as-of join: the union + ordered window trick — ONE shuffle/sort, no
+  range-join fan-out (a naive `l.ts >= r.ts` join explodes to all earlier
+  quotes per probe).
+- gap fill: explicit grid via sequence() + left join + last(ignorenulls)
+  window — the pandas `resample().ffill()` analog.
+- sliding/session windows: built-in window()/session_window() aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from database_extractor_spark.operators.core import downsample_last
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach ``value_col`` from
+    the latest right row with ``right.ts <= left.ts`` within the same
+    ``on`` key (ANSI/DuckDB `ASOF LEFT JOIN` semantics, inclusive).
+
+    Plan: union both sides tagged probe/quote, one window
+    (partition by key, order by ts with quotes before probes at equal ts,
+    rows unbounded-preceding..current) carrying the last non-null quote
+    value forward, then keep probe rows.
+
+    Scale: one shuffle on the key + per-partition sort — linear in
+    |left| + |right|, vs the quadratic fan-out of a range-condition join.
+    Right side should be pre-deduplicated to one quote per (key, ts) for
+    deterministic results.
+    """
+    out_col = out_col or value_col
+    on = list(on)
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__src", F.lit(1))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("__ts"), F.col(value_col).alias("__qv"))
+        .withColumn("__src", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(out_col, F.last("__qv", ignorenulls=True).over(w))
+    return filled.filter(F.col("__src") == 1).drop("__src", "__qv", "__ts")
+
+
+def ffill_resample(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    every: str = "1 second",
+) -> DataFrame:
+    """Gap-filled downsample: take-last per bin, then materialize EVERY bin
+    between each key's first and last point and forward-fill values — the
+    pandas ``resample().last().ffill()`` analog the reference's dropna
+    path deliberately avoids (it emits only non-empty bins).
+
+    Scale: grid size = time-span / every per key — explicit, bounded by
+    the queried window; the fill itself is one window pass (shuffle on
+    keys + sort). Not for unbounded spans at 1 s resolution.
+    """
+    key_cols = list(key_cols)
+    binned = downsample_last(df, ts_col, key_cols, value_col, every=every)
+    bounds = binned.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    step = every if every.strip()[0].isdigit() else f"1 {every}"
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.sequence("__mn", "__mx", F.expr(f"interval {step}"))).alias(ts_col),
+    )
+    joined = grid.join(binned, on=[*key_cols, ts_col], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Hopping-window counts: each event lands in window/slide overlapping
+    windows (window() with a slideDuration).
+
+    Scale: the expand multiplies rows by window/slide before the
+    aggregation shuffle — keep the ratio small or pre-aggregate at slide
+    granularity and roll up."""
+    return (
+        df.groupBy(
+            F.window(ts_col, window, slide).getField("start").alias("window_start"),
+            *key_cols,
+        )
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of the previous event (per
+    key) share a session; emits (session_start, keys..., n).
+
+    Built-in ``session_window`` — works identically in batch and
+    Structured Streaming (where state merges sessions across batches)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *key_cols)
+        .count()
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            *key_cols,
+            F.col("count").alias("n"),
+        )
+    )

@@ -1181,3 +1181,271 @@ def streaming_event_counts(spark, sf_dir):
     from database_extractor_spark.streaming import streaming_event_counts as run
 
     return run(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Time-series extensions (as-of join, gap fill, sliding/session windows)
+# ==========================================================================
+
+@register(
+    "asof_join",
+    """
+    with probes as (
+        select user_id, ts, event_id from events where event_type = 'click'
+    ),
+    quotes as (
+        select user_id, date_trunc('second', ts) as qts, arg_max(value, ts) as qv
+        from events where event_type = 'purchase'
+        group by 1, 2
+    )
+    select p.event_id, p.user_id, q.qv as last_purchase
+    from probes p asof left join quotes q
+      on p.user_id = q.user_id and p.ts >= q.qts
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """Backward as-of join (union + ordered window; one shuffle, no
+    range-join fan-out): last purchase value at-or-before each click,
+    per user. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from database_extractor_spark.operators.timeseries import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    probes = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    quotes = C.downsample_last(
+        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value"
+    ).withColumnRenamed("ts", "qts").withColumnRenamed("value", "qv")
+    out = asof_join(
+        probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+        value_col="qv", out_col="last_purchase",
+    )
+    return out.select("event_id", "user_id", "last_purchase")
+
+
+@register(
+    "ffill_resample",
+    """
+    with binned as (
+        select event_type, date_trunc('minute', ts) as ts, arg_max(value, ts) as value
+        from events
+        where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-06'
+        group by 1, 2
+    ),
+    bounds as (select event_type, min(ts) as mn, max(ts) as mx from binned group by 1),
+    grid as (
+        select event_type, unnest(generate_series(mn, mx, interval 1 minute)) as ts
+        from bounds
+    )
+    select g.event_type, g.ts,
+           last_value(b.value ignore nulls) over (
+               partition by g.event_type order by g.ts
+               rows between unbounded preceding and current row) as value
+    from grid g left join binned b on g.event_type = b.event_type and g.ts = b.ts
+    """,
+)
+def ffill_resample_q(spark, sf_dir):
+    """Gap-filled 1-minute resample with forward fill — the pandas
+    resample().last().ffill() analog (grid via sequence(), fill via one
+    last(ignorenulls) window pass)."""
+    from database_extractor_spark.operators.timeseries import ffill_resample
+
+    ev = _tbl(spark, sf_dir, "events")
+    day = C.time_range(ev, "ts", "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+    return ffill_resample(day, "ts", ["event_type"], "value", every="1 minute")
+
+
+@register(
+    "sliding_window_counts",
+    """
+    with expanded as (
+        select date_trunc('minute', ts) as w0, event_type from events
+        union all
+        select date_trunc('minute', ts) - interval 1 minute, event_type from events
+    )
+    select w0 as window_start, event_type, count(*) as n
+    from expanded group by 1, 2
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Hopping windows (2 min window, 1 min slide): every event counted in
+    exactly two windows. Oracle expands each event into its two window
+    starts explicitly."""
+    from database_extractor_spark.operators.timeseries import sliding_counts
+
+    return sliding_counts(
+        _tbl(spark, sf_dir, "events"), "ts", ["event_type"], "2 minutes", "1 minute"
+    )
+
+
+@register(
+    "session_windows",
+    """
+    with d as (
+        select user_id, ts,
+               case when lag(ts) over w is null
+                         or ts - lag(ts) over w >= interval 30 minute
+                    then 1 else 0 end as brk
+        from events
+        window w as (partition by user_id order by ts)
+    ),
+    s as (
+        select user_id, ts,
+               sum(brk) over (partition by user_id order by ts
+                              rows between unbounded preceding and current row) as sid
+        from d
+    )
+    select user_id, min(ts) as session_start, count(*) as n
+    from s group by user_id, sid
+    """,
+)
+def session_windows_q(spark, sf_dir):
+    """Session windows (30 min gap) per user. Oracle: classic
+    gaps-and-islands with lag + running break count."""
+    from database_extractor_spark.operators.timeseries import session_windows
+
+    out = session_windows(_tbl(spark, sf_dir, "events"), "ts", ["user_id"], "30 minutes")
+    return out.select("user_id", "session_start", "n")
+
+
+# ==========================================================================
+# More relational / pipeline surface
+# ==========================================================================
+
+@register(
+    "grouping_sets",
+    """
+    select o_orderstatus, o_orderpriority, count(*) as n from orders
+    group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_q(spark, sf_dir):
+    """Explicit GROUPING SETS (SQL surface; rollup/cube are the DataFrame
+    flavors above)."""
+    view = "orders_gs_view"
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""select o_orderstatus, o_orderpriority, count(*) as n from {view}
+            group by grouping sets ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@register(
+    "not_exists_subquery",
+    """
+    select c_custkey from customer
+    where not exists (
+        select 1 from orders where o_custkey = c_custkey and o_orderstatus = 'P'
+    )
+    """,
+)
+def not_exists_subquery(spark, sf_dir):
+    """Correlated NOT EXISTS (decorrelated by Catalyst into an anti
+    join)."""
+    _tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq_view")
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq_view")
+    return spark.sql(
+        """select c_custkey from customer_sq_view
+           where not exists (select 1 from orders_sq_view
+                             where o_custkey = c_custkey and o_orderstatus = 'P')"""
+    )
+
+
+@register(
+    "deterministic_sample",
+    """
+    select event_id, event_type from events
+    where ('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::bigint % 100 < 10
+    """,
+)
+def deterministic_sample(spark, sf_dir):
+    """Portable deterministic ~10% sample by content hash (md5 of the key
+    — reproducible across engines/runs, unlike TABLESAMPLE/rand()).
+    Scale: pure scan-side predicate, prunes nothing but shuffles nothing."""
+    ev = _tbl(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    return ev.filter(bucket < 10).select("event_id", "event_type")
+
+
+@register(
+    "approx_distinct",  # approximate -> rows-only driver check
+)
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): sketch-based distinct at
+    scale (no exact-distinct expand). Bounded-error property pinned in
+    tests/test_timeseries_ops.py; sketches are engine-specific so no SQL
+    oracle."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "text_tfidf",
+    r"""
+    with toks as (
+        select doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+        from documents
+    ),
+    tf as (select doc_id, token, count(*) as tf from toks group by 1, 2),
+    df as (select token, count(distinct doc_id) as df from toks group by 1),
+    n as (select count(*) as n from documents)
+    select tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(cast(n.n as double) / df.df), 6) as tfidf
+    from tf join df on tf.token = df.token cross join n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF over the corpus: explode -> tf per (doc, token), df per
+    token, idf = ln(N/df). One explode + two keyed shuffles; the df table
+    is tiny and broadcast into the final join."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.count()
+    return tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id", "token", "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+@register(
+    "text_chunking",
+    r"""
+    with w as (
+        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+    )
+    select doc_id, start,
+           array_to_string(ws[start:start+23], ' ') as chunk
+    from w, unnest(range(1, len(ws) + 1, 16)) as t(start)
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Fixed-size token chunking with overlap (24-token chunks, stride 16)
+    — the training-data windowing step. Pure per-row explode, no
+    shuffle."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(16))
+    return docs.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        toks.alias("__ws"),
+    ).select(
+        "doc_id", "start",
+        F.concat_ws(" ", F.slice("__ws", F.col("start"), 24)).alias("chunk"),
+    )
+
+
+@register("embedding_near_dup")  # LSH-bucketed, approximate -> rows-only
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH bucket join (never
+    cartesian). Plan shape pinned in tests; bucket ids are hash-seeded so
+    no SQL oracle."""
+    return S.pairwise_similar_lsh(
+        _tbl(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
+    )

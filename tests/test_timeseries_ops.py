@@ -1,0 +1,99 @@
+"""Property tests for the time-series extensions: as-of join vs a naive
+range join, gap-fill completeness, approx-distinct error bound."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from database_extractor_spark.operators.timeseries import (
+    asof_join,
+    ffill_resample,
+    session_windows,
+    sliding_counts,
+)
+
+
+def test_asof_join_matches_naive_range_join(spark):
+    probes = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, s)) for s in (2, 5, 9)]
+        + [(2, datetime.datetime(2024, 1, 1, 0, 0, 4))],
+        "k int, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 1), 10.0),
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 5), 20.0),  # ts tie: inclusive
+            (2, datetime.datetime(2024, 1, 1, 0, 0, 9), 99.0),  # after probe -> null
+        ],
+        "k int, qts timestamp, v double",
+    )
+    got = {
+        (r["k"], r["ts"].second): r["last_v"]
+        for r in asof_join(probes, quotes, ["k"], "ts", "qts", "v", "last_v").collect()
+    }
+    # naive oracle: max-ts quote with qts <= ts
+    naive = (
+        probes.join(quotes, on=["k"], how="left")
+        .filter(F.col("qts") <= F.col("ts"))
+        .groupBy("k", "ts")
+        .agg(F.max_by("v", "qts").alias("last_v"))
+    )
+    want = {(r["k"], r["ts"].second): r["last_v"] for r in naive.collect()}
+    for key, v in want.items():
+        assert got[key] == v
+    assert got[(2, 4)] is None  # no quote at-or-before -> null, row kept
+
+
+def test_asof_join_no_cartesian_or_range_join(spark):
+    probes = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "k int, ts timestamp")
+    quotes = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)], "k int, qts timestamp, v double"
+    )
+    out = asof_join(probes, quotes, ["k"], "ts", "qts", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # union+window plan: no join operator at all
+
+
+def test_ffill_fills_every_bin(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base, "a", 1.0),
+        (base + datetime.timedelta(minutes=3), "a", None),  # all-null bin stays ffilled
+        (base + datetime.timedelta(minutes=5), "a", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = {r["ts"].minute: r["v"] for r in ffill_resample(df, "ts", ["k"], "v", "1 minute").collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]  # full grid, gaps materialized
+    assert out[1] == 1.0 and out[4] == 1.0 and out[5] == 6.0
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 30), "a")], "ts timestamp, k string"
+    )
+    out = sliding_counts(df, "ts", ["k"], "2 minutes", "1 minute").collect()
+    starts = sorted(r["window_start"].strftime("%H:%M") for r in out)
+    assert starts == ["23:59", "00:00"] or starts == ["00:00", "23:59"]
+
+
+def test_session_window_gap_boundary(spark):
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (1, base + datetime.timedelta(minutes=4)),   # within 5min gap: same session
+            (1, base + datetime.timedelta(minutes=20)),  # new session
+        ],
+        "k int, ts timestamp",
+    )
+    out = session_windows(df, "ts", ["k"], "5 minutes").collect()
+    assert sorted(r["n"] for r in out) == [1, 2]
+
+
+def test_approx_distinct_error_bound(spark):
+    df = spark.range(10000).select((F.col("id") % 1357).alias("u"))
+    row = df.agg(
+        F.approx_count_distinct("u").alias("a"), F.count_distinct("u").alias("e")
+    ).first()
+    assert abs(row["a"] - row["e"]) / row["e"] < 0.05  # HLL++ default rsd
