@@ -1449,3 +1449,125 @@ def embedding_near_dup(spark, sf_dir):
     return S.pairwise_similar_lsh(
         _tbl(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
     )
+
+
+@register(
+    "streaming_stateful_first_seen",
+    """
+    select user_id, min(ts) as first_ts, count(*) as n
+    from events group by user_id
+    """,
+)
+def streaming_stateful_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user first-seen timestamp + running count carried in the state
+    store; one availableNow batch must equal the batch aggregation."""
+    from database_extractor_spark.streaming import streaming_first_seen
+
+    return streaming_first_seen(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("pandas_ema")  # sequential recurrence -> rows-only driver check
+def pandas_ema(spark, sf_dir):
+    """Per-key EMA via the applyInPandas extension point (Arrow-batched,
+    one worker per key group) — the canonical sequential-recurrence
+    operator relational algebra can't express. Pinned against an explicit
+    Python recurrence in tests/test_pandas_ext.py."""
+    from database_extractor_spark.operators.pandas_ext import grouped_ema
+
+    ev = _tbl(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    return grouped_ema(ev, ["user_id"], "ts", "value", alpha=0.3)
+
+
+@register(
+    "csv_source_roundtrip",
+    "select event_type, count(*) as n from events group by event_type",
+)
+def csv_source_roundtrip(spark, sf_dir):
+    """CSV source/sink parity (reference O13 writes dated CSVs): write
+    events as CSV, read back through read_source, aggregate — no rows
+    lost and types re-infer correctly."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="csvrt_"), "events_csv")
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_source(spark, out + "/", fmt="csv")
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "json_source_roundtrip",
+    "select event_type, count(*) as n from events group by event_type",
+)
+def json_source_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink roundtrip through read_source."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonrt_"), "events_json")
+    ev.write.mode("overwrite").json(out)
+    back = read_source(spark, out + "/", fmt="json")
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "text_repetition",
+    r"""
+    with t as (
+        select doc_id, string_split_regex(lower(trim(text)), '\s+') as toks
+        from documents
+    )
+    select doc_id,
+           cast(len(toks) as integer) as n_tokens,
+           cast(len(list_distinct(toks)) as integer) as n_distinct,
+           round(cast(len(list_distinct(toks)) as double) / greatest(len(toks), 1), 4)
+             as distinct_ratio
+    from t
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition/diversity metric: distinct-token ratio per document
+    (low ratio = boilerplate/spam candidate). Per-row array ops only."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+    with toks as (
+        select doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+        from documents
+    ),
+    freq as (select token, count(*) as c from toks group by 1),
+    total as (select count(*) as total from toks)
+    select t.doc_id,
+           round(sum(ln(cast(f.c as double) / total.total))
+                 / count(*), 4) as avg_logprob
+    from toks t join freq f on t.token = f.token cross join total
+    group by t.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM score per document (mean token log-probability)
+    — the cheap perplexity proxy used to rank training data. The per-doc
+    sum of ln(c/total) is FP-order-sensitive across engines, but with
+    ≲10² tokens/doc the drift is ~1e-14 — far inside the 4 dp round that
+    both sides apply, so the oracle compare stays exact."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(freq), "token").select(
+        "doc_id", F.log(F.col("c").cast("double") / F.lit(float(total))).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob")
+    )

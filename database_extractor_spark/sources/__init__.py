@@ -68,10 +68,10 @@ def read_source(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     lowered = source.lower()
-    if fmt:
-        raw = spark.read.format(fmt).load(source)
-    elif lowered.endswith(".csv"):
+    if fmt == "csv" or (fmt is None and lowered.endswith(".csv")):
         raw = spark.read.csv(source, header=True, inferSchema=True)
+    elif fmt:
+        raw = spark.read.format(fmt).load(source)
     elif lowered.endswith((".json", ".jsonl")):
         raw = spark.read.json(source)
     else:

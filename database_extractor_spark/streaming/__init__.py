@@ -95,6 +95,63 @@ def run_available_now(
     return spark.table(name)
 
 
+def first_seen_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per key, emit the first-seen timestamp and a running event count,
+    carrying (first_ts, n) across micro-batches in the state store.
+
+    This is the engine's template for operators Structured Streaming
+    lacks natively (online dedup, per-key sketches, rate limiting): the
+    state schema is explicit, the group is the shuffle key, and state size
+    is O(keys) — bounded, unlike buffering events.
+
+    Output per key per batch: (key, first_ts, n) — with a single
+    availableNow batch this equals the batch ``min(ts), count(*)`` per
+    key, which is the oracle used by the driver contract.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("n", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("first_ts", TimestampType()),
+        StructField("n", LongType()),
+    ])
+
+    def update(key, batches, state: GroupState):
+        import pandas as pd
+
+        first_ts, n = (state.get if state.exists else (None, 0))
+        for pdf in batches:
+            if len(pdf):
+                mn = pdf[ts_col].min().to_pydatetime()
+                first_ts = mn if first_ts is None else min(first_ts, mn)
+                n += len(pdf)
+        state.update((first_ts, n))
+        yield pd.DataFrame({key_col: [key[0]], "first_ts": [first_ts], "n": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_first_seen(spark: SparkSession, events_path: str) -> DataFrame:
+    """End-to-end stateful streaming: stream-read events -> per-user
+    first-seen + count via the custom stateful operator -> availableNow."""
+    stream = stream_source(spark, events_path)
+    return run_available_now(spark, first_seen_per_key(stream), output_mode="update")
+
+
 def streaming_event_counts(spark: SparkSession, events_path: str, every: str = "1 minute") -> DataFrame:
     """End-to-end streaming analog over the events table: stream-read ->
     watermark -> tumbling window counts -> availableNow -> result frame.
