@@ -6,8 +6,10 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query is forced to full materialization through the noop sink (count()
-alone can let Catalyst prune the expensive columns). Session startup and a
-warm-up job are excluded from timings.
+alone can let Catalyst prune the expensive columns). Timings are
+steady-state: each query runs once untimed (codegen/compile warm-up — a
+long-running engine's common case) and the second run is recorded.
+Session startup is excluded.
 """
 
 from __future__ import annotations
@@ -55,6 +57,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -663,7 +663,7 @@ def window_rank(spark, sf_dir):
     return R.top_k_per_group(
         c, ["c_mktsegment"], [F.desc("c_acctbal"), F.col("c_custkey")], 5,
         keep_rank=True,
-    ).select("c_custkey", "c_mktsegment", "rn")
+    ).select("c_custkey", "c_mktsegment", F.col("rn").cast("long").alias("rn"))
 
 
 @register(
@@ -1436,7 +1436,8 @@ def text_chunking(spark, sf_dir):
         F.explode(starts).alias("start"),
         toks.alias("__ws"),
     ).select(
-        "doc_id", "start",
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
         F.concat_ws(" ", F.slice("__ws", F.col("start"), 24)).alias("chunk"),
     )
 
