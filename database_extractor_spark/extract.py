@@ -182,21 +182,33 @@ def query_data_for_day(
     params.update(overrides)
     result = query_database(client, **params)
 
-    # Persist around guard + sink: the guard's count and the write would
-    # otherwise each recompute the full plan. The count doubles as the
-    # reference's execution-timed log line (database_extractor.py:313-319
-    # times the query action, not plan construction).
+    # Guard parity: the reference checks the RAW pivoted row count before
+    # resampling (process_results, database_extractor.py:336-343), so a
+    # day with 15 raw seconds but 8 non-empty 1s bins is KEPT. The raw
+    # pivoted row count equals the count of distinct raw timestamps in the
+    # window, which we can get without materializing the raw pivot.
+    raw_params = dict(params, aggregate_window=None, pivot=False,
+                      columns_to_drop=None, sort_by=None)
+    time_col = params.get("time_col", "_time")
+    started = time.perf_counter()
+    n_raw = query_database(client, **raw_params).select(time_col).distinct().count()
+    if n_raw < min_rows:
+        logger.info(
+            "Fewer than %d rows for %s; ignoring results.", min_rows, current_date.date()
+        )
+        return None
+
+    # Persist around log-count + sink so the full plan runs once. The
+    # count doubles as the reference's execution-timed log line
+    # (database_extractor.py:313-319 times the query action, not plan
+    # construction).
     result.persist()
     try:
-        started = time.perf_counter()
         n_rows = result.count()
         logger.info(
             "Query returned table of size %d rows x %d columns in %.4f s",
             n_rows, len(result.columns), time.perf_counter() - started,
         )
-        if n_rows < min_rows:
-            logger.info("Fewer than %d rows for %s; ignoring results.", min_rows, current_date.date())
-            return None
         if out_dir:
             write_dated_csv(result, out_dir, current_date)
         return result

@@ -909,6 +909,67 @@ def array_funcs(spark, sf_dir):
     )
 
 
+@register(
+    "percentile_agg",
+    """
+    select l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) as med_price,
+           quantile_cont(l_extendedprice, 0.9) as p90_price,
+           quantile_cont(l_quantity, 0.25) as q1_qty
+    from lineitem group by l_returnflag
+    """,
+)
+def percentile_agg(spark, sf_dir):
+    """Exact continuous percentiles (bit-identical to DuckDB's
+    quantile_cont: same sort + linear interpolation). At 100 TB prefer
+    approx_percentile (t-digest sketch; see approx_distinct for the
+    sketch-op pattern)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q1_qty"),
+    )
+
+
+@register(
+    "histogram_fixed_bins",
+    """
+    select cast(floor(value / 25.0) as bigint) as bin, count(*) as n
+    from events where value is not null group by 1
+    """,
+)
+def histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram via floor-division bucketing — one hash
+    aggregate, the scale-sane way to histogram 100 TB (vs collecting)."""
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "map_funcs",
+    """
+    select event_id,
+           cast(json_extract_string(props, '$.k') as bigint) as k_from_map,
+           cast(len(json_keys(props)) as integer) as n_keys
+    from events
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """MapType surface: parse the JSON props column into map<string,bigint>
+    and read it with element_at / map_keys (the open-tag-set pattern from
+    FIXTURES.md)."""
+    ev = _tbl(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )
+
+
 # ==========================================================================
 # LLM-pipeline operators (north star)
 # ==========================================================================

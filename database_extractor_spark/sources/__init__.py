@@ -66,7 +66,9 @@ def read_source(
     )):
         return spark.table(source)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # safety for externally-built sessions; session.py sets this at create
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     lowered = source.lower()
     if fmt == "csv" or (fmt is None and lowered.endswith(".csv")):
         raw = spark.read.csv(source, header=True, inferSchema=True)

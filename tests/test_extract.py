@@ -185,6 +185,37 @@ def test_range_extract_splits_at_dst_transition(spark):
     assert df.count() == fixed.count()
 
 
+def test_day_guard_counts_raw_rows_not_bins(spark, tmp_path):
+    """Reference parity (ADVICE r1): the <min_rows guard applies to the RAW
+    pivoted row count (distinct raw timestamps), not the 1s-downsampled
+    count — a day with 12 raw points in 3 seconds clears min_rows=10."""
+    from database_extractor_spark.extract import query_data_for_day
+
+    base = datetime.datetime(2024, 1, 5)
+    rows = [
+        (base + datetime.timedelta(seconds=s, microseconds=1000 * i), "click", float(i))
+        for s in range(3) for i in range(4)
+    ]
+    src = str(tmp_path / "sparse.parquet")
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double") \
+        .write.mode("overwrite").parquet(src)
+
+    out = query_data_for_day(
+        spark, base, source=src, tz_offset=0, min_rows=10,
+        column_key="event_type", time_col="ts", value_col="value",
+        filter=None, columns_to_drop=None, sort_by=["ts"], pivot_values=["click"],
+    )
+    assert out is not None        # 12 raw rows >= 10: kept (downsampled has 3)
+    assert out.count() == 3
+
+    none = query_data_for_day(
+        spark, base, source=src, tz_offset=0, min_rows=13,
+        column_key="event_type", time_col="ts", value_col="value",
+        filter=None, columns_to_drop=None, sort_by=["ts"], pivot_values=["click"],
+    )
+    assert none is None           # 12 raw rows < 13: discarded
+
+
 def test_query_data_for_day_and_range(spark, tmp_path):
     from database_extractor_spark.extract import query_data_for_day, query_data_for_range
 
