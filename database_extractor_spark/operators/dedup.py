@@ -257,8 +257,14 @@ def ngram_jaccard_pairs(
     (candidates only), or cap hot shingles as in lsh_candidate_pairs.
     This standalone form is the oracle-checkable reference semantics.
     """
+    # shingles are joined by 64-bit hash, not string: the inverted-index
+    # shuffle ships 8-byte keys instead of n-gram text (collision odds at
+    # 64 bits are ~|shingles|^2 / 2^65 — immaterial next to FP rounding)
     sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
