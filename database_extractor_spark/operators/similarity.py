@@ -132,6 +132,7 @@ def ann_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    exclude_ids: Sequence[int] = (),
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     ``multiprobe_hamming`` bits of the query's bucket.
@@ -156,7 +157,7 @@ def ann_topk_lsh(
         ]
     bucketed = with_lsh_bucket(df, dim, vec_col, n_planes, seed)
     candidates = bucketed.filter(F.col("bucket").isin(probes))
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_ids=exclude_ids)
 
 
 # --------------------------------------------------------------------------
@@ -181,6 +182,72 @@ def partitioned_topk(
     """
     pruned = df.filter(F.col(partition_col).isin(list(partition_values)))
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    list_col: str = "list_id",
+):
+    """Build an IVF coarse quantizer: KMeans over the corpus, each vector
+    assigned to its nearest centroid's inverted list.
+
+    Returns (indexed_df, centroids) where ``centroids`` is a plain Python
+    list of ``n_lists`` dim-vectors (driver-side; tiny).
+
+    Scale: training samples the corpus (KMeans on a bounded sample is
+    standard IVF practice); assignment is one model transform (narrow,
+    codegen'd). Persist the indexed table partitioned/bucketed by
+    ``list_col`` so probes prune at the scan — the same layout lever as
+    partitioned_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.withColumn("__features", array_to_vector(
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol=list_col).fit(feats)
+    indexed = model.transform(feats).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` inverted lists whose centroids are
+    nearest the query (driver-side — centroids are tiny), exact cosine
+    top-k within the probed lists only.
+
+    Scale: the `list_id IN (probes)` predicate prunes partitions/row
+    groups when the index table is laid out by list; scored rows ≈
+    N * nprobe / n_lists.
+    """
+    import math
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        return num / (da * db) if da and db else 0.0
+
+    q = [float(v) for v in query_vec]
+    probes = sorted(range(len(centroids)), key=lambda i: -_cos(q, centroids[i]))[:nprobe]
+    pruned = indexed.filter(F.col(list_col).isin(probes))
+    # exclusions must happen BEFORE the top-k limit or the result is short
+    return brute_force_topk(pruned, q, k, id_col, vec_col, exclude_ids=exclude_ids)
 
 
 def pairwise_similar_lsh(

@@ -1090,13 +1090,25 @@ def sim_partitioned_topk(spark, sf_dir):
     return pruned
 
 
+@register("sim_ivf_kmeans")  # centroid assignment is model state -> rows-only
+def sim_ivf_kmeans(spark, sf_dir):
+    """Real IVF: KMeans coarse quantizer (seeded), probe the nprobe
+    nearest lists, exact top-k within. Recall vs the exact baseline is
+    pinned in tests/test_llm_ops.py; list assignments are model state so
+    no SQL oracle."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    indexed, centroids = S.ivf_index(e, dim=64, n_lists=16)
+    return S.ivf_topk(indexed, centroids, q, k=10, nprobe=4, exclude_ids=[0])
+
+
 @register("sim_ann_lsh")  # bucket ids are hash-seeded -> rows-only check
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-10 via random-hyperplane LSH + multiprobe. Recall
     vs the exact baseline is pinned in tests/test_llm_ops.py."""
     e = _tbl(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-    return S.ann_topk_lsh(e, q, k=10, n_planes=6, multiprobe_hamming=2).filter("vec_id <> 0")
+    return S.ann_topk_lsh(e, q, k=10, n_planes=6, multiprobe_hamming=2, exclude_ids=[0])
 
 
 @register(

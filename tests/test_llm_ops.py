@@ -113,6 +113,20 @@ def test_ann_lsh_recall_and_plan(emb):
     assert len(exact & got) >= 5  # >=50% recall with multiprobe on random data
 
 
+def test_ivf_kmeans_recall(emb):
+    from database_extractor_spark.operators.similarity import ivf_index, ivf_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, 10, exclude_ids=[0]).collect()}
+    indexed, centroids = ivf_index(emb, dim=64, n_lists=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(indexed, centroids, q, k=10, nprobe=4).filter("vec_id <> 0").collect()
+    }
+    assert len(exact & got) >= 5  # >=50% recall probing half the lists
+
+
 def test_pairwise_similar_lsh_no_cartesian(emb):
     pairs = pairwise_similar_lsh(emb, threshold=0.3, n_planes=6)
     _no_cartesian(pairs)

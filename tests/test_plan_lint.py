@@ -1,0 +1,45 @@
+"""Plan lint: every registry entry's physical plan is checked for the
+anti-patterns that break at 100 TB —
+
+- CartesianProduct / BroadcastNestedLoopJoin (quadratic blowup)
+- BatchEvalPython (row-at-a-time Python UDF; only Arrow-batched
+  ArrowEvalPython/FlatMapGroupsInPandas are sanctioned, and only in the
+  explicitly whitelisted pandas-extension entries)
+
+Entries that EXECUTE on construction (streaming runs, sink roundtrips)
+are linted on their result frame's plan where possible or skipped with
+reason.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_DIR
+
+#: entries whose callables run jobs on construction; their interesting
+#: plan is inside the run (covered by their own tests)
+EXECUTES_ON_BUILD = {
+    "streaming_event_counts",
+    "streaming_stateful_first_seen",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "o13_sink_roundtrip",
+}
+
+#: entries allowed to contain Arrow-batched Python stages
+ARROW_OK = {"pandas_ema", "multimodal_decode"}
+
+
+@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+def test_plan_has_no_scale_antipatterns(name, spark):
+    if name in EXECUTES_ON_BUILD:
+        pytest.skip("executes on build; plan covered by dedicated tests")
+    df = E.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, (
+            f"{name}: unexpected Python stage in plan"
+        )
