@@ -1569,6 +1569,30 @@ def csv_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "jdbc_source_roundtrip",
+    "select event_type, count(*) as n from events group by event_type",
+)
+def jdbc_source_roundtrip(spark, sf_dir):
+    """JDBC source with range-partitioned parallel reads (the
+    BASELINE-approved live-database mapping, here against Spark's bundled
+    embedded Derby): write events over JDBC, read back sliced into 4
+    partition queries, aggregate — no rows lost."""
+    from database_extractor_spark.sources import read_jdbc
+
+    url = "jdbc:derby:memory:registrydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    (ev.write.format("jdbc").option("url", url).option("dbtable", "events_t")
+     .option("driver", driver).mode("overwrite").save())
+    hi = ev.agg(F.max("event_id")).first()[0]
+    back = read_jdbc(
+        spark, url, "events_t", partition_column="event_id",
+        lower_bound=0, upper_bound=int(hi) + 1, num_partitions=4, driver=driver,
+    )
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
     "json_source_roundtrip",
     "select event_type, count(*) as n from events group by event_type",
 )

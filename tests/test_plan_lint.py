@@ -23,6 +23,7 @@ EXECUTES_ON_BUILD = {
     "streaming_stateful_first_seen",
     "csv_source_roundtrip",
     "json_source_roundtrip",
+    "jdbc_source_roundtrip",
     "o13_sink_roundtrip",
 }
 
