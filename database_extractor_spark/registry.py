@@ -910,6 +910,107 @@ def array_funcs(spark, sf_dir):
 
 
 @register(
+    "window_analytics",
+    """
+    select c_custkey,
+           ntile(4) over w as quartile,
+           percent_rank() over w as pct_rank,
+           cume_dist() over w as cume,
+           first_value(c_custkey) over w as top_cust
+    from customer
+    window w as (partition by c_mktsegment order by c_acctbal desc, c_custkey)
+    """,
+)
+def window_analytics(spark, sf_dir):
+    """Analytic window functions (ntile / percent_rank / cume_dist /
+    first_value) — rank arithmetic is integer-derived, so doubles are
+    bit-identical across engines."""
+    c = _tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+    )
+
+
+@register(
+    "datetime_funcs",
+    """
+    select event_id,
+           cast(year(ts) as integer) as y,
+           cast(month(ts) as integer) as mo,
+           cast(day(ts) as integer) as d,
+           cast(hour(ts) as integer) as hr,
+           cast(dayofweek(ts) + 1 as integer) as dow,
+           cast(date_diff('day', date '2024-01-01', ts) as integer) as days_since
+    from events
+    """,
+)
+def datetime_funcs(spark, sf_dir):
+    """Scalar date/time functions. Convention note pinned by the oracle:
+    Spark dayofweek is 1-based Sunday=1, DuckDB's is 0-based Sunday=0."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    """
+    select event_id,
+           case when value > 100 then 'high' when value > 50 then 'mid'
+                else 'low' end as bucket,
+           coalesce(value, -1.0) as val_or_default,
+           nullif(event_type, 'click') as non_click_type,
+           greatest(value, 50.0) as at_least_50,
+           least(value, 50.0) as at_most_50
+    from events
+    """,
+)
+def conditional_funcs(spark, sf_dir):
+    """Conditional scalar surface: CASE / coalesce / nullif /
+    greatest / least."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 100, "high").when(F.col("value") > 50, "mid")
+        .otherwise("low").alias("bucket"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("val_or_default"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias("non_click_type"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("at_least_50"),
+        F.least(F.col("value"), F.lit(50.0)).alias("at_most_50"),
+    )
+
+
+@register(
+    "agg_collect",
+    """
+    select o_orderstatus,
+           array_to_string(list_sort(list(distinct o_orderpriority)), ',') as priorities
+    from orders group by o_orderstatus
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """collect_set made deterministic: sort_array + array_join (raw
+    collect_list/collect_set ordering is shuffle-dependent and would
+    never hash-match an oracle)."""
+    o = _tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities")
+    )
+
+
+@register(
     "percentile_agg",
     """
     select l_returnflag,

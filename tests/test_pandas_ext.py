@@ -36,6 +36,28 @@ def test_grouped_ema_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_streaming_sliding_counts_equal_batch(spark):
+    """Sliding windows through the STREAMING path (availableNow) equal the
+    batch sliding aggregation — same plan, incremental execution."""
+    from database_extractor_spark.operators.timeseries import sliding_counts
+    from database_extractor_spark.sources import read_source
+    from database_extractor_spark.streaming import run_available_now, stream_source
+    from tests.conftest import SF_DIR
+
+    path = f"{SF_DIR}/events.parquet"
+    stream = stream_source(spark, path).withWatermark("ts", "10 minutes")
+    got = run_available_now(
+        spark, sliding_counts(stream, "ts", ["event_type"], "2 minutes", "1 minute")
+    ).toPandas()
+    want = sliding_counts(
+        read_source(spark, path), "ts", ["event_type"], "2 minutes", "1 minute"
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and (g["n"].values == w["n"].values).all()
+
+
 def test_streaming_first_seen_equals_batch(spark):
     from pyspark.sql import functions as F
 
