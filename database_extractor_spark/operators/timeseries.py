@@ -98,6 +98,53 @@ def ffill_resample(
     return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Point-in-interval join: pair each ``points`` row with every
+    ``intervals`` row whose closed interval ``[start_col, end_col]``
+    contains ``point_ts`` (SQL ``p.ts BETWEEN i.start AND i.end``).
+
+    A naive range-condition join has no equi-key, so Spark plans it as
+    BroadcastNestedLoopJoin — quadratic and a non-starter at scale. This
+    rewrite manufactures the equi-key: quantize time into
+    ``bucket_seconds``-wide buckets, explode each interval into the bucket
+    ids it overlaps, and equi-join points (one bucket each) to the
+    exploded intervals, re-checking the exact predicate after the join.
+    Each qualifying pair meets in exactly one bucket (the point's), so no
+    dedup is needed.
+
+    Scale: one hash shuffle on bucket id; interval rows are replicated
+    ~(interval_width / bucket_seconds + 1)× — pick ``bucket_seconds`` near
+    the typical interval width to keep replication ~2× while keeping
+    per-bucket fan-in low. Long-tailed interval widths → cap them upstream
+    or raise the bucket size; AQE skew-join splits hot calendar buckets.
+    """
+    p_epoch = F.col(point_ts).cast("timestamp").cast("long")
+    s_epoch = F.col(start_col).cast("timestamp").cast("long")
+    e_epoch = F.col(end_col).cast("timestamp").cast("long")
+    p = points.withColumn("__bucket", (p_epoch / bucket_seconds).cast("long"))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (s_epoch / bucket_seconds).cast("long"),
+                (e_epoch / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, on="__bucket", how="inner")
+    exact = (F.col(point_ts).cast("timestamp") >= F.col(start_col).cast("timestamp")) & (
+        F.col(point_ts).cast("timestamp") <= F.col(end_col).cast("timestamp")
+    )
+    return joined.filter(exact).drop("__bucket")
+
+
 def sliding_counts(
     df: DataFrame,
     ts_col: str,

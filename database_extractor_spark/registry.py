@@ -1770,3 +1770,178 @@ def text_unigram_logprob(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob")
     )
+
+
+@register(
+    "range_join_counts",
+    """
+    select o.o_orderpriority, count(*) as n
+    from (select l_shipdate,
+                 l_shipdate + interval (cast(l_quantity as integer)) day as l_enddate
+          from lineitem where l_quantity >= 45) l
+    join orders o on o.o_orderdate between l.l_shipdate and l.l_enddate
+    group by o_orderpriority
+    """,
+)
+def range_join_counts(spark, sf_dir):
+    """Point-in-interval range join (orders placed inside each lineitem's
+    quantity-day transit window), bucketed into an equi-join — see
+    operators.timeseries.range_join for the plan. A 7-day bucket ≈ the
+    median interval width (quantity ≥ 45 → 45-50 days, ~8 buckets each),
+    so the join stays a hash shuffle, never BroadcastNestedLoopJoin."""
+    from database_extractor_spark.operators.timeseries import range_join
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            "l_shipdate",
+            F.date_add(F.col("l_shipdate"), F.col("l_quantity").cast("int")).alias("l_enddate"),
+        )
+    )
+    o = _tbl(spark, sf_dir, "orders").select("o_orderdate", "o_orderpriority")
+    paired = range_join(o, li, "o_orderdate", "l_shipdate", "l_enddate")
+    return paired.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "window_frames",
+    """
+    select event_id,
+           cast(sum(cast(value as decimal(18,6)))
+                over (partition by event_type order by ts, event_id
+                      rows between 3 preceding and current row) as double) as moving_sum,
+           lead(value) over (partition by event_type order by ts, event_id) as next_val,
+           nth_value(value, 2)
+               over (partition by event_type order by ts, event_id
+                     rows between unbounded preceding and current row) as second_val
+    from events
+    """,
+)
+def window_frames(spark, sf_dir):
+    """Explicit window frames: a bounded ROWS frame (4-point moving sum,
+    decimal-exact so frame-order FP drift can't break the oracle), lead(),
+    and nth_value() over a running frame. Ordering key (ts, event_id) is
+    unique, so every frame is deterministic."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(-3, Window.currentRow))
+        .cast("double")
+        .alias("moving_sum"),
+        F.lead("value").over(w).alias("next_val"),
+        F.nth_value("value", 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("second_val"),
+    )
+
+
+@register(
+    "stat_funcs",
+    """
+    select l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) as qp_corr,
+           round(stddev_samp(l_quantity), 6) as qty_sd,
+           round(var_samp(l_quantity), 6) as qty_var,
+           round(covar_samp(l_quantity, l_extendedprice), 4) as qp_cov,
+           round(regr_slope(l_extendedprice, l_quantity), 4) as price_per_qty
+    from lineitem group by l_returnflag
+    """,
+)
+def stat_funcs(spark, sf_dir):
+    """Statistical aggregates (corr / stddev / variance / covariance /
+    regression slope). Both engines use single-pass co-moment updates
+    whose drift is ~1e-12 relative — orders of magnitude inside the
+    rounds applied on both sides, so the compare stays exact."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qp_cov"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+    )
+
+
+@register(
+    "orc_source_roundtrip",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,6))) as double) as sum_val
+    from events group by event_type
+    """,
+)
+def orc_source_roundtrip(spark, sf_dir):
+    """ORC source/sink parity: write events as ORC (Spark-native columnar
+    alternative to parquet), read back through read_source, aggregate.
+    The oracle reads the original parquet — equality proves the roundtrip
+    is lossless including timestamp/double fidelity."""
+    ev = _tbl(spark, sf_dir, "events").select("event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="orcrt_"), "events_orc")
+    ev.write.mode("overwrite").orc(out)
+    back = read_source(spark, out + "/", fmt="orc")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        R.exact_sum("value", "sum_val", scale=6),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    select event_type, count(*) as n
+    from events
+    where ('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::bigint % 100
+          < case event_type when 'click' then 10 when 'view' then 25 else 50 end
+    group by event_type
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling (sampleBy analog): per-stratum
+    fractions via the same portable md5 hash-mod as deterministic_sample
+    — downsample dominant classes harder, reproducibly across engines.
+    Scale: pure scan-side predicate, no shuffle before the count."""
+    ev = _tbl(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    frac = (
+        F.when(F.col("event_type") == "click", 10)
+        .when(F.col("event_type") == "view", 25)
+        .otherwise(50)
+    )
+    return ev.filter(bucket < frac).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "salted_agg",
+    """
+    select o_custkey, cast(count(*) as bigint) as n,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+    from orders group by o_custkey
+    """,
+)
+def salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation: stage 1 groups by (key, salt) to
+    spread a hot key over 16 reducers, stage 2 re-aggregates partials by
+    key. The oracle is the PLAIN group-by — proving salting is a pure
+    physical rewrite (decimal sums keep re-aggregation exact). This is
+    the skew escape hatch when one key holds a double-digit share of
+    rows and AQE's skew split can't help a single hash-agg key."""
+    o = _tbl(spark, sf_dir, "orders")
+    salt = (F.xxhash64("o_orderkey") % 16).cast("int")
+    partial = (
+        o.withColumn("__salt", salt)
+        .groupBy("o_custkey", "__salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("pt"),
+        )
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("pt").cast("double").alias("total"),
+    )

@@ -97,3 +97,34 @@ def test_approx_distinct_error_bound(spark):
         F.approx_count_distinct("u").alias("a"), F.count_distinct("u").alias("e")
     ).first()
     assert abs(row["a"] - row["e"]) / row["e"] < 0.05  # HLL++ default rsd
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from database_extractor_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=7 * i)) for i in range(40)],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                j,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=5 * j),
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=5 * j + 13 * (j % 3)),
+            )
+            for j in range(30)
+        ],
+        "iid int, start timestamp, stop timestamp",
+    )
+    got = range_join(points, intervals, "ts", "start", "stop", bucket_seconds=6 * 3600)
+    naive = points.crossJoin(intervals).filter(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("stop"))
+    )
+    got_pairs = {(r["pid"], r["iid"]) for r in got.select("pid", "iid").collect()}
+    want_pairs = {(r["pid"], r["iid"]) for r in naive.select("pid", "iid").collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    # pairs meet in exactly one bucket — no duplicate output rows
+    assert got.count() == len(got_pairs)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
