@@ -393,3 +393,68 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair graph:
+    returns (node, cluster_id) with cluster_id = MIN node id in the
+    component — the canonical-survivor assignment that turns pairwise
+    near-dup hits into dedup decisions.
+
+    Algorithm: min-label propagation. Every node starts labeled with
+    itself; each round, each node adopts the smallest label among itself
+    and its neighbors; converged when no label changed this round (labels
+    only ever shrink, so counting changed rows on the just-materialized
+    result is an exact fixpoint certificate).
+
+    Scale: per round = one equi-join (labels x directed edges, shuffle on
+    node id) + one min-aggregate; rounds = component diameter (near-dup
+    graphs are piles of small cliques, so 2-3 rounds in practice —
+    ``max_iter`` guards pathological chains). ``localCheckpoint``
+    truncates the lineage each round so the plan does not grow
+    exponentially across iterations; a driver-side loop over a handful of
+    rounds is the standard Spark shape for iterate-to-fixpoint (GraphX /
+    GraphFrames do the same under the hood).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.repartition("u").localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"], "inner")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("__old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = labels.filter(F.col("comp") != F.col("__old")).limit(1).count()
+        labels = labels.drop("__old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

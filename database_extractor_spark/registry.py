@@ -1945,3 +1945,130 @@ def salted_agg(spark, sf_dir):
         F.sum("pn").cast("bigint").alias("n"),
         F.sum("pt").cast("double").alias("total"),
     )
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    with recursive pairs as (
+        with words as (
+            select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+        ),
+        sh as (
+            select doc_id, unnest(list_distinct(
+                [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+            )) as s
+            from words
+        ),
+        sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        common as (
+            select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+            from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+            group by 1, 2
+        )
+        select id_a, id_b
+        from common
+          join sizes s1 on id_a = s1.doc_id
+          join sizes s2 on id_b = s2.doc_id
+        where round(c / (s1.n + s2.n - c), 4) >= 0.5
+    ),
+    edges as (select id_a as u, id_b as v from pairs union select id_b, id_a from pairs),
+    reach as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u where e.v <> r.u
+    )
+    select u as doc_id, least(u, min(v)) as cluster_id
+    from reach group by u
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING: exact-jaccard pairs (>= 0.5) fed through
+    iterative min-label connected components — the step that turns
+    pairwise hits into per-document dedup decisions (cluster_id = min
+    doc_id in the component; keep one row per cluster downstream). The
+    oracle recomputes the same components with a recursive-CTE transitive
+    closure, so the iterative Spark fixpoint is checked end-to-end."""
+    pairs = D.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+    return D.connected_components(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "streaming_join_static",
+    """
+    select date_trunc('hour', e.ts) as window_start, c.c_mktsegment,
+           count(*) as n,
+           cast(sum(cast(e.value as decimal(18,6))) as double) as sum_val
+    from events e join customer c on e.user_id = c.c_custkey
+    group by 1, 2
+    """,
+)
+def streaming_join_static(spark, sf_dir):
+    """Stream-static enrichment join: the events stream joins the customer
+    dimension (broadcast — the canonical streaming lookup pattern; the
+    static side is re-read per micro-batch, no state), then a tumbling
+    hourly aggregate, executed with the availableNow trigger. Oracle =
+    the equivalent batch join/aggregate, proving the incremental plan
+    converges to the batch answer."""
+    from database_extractor_spark.streaming import run_available_now, stream_source
+
+    stream = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "c_mktsegment",
+    ).agg(
+        F.count("*").alias("n"),
+        R.exact_sum("value", "sum_val", scale=6),
+    )
+    return run_available_now(spark, agg)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    select doc_id,
+           cast(unnest(range(0, 24 + doc_id % 100, 10)) as bigint) as frame_idx
+    from documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: each clip row expands into the frame
+    indices a decoder would pull (every 10th frame; clip length derived
+    deterministically from doc_id since the fixture has no real video).
+    The explode-of-sequence expansion is the real Spark plumbing; the
+    per-frame decode is the stubbed step (operators.multimodal)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    from database_extractor_spark.operators.multimodal import frame_sample_plan
+
+    clips = docs.withColumn("n_frames", (F.lit(24) + F.col("doc_id") % 100).cast("long"))
+    return frame_sample_plan(clips, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register(
+    "o14_pickle_sink_roundtrip",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,6))) as double) as sum_val
+    from events group by event_type
+    """,
+)
+def o14_pickle_sink_roundtrip(spark, sf_dir):
+    """O14 pickle sink parity (reference main.py:72 pickles the day's
+    DataFrame): the Spark-native serialized form is parquet via
+    sinks.write_parquet. Write events through the sink, read back,
+    aggregate; the oracle reads the ORIGINAL table — equality proves the
+    sink+source roundtrip is lossless."""
+    from database_extractor_spark.sinks import write_parquet
+
+    ev = _tbl(spark, sf_dir, "events").select("event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="pklrt_"), "events_pickle_parity")
+    write_parquet(ev, out)
+    back = read_source(spark, out + "/")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        R.exact_sum("value", "sum_val", scale=6),
+    )

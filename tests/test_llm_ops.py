@@ -201,3 +201,21 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(clips, every_n=10)
     got = {(r["doc_id"], r["frame_idx"]) for r in out.collect()}
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+
+def test_connected_components_chain_clique_pair(spark):
+    """Min-label propagation finds exact components on a 12-node chain
+    (worst-case diameter), a 3-clique, and an isolated pair."""
+    from database_extractor_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 12)]          # 1-2-...-12
+    clique = [(100, 101), (100, 102), (101, 102)]
+    pair = [(200, 201)]
+    pairs = spark.createDataFrame(chain + clique + pair, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert {n: got[n] for n in range(1, 13)} == {n: 1 for n in range(1, 13)}
+    assert {got[100], got[101], got[102]} == {100}
+    assert {got[200], got[201]} == {200}
