@@ -2072,3 +2072,44 @@ def o14_pickle_sink_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         R.exact_sum("value", "sum_val", scale=6),
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    select c.event_id as click_id, p.event_id as purchase_id
+    from events c join events p
+      on c.user_id = p.user_id
+     and c.event_type = 'click' and p.event_type = 'purchase'
+     and p.ts > c.ts and p.ts <= c.ts + interval 1 hour
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (funnel attribution: purchase within
+    1 h of a click by the same user). Both sides carry watermarks so the
+    join state is evicted once the interval can no longer match — the
+    bounded-state form of the batch equi+range join the oracle runs.
+    Inner matches emit immediately in append mode, so availableNow over
+    the bounded fixture yields exactly the batch pair set."""
+    from database_extractor_spark.streaming import run_available_now, stream_source
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = (
+        stream_source(spark, path)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream_source(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user and p_ts > c_ts and p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    return run_available_now(spark, joined.select("click_id", "purchase_id"), output_mode="append")
