@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -117,3 +118,51 @@ def frame_sample_plan(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))),
     )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", DoubleType()),
+    ]
+)
+
+
+def decode_audio_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """REAL audio decode — requires soundfile/librosa, absent in this
+    container. Kept as the documented integration point; raises until a
+    decoder is installed."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library (soundfile/librosa) not "
+        "present in this environment; use fake_decode_audio for plumbing tests"
+    )
+
+
+def fake_decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic FAKE audio decode standing in for decode_audio_batch:
+    derives (sample_rate, n_samples, duration_ms) from the payload length
+    alone so the mapInPandas pipeline runs without an audio library.
+
+    fake semantics (documented so the oracle can mirror them):
+      sample_rate = [8000, 16000, 44100][n_bytes % 3]
+      n_samples   = n_bytes * 4
+      duration_ms = round(n_samples * 1000.0 / sample_rate, 4)
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = b[payload_col].map(len).astype("int64")
+            sr = (n % 3).map({0: 8000, 1: 16000, 2: 44100}).astype("int32")
+            ns = n * 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].astype("int64"),
+                    "sample_rate": sr,
+                    "n_samples": ns,
+                    "duration_ms": (ns * 1000.0 / sr).round(4),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_META_SCHEMA)

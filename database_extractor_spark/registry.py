@@ -2113,3 +2113,91 @@ def streaming_stream_stream_join(spark, sf_dir):
         ),
     )
     return run_available_now(spark, joined.select("click_id", "purchase_id"), output_mode="append")
+
+
+@register(
+    "profile_columns",
+    """
+    select 'event_id' as col_name,
+           cast(count(*) - count(event_id) as bigint) as n_null,
+           cast(count(distinct event_id) as bigint) as n_distinct,
+           cast(min(event_id) as double) as min_v,
+           cast(max(event_id) as double) as max_v
+    from events
+    union all
+    select 'user_id', cast(count(*) - count(user_id) as bigint),
+           cast(count(distinct user_id) as bigint),
+           cast(min(user_id) as double), cast(max(user_id) as double)
+    from events
+    union all
+    select 'value', cast(count(*) - count(value) as bigint),
+           cast(count(distinct value) as bigint),
+           min(value), max(value)
+    from events
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """Data-quality profiler: per-column null count, exact distinct
+    count, min/max — the pre-training sanity pass over a new table. ONE
+    scan + one aggregate emitting all columns' stats, then stack() to
+    long form (the oracle's union-all re-scans; at 100 TB one pass is
+    the only acceptable plan)."""
+    ev = _tbl(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"c_{c}") for c in ("event_id", "user_id", "value")],
+        *[F.count_distinct(F.col(c)).alias(f"d_{c}") for c in ("event_id", "user_id", "value")],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in ("event_id", "user_id", "value")],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in ("event_id", "user_id", "value")],
+    )
+    stack = ", ".join(
+        f"'{c}', cast(n - c_{c} as bigint), cast(d_{c} as bigint), mn_{c}, mx_{c}"
+        for c in ("event_id", "user_id", "value")
+    )
+    return agg.selectExpr(
+        f"stack(3, {stack}) as (col_name, n_null, n_distinct, min_v, max_v)"
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    with b as (select doc_id, octet_length(encode(text)) as n from documents)
+    select doc_id,
+           cast(case n % 3 when 0 then 8000 when 1 then 16000 else 44100 end as integer) as sample_rate,
+           cast(n * 4 as bigint) as n_samples,
+           round(n * 4 * 1000.0 /
+                 (case n % 3 when 0 then 8000 when 1 then 16000 else 44100 end), 4) as duration_ms
+    from b
+    """,
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """Audio-decode plumbing via mapInPandas (Arrow batches in, typed
+    feature rows out) with the decoder stubbed to a deterministic fake —
+    formulas mirrored in the oracle SQL; the real decoder drops into
+    decode_audio_batch when an audio library exists."""
+    from database_extractor_spark.operators.multimodal import attach_payload, fake_decode_audio
+
+    d = attach_payload(_tbl(spark, sf_dir, "documents"), "text")
+    return fake_decode_audio(d)
+
+
+@register(
+    "maintenance_compact",
+    """
+    select event_type, cast(count(*) as bigint) as n
+    from events group by event_type
+    """,
+)
+def maintenance_compact(spark, sf_dir):
+    """Small-files compaction as a maintenance op: rewrite the events
+    table at a target file size, read the compacted copy back, aggregate.
+    Oracle reads the ORIGINAL — equality proves compaction is
+    content-preserving."""
+    from database_extractor_spark.sinks import compact_parquet
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "events_compacted")
+    compact_parquet(ev, out, target_file_bytes=32 * 1024 * 1024)
+    back = read_source(spark, out + "/")
+    return back.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))

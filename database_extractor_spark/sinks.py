@@ -57,3 +57,39 @@ def write_day_partitioned(df: DataFrame, ts_col: str, path: str, mode: str = "ov
         mode=mode,
         partition_by=["date"],
     )
+
+
+def compact_parquet(
+    df: DataFrame,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a DataFrame's source files into
+    ~``target_file_bytes`` outputs. Small-files explosion is the top
+    operational failure of long-lived parquet lakes (per-file open cost,
+    scan-task explosion, NameNode/listing pressure) — compaction keeps
+    scan parallelism matched to data volume.
+
+    File count = ceil(input_bytes / target); local paths are sized
+    directly, non-local (hdfs://, s3a://) via the Hadoop FileSystem API.
+    Returns the number of files written. ``repartition(n)`` is a full
+    round-robin shuffle — even output sizes, no skewed tail file.
+    """
+    import math
+    import os as _os
+
+    total = 0
+    files = df.inputFiles()
+    for f in files:
+        if f.startswith("file:"):
+            total += _os.path.getsize(f[len("file:"):])
+        else:
+            jvm = df.sparkSession._jvm
+            jsc = df.sparkSession._jsc
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(jsc.hadoopConfiguration())
+            total += fs.getFileStatus(path).getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode(mode).parquet(out_path)
+    return n
