@@ -15,6 +15,7 @@ from database_extractor_spark.operators.core import (
     time_shift,
 )
 from database_extractor_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -59,6 +60,7 @@ from database_extractor_spark.operators.text import (
 from database_extractor_spark.operators.timeseries import (
     asof_join,
     ffill_resample,
+    range_join,
     session_windows,
     sliding_counts,
 )
@@ -77,6 +79,7 @@ __all__ = [
     # dedup
     "exact_dedup", "with_minhash", "lsh_candidate_pairs", "minhash_dedup",
     "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "connected_components",
     # similarity
     "cosine", "brute_force_topk", "ann_topk_lsh", "partitioned_topk",
     "pairwise_similar_lsh",
@@ -84,5 +87,6 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_lang_id",
     "with_fingerprint", "token_frequencies",
     # timeseries
-    "asof_join", "ffill_resample", "sliding_counts", "session_windows",
+    "asof_join", "ffill_resample", "range_join", "sliding_counts",
+    "session_windows",
 ]

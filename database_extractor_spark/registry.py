@@ -2201,3 +2201,31 @@ def maintenance_compact(spark, sf_dir):
     compact_parquet(ev, out, target_file_bytes=32 * 1024 * 1024)
     back = read_source(spark, out + "/")
     return back.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "time_hierarchy_rollup",
+    """
+    select date_trunc('month', ts) as mo, date_trunc('day', ts) as d,
+           cast(hour(ts) as integer) as hr,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(value as decimal(18,6))) as double) as sum_val
+    from events
+    group by rollup(date_trunc('month', ts), date_trunc('day', ts), hour(ts))
+    """,
+)
+def time_hierarchy_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: one pass emits the
+    hour, day, month, and grand-total grains (ROLLUP over the derived
+    time hierarchy). At scale this is the materialized summary a
+    timeseries store maintains; here it is a single map-side-combined
+    aggregate — coarser grains reuse the finer shuffle, not a re-scan."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.rollup(
+        F.date_trunc("month", "ts").alias("mo"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"),
+        R.exact_sum("value", "sum_val", scale=6),
+    )
