@@ -81,3 +81,30 @@ def test_native_space_pushdown_reaches_parquet(warehouse_spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PushedFilters: \[([^\]]*)", plan)
     assert m and "GreaterThanOrEqual(ts" in m.group(1) and "LessThan(ts" in m.group(1)
+
+
+def test_compact_parquet_file_count_and_content(warehouse_spark, tmp_path):
+    """compact_parquet sizes output files from actual input bytes: a tiny
+    target fans out, a huge target produces one file, and content is
+    preserved either way."""
+    from database_extractor_spark.sinks import compact_parquet
+    from database_extractor_spark.sources import read_source
+
+    spark = warehouse_spark
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files — the small-files problem in miniature
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+
+    one = str(tmp_path / "one")
+    n1 = compact_parquet(read_source(spark, src + "/"), one, target_file_bytes=1 << 30)
+    assert n1 == 1
+    import glob
+    assert len(glob.glob(one + "/part-*.parquet")) == 1
+
+    many = str(tmp_path / "many")
+    nm = compact_parquet(read_source(spark, src + "/"), many, target_file_bytes=8 * 1024)
+    assert nm > 1
+    assert len(glob.glob(many + "/part-*.parquet")) == nm
+
+    got = read_source(spark, one + "/").agg(F.sum("id"), F.count("*")).collect()[0]
+    assert (got[0], got[1]) == (10_000 * 9_999 // 2, 10_000)
