@@ -2229,3 +2229,27 @@ def time_hierarchy_rollup(spark, sf_dir):
         F.count("*").alias("n"),
         R.exact_sum("value", "sum_val", scale=6),
     )
+
+
+@register(
+    "approx_percentile_sketch",
+    """
+    select event_type,
+           quantile_disc(value, 0.5) as p50,
+           quantile_disc(value, 0.95) as p95
+    from events group by event_type
+    """,
+)
+def approx_percentile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (approx_percentile). At accuracy >= group
+    size the sketch degenerates to the exact nearest-rank element, which
+    matches DuckDB quantile_disc — so THIS configuration is oracled
+    exactly; the approximate regime's rank-error bound is pinned by
+    tests/test_timeseries_ops.py. At 100 TB the sketch is the only option
+    (bounded memory, mergeable across partitions); exact quantile_cont
+    parity lives in percentile_agg."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 1000000)").alias("p95"),
+    )

@@ -128,3 +128,18 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
     assert got.count() == len(got_pairs)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """In the approximate regime (accuracy << n) the sketch's result must
+    sit within the documented rank-error band around the true quantile."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.2, size=20_000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    accuracy = 100  # rank error ~ n / accuracy = 200 rows = 1% of n
+    got = df.agg(F.expr(f"approx_percentile(v, 0.9, {accuracy})").alias("p")).collect()[0]["p"]
+    s = sorted(vals)
+    lo, hi = s[int(0.85 * len(s))], s[int(0.95 * len(s))]
+    assert lo <= got <= hi
