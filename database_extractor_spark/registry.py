@@ -1777,26 +1777,30 @@ def text_unigram_logprob(spark, sf_dir):
     """
     select o.o_orderpriority, count(*) as n
     from (select l_shipdate,
-                 l_shipdate + interval (cast(l_quantity as integer)) day as l_enddate
-          from lineitem where l_quantity >= 45) l
+                 l_shipdate + interval 7 day as l_enddate
+          from lineitem where l_quantity >= 49) l
     join orders o on o.o_orderdate between l.l_shipdate and l.l_enddate
     group by o_orderpriority
     """,
 )
 def range_join_counts(spark, sf_dir):
-    """Point-in-interval range join (orders placed inside each lineitem's
-    quantity-day transit window), bucketed into an equi-join — see
-    operators.timeseries.range_join for the plan. A 7-day bucket ≈ the
-    median interval width (quantity ≥ 45 → 45-50 days, ~8 buckets each),
-    so the join stays a hash shuffle, never BroadcastNestedLoopJoin."""
+    """Point-in-interval range join (orders placed within a week of a
+    high-quantity shipment), bucketed into an equi-join — see
+    operators.timeseries.range_join for the plan. The 7-day bucket equals
+    the interval width, so each interval lands in ≤2 buckets (~2×
+    replication) and the join stays a hash shuffle, never
+    BroadcastNestedLoopJoin. Output cardinality = |intervals| × window ×
+    points-per-day — the width and the quantity cut keep the true result
+    (and thus any engine's cost) linear-ish in the input, which is the
+    knob that matters at 100 TB."""
     from database_extractor_spark.operators.timeseries import range_join
 
     li = (
         _tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 45)
+        .filter(F.col("l_quantity") >= 49)
         .select(
             "l_shipdate",
-            F.date_add(F.col("l_shipdate"), F.col("l_quantity").cast("int")).alias("l_enddate"),
+            F.date_add(F.col("l_shipdate"), 7).alias("l_enddate"),
         )
     )
     o = _tbl(spark, sf_dir, "orders").select("o_orderdate", "o_orderpriority")
