@@ -2257,3 +2257,31 @@ def approx_percentile_sketch(spark, sf_dir):
         F.expr("approx_percentile(value, 0.5, 1000000)").alias("p50"),
         F.expr("approx_percentile(value, 0.95, 1000000)").alias("p95"),
     )
+
+
+@register(
+    "salted_join_agg",
+    """
+    select c.c_mktsegment, cast(count(*) as bigint) as n,
+           cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as total
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    group by c.c_mktsegment
+    """,
+)
+def salted_join_agg(spark, sf_dir):
+    """Skew-salted equi-join (relational.salted_join: left side salted
+    into 16 sub-keys, right side exploded to match) followed by an
+    aggregate. The oracle is the PLAIN join — proving salting is a pure
+    physical rewrite, the escape hatch for a single pathological key AQE
+    cannot split (decimal sums keep the aggregate exact)."""
+    o = _tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = R.salted_join(
+        o.withColumnRenamed("o_custkey", "k"),
+        c.withColumnRenamed("c_custkey", "k"),
+        on="k",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
