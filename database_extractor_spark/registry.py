@@ -2285,3 +2285,56 @@ def salted_join_agg(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "regex_funcs",
+    r"""
+    select doc_id,
+           regexp_extract(text, '([0-9]+)', 1) as first_number,
+           cast(length(regexp_replace(text, '[aeiou]', '', 'g')) as integer) as len_novowels,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+')) as integer) as n_words
+    from documents
+    """,
+)
+def regex_funcs(spark, sf_dir):
+    """Regex scalar surface: extract / global replace / extract-all.
+    Both engines return '' for a non-matching extract, and Spark's
+    regexp_replace is global by default (DuckDB needs the 'g' flag)."""
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("len_novowels"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).alias("n_words"),
+    )
+
+
+@register(
+    "window_time_range_frame",
+    """
+    select event_id,
+           cast(sum(cast(value as decimal(18,6)))
+                over (partition by event_type order by ts
+                      range between interval 10 minute preceding and current row)
+                as double) as sum_10min
+    from events
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """Time-based RANGE window frame: per event, the decimal-exact sum of
+    the trailing 10 minutes within its type. Spark range frames need a
+    numeric ordering key — epoch MICROseconds (a seconds cast would
+    truncate sub-second timestamps and shift frame membership vs the SQL
+    interval frame). RANGE frames are tie-safe (all rows at equal ts
+    share a frame), so no unique tiebreak column is needed."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_10min"),
+    )
