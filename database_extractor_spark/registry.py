@@ -2338,3 +2338,112 @@ def window_time_range_frame(spark, sf_dir):
         "event_id",
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_10min"),
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    with k as (select doc_id, md5({_NORM}) as key from documents),
+    existing as (select distinct key from k where doc_id < 250)
+    select k.doc_id from k
+    where k.doc_id >= 250 and k.key not in (select key from existing)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the production crawl flow: drop incoming
+    documents whose normalized fingerprint already exists in the corpus
+    (here: ids >= 250 vs the 'existing' first half). A LEFT ANTI join on
+    the 128-bit fingerprint — the corpus side ships 16-byte keys only,
+    never text, and at 100 TB the corpus key set is a bucketed table the
+    daily batch anti-joins against without reshuffling the corpus."""
+    docs = _tbl(spark, sf_dir, "documents")
+    keyed = T.with_fingerprint(docs, "text", "__key")
+    existing = keyed.filter(F.col("doc_id") < 250).select("__key").distinct()
+    incoming = keyed.filter(F.col("doc_id") >= 250)
+    return incoming.join(existing, "__key", "left_anti").select("doc_id")
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    r"""
+    with words as (
+        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+    ),
+    sh as (
+        select doc_id, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+        )) as s
+        from words
+    ),
+    tr as (select * from sh where doc_id % 2 = 0),
+    ev as (select * from sh where doc_id % 2 = 1),
+    common as (
+        select tr.doc_id as a, ev.doc_id as b, count(*) as c
+        from tr join ev on tr.s = ev.s group by 1, 2
+    )
+    select distinct a as doc_id from common where c >= 3
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Train/eval decontamination: flag training documents sharing >= 3
+    distinct 3-gram shingles with any eval document (fixture split: even
+    ids train, odd ids eval). Same inverted-index equi-join shape as
+    exact Jaccard — shuffle on the 8-byte shingle hash, never a cartesian
+    — because contamination checks at corpus scale are exactly a
+    cross-corpus near-dup sweep."""
+    docs = _tbl(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.transform(D.shingles(F.col("text"), 3), lambda s: F.xxhash64(s))).alias("s"),
+    )
+    tr = sh.filter(F.col("doc_id") % 2 == 0).withColumnRenamed("doc_id", "a")
+    ev = sh.filter(F.col("doc_id") % 2 == 1).withColumnRenamed("doc_id", "b")
+    common = tr.join(ev, "s").groupBy("a", "b").agg(F.count("*").alias("c"))
+    return common.filter(F.col("c") >= 3).select(F.col("a").alias("doc_id")).distinct()
+
+
+@register(
+    "cap_per_group",
+    """
+    with ranked as (
+        select doc_id, lang,
+               row_number() over (partition by lang order by doc_id) as rn
+        from documents
+    )
+    select doc_id, lang from ranked where rn <= 50
+    """,
+)
+def cap_per_group(spark, sf_dir):
+    """Per-group quota sampling (at most 50 docs per language) — the
+    domain-balancing cap every corpus mix applies. row_number over a
+    deterministic order + filter; one shuffle on the group key. For
+    heavy-hitter groups at 100 TB, pre-filter each partition to its
+    local top-50 by the same order before the shuffle (Spark's window
+    already pushes a partial limit when the order is a prefix sort)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+    with a as (select distinct nullif(event_type, 'click') as k from events),
+    b as (select distinct nullif(event_type, 'view') as k from events)
+    select a.k as k_a, b.k as k_b
+    from a join b on a.k is not distinct from b.k
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM):
+    NULL keys match each other instead of vanishing — the semantics
+    required when joining on nullable business keys. Still a hash
+    equi-join (the null bucket is one key), not a nested loop."""
+    ev = _tbl(spark, sf_dir, "events")
+    a = ev.select(F.nullif("event_type", F.lit("click")).alias("k_a")).distinct()
+    b = ev.select(F.nullif("event_type", F.lit("view")).alias("k_b")).distinct()
+    return a.join(b, a["k_a"].eqNullSafe(b["k_b"]))
