@@ -2447,3 +2447,83 @@ def null_safe_join(spark, sf_dir):
     a = ev.select(F.nullif("event_type", F.lit("click")).alias("k_a")).distinct()
     b = ev.select(F.nullif("event_type", F.lit("view")).alias("k_b")).distinct()
     return a.join(b, a["k_a"].eqNullSafe(b["k_b"]))
+
+
+@register(
+    "filtered_agg",
+    """
+    select o_orderpriority,
+           cast(count(*) filter (where o_orderstatus = 'F') as bigint) as n_f,
+           cast(count(*) filter (where o_orderstatus = 'O') as bigint) as n_o,
+           cast(sum(cast(o_totalprice as decimal(18,4)))
+                filter (where o_orderstatus = 'F') as double) as total_f
+    from orders group by o_orderpriority
+    """,
+)
+def filtered_agg(spark, sf_dir):
+    """FILTER-clause aggregates (conditional aggregation): one pass, one
+    shuffle, N conditions — the idiom that replaces N filtered scans.
+    Spark expresses it as count/sum over CASE; empty groups yield NULL
+    sums on both engines."""
+    o = _tbl(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.sum(F.when(is_f, F.col("o_totalprice").cast("decimal(18,4)")))
+        .cast("double")
+        .alias("total_f"),
+    )
+
+
+@register(
+    "scalar_subquery",
+    """
+    select o_orderkey, o_totalprice
+    from orders
+    where o_totalprice > 2 * (
+        select cast(avg(cast(o_totalprice as decimal(18,4))) as double) from orders
+    )
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery through the SQL FRONT-END (spark.sql over a temp
+    view) — the engine's full SQL surface, not just the DataFrame API.
+    Catalyst plans the subquery as a one-row broadcast, not a per-row
+    re-execution; the decimal-cast avg keeps the threshold bit-identical
+    across engines so no boundary row can flip."""
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq_v")
+    return spark.sql(
+        """
+        select o_orderkey, o_totalprice
+        from orders_sq_v
+        where o_totalprice > 2 * (
+            select cast(avg(cast(o_totalprice as decimal(18,4))) as double)
+            from orders_sq_v
+        )
+        """
+    )
+
+
+@register(
+    "posexplode_tokens",
+    r"""
+    with words as (
+        select doc_id, string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    ex as (
+        select doc_id,
+               unnest([{'p': i - 1, 'tok': ws[i]} for i in range(1, len(ws) + 1)]) as u
+        from words
+    )
+    select doc_id, cast(u.p as integer) as pos, u.tok as token from ex
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """Ordinal explode (posexplode): token position survives the
+    flatten — required whenever downstream windows or chunkers need
+    token order back after the explode."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
