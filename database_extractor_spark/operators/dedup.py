@@ -427,7 +427,9 @@ def connected_components(
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.repartition("u").localCheckpoint(eager=True)
+    # pre-partition on v — the per-round join key — so the materialized
+    # edge table is already co-located for every iteration's shuffle side
+    edges = edges.repartition("v").localCheckpoint(eager=True)
 
     labels = (
         edges.select(F.col("u").alias("node"))
