@@ -2527,3 +2527,55 @@ def posexplode_tokens(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     toks = T.tokens(F.lower(F.trim(F.col("text"))))
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+
+
+@register(
+    "federated_join",
+    """
+    select c.c_mktsegment, n.n_name,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(e.value as decimal(18,6))) as double) as sum_val
+    from events e
+      join customer c on e.user_id = c.c_custkey
+      join nation n on c.c_nationkey = n.n_nationkey
+    group by c.c_mktsegment, n.n_name
+    """,
+)
+def federated_join(spark, sf_dir):
+    """Federated query: a parquet fact table joined to a CSV dimension
+    and a JDBC (embedded Derby) dimension in ONE plan — the
+    database-extractor capability generalized: Catalyst plans across
+    heterogeneous sources, broadcasts the small dims, and the oracle
+    (reading only the parquet originals) proves no source loses or
+    mangles rows. Schemas are declared on the CSV read (inference cannot
+    be trusted for dims) and the JDBC dim reads in a single partition
+    (it is broadcast-small)."""
+    ev = _tbl(spark, sf_dir, "events")
+
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    csv_dir = os.path.join(tempfile.mkdtemp(prefix="fed_"), "customer_csv")
+    cust.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    cust_csv = (
+        spark.read.schema("c_custkey long, c_mktsegment string, c_nationkey int")
+        .option("header", "true")
+        .csv(csv_dir + "/")
+    )
+
+    url = "jdbc:derby:memory:feddb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nat = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    (nat.write.format("jdbc").option("url", url).option("dbtable", "nation_t")
+     .option("driver", driver).mode("overwrite").save())
+    nat_jdbc = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "nation_t").option("driver", driver).load()
+    )
+
+    joined = (
+        ev.join(F.broadcast(cust_csv), ev["user_id"] == cust_csv["c_custkey"])
+        .join(F.broadcast(nat_jdbc), F.col("c_nationkey") == nat_jdbc["n_nationkey"])
+    )
+    return joined.groupBy("c_mktsegment", "n_name").agg(
+        F.count("*").cast("bigint").alias("n"),
+        R.exact_sum("value", "sum_val", scale=6),
+    )
