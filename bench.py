@@ -45,6 +45,12 @@ HEADLINE = [
     "streaming_event_counts",
 ]
 
+#: loop-shaped / iterative workloads benched separately — kept OUT of the
+#: headline total so the 17-query headline stays comparable round-over-round
+SECONDARY = [
+    "dedup_clusters",
+]
+
 
 def main() -> None:
     from database_extractor_spark.registry import QUERIES
@@ -62,12 +68,21 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        secondary[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
         "sf": float(sf),
     }))
 

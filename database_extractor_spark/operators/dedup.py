@@ -204,14 +204,26 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    exact_groups: bool = True,
 ) -> DataFrame:
     """End-to-end near-dedup: shingle -> minhash -> band -> bucket-join ->
-    estimate -> keep one survivor (min id) per connected duplicate pair.
+    estimate -> cluster -> keep one survivor (min id) per duplicate group.
 
-    Survivor rule: a doc is dropped iff it appears as the *larger* id in a
-    pair at/above threshold (single-pass approximation of connected
-    components — exact for the dominant case of pairwise-similar groups;
-    iterative label propagation is the full-graph upgrade path).
+    Survivor rule (``exact_groups=True``, default): qualifying pairs are
+    clustered via :func:`connected_components`; every node except its
+    cluster's min id is dropped. Chains are handled exactly — for A~B~C
+    with A<B<C and A≁C, only A survives but C is dropped *because its
+    cluster's canonical id is A*, not by accident of pair direction.
+    ``exact_groups=False`` is the cheaper single-pass rule (drop any id
+    appearing as the larger id in a qualifying pair); it over-deletes
+    nothing on cliques but has no chain semantics — use only when the
+    pair graph is known to be piles of cliques and the clustering rounds
+    must be avoided.
+
+    NOTE: this function TRIGGERS SPARK JOBS at call time (the signature
+    cache + loser set are materialized so the cache can be released, and
+    the clustering iterates to a fixpoint eagerly); the returned survivor
+    frame itself is lazy.
 
     Returns the surviving rows of ``df``.
     """
@@ -223,9 +235,14 @@ def minhash_dedup(
     try:
         pairs = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
         scored = estimate_jaccard(pairs, sigs, id_col=id_col)
-        losers = scored.filter(F.col("est_jaccard") >= threshold).select(
-            F.col("id_b").alias(id_col)
-        ).distinct().persist()
+        dup_pairs = scored.filter(F.col("est_jaccard") >= threshold)
+        if exact_groups:
+            clusters = connected_components(dup_pairs.select("id_a", "id_b"))
+            losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias(id_col)
+            ).persist()
+        else:
+            losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
         losers.count()  # materialize off the signature cache
     finally:
         sigs.unpersist(blocking=False)

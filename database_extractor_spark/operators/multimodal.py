@@ -36,6 +36,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:  # optional dependency: real image decode path (absent in this container)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised when PIL is installed
+    _PILImage = None
+
+try:  # optional dependency: real audio decode path (absent in this container)
+    import soundfile as _soundfile
+except ImportError:  # pragma: no cover - exercised when soundfile is installed
+    _soundfile = None
+
+
 #: schema of a decoded-image feature row (what a real decoder would emit)
 IMAGE_META_SCHEMA = StructType(
     [
@@ -64,15 +75,47 @@ def payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """REAL image decode — requires PIL/opencv, absent in this container.
+def decode_image_batch(
+    batch: pd.DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> pd.DataFrame:
+    """REAL image decode via PIL (optional import — the container here has
+    no image library, in which case this raises and callers fall back to
+    the deterministic fake; with PIL installed it decodes for real)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decoding requires an image library (PIL) not present "
+            "in this environment; use fake_decode_images / decode_images "
+            "(which falls back automatically) for plumbing tests"
+        )
+    import io
 
-    Kept as the documented integration point; raises until a decoder is
-    installed."""
-    raise NotImplementedError(
-        "image decoding requires an image library (PIL/opencv) not present "
-        "in this environment; use fake_decode_images for plumbing tests"
+    out = {"doc_id": [], "n_bytes": [], "format": [], "width": [], "height": []}
+    for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+        raw = bytes(payload)
+        img = _PILImage.open(io.BytesIO(raw))
+        out["doc_id"].append(int(doc_id))
+        out["n_bytes"].append(len(raw))
+        out["format"].append((img.format or "unknown").lower())
+        out["width"].append(int(img.width))
+        out["height"].append(int(img.height))
+    return pd.DataFrame(out).astype(
+        {"doc_id": "int64", "n_bytes": "int64", "width": "int32", "height": "int32"}
     )
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Image decode with live optional-import dispatch: PIL when importable
+    (real bytes -> real format/width/height), deterministic fake otherwise.
+    Either way the Spark plan is identical — one Arrow-batched mapInPandas
+    stage emitting IMAGE_META_SCHEMA rows."""
+    if _PILImage is None:
+        return fake_decode_images(df, id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield decode_image_batch(b, id_col, payload_col)
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
 
 def fake_decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -130,14 +173,44 @@ AUDIO_META_SCHEMA = StructType(
 )
 
 
-def decode_audio_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """REAL audio decode — requires soundfile/librosa, absent in this
-    container. Kept as the documented integration point; raises until a
-    decoder is installed."""
-    raise NotImplementedError(
-        "audio decoding requires an audio library (soundfile/librosa) not "
-        "present in this environment; use fake_decode_audio for plumbing tests"
+def decode_audio_batch(
+    batch: pd.DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> pd.DataFrame:
+    """REAL audio decode via soundfile (optional import — absent here, in
+    which case this raises and callers fall back to the deterministic
+    fake; with soundfile installed it decodes for real)."""
+    if _soundfile is None:
+        raise NotImplementedError(
+            "audio decoding requires an audio library (soundfile) not "
+            "present in this environment; use fake_decode_audio / "
+            "decode_audio (which falls back automatically) for plumbing tests"
+        )
+    import io
+
+    out = {"doc_id": [], "sample_rate": [], "n_samples": [], "duration_ms": []}
+    for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+        data, sr = _soundfile.read(io.BytesIO(bytes(payload)))
+        n = int(data.shape[0])
+        out["doc_id"].append(int(doc_id))
+        out["sample_rate"].append(int(sr))
+        out["n_samples"].append(n)
+        out["duration_ms"].append(round(n * 1000.0 / sr, 4))
+    return pd.DataFrame(out).astype(
+        {"doc_id": "int64", "sample_rate": "int32", "n_samples": "int64"}
     )
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Audio decode with live optional-import dispatch: soundfile when
+    importable, deterministic fake otherwise (same plan shape)."""
+    if _soundfile is None:
+        return fake_decode_audio(df, id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield decode_audio_batch(b, id_col, payload_col)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def fake_decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

@@ -72,7 +72,16 @@ def salted_join(
     right side ``salt_buckets``×. AQE's skew-join handles moderate skew
     automatically — reach for explicit salting only for the pathological
     keys AQE can't split (e.g. a single key > executor memory).
+
+    Only ``inner``/``left`` are supported: the right side is replicated
+    across every salt bucket, so right/full joins would emit an unmatched
+    right row once per bucket and anti/semi semantics break outright.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated right side breaks right/full/semi/anti semantics"
+        )
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

@@ -45,6 +45,11 @@ def asof_join(
     |left| + |right|, vs the quadratic fan-out of a range-condition join.
     Right side should be pre-deduplicated to one quote per (key, ts) for
     deterministic results.
+
+    NULL keys: ASOF join equality never matches NULL = NULL, but
+    Window.partitionBy groups NULLs into one partition — so NULL-keyed
+    quotes are dropped before the union (NULL-keyed probes come back with
+    a NULL fill, matching DuckDB ASOF LEFT JOIN).
     """
     out_col = out_col or value_col
     on = list(on)
@@ -53,6 +58,8 @@ def asof_join(
         right.select(*on, F.col(right_ts).alias("__ts"), F.col(value_col).alias("__qv"))
         .withColumn("__src", F.lit(0))
     )
+    for k in on:
+        r_tagged = r_tagged.filter(F.col(k).isNotNull())
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)

@@ -62,6 +62,31 @@ def get_spark(
     return spark
 
 
+def sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict | None = None,
+    sf_dir: str | None = None,
+):
+    """Run arbitrary SQL over the engine's tables — the reference's
+    library-API entry point (reference README.md:41-75: build a query in
+    code, hand it to the client) mapped onto Spark SQL.
+
+    ``tables``: optional {name: DataFrame} registered as temp views first;
+    ``sf_dir``: optional fixture directory whose parquet tables are
+    registered as views via sources.load_tables. Returns the lazy result
+    DataFrame — Catalyst plans the SQL identically to the DataFrame API,
+    so pushdown/broadcast/AQE behavior is unchanged.
+    """
+    if sf_dir is not None:
+        from database_extractor_spark.sources import load_tables
+
+        load_tables(spark, sf_dir)
+    for name, df in (tables or {}).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
 def create_spark_client(config_path: str | None = None) -> SparkSession:
     """Create a session and verify it executes a job (the reference pings
     InfluxDB and raises ConnectionError on failure; we run a 1-row job)."""

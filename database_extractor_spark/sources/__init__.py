@@ -64,7 +64,13 @@ def read_source(
         os.path.sep in source or os.path.isdir(source)
         or source.lower().endswith((".parquet", ".pq", ".csv", ".json", ".jsonl"))
     )):
-        return spark.table(source)
+        # same normalization/pushdown contract as file sources: a view over
+        # nanos-long data gets proper timestamps, and ts_filter applies in
+        # the column's native space (pushes through the view into its scan)
+        tbl = spark.table(source)
+        if ts_filter is not None:
+            tbl = _apply_native_ts_filter(tbl, *ts_filter)
+        return _normalize_nanos(spark, tbl)
 
     # safety for externally-built sessions; session.py sets this at create
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":

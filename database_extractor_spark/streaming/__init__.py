@@ -88,7 +88,12 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow query {name!r} did not finish within "
+                f"{timeout_sec}s; refusing to return a partial result"
+            )
     finally:
         if q.isActive:
             q.stop()

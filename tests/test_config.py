@@ -90,3 +90,14 @@ def test_non_last_aggregate_branch(spark):
     assert len(rows) > 0
     # minute bins only
     assert all(r["ts"].second == 0 and r["ts"].microsecond == 0 for r in rows)
+
+
+def test_sql_entry_point_registers_tables(spark):
+    """session.sql: the library-API analog — register provided frames as
+    views and run arbitrary SQL (the fixture-dir path is exercised by the
+    sql_windowed_cte registry entry's oracle compare)."""
+    from database_extractor_spark.session import sql
+
+    df = spark.range(5).toDF("x")
+    out = sql(spark, "select count(*) as n from t5_sql_entry", tables={"t5_sql_entry": df})
+    assert out.collect()[0]["n"] == 5

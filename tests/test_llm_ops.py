@@ -219,3 +219,25 @@ def test_connected_components_chain_clique_pair(spark):
     assert {n: got[n] for n in range(1, 13)} == {n: 1 for n in range(1, 13)}
     assert {got[100], got[101], got[102]} == {100}
     assert {got[200], got[201]} == {200}
+
+
+def test_decode_dispatch_falls_back_without_libs(docs):
+    """decode_images/decode_audio are live optional-import dispatchers:
+    with no PIL/soundfile in this container they must produce exactly the
+    deterministic fake (with the libs installed they decode for real —
+    same plan shape either way)."""
+    from database_extractor_spark.operators.multimodal import (
+        attach_payload,
+        decode_audio,
+        decode_images,
+        fake_decode_audio,
+        fake_decode_images,
+    )
+
+    p = attach_payload(docs.limit(20).select("doc_id", "text"), "text")
+    img_got = {tuple(r) for r in decode_images(p).collect()}
+    img_want = {tuple(r) for r in fake_decode_images(p).collect()}
+    assert img_got == img_want and img_got
+    aud_got = {tuple(r) for r in decode_audio(p).collect()}
+    aud_want = {tuple(r) for r in fake_decode_audio(p).collect()}
+    assert aud_got == aud_want and aud_got

@@ -123,3 +123,17 @@ def test_exact_sum_is_order_independent(spark):
     a = df.agg(R.exact_sum("v", "s")).first()["s"]
     b = df.repartition(7).agg(R.exact_sum("v", "s")).first()["s"]
     assert a == b
+
+
+def test_salted_join_rejects_unsupported_how(t):
+    """The replicated right side breaks right/full/semi/anti semantics —
+    salted_join must refuse them instead of silently multiplying rows."""
+    orders, customer = t["orders"], t["customer"]
+    for how in ("right", "full", "left_anti", "left_semi"):
+        with pytest.raises(ValueError):
+            R.salted_join(
+                orders.withColumnRenamed("o_custkey", "k"),
+                customer.withColumnRenamed("c_custkey", "k"),
+                on="k",
+                how=how,
+            )

@@ -143,3 +143,29 @@ def test_approx_percentile_rank_error_bound(spark):
     s = sorted(vals)
     lo, hi = s[int(0.85 * len(s))], s[int(0.95 * len(s))]
     assert lo <= got <= hi
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """ASOF join equality never matches NULL keys: a NULL-keyed quote must
+    not fill any probe — including a NULL-keyed probe, which the window
+    partitioning would otherwise group with it (DuckDB ASOF semantics)."""
+    probes = spark.createDataFrame(
+        [
+            (None, datetime.datetime(2024, 1, 1, 0, 0, 5)),
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 5)),
+        ],
+        "k int, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (None, datetime.datetime(2024, 1, 1, 0, 0, 1), 10.0),
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 1), 20.0),
+        ],
+        "k int, qts timestamp, v double",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in asof_join(probes, quotes, ["k"], "ts", "qts", "v").collect()
+    }
+    assert got[1] == 20.0
+    assert got[None] is None
