@@ -416,36 +416,113 @@ def simhash_near_pairs(
 # duplicate clustering (connected components over near-dup pairs)
 # --------------------------------------------------------------------------
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact connected components on the driver: union-find with path
+    compression + union by rank over a SIZE-GATED edge collect (the caller
+    has already counted the materialized edge set against
+    ``driver_max_edges``). Emits (doc_id, cluster_id=min node id) with the
+    same schema/semantics as the distributed label-propagation path."""
+    parent: dict = {}
+    rank: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if rank[ra] < rank[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        if rank[ra] == rank[rb]:
+            rank[ra] += 1
+
+    pdf = edges.toPandas()  # size-gated; Arrow transfer, one job
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        u, v = int(u), int(v)
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+                rank[n] = 0
+        union(u, v)
+
+    root_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in root_min or n < root_min[r]:
+            root_min[r] = n
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"doc_id": list(parent), "cluster_id": [root_min[find(n)] for n in parent]}
+    )
+    return spark.createDataFrame(out.astype("int64"), "doc_id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected near-duplicate pair graph:
     returns (node, cluster_id) with cluster_id = MIN node id in the
     component — the canonical-survivor assignment that turns pairwise
     near-dup hits into dedup decisions.
 
-    Algorithm: min-label propagation. Every node starts labeled with
-    itself; each round, each node adopts the smallest label among itself
-    and its neighbors; converged when no label changed this round (labels
-    only ever shrink, so counting changed rows on the just-materialized
-    result is an exact fixpoint certificate).
+    HYBRID execution (both paths produce identical results):
 
-    Scale: per round = one equi-join (labels x directed edges, shuffle on
-    node id) + one min-aggregate; rounds = component diameter (near-dup
-    graphs are piles of small cliques, so 2-3 rounds in practice —
-    ``max_iter`` guards pathological chains). ``localCheckpoint``
+    - **small graphs** (directed edge count <= ``driver_max_edges``,
+      measured on the already-materialized edge set — one cheap count):
+      union-find with path compression on the driver. A thresholded
+      near-dup pair graph is usually tiny relative to the corpus, and
+      driver union-find on ~2M edges is tens of milliseconds — vs
+      several *jobs per round* of distributed iteration whose fixed
+      scheduling cost dwarfs the work. This is the engine's only
+      size-gated collect: the gate bounds driver memory to
+      O(driver_max_edges) longs BEFORE collecting, so it is not a
+      driver-side loop over unbounded data.
+    - **large graphs**: min-label propagation with pointer jumping. Every
+      node starts labeled with itself; each round, each node adopts the
+      smallest label among itself, its neighbors, AND its label's label
+      (the pointer jump); converged when no label changed this round
+      (labels only ever shrink, so counting changed rows on the
+      just-materialized result is an exact fixpoint certificate). Raises
+      if ``max_iter`` is exhausted rather than returning a partial
+      clustering.
+
+    Scale: per round = two equi-joins (labels x directed edges, labels x
+    labels, shuffle on node id) + one min-aggregate; the pointer jump
+    makes rounds O(log diameter) — near-dup graphs are piles of small
+    cliques (2-3 rounds), and even a 2^25-diameter chain fits the default
+    ``max_iter``. ``localCheckpoint``
     truncates the lineage each round so the plan does not grow
     exponentially across iterations; a driver-side loop over a handful of
     rounds is the standard Spark shape for iterate-to-fixpoint (GraphX /
-    GraphFrames do the same under the hood).
+    GraphFrames do the same under the hood; GraphFrames likewise offers a
+    local fallback for small graphs).
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # pre-partition on v — the per-round join key — so the materialized
-    # edge table is already co-located for every iteration's shuffle side
+    # materialize the (possibly expensive) pair subplan ONCE before sizing;
+    # the co-locating repartition is deferred past the gate so the driver
+    # path never pays a shuffle it will not use
+    edges = edges.localCheckpoint(eager=True)
+
+    n_edges = edges.count()  # cheap: counts the materialized checkpoint
+    if n_edges <= driver_max_edges:
+        spark = pairs.sparkSession
+        return _driver_union_find(spark, edges)
+
+    # pre-partition on v — the per-round join key — so the iterated edge
+    # table is already co-located for every round's shuffle side
     edges = edges.repartition("v").localCheckpoint(eager=True)
 
     labels = (
@@ -461,13 +538,26 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nmin"))
         )
+        prop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("__old"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: additionally adopt the label of one's label.
+        # Plain neighbor-min needs diameter rounds (a D-node chain = D
+        # rounds, silently unconverged past max_iter); the jump halves
+        # label-chain lengths every round, so convergence is
+        # O(log diameter) and max_iter=25 covers diameters up to ~2^25.
+        jump = prop.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
         labels = (
-            labels.join(neighbor_min, "node", "left")
+            prop.join(jump, prop["comp"] == jump["jn"], "left")
             .select(
                 "node",
-                F.col("comp").alias("__old"),
+                "__old",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
@@ -476,4 +566,9 @@ def connected_components(
         labels = labels.drop("__old")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raising instead of returning a partial (wrong) clustering"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

@@ -93,3 +93,41 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode(mode).parquet(out_path)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted managed table: rows are hash-bucketed
+    on ``bucket_col`` into ``n_buckets`` files per partition and sorted
+    within each bucket.
+
+    This is THE layout lever for repeated big joins/aggregations on the
+    same key at 100 TB: two tables bucketed identically on the join key
+    sort-merge-join bucket-to-bucket with NO Exchange on either side —
+    the shuffle is paid once at write time and amortized over every
+    subsequent query. (Requires spark.sql.sources.bucketing.enabled,
+    on by default; bucket counts must match or divide evenly.)
+    """
+    spark = df.sparkSession
+    spark.sql(f"drop table if exists `{table}`")
+    # a previous session may have left the managed location behind with no
+    # catalog entry (in-memory catalog, persistent warehouse dir) — clear
+    # it or saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:") or "://" not in wh:
+        import os as _os
+        import shutil as _shutil
+
+        loc = _os.path.join(wh.removeprefix("file:"), table.lower())
+        if _os.path.isdir(loc):
+            _shutil.rmtree(loc)
+
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    writer.saveAsTable(table)

@@ -203,9 +203,12 @@ def test_frame_sample_plan(spark):
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
 
 
-def test_connected_components_chain_clique_pair(spark):
-    """Min-label propagation finds exact components on a 12-node chain
-    (worst-case diameter), a 3-clique, and an isolated pair."""
+@pytest.mark.parametrize("driver_max_edges", [2_000_000, 0])
+def test_connected_components_chain_clique_pair(spark, driver_max_edges):
+    """Both hybrid paths (driver union-find at the default gate; forced
+    distributed min-label propagation at gate=0) find exact components on
+    a 12-node chain (worst-case diameter), a 3-clique, and an isolated
+    pair."""
     from database_extractor_spark.operators.dedup import connected_components
 
     chain = [(i, i + 1) for i in range(1, 12)]          # 1-2-...-12
@@ -214,7 +217,9 @@ def test_connected_components_chain_clique_pair(spark):
     pairs = spark.createDataFrame(chain + clique + pair, "id_a long, id_b long")
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(
+            pairs, driver_max_edges=driver_max_edges
+        ).collect()
     }
     assert {n: got[n] for n in range(1, 13)} == {n: 1 for n in range(1, 13)}
     assert {got[100], got[101], got[102]} == {100}

@@ -21,10 +21,14 @@ from tests.conftest import SF_DIR
 EXECUTES_ON_BUILD = {
     "streaming_event_counts",
     "streaming_stateful_first_seen",
+    "streaming_dedup",
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "jdbc_source_roundtrip",
     "o13_sink_roundtrip",
+    # writes its bucketed tables on build; join-plan shape asserted in
+    # tests/test_scale_posture.py::test_bucketed_join_registry_entry_plan
+    "bucketed_join_colocated",
 }
 
 #: entries allowed to contain Arrow-batched Python stages

@@ -108,3 +108,15 @@ def test_compact_parquet_file_count_and_content(warehouse_spark, tmp_path):
 
     got = read_source(spark, one + "/").agg(F.sum("id"), F.count("*")).collect()[0]
     assert (got[0], got[1]) == (10_000 * 9_999 // 2, 10_000)
+
+
+def test_bucketed_join_registry_entry_plan(warehouse_spark):
+    """The bucketed_join_colocated registry entry must sort-merge-join the
+    two bucketed tables with NO Exchange on either join input — the only
+    Exchange in the plan is the final aggregate's shuffle."""
+    import __spark_entry__ as E
+
+    df = E.queries()["bucketed_join_colocated"](warehouse_spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
