@@ -2703,6 +2703,33 @@ def streaming_dedup(spark, sf_dir):
 
 
 @register(
+    "streaming_incremental_sink",
+    "select event_id, user_id, value from events where event_type = 'purchase'",
+)
+def streaming_incremental_sink(spark, sf_dir):
+    """Exactly-once incremental ETL: availableNow into a checkpointed
+    parquet sink, run TWICE against the unchanged source inside the entry
+    — the committed offsets make the second run a no-op, so the sink holds
+    exactly one copy of each row (a duplicated sink would double the
+    driver-compared row count). This is the incremental upgrade over the
+    reference's cron, which reprocesses the whole bucket every run
+    (reference main.py:36-43)."""
+    from database_extractor_spark.streaming import (
+        run_available_now_to_parquet,
+        stream_source,
+    )
+
+    base = tempfile.mkdtemp(prefix="inc_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    s = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    filtered = s.filter("event_type = 'purchase'").select("event_id", "user_id", "value")
+    result = None
+    for _ in range(2):
+        result = run_available_now_to_parquet(spark, filtered, out, ckpt)
+    return result
+
+
+@register(
     "pack_sequences",
     r"""
     with toks as (
@@ -2862,6 +2889,7 @@ _VERIFY_FIRST = [
     # round-3 additions (registered this round; queued behind the 50-cap)
     "bucketed_join_colocated",
     "streaming_dedup",
+    "streaming_incremental_sink",
     "pack_sequences",
     "mixture_weighted_sample",
 ]

@@ -100,6 +100,44 @@ def run_available_now(
     return spark.table(name)
 
 
+def run_available_now_to_parquet(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Exactly-once incremental run: availableNow into a parquet sink with
+    a checkpoint. Re-running against an unchanged source processes ZERO
+    new files (source offsets are committed in the checkpoint), so repeated
+    invocations never duplicate sink rows — the incremental upgrade over
+    the reference's cron, which reprocesses the whole bucket every run
+    (reference main.py:36-43). Returns the sink read back as a batch frame.
+
+    Scale: the checkpoint makes this restartable mid-run too — a killed job
+    resumes from committed offsets; sink files are committed atomically per
+    micro-batch by the streaming file-sink log."""
+    q = (
+        streaming_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow parquet sink did not finish within "
+                f"{timeout_sec}s; refusing to return a partial result"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def first_seen_per_key(
     df: DataFrame,
     key_col: str = "user_id",

@@ -22,6 +22,7 @@ EXECUTES_ON_BUILD = {
     "streaming_event_counts",
     "streaming_stateful_first_seen",
     "streaming_dedup",
+    "streaming_incremental_sink",
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "jdbc_source_roundtrip",
