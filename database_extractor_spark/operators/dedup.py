@@ -509,21 +509,26 @@ def connected_components(
     GraphFrames do the same under the hood; GraphFrames likewise offers a
     local fallback for small graphs).
     """
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # materialize the (possibly expensive) pair subplan ONCE before sizing;
-    # the co-locating repartition is deferred past the gate so the driver
-    # path never pays a shuffle it will not use
-    edges = edges.localCheckpoint(eager=True)
+    # materialize the (possibly expensive) pair subplan ONCE before
+    # anything else: the directed-edge union below reads it twice, and the
+    # size gate needs a count — both are nearly free on the checkpoint
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
 
-    n_edges = edges.count()  # cheap: counts the materialized checkpoint
-    if n_edges <= driver_max_edges:
+    n_pairs = e.count()  # cheap: counts the materialized checkpoint
+    if 2 * n_pairs <= driver_max_edges:
+        # union-find is direction-agnostic — feed it the undirected pairs
         spark = pairs.sparkSession
-        return _driver_union_find(spark, edges)
+        return _driver_union_find(spark, e)
 
-    # pre-partition on v — the per-round join key — so the iterated edge
-    # table is already co-located for every round's shuffle side
-    edges = edges.repartition("v").localCheckpoint(eager=True)
+    # directed both ways, pre-partitioned on v — the per-round join key —
+    # so the iterated edge table is co-located for every round's shuffle
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         edges.select(F.col("u").alias("node"))

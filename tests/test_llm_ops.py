@@ -246,3 +246,30 @@ def test_decode_dispatch_falls_back_without_libs(docs):
     aud_got = {tuple(r) for r in decode_audio(p).collect()}
     aud_want = {tuple(r) for r in fake_decode_audio(p).collect()}
     assert aud_got == aud_want and aud_got
+
+
+def test_pack_sequences_semantics(spark, docs):
+    """Packing invariants per (shard): pack_seq starts at 0, is
+    nondecreasing in doc_id order, and a new bin opens exactly when the
+    running fill would pass the 512-token budget (docs are never split, so
+    a bin can exceed 512 only via its final doc's overflow)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = (
+        E.queries()["pack_sequences"](spark, SF_DIR)
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs_in in by_shard.items():
+        cum = 0
+        prev_seq = 0
+        for r in docs_in:
+            assert r["pack_seq"] == cum // 512, (shard, r)
+            assert r["pack_seq"] >= prev_seq
+            prev_seq = r["pack_seq"]
+            cum += r["n_tokens"]
