@@ -281,3 +281,132 @@ def pairwise_similar_lsh(
         .distinct()
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN
+# --------------------------------------------------------------------------
+
+def pq_index(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    code_col: str = "pq_code",
+):
+    """Product-quantize the corpus: split ``dim`` into ``m`` subspaces,
+    KMeans each subspace to ``k`` centroids, encode every vector as ``m``
+    small codes. 64-dim float32 -> 8 codes of 4 bits each: ~64x memory
+    compression, the standard trick for billion-vector ANN indexes.
+
+    Returns (encoded_df, codebooks) where ``codebooks[j][c]`` is centroid
+    ``c`` of subspace ``j`` (driver-side; m*k*dim/m floats — tiny).
+
+    Scale: training is ``m`` seeded KMeans fits (sample the corpus for
+    training at 100 TB — assignment, one model transform per subspace, is
+    the distributed part); the encoded table is what you persist, at a
+    fraction of the raw footprint.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible into {m} subspaces"
+    enc = df
+    codebooks = []
+    for j in range(m):
+        feats = enc.withColumn(
+            "__sv",
+            array_to_vector(
+                F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
+                )
+            ),
+        )
+        model = KMeans(
+            k=k, seed=seed + j, featuresCol="__sv", predictionCol=f"__c{j}"
+        ).fit(feats)
+        enc = model.transform(feats).drop("__sv")
+        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    enc = enc.withColumn(
+        code_col, F.array(*[F.col(f"__c{j}") for j in range(m)])
+    ).drop(*[f"__c{j}" for j in range(m)])
+    return enc, codebooks
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's squared
+    L2 distance to every centroid of every subspace is a tiny driver-side
+    table; a row's approximate distance is then the SUM of ``m`` literal
+    array lookups on its codes — no per-row vector math at all, the
+    cheapest possible scan over a compressed index.
+
+    ``rerank > 0`` enables the production two-stage shape: ADC shortlists
+    ``rerank`` candidates from the compressed codes, then EXACT squared-L2
+    re-scores only the shortlist (a broadcast semi-join — the shortlist is
+    k-scale, the full vectors are touched for ``rerank`` rows instead of
+    the whole corpus). Quantization error then only costs recall when a
+    true neighbor falls outside the shortlist, not when it is mis-ranked
+    inside it.
+
+    Output: (id, approx_dist) ascending, deterministic id tiebreak
+    (approx_dist is the exact distance when reranking).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist_cols = []
+    for j in range(m):
+        qj = [float(v) for v in query_vec[j * sub:(j + 1) * sub]]
+        table = [
+            sum((a - b) ** 2 for a, b in zip(qj, c)) for c in codebooks[j]
+        ]
+        lookup = F.element_at(
+            F.array(*[F.lit(d) for d in table]),
+            F.col(code_col)[j].cast("int") + 1,
+        )
+        dist_cols.append(lookup)
+    total = dist_cols[0]
+    for c in dist_cols[1:]:
+        total = total + c
+    scored = encoded.withColumn("approx_dist", F.round(total, 6))
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    if not rerank:
+        return (
+            scored.select(id_col, "approx_dist")
+            .orderBy(F.col("approx_dist"), F.col(id_col))
+            .limit(k)
+        )
+
+    shortlist = (
+        scored.select(id_col, "approx_dist")
+        .orderBy(F.col("approx_dist"), F.col(id_col))
+        .limit(int(rerank))
+        .select(id_col)
+    )
+    q = _query_lit(query_vec)
+    exact_d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        encoded.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(F.col(id_col), F.round(exact_d, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist"), F.col(id_col))
+        .limit(k)
+    )

@@ -1219,6 +1219,20 @@ def sim_ivf_kmeans(spark, sf_dir):
     return S.ivf_topk(indexed, centroids, q, k=10, nprobe=4, exclude_ids=[0])
 
 
+@register("sim_pq_topk")  # codebooks are model state -> rows-only check
+def sim_pq_topk(spark, sf_dir):
+    """Memory-compressed ANN: product quantization (8 subspaces x 16
+    centroids each = ~64x compression of float32 vectors), two-stage
+    search — ADC shortlist (per-row cost: 8 literal-array lookups summed,
+    no vector math) then exact re-rank of only the shortlist. Planted
+    near-dup retrieval and exact-L2 recall pinned in
+    tests/test_llm_ops.py."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    encoded, codebooks = S.pq_index(e, dim=64, m=8, k=16)
+    return S.pq_topk(encoded, codebooks, q, k=10, exclude_ids=[0], rerank=100)
+
+
 @register("sim_ann_lsh")  # bucket ids are hash-seeded -> rows-only check
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-10 via random-hyperplane LSH + multiprobe. Recall
@@ -2730,6 +2744,80 @@ def streaming_incremental_sink(spark, sf_dir):
 
 
 @register(
+    "upsert_day_overwrite",
+    """
+    with base as (
+        select event_id, value, cast(ts as date) as date from events
+        where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-08'
+    )
+    select cast(date as varchar) as date, cast(count(*) as bigint) as n,
+           cast(sum(cast(case when date = date '2024-01-06' then value * 2
+                              else value end as decimal(18,6))) as double) as sum_val
+    from base group by date
+    """,
+)
+def upsert_day_overwrite(spark, sf_dir):
+    """Partition-level upsert: write three days partitioned by date, then
+    re-extract ONE day with corrected values through dynamic partition
+    overwrite — only that day's partition is replaced, siblings are
+    untouched (the oracle's CASE doubles exactly the corrected day, so a
+    static overwrite that truncated the lake, or a double-write that
+    duplicated it, would fail the compare). The parquet-native analog of
+    the reference's per-day re-extraction."""
+    from database_extractor_spark.sinks import overwrite_partitions_dynamic, write_parquet
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .filter("ts >= timestamp'2024-01-05' and ts < timestamp'2024-01-08'")
+        .select("event_id", "value", F.col("ts").cast("date").alias("date"))
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="upsert_"), "lake")
+    write_parquet(ev, path, partition_by=["date"])
+    corrected = ev.filter("date = date'2024-01-06'").withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions_dynamic(corrected, path, ["date"])
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("date").cast("string").alias("date"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            R.exact_sum("value", "sum_val", scale=6),
+        )
+    )
+
+
+@register(
+    "schema_evolution_merge",
+    """
+    select doc_id, lang, cast(null as varchar) as src from documents where doc_id % 2 = 0
+    union all
+    select doc_id, lang, source as src from documents where doc_id % 2 = 1
+    """,
+)
+def schema_evolution_merge(spark, sf_dir):
+    """Schema drift handling: files written before a column existed are
+    unified with newer files at read time via mergeSchema (missing column
+    back-filled with nulls) — no rewrite of historical data when the
+    pipeline's schema evolves. Scale note: mergeSchema reads every file
+    footer, so pin a table-level schema in production metadata and use
+    merge only for the migration read."""
+    docs = _tbl(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "tbl")
+    docs.filter("doc_id % 2 = 0").select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(path)
+    docs.filter("doc_id % 2 = 1").select(
+        "doc_id", "lang", F.col("source").alias("src")
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "src")
+    )
+
+
+@register(
     "pack_sequences",
     r"""
     with toks as (
@@ -2843,6 +2931,7 @@ _VERIFY_FIRST = [
     "sim_partitioned_topk",
     "sim_ivf_kmeans",
     "sim_ann_lsh",
+    "sim_pq_topk",
     # subqueries / sampling / SQL front-end
     "not_exists_subquery",
     "scalar_subquery",
@@ -2892,6 +2981,8 @@ _VERIFY_FIRST = [
     "streaming_incremental_sink",
     "pack_sequences",
     "mixture_weighted_sample",
+    "upsert_day_overwrite",
+    "schema_evolution_merge",
 ]
 
 

@@ -131,3 +131,21 @@ def write_bucketed(
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.saveAsTable(table)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: Sequence[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving sibling partitions untouched — the parquet-native
+    upsert for late-arriving corrections (re-extract one day without
+    rewriting the lake; the reference's per-day CSV overwrite generalized
+    to a partitioned table). Static overwrite mode would truncate the
+    whole root path; the mode is restored after the write."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -273,3 +273,42 @@ def test_pack_sequences_semantics(spark, docs):
             assert r["pack_seq"] >= prev_seq
             prev_seq = r["pack_seq"]
             cum += r["n_tokens"]
+
+
+def test_pq_adc_finds_planted_near_vector(spark, emb):
+    """PQ sanity: a barely-perturbed copy of the query quantizes to the
+    query's own cell in every subspace, so ADC ranks it first; and the
+    ADC top-10 overlaps the exact-L2 top-10 (random data is PQ's worst
+    case, so the bound is loose)."""
+    import numpy as np
+
+    from database_extractor_spark.operators.similarity import pq_index, pq_topk
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    q = [float(x) for x in next(r for r in rows if r["vec_id"] == 0)["embedding"]]
+    planted = spark.createDataFrame(
+        [(777777, [v + 1e-4 for v in q], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    encoded, books = pq_index(corpus, dim=64, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    top = pq_topk(encoded, books, q, k=10, exclude_ids=[0]).collect()
+    assert top[0]["vec_id"] == 777777, top[:3]
+    assert all(
+        a["approx_dist"] <= b["approx_dist"] for a, b in zip(top, top[1:])
+    )
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    exact = sorted(
+        (i for i in vecs if i != 0),
+        key=lambda i: (float(np.sum((vecs[i] - np.array(q)) ** 2)), i),
+    )[:10]
+    got = {r["vec_id"] for r in top}
+    assert len(set(exact) & got) >= 1  # pure ADC on uniform-random data
+    # the production two-stage shape: ADC shortlist + exact re-rank —
+    # quantization error now only costs recall via shortlist misses
+    # (measured 7/10 at rerank=100 on this fixture; bound leaves margin)
+    rer = pq_topk(encoded, books, q, k=10, exclude_ids=[0], rerank=100).collect()
+    got_rr = {r["vec_id"] for r in rer if r["vec_id"] != 777777}
+    assert len(set(exact) & got_rr) >= 5

@@ -23,6 +23,8 @@ EXECUTES_ON_BUILD = {
     "streaming_stateful_first_seen",
     "streaming_dedup",
     "streaming_incremental_sink",
+    "upsert_day_overwrite",
+    "schema_evolution_merge",
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "jdbc_source_roundtrip",
