@@ -49,6 +49,7 @@ HEADLINE = [
 #: headline total so the 17-query headline stays comparable round-over-round
 SECONDARY = [
     "dedup_clusters",
+    "sim_pq_topk",
 ]
 
 

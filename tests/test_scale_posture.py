@@ -120,3 +120,20 @@ def test_bucketed_join_registry_entry_plan(warehouse_spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_aggregation_has_no_shuffle(warehouse_spark):
+    """Bucketing serves aggregation too: a groupBy on the bucket column of
+    a bucketed table hash-aggregates per bucket file with NO Exchange —
+    the same write-time layout amortizes joins AND aggregations."""
+    spark = warehouse_spark
+    from database_extractor_spark.sinks import write_bucketed
+
+    write_bucketed(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey", "o_totalprice"),
+        "orders_aggb", "o_custkey", n_buckets=8,
+    )
+    agg = spark.table("orders_aggb").groupBy("o_custkey").agg(F.sum("o_totalprice"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Exchange" not in plan, plan
