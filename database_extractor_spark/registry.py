@@ -2751,6 +2751,54 @@ def streaming_incremental_sink(spark, sf_dir):
 
 
 @register(
+    "data_quality_checks",
+    """
+    with t as (
+        select
+            cast(sum(case when o_totalprice < 0 then 1 else 0 end) as bigint) as neg_price,
+            cast(sum(case when o_orderdate is null then 1 else 0 end) as bigint) as null_date,
+            cast(count(*) - count(distinct o_orderkey) as bigint) as dup_keys
+        from orders
+    )
+    select 'neg_price' as check_name, neg_price as violations from t
+    union all select 'null_date', null_date from t
+    union all select 'dup_keys', dup_keys from t
+    union all select 'orphan_custkey',
+        (select cast(count(*) as bigint) from orders o where not exists
+            (select 1 from customer c where c.c_custkey = o.o_custkey))
+    """,
+)
+def data_quality_checks(spark, sf_dir):
+    """Constraint validation in ONE fact-table pass: value-range, null,
+    and uniqueness violations come out of a single aggregate (unpivoted to
+    long check_name/violations form); referential integrity is a
+    broadcast anti-join count. This is the pre-training gate a pipeline
+    runs before accepting a new drop — at 100 TB the one-scan shape is
+    the only acceptable plan (the oracle's union-all re-scans instead,
+    proving the numbers, not the plan)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    base = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("bigint").alias("neg_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("null_date"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("bigint").alias("dup_keys"),
+    )
+    long_form = base.unpivot(
+        [], ["neg_price", "null_date", "dup_keys"], "check_name", "violations"
+    )
+    orphans = (
+        orders.join(F.broadcast(customer),
+                    orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return long_form.unionByName(orphans)
+
+
+@register(
     "upsert_day_overwrite",
     """
     with base as (
@@ -2990,6 +3038,7 @@ _VERIFY_FIRST = [
     "mixture_weighted_sample",
     "upsert_day_overwrite",
     "schema_evolution_merge",
+    "data_quality_checks",
 ]
 
 
