@@ -59,6 +59,13 @@ def test_plan_has_no_scale_antipatterns(name, spark):
     else:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    # an unpartitioned window funnels the whole input through ONE task —
+    # the quiet scale-killer; every window must declare a partitioning
+    import re
+
+    assert not re.search(r"Window \[[^\n]*?\], \[\], \[", plan), (
+        f"{name}: global (unpartitioned) window in plan"
+    )
     if name not in ARROW_OK:
         assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, (
             f"{name}: unexpected Python stage in plan"
