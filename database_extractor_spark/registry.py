@@ -2751,6 +2751,34 @@ def streaming_incremental_sink(spark, sf_dir):
 
 
 @register(
+    "python_datasource_scan",
+    """
+    select i as event_id,
+           'sensor_' || cast(i % 7 as varchar) as sensor,
+           (i * 37 % 1000) / 10.0 as value
+    from range(0, 1000) t(i)
+    """,
+)
+def python_datasource_scan(spark, sf_dir):
+    """Custom connector end-to-end: a Spark 4 Python Data Source
+    (sources/custom.py) planned as a partition-parallel BatchScan — the
+    integration point for sources Spark lacks natively (REST, bespoke
+    protocols; the reference's InfluxDB HTTP client generalized). The
+    fixture source is a pure row-index formula, so DuckDB replays the
+    exact rows and the value-hash compare proves the whole connector
+    path."""
+    from database_extractor_spark.sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+@register(
     "data_quality_checks",
     """
     with t as (
@@ -3039,6 +3067,7 @@ _VERIFY_FIRST = [
     "upsert_day_overwrite",
     "schema_evolution_merge",
     "data_quality_checks",
+    "python_datasource_scan",
 ]
 
 

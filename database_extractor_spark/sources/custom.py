@@ -1,0 +1,67 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API) —
+the engine's integration point for sources Spark has no native connector
+for (REST endpoints, bespoke wire protocols, in-house storage).
+
+The reference's only source is an InfluxDB HTTP client (reference
+database_extractor.py:187-205,291); this is the general Spark-4-native
+answer: implement ``DataSource``/``DataSourceReader`` in Python, register
+it on the session, and every ``spark.read.format(<name>)`` plans a
+partition-parallel scan — each partition's ``read()`` runs in a Python
+worker, so a real connector would open its own connection per partition
+(the JDBC-style parallelism rule applies: no single-connection scans).
+
+``SyntheticEventsDataSource`` here is the deterministic proof fixture: a
+pure formula of the row index, so an independent SQL engine can replay the
+exact output and the driver's value-hash compare works end-to-end through
+the custom-connector path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        # contiguous row-index ranges — each generated independently in its
+        # own Python worker (the distributed part of a custom connector)
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        # deterministic pure-formula rows: replayable by any SQL engine,
+        # so the connector path itself is oracle-checkable
+        for i in range(partition.start, partition.end):
+            yield (i, f"sensor_{i % 7}", (i * 37 % 1000) / 10.0)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, sensor string, value double"
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the custom source on the session."""
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -137,3 +137,19 @@ def test_bucketed_aggregation_has_no_shuffle(warehouse_spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_python_datasource_partition_parallel_scan(warehouse_spark):
+    """The custom Python Data Source plans as a partition-parallel
+    BatchScan (one Python worker per declared partition) — not a
+    single-task bottleneck and not a row-at-a-time UDF stage."""
+    from database_extractor_spark.sources.custom import register_synthetic_source
+
+    spark = warehouse_spark
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 64).option("partitions", 4).load())
+    assert df.rdd.getNumPartitions() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan synthetic_events" in plan
+    assert "BatchEvalPython" not in plan
