@@ -39,9 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Entries absent here (minhash/simhash/ann — engine-specific hash fns)
-    get the driver's weaker rows-only check and are pinned by local tests
-    against exact baselines instead."""
+    Entries absent here (minhash/simhash/LSH/IVF/PQ — engine-specific
+    hash functions or trained model state) get the driver's weaker
+    rows-only check and are pinned by local tests against exact
+    baselines instead."""
     from database_extractor_spark.registry import ORACLE
 
     return dict(ORACLE)
