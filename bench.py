@@ -53,6 +53,26 @@ SECONDARY = [
 ]
 
 
+def _dedup_minhash_pairs(spark, sf_dir):
+    """Pair-generation stage of dedup_minhash_lsh alone (shingle ->
+    minhash -> band bucket join -> jaccard estimate >= threshold), WITHOUT
+    the connected-components clustering. Benched separately so the LSH
+    candidate path's cost stays visible independent of the (deliberately
+    pricier since round 3) exact-clustering stage — see the round-4
+    re-baseline note in BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    sigs = D.with_minhash(docs, "text")
+    pairs = D.lsh_candidate_pairs(sigs)
+    return D.estimate_jaccard(pairs, sigs).filter(F.col("est_jaccard") >= 0.7)
+
+
 def main() -> None:
     from database_extractor_spark.registry import QUERIES
     from database_extractor_spark.session import get_spark
@@ -70,8 +90,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     secondary: dict[str, float] = {}
-    for name in SECONDARY:
-        fn = QUERIES[name]
+    secondary_fns = [(n, QUERIES[n]) for n in SECONDARY]
+    secondary_fns.append(("dedup_minhash_pairs", _dedup_minhash_pairs))
+    for name, fn in secondary_fns:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

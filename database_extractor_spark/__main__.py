@@ -34,6 +34,32 @@ def _parse_date(s: str) -> datetime:
     return datetime.strptime(s, "%Y-%m-%d")
 
 
+def _setup_logging(log_config: str | None) -> None:
+    """Configure logging like the reference's ``setup_logging`` (ref
+    main.py:23-33): load a dictConfig mapping from a YAML/TOML/JSON file,
+    pre-create the directories any file handlers write into (the reference
+    mkdirs ``logs/``; ref config/logger.yaml:14-22 uses rotating file
+    handlers), and apply it. Without a file, plain basicConfig."""
+    if not log_config:
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s"
+        )
+        return
+    from logging.config import dictConfig
+    from pathlib import Path
+
+    from database_extractor_spark.config import load_config
+
+    cfg = load_config(log_config)
+    if not isinstance(cfg, dict):
+        raise TypeError(f"--log-config {log_config!r} did not parse to a mapping")
+    for handler in (cfg.get("handlers") or {}).values():
+        filename = handler.get("filename") if isinstance(handler, dict) else None
+        if filename:
+            Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    dictConfig(cfg)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="database_extractor_spark",
@@ -48,9 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", help="output directory (omit for a dry run that only counts)")
     p.add_argument("--min-rows", type=int, default=10, help="small-result guard (reference: 10)")
     p.add_argument(
-        "--time-col", default="_time",
-        help="timestamp column (reference default '_time'; the synthetic "
-        "fixtures use 'ts'). A [query] time_col in --config wins.",
+        "--time-col", default=None,
+        help="timestamp column (default '_time', the reference's name; the "
+        "synthetic fixtures use 'ts'). An explicit flag beats a [query] "
+        "time_col in --config.",
+    )
+    p.add_argument(
+        "--log-config",
+        help="YAML/TOML/JSON logging dictConfig (reference: config/logger.yaml "
+        "with rotating file handlers); omit for stderr basicConfig",
     )
     args = p.parse_args(argv)
 
@@ -59,20 +91,22 @@ def main(argv: list[str] | None = None) -> int:
     if bool(args.start) != bool(args.end):
         p.error("--start and --end must be given together")
 
-    logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s"
-    )
+    _setup_logging(args.log_config)
     log = logging.getLogger("database_extractor_spark.cli")
 
     from database_extractor_spark.config import load_config
     from database_extractor_spark.extract import query_data_for_day, query_data_for_range
     from database_extractor_spark.session import create_spark_client
 
-    overrides: dict = {"time_col": args.time_col}
+    # config seeds the overrides; an explicitly-passed CLI flag wins
+    overrides: dict = {}
     if args.config:
         loaded = load_config(args.config)
         if isinstance(loaded, dict):
             overrides.update(loaded.get("query", {}))
+    if args.time_col is not None:
+        overrides["time_col"] = args.time_col
+    overrides.setdefault("time_col", "_time")
     spark = create_spark_client(args.config)
 
     if args.start:

@@ -21,6 +21,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from database_extractor_spark.operators.text import tokens, with_fingerprint
 
@@ -421,7 +422,10 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     compression + union by rank over a SIZE-GATED edge collect (the caller
     has already counted the materialized edge set against
     ``driver_max_edges``). Emits (doc_id, cluster_id=min node id) with the
-    same schema/semantics as the distributed label-propagation path."""
+    same schema/semantics as the distributed label-propagation path —
+    including the id dtype, which is carried over from the input edge
+    column rather than coerced, so string/decimal ids behave identically
+    on both paths."""
     parent: dict = {}
     rank: dict = {}
 
@@ -444,8 +448,9 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             rank[ra] += 1
 
     pdf = edges.toPandas()  # size-gated; Arrow transfer, one job
-    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-        u, v = int(u), int(v)
+    # .tolist() yields native Python scalars (int/str/Decimal), which hash
+    # and min-compare correctly for any orderable id type
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         for n in (u, v):
             if n not in parent:
                 parent[n] = n
@@ -457,12 +462,16 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
         r = find(n)
         if r not in root_min or n < root_min[r]:
             root_min[r] = n
-    import pandas as pd
 
-    out = pd.DataFrame(
-        {"doc_id": list(parent), "cluster_id": [root_min[find(n)] for n in parent]}
+    id_type = edges.schema["u"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, nullable=False),
+            T.StructField("cluster_id", id_type, nullable=False),
+        ]
     )
-    return spark.createDataFrame(out.astype("int64"), "doc_id long, cluster_id long")
+    rows = [(n, root_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, out_schema)
 
 
 def connected_components(

@@ -1219,6 +1219,9 @@ def sim_ivf_kmeans(spark, sf_dir):
     return S.ivf_topk(indexed, centroids, q, k=10, nprobe=4, exclude_ids=[0])
 
 
+# keyed by fixture dir, but a cached encoded DataFrame is bound to the
+# SparkSession that built it — the lookup verifies the cached plan's
+# session is the caller's and rebuilds on mismatch (restarted session)
 _PQ_INDEX_CACHE: dict[str, tuple] = {}
 
 
@@ -1232,7 +1235,8 @@ def sim_pq_topk(spark, sf_dir):
     a PQ index is persisted state queried many times, so repeat calls
     measure SEARCH cost, not quantizer training. Planted near-dup
     retrieval and exact-L2 recall pinned in tests/test_llm_ops.py."""
-    if sf_dir not in _PQ_INDEX_CACHE:
+    cached = _PQ_INDEX_CACHE.get(sf_dir)
+    if cached is None or cached[0].sparkSession is not spark:
         e = _tbl(spark, sf_dir, "embeddings")
         _PQ_INDEX_CACHE[sf_dir] = S.pq_index(e, dim=64, m=8, k=16)
     encoded, codebooks = _PQ_INDEX_CACHE[sf_dir]
@@ -1664,11 +1668,51 @@ def text_chunking(spark, sf_dir):
     )
 
 
-@register("embedding_near_dup")  # LSH-bucketed, approximate -> rows-only
+def _near_dup_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB oracle for embedding_near_dup: the hyperplanes are seeded
+    Rademacher +/-1 vectors computed on the driver (S.hyperplanes), so the
+    SAME constants can be embedded as SQL literals — the bucket ids are
+    deterministic, not engine-hash state, making this LSH entry fully
+    oracle-able. Projection/cosine mirror the Spark expression sequence
+    (sequential double fold == list_dot_product on DOUBLE[])."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (case when list_dot_product(embedding::DOUBLE[], {lit(p)})"
+        " >= 0 then 1 else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    norm = (
+        "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
+    )
+    denom = f"({norm.format('a')} * {norm.format('c')})"
+    return f"""
+    with b as (
+        select vec_id, embedding, {bucket} as bucket
+        from embeddings
+    ),
+    pairs as (
+        select a.vec_id as id_a, c.vec_id as id_b,
+               round(case when {denom} = 0 then 0.0
+                          else list_dot_product(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]) / {denom}
+                     end, 6) as cos
+        from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+    )
+    select distinct id_a, id_b, cos from pairs where cos >= 0.3
+    """
+
+
+@register("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH bucket join (never
-    cartesian). Plan shape pinned in tests; bucket ids are hash-seeded so
-    no SQL oracle."""
+    cartesian). Plan shape pinned in tests. The hyperplanes are seeded
+    driver-side constants (not engine hash state), so unlike the
+    minhash/simhash entries this one carries a full DuckDB oracle with the
+    same +/-1 plane literals baked into the SQL."""
     return S.pairwise_similar_lsh(
         _tbl(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
     )
@@ -1725,7 +1769,14 @@ def jdbc_source_roundtrip(spark, sf_dir):
     """JDBC source with range-partitioned parallel reads (the
     BASELINE-approved live-database mapping, here against Spark's bundled
     embedded Derby): write events over JDBC, read back sliced into 4
-    partition queries, aggregate — no rows lost."""
+    partition queries, aggregate — no rows lost.
+
+    The ``first()`` below fetches partition bounds with one scalar query —
+    standard JDBC-read practice, fine for this 3-row Derby check. At scale
+    the bounds should come from catalog statistics or pipeline config
+    instead (a MAX() over a large un-indexed table is a full scan on the
+    database side, and a driver round-trip per query); ``read_jdbc``
+    accepts them as plain arguments for exactly that reason."""
     from database_extractor_spark.sources import read_jdbc
 
     url = "jdbc:derby:memory:registrydb;create=true"
@@ -2538,7 +2589,7 @@ def filtered_agg(spark, sf_dir):
     """
     select o_orderkey, o_totalprice
     from orders
-    where o_totalprice > 2 * (
+    where o_totalprice > 1.5 * (
         select cast(avg(cast(o_totalprice as decimal(18,4))) as double) from orders
     )
     """,
@@ -2548,13 +2599,16 @@ def scalar_subquery(spark, sf_dir):
     view) — the engine's full SQL surface, not just the DataFrame API.
     Catalyst plans the subquery as a one-row broadcast, not a per-row
     re-execution; the decimal-cast avg keeps the threshold bit-identical
-    across engines so no boundary row can flip."""
+    across engines so no boundary row can flip. Threshold is 1.5x the
+    mean (not 2x): at sf0.01 no order exceeds 2x, which made the round-3
+    compare a vacuous 0-row pass; 1.5x exercises the predicate boundary
+    with a few thousand qualifying rows."""
     _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq_v")
     return spark.sql(
         """
         select o_orderkey, o_totalprice
         from orders_sq_v
-        where o_totalprice > 2 * (
+        where o_totalprice > 1.5 * (
             select cast(avg(cast(o_totalprice as decimal(18,4))) as double)
             from orders_sq_v
         )
@@ -2988,7 +3042,35 @@ def mixture_weighted_sample(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # text / dedup / similarity — the LLM-pipeline core
+    # ---- round-4 front: the 23 entries with no driver row in any round
+    # (cheap scalar/agg/window entries first in case the cap is time-based)
+    "filtered_agg",
+    "window_frames",
+    "window_time_range_frame",
+    "posexplode_tokens",
+    "null_safe_join",
+    "salted_agg",
+    "salted_join_agg",
+    "cap_per_group",
+    "time_hierarchy_rollup",
+    "approx_percentile_sketch",
+    "profile_columns",
+    "data_quality_checks",
+    "pack_sequences",
+    "mixture_weighted_sample",
+    "range_join_counts",
+    "federated_join",
+    "maintenance_compact",
+    "bucketed_join_colocated",
+    "upsert_day_overwrite",
+    "schema_evolution_merge",
+    "python_datasource_scan",
+    "streaming_dedup",
+    "streaming_incremental_sink",
+    # ---- entries changed in round 4: need a FRESH row (r03 rows are stale)
+    "scalar_subquery",         # de-vacuated: threshold 1.5x so rows > 0
+    "embedding_near_dup",      # gained a DuckDB oracle (plane literals)
+    # ---- prior-round-green entries re-checked if the window allows
     "map_funcs",
     "dedup_exact",
     "dedup_fingerprint",
@@ -3009,25 +3091,20 @@ _VERIFY_FIRST = [
     "dedup_clusters",
     "dedup_incremental",
     "decontaminate_ngram_overlap",
-    "embedding_near_dup",
     "sim_bruteforce_topk",
     "sim_partitioned_topk",
     "sim_ivf_kmeans",
     "sim_ann_lsh",
     "sim_pq_topk",
-    # subqueries / sampling / SQL front-end
     "not_exists_subquery",
-    "scalar_subquery",
     "deterministic_sample",
     "stratified_sample",
     "sql_windowed_cte",
-    # sinks / sources
     "o14_pickle_sink_roundtrip",
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "orc_source_roundtrip",
     "jdbc_source_roundtrip",
-    # pandas extension + time-series
     "pandas_ema",
     "asof_join",
     "ffill_resample",
@@ -3036,38 +3113,12 @@ _VERIFY_FIRST = [
     "histogram_fixed_bins",
     "sliding_window_counts",
     "session_windows",
-    # streaming (heavier — near the edge of the 50-entry window)
     "streaming_event_counts",
     "streaming_stateful_first_seen",
     "streaming_join_static",
     "streaming_stream_stream_join",
     "stat_funcs",
     "regex_funcs",
-    "filtered_agg",
-    # ---- entries below land past a 50-entry cap; queued for next round
-    "window_frames",
-    "window_time_range_frame",
-    "salted_agg",
-    "salted_join_agg",
-    "time_hierarchy_rollup",
-    "approx_percentile_sketch",
-    "cap_per_group",
-    "null_safe_join",
-    "posexplode_tokens",
-    "profile_columns",
-    "maintenance_compact",
-    "range_join_counts",
-    "federated_join",
-    # round-3 additions (registered this round; queued behind the 50-cap)
-    "bucketed_join_colocated",
-    "streaming_dedup",
-    "streaming_incremental_sink",
-    "pack_sequences",
-    "mixture_weighted_sample",
-    "upsert_day_overwrite",
-    "schema_evolution_merge",
-    "data_quality_checks",
-    "python_datasource_scan",
 ]
 
 

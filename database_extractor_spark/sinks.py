@@ -13,6 +13,8 @@ commit protocol.
 
 from __future__ import annotations
 
+import os
+import shutil
 from datetime import datetime
 from typing import Optional, Sequence
 
@@ -114,19 +116,26 @@ def write_bucketed(
     subsequent query. (Requires spark.sql.sources.bucketing.enabled,
     on by default; bucket counts must match or divide evenly.)
     """
+    if "." in table or "/" in table:
+        raise ValueError(
+            f"write_bucketed requires an unqualified table name, got {table!r}"
+        )
     spark = df.sparkSession
     spark.sql(f"drop table if exists `{table}`")
     # a previous session may have left the managed location behind with no
     # catalog entry (in-memory catalog, persistent warehouse dir) — clear
-    # it or saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    # it or saveAsTable refuses with LOCATION_ALREADY_EXISTS. Only safe
+    # when the warehouse dir resolves to a non-empty absolute local path;
+    # otherwise the join would produce a bare relative path and delete a
+    # same-named directory in the process CWD.
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:") or "://" not in wh:
-        import os as _os
-        import shutil as _shutil
-
-        loc = _os.path.join(wh.removeprefix("file:"), table.lower())
-        if _os.path.isdir(loc):
-            _shutil.rmtree(loc)
+    wh_local = wh.removeprefix("file:") if wh.startswith("file:") else (
+        wh if "://" not in wh else ""
+    )
+    if wh_local and os.path.isabs(wh_local):
+        loc = os.path.join(wh_local, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
 
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)

@@ -46,3 +46,73 @@ def test_cli_small_result_guard_exit_code(spark, tmp_path):
         "--config", str(cfg),
     ])
     assert rc == 1
+
+
+def test_cli_explicit_time_col_beats_config(spark, tmp_path):
+    """CLI-beats-config precedence: a [query] time_col that is WRONG for
+    the fixture must be overridden by an explicit --time-col flag."""
+    cfg = tmp_path / "app.toml"
+    cfg.write_text(
+        '[query]\ntime_col = "no_such_column"\n'
+        'column_key = "event_type"\nvalue_col = "value"\n'
+    )
+    rc = main([
+        "--date", "2024-01-05",
+        "--source", f"{SF_DIR}/events.parquet",
+        "--out", str(tmp_path / "out"),
+        "--config", str(cfg),
+        "--time-col", "ts",
+    ])
+    assert rc == 0, "explicit --time-col must win over the config's bad value"
+
+
+def test_cli_log_config_yaml_dictconfig(spark, tmp_path):
+    """--log-config parity with the reference's rotating-file setup (ref
+    main.py:23-33, config/logger.yaml:14-22): the YAML dictConfig is
+    applied, the log directory is pre-created, and extract logs land in
+    the rotating file."""
+    import logging
+
+    log_dir = tmp_path / "logs"  # must NOT exist yet: _setup_logging mkdirs it
+    log_yaml = tmp_path / "logger.yaml"
+    log_yaml.write_text(
+        f"""
+version: 1
+disable_existing_loggers: false
+handlers:
+  extract.file:
+    class: logging.handlers.RotatingFileHandler
+    formatter: default
+    level: INFO
+    filename: {log_dir}/extract.log
+    maxBytes: 10000000
+    backupCount: 3
+formatters:
+  default:
+    format: '%(asctime)s %(levelname)-8s %(message)s'
+loggers:
+  database_extractor_spark:
+    level: INFO
+    handlers:
+      - extract.file
+"""
+    )
+    cfg = tmp_path / "app.toml"
+    cfg.write_text(CFG)
+    try:
+        rc = main([
+            "--date", "2024-01-05",
+            "--source", f"{SF_DIR}/events.parquet",
+            "--out", str(tmp_path / "out"),
+            "--config", str(cfg),
+            "--log-config", str(log_yaml),
+        ])
+    finally:
+        # detach the file handler so later tests don't keep writing here
+        lg = logging.getLogger("database_extractor_spark")
+        for h in list(lg.handlers):
+            lg.removeHandler(h)
+            h.close()
+    assert rc == 0
+    text = (log_dir / "extract.log").read_text()
+    assert "day extract 2024-01-05" in text

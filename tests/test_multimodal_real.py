@@ -1,0 +1,118 @@
+"""Real-decoder branch coverage for multimodal operators.
+
+The container has no PIL/soundfile, so the real branches
+(decode_image_batch / decode_audio_batch bodies and the decode_images /
+decode_audio dispatch) would otherwise never execute. These tests inject
+stub library modules via monkeypatch so the REAL code path runs — the
+batch functions driver-side (they are plain pandas-in/pandas-out, which
+is exactly what the Arrow worker calls), and the dispatch functions up to
+plan construction (executing the plan would need the stub inside the
+separate Python worker process, which a driver monkeypatch cannot reach).
+"""
+
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from database_extractor_spark.operators import multimodal as mm
+
+
+class _FakeImg:
+    def __init__(self, raw: bytes):
+        self.format = "PNG" if len(raw) % 2 == 0 else None
+        self.width = 10 + len(raw)
+        self.height = 5 + len(raw)
+
+
+class _FakePILImage:
+    """Stub for PIL.Image: open(fp) -> object with format/width/height."""
+
+    last_opened: list = []
+
+    @classmethod
+    def open(cls, fp):
+        raw = fp.read()
+        cls.last_opened.append(raw)
+        return _FakeImg(raw)
+
+
+class _FakeSoundfile:
+    """Stub for soundfile: read(fp) -> (ndarray, samplerate)."""
+
+    @staticmethod
+    def read(fp):
+        raw = fp.read()
+        return np.zeros(len(raw) * 2), 16000
+
+
+def test_decode_image_batch_real_branch(monkeypatch):
+    monkeypatch.setattr(mm, "_PILImage", _FakePILImage)
+    _FakePILImage.last_opened.clear()
+    batch = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abcd", b"xyz"]})
+    out = mm.decode_image_batch(batch)
+    # the stub really received the payload bytes through BytesIO
+    assert _FakePILImage.last_opened == [b"abcd", b"xyz"]
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_bytes"].tolist() == [4, 3]
+    # even-length -> stub reports PNG; odd-length stub has format=None,
+    # which the real branch maps to "unknown"
+    assert out["format"].tolist() == ["png", "unknown"]
+    assert out["width"].tolist() == [14, 13]
+    assert out["height"].tolist() == [9, 8]
+    # dtypes must match IMAGE_META_SCHEMA (what the Arrow worker asserts)
+    assert out["doc_id"].dtype == "int64"
+    assert out["width"].dtype == "int32"
+    assert out["height"].dtype == "int32"
+
+
+def test_decode_image_batch_raises_without_library(monkeypatch):
+    monkeypatch.setattr(mm, "_PILImage", None)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_batch(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_decode_audio_batch_real_branch(monkeypatch):
+    monkeypatch.setattr(mm, "_soundfile", _FakeSoundfile)
+    batch = pd.DataFrame({"doc_id": [7], "payload": [b"\x00" * 80]})
+    out = mm.decode_audio_batch(batch)
+    assert out["doc_id"].tolist() == [7]
+    assert out["sample_rate"].tolist() == [16000]
+    assert out["n_samples"].tolist() == [160]
+    assert out["duration_ms"].tolist() == [round(160 * 1000.0 / 16000, 4)]
+    assert out["sample_rate"].dtype == "int32"
+    assert out["n_samples"].dtype == "int64"
+
+
+def test_decode_audio_batch_raises_without_library(monkeypatch):
+    monkeypatch.setattr(mm, "_soundfile", None)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_batch(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_decode_images_dispatches_to_real_branch(monkeypatch, spark):
+    """With the library present, decode_images must build the REAL
+    mapInPandas plan and never touch the fake."""
+    monkeypatch.setattr(mm, "_PILImage", _FakePILImage)
+
+    def _boom(*a, **k):  # fake path must not be taken
+        raise AssertionError("fake_decode_images called despite library present")
+
+    monkeypatch.setattr(mm, "fake_decode_images", _boom)
+    df = spark.createDataFrame([(1, b"abcd")], "doc_id long, payload binary")
+    out = mm.decode_images(df)
+    assert out.schema == mm.IMAGE_META_SCHEMA
+    assert "MapInPandas" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_decode_audio_dispatches_to_real_branch(monkeypatch, spark):
+    monkeypatch.setattr(mm, "_soundfile", _FakeSoundfile)
+
+    def _boom(*a, **k):
+        raise AssertionError("fake_decode_audio called despite library present")
+
+    monkeypatch.setattr(mm, "fake_decode_audio", _boom)
+    df = spark.createDataFrame([(1, b"abcd")], "doc_id long, payload binary")
+    out = mm.decode_audio(df)
+    assert out.schema == mm.AUDIO_META_SCHEMA
+    assert "MapInPandas" in out._jdf.queryExecution().analyzed().toString()

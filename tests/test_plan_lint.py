@@ -56,6 +56,21 @@ def test_plan_has_no_scale_antipatterns(name, spark):
         assert plan.count("BroadcastNestedLoopJoin") <= 1, (
             f"{name}: only the single scalar-attach nested-loop join is allowed"
         )
+        if "BroadcastNestedLoopJoin" in plan:
+            # the whitelisted shape is O(n): the broadcast side must be a
+            # single-row GLOBAL aggregate (IdentityBroadcastMode exchange
+            # whose child is HashAggregate(keys=[])). A genuine multi-row
+            # nested-loop regression would broadcast something else.
+            import re as _re
+
+            assert _re.search(
+                r"BroadcastExchange IdentityBroadcastMode[^\n]*\n[\s:]*\+- "
+                r"(?:Project [^\n]*\n[\s:]*\+- )?HashAggregate\(keys=\[\]",
+                plan,
+            ), (
+                f"{name}: nested-loop join build side is not a 1-row global "
+                f"aggregate — quadratic-blowup risk:\n{plan}"
+            )
     else:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
