@@ -16,6 +16,7 @@ from database_extractor_spark.operators.core import (
 )
 from database_extractor_spark.operators.dedup import (
     connected_components,
+    edit_distance_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -47,10 +48,12 @@ from database_extractor_spark.operators.similarity import (
     ann_topk_lsh,
     brute_force_topk,
     cosine,
+    label_centroids,
     pairwise_similar_lsh,
     partitioned_topk,
 )
 from database_extractor_spark.operators.text import (
+    build_vocab,
     token_frequencies,
     with_fingerprint,
     with_lang_id,
@@ -61,6 +64,7 @@ from database_extractor_spark.operators.timeseries import (
     asof_join,
     ffill_resample,
     range_join,
+    scd2_history,
     session_windows,
     sliding_counts,
 )
@@ -79,14 +83,14 @@ __all__ = [
     # dedup
     "exact_dedup", "with_minhash", "lsh_candidate_pairs", "minhash_dedup",
     "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
-    "connected_components",
+    "connected_components", "edit_distance_pairs",
     # similarity
     "cosine", "brute_force_topk", "ann_topk_lsh", "partitioned_topk",
-    "pairwise_similar_lsh",
+    "pairwise_similar_lsh", "label_centroids",
     # text
     "with_token_stats", "with_quality_score", "with_lang_id",
-    "with_fingerprint", "token_frequencies",
+    "with_fingerprint", "token_frequencies", "build_vocab",
     # timeseries
     "asof_join", "ffill_resample", "range_join", "sliding_counts",
-    "session_windows",
+    "session_windows", "scd2_history",
 ]

@@ -586,3 +586,47 @@ def connected_components(
             "rounds; raising instead of returning a partial (wrong) clustering"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("lang",),
+    len_col: str = "n_chars",
+    band_width: int = 64,
+    max_len: int = 512,
+    max_dist: int = 64,
+) -> DataFrame:
+    """Levenshtein-verified near-duplicate pairs: candidates share
+    (``group_cols``, length band of ``band_width`` chars), then the exact
+    edit distance filters to <= ``max_dist``.
+
+    Scale: the same never-all-pairs rule as every dedup operator here —
+    candidate generation is an equi-self-join on a manufactured key
+    (group + length band), quadratic only within a band. Levenshtein is
+    O(len^2) per pair, so candidates are capped at ``max_len`` chars;
+    banding means true pairs straddling a band boundary are missed by
+    design (document like LSH recall), and at corpus scale this runs on
+    LSH/minhash survivors, not the raw corpus.
+    """
+    # floor division explicitly: a plain double-division + int cast TRUNCATES
+    # in Spark but ROUNDS in DuckDB, silently shifting band membership
+    band = F.floor(F.col(len_col) / band_width).cast("int").alias("__band")
+    b = df.filter(F.col(len_col) <= max_len).select(
+        id_col, text_col, *group_cols, band
+    )
+    on = ["__band", *group_cols]
+    lhs, rhs = b.alias("a"), b.alias("b")
+    return (
+        lhs.join(rhs, on=on)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
+            .cast("int")
+            .alias("lev"),
+        )
+        .filter(F.col("lev") <= max_dist)
+    )

@@ -410,3 +410,31 @@ def pq_topk(
         .orderBy(F.col("approx_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in LONG format: (label, pos, centroid) with
+    ``pos`` the 1-based vector component index — the centroid table behind
+    IVF coarse quantizers, class prototypes, and drift monitors.
+
+    Long format on purpose: posexplode turns the vector into (pos, value)
+    rows so the mean is one plain hash-aggregate on (label, pos) — fully
+    parallel, no UDF, no array-of-structs shuffle — and an array-free
+    schema that any SQL engine can reproduce. Sums go through a decimal
+    cast (order-independent, engine-exact), then back to double.
+    """
+    e = df.select(label_col, F.posexplode(vec_col).alias("pos0", "v"))
+    return (
+        e.groupBy(label_col, (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    )

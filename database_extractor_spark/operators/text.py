@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword-vote language
@@ -164,4 +164,33 @@ def token_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1)
         .groupBy("token")
         .count()
         .filter(F.col("count") >= min_count)
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary table: (token, n, band, band_rank) for every token
+    with corpus frequency >= ``min_count``, totally ordered by
+    (frequency desc, token) through the (band desc, band_rank) pair.
+
+    A single global ``row_number() over (order by n desc)`` would funnel
+    the whole vocabulary through ONE task (and the registry plan lint
+    rejects unpartitioned windows outright). Instead the ranking window is
+    PARTITIONED by ``band = floor(log2(n))`` — the frequency octave — so
+    each band ranks in parallel, and (band desc, band_rank asc, with ties
+    broken by token) reproduces the exact global frequency order. Consumers
+    needing one integer id join against the tiny per-band size table to
+    add offsets; the (band, band_rank) pair is already a stable unique key.
+    """
+    freq = token_frequencies(df, text_col, min_count).withColumnRenamed("count", "n")
+    banded = freq.withColumn("band", F.floor(F.log2("n")).cast("int"))
+    w = Window.partitionBy("band").orderBy(F.col("n").desc(), F.col("token"))
+    return banded.select(
+        "token",
+        "n",
+        "band",
+        F.row_number().over(w).alias("band_rank"),
     )

@@ -195,3 +195,37 @@ def session_windows(
             F.col("count").alias("n"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an event stream
+    into (key, attr, valid_from, valid_to) state intervals — a new row
+    whenever ``attr_col`` CHANGES for the key, valid_to = the next change's
+    timestamp (NULL while current). The standard way to turn an append-only
+    event log into a point-in-time joinable dimension.
+
+    Scale: two windows, both PARTITIONED by the key (lag to detect the
+    change, lead to close the interval) — shuffle once on key, no global
+    ordering anywhere. ``tiebreak_col`` makes same-timestamp ordering
+    deterministic (pass the event id).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

@@ -3031,6 +3031,278 @@ def mixture_weighted_sample(spark, sf_dir):
 
 
 # ==========================================================================
+# round-4 additions
+# ==========================================================================
+
+@register(
+    "join_full_outer",
+    """
+    with o as (
+        select o_custkey,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total_f
+        from orders where o_orderstatus = 'F' group by o_custkey
+    ),
+    c as (select c_custkey, c_acctbal from customer where c_acctbal < 0)
+    select coalesce(o.o_custkey, c.c_custkey) as custkey, o.total_f, c.c_acctbal
+    from o full outer join c on o.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join (the join-type matrix's last gap): per-customer
+    finished-order totals against negative-balance customers — both sides
+    contribute unmatched rows, so every null-padding path is exercised.
+    Scale: both inputs pre-aggregate/filter BEFORE the join, so the
+    full-outer shuffle carries one row per key, not raw fact rows."""
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(R.exact_sum("o_totalprice", "total_f"))
+    )
+    c = _tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "full_outer").select(
+        F.coalesce(o["o_custkey"], c["c_custkey"]).alias("custkey"),
+        "total_f",
+        "c_acctbal",
+    )
+
+
+@register(
+    "vocab_build",
+    r"""
+    with freq as (
+        select token, count(*) as n
+        from (
+            select unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+            from documents
+        )
+        group by token having count(*) >= 2
+    )
+    select token, n,
+           cast(floor(log2(n)) as integer) as band,
+           cast(row_number() over (
+                partition by floor(log2(n)) order by n desc, token
+           ) as integer) as band_rank
+    from freq
+    """,
+)
+def vocab_build(spark, sf_dir):
+    """Corpus vocabulary build (tokenizer-training precursor): frequency
+    table with min_count=2 plus a deterministic rank. The ranking window
+    partitions by frequency OCTAVE (floor(log2 n)) instead of a global
+    row_number — each band ranks in parallel, (band desc, band_rank)
+    reproduces the exact global frequency order, and no single task ever
+    sees the whole vocabulary (see text.build_vocab)."""
+    return T.build_vocab(_tbl(spark, sf_dir, "documents"), min_count=2)
+
+
+@register(
+    "token_count_bpe",
+    r"""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                as integer) as n_subword,
+           cast(len(string_split_regex(trim(text), '\s+')) as integer) as n_ws,
+           round(cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                      as double)
+                 / greatest(cast(len(string_split_regex(trim(text), '\s+')) as integer), 1),
+                 4) as subword_ratio
+    from documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (training-budget accounting): letter-runs /
+    digit-runs / single punctuation via one regexp_extract_all — the units
+    a byte-pair tokenizer rarely crosses — next to the whitespace count
+    and their ratio. Pure per-row JVM regex, no tokenizer model, no UDF."""
+    docs = _tbl(spark, sf_dir, "documents")
+    n_sub = T.subword_token_count(F.col("text")).cast("int")
+    n_ws = F.size(T.tokens(F.col("text"))).cast("int")
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subword"),
+        n_ws.alias("n_ws"),
+        F.round(n_sub.cast("double") / F.greatest(n_ws, F.lit(1)), 4).alias(
+            "subword_ratio"
+        ),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+    with toks as (
+        select doc_id, string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    bg as (
+        select doc_id, u.w1 as w1, u.w2 as w2
+        from (
+            select doc_id,
+                   unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                           for i in range(1, len(ws))]) as u
+            from toks where len(ws) >= 2
+        )
+    ),
+    bc as (select w1, w2, count(*) as c2 from bg group by w1, w2),
+    uc as (select w1, count(*) as c1 from bg group by w1),
+    vocab as (
+        select count(distinct token) as v
+        from (select unnest(ws) as token from toks)
+    )
+    select b.doc_id,
+           round(sum(ln(cast(bc.c2 + 1 as double) / cast(uc.c1 + vocab.v as double)))
+                 / count(*), 4) as avg_logprob
+    from bg b
+    join bc on b.w1 = bc.w1 and b.w2 = bc.w2
+    join uc on b.w1 = uc.w1
+    cross join vocab
+    group by b.doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM score per document (mean add-one-smoothed log
+    P(w_i | w_{i-1})) — the next rung up from the unigram perplexity proxy
+    for ranking training data. Corpus bigram/unigram counts attach via
+    equi-joins; the vocabulary size V attaches in-plan as a 1-row
+    broadcast aggregate (the whitelisted scalar-attach shape). Same
+    4-dp-round FP argument as text_unigram_logprob."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.lower(F.trim(F.col("text")))).alias("ws")
+    )
+    n = F.size("ws")
+    bg = (
+        toks.filter(n >= 2)
+        .withColumn("w1s", F.slice("ws", 1, n - 1))
+        .withColumn("w2s", F.slice("ws", 2, n - 1))
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("bg"))
+        .select("doc_id", F.col("bg.w1s").alias("w1"), F.col("bg.w2s").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("ws").alias("token")).agg(
+        F.count_distinct("token").alias("__v")
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("__v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    with e as (
+        select label, unnest(embedding) as v,
+               cast(generate_subscripts(embedding, 1) as integer) as pos
+        from embeddings
+    )
+    select label, pos,
+           round(cast(sum(cast(cast(v as double) as decimal(28,10))) as double)
+                 / count(*), 6) as centroid
+    from e group by label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding in long (label, pos, centroid) format —
+    class prototypes / IVF coarse-quantizer seeds as ONE hash-aggregate
+    over posexploded components; decimal-cast sums keep the mean
+    engine-exact (see similarity.label_centroids)."""
+    return S.label_centroids(_tbl(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "scd2_user_history",
+    """
+    with o as (
+        select user_id, ts, event_id, event_type,
+               lag(event_type) over (partition by user_id order by ts, event_id)
+                 as prev
+        from events
+    ),
+    c as (
+        select user_id, ts, event_id, event_type from o
+        where prev is null or prev <> event_type
+    )
+    select user_id, event_type, ts as valid_from,
+           lead(ts) over (partition by user_id order by ts, event_id) as valid_to
+    from c
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from the event log: one row
+    per (user, event_type) state change with [valid_from, valid_to) — the
+    point-in-time joinable dimension a warehouse derives from append-only
+    facts. Both windows partition by user (see timeseries.scd2_history)."""
+    from database_extractor_spark.operators.timeseries import scd2_history
+
+    return scd2_history(
+        _tbl(spark, sf_dir, "events"), "user_id", "event_type", "ts",
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "text_edit_distance_pairs",
+    """
+    with b as (
+        select doc_id, text, lang, cast(n_chars // 64 as integer) as band
+        from documents where n_chars <= 512
+    )
+    select a.doc_id as id_a, c.doc_id as id_b,
+           cast(levenshtein(a.text, c.text) as integer) as lev
+    from b a join b c on a.lang = c.lang and a.band = c.band
+                     and a.doc_id < c.doc_id
+    where levenshtein(a.text, c.text) <= 64
+    """,
+)
+def text_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: candidates share (lang,
+    64-char length band), then exact Levenshtein <= 64 filters. The
+    never-all-pairs rule again — equi-join on a manufactured band key;
+    at corpus scale this verifies LSH survivors, not the raw corpus
+    (see dedup.edit_distance_pairs)."""
+    return D.edit_distance_pairs(_tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_source_roundtrip",
+    """
+    select count(*) as n_lines, cast(sum(length(text)) as bigint) as sum_chars
+    from documents
+    """,
+)
+def text_source_roundtrip(spark, sf_dir):
+    """Line-text source/sink roundtrip (spark.read/write.text): the
+    ingestion format raw web corpora actually arrive in. Writes the
+    documents' text as UTF-8 lines, reads it back, and aggregates —
+    no line lost, no character mangled (fixture text is newline-free,
+    which is what makes line-oriented storage lossless here)."""
+    docs = _tbl(spark, sf_dir, "documents").select("text")
+    out = os.path.join(tempfile.mkdtemp(prefix="txtrt_"), "docs_txt")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("sum_chars"),
+    )
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion
@@ -3070,6 +3342,15 @@ _VERIFY_FIRST = [
     # ---- entries changed in round 4: need a FRESH row (r03 rows are stale)
     "scalar_subquery",         # de-vacuated: threshold 1.5x so rows > 0
     "embedding_near_dup",      # gained a DuckDB oracle (plane literals)
+    # ---- new in round 4 (all oracled): need their first driver row
+    "join_full_outer",
+    "vocab_build",
+    "token_count_bpe",
+    "text_bigram_logprob",
+    "embedding_centroids",
+    "scd2_user_history",
+    "text_edit_distance_pairs",
+    "text_source_roundtrip",
     # ---- prior-round-green entries re-checked if the window allows
     "map_funcs",
     "dedup_exact",

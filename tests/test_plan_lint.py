@@ -28,6 +28,7 @@ EXECUTES_ON_BUILD = {
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "jdbc_source_roundtrip",
+    "text_source_roundtrip",
     "o13_sink_roundtrip",
     # writes its bucketed tables on build; join-plan shape asserted in
     # tests/test_scale_posture.py::test_bucketed_join_registry_entry_plan
@@ -42,7 +43,7 @@ ARROW_OK = {"pandas_ema", "multimodal_decode"}
 #: "attach a scalar in-plan" shape. The nested loop degenerates to a
 #: constant-time single-row probe per stream row — O(n), not quadratic —
 #: and it replaces a driver-side .count() that cost a whole extra job.
-SCALAR_ATTACH_OK = {"text_tfidf", "text_unigram_logprob"}
+SCALAR_ATTACH_OK = {"text_tfidf", "text_unigram_logprob", "text_bigram_logprob"}
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
