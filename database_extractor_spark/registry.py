@@ -3302,6 +3302,172 @@ def text_source_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    with v as (
+        select user_id, min(ts) as t_view from events
+        where event_type = 'view' group by user_id
+    ),
+    c as (
+        select e.user_id, min(e.ts) as t_click
+        from events e join v on e.user_id = v.user_id
+         and e.ts > v.t_view and e.ts <= v.t_view + interval '1 day'
+        where e.event_type = 'click' group by e.user_id
+    ),
+    p as (
+        select e.user_id, min(e.ts) as t_buy
+        from events e join c on e.user_id = c.user_id
+         and e.ts > c.t_click and e.ts <= c.t_click + interval '1 day'
+        where e.event_type = 'purchase' group by e.user_id
+    )
+    select v.user_id, v.t_view, c.t_click, p.t_buy
+    from v left join c on v.user_id = c.user_id
+           left join p on v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis (view -> click within 1 day -> purchase within 1
+    day): per-user stage timestamps with NULLs past the drop-off point —
+    the sequential-pattern query behind every conversion dashboard.
+
+    Scale: each stage is a pre-aggregated (one row per user) frame joined
+    on user_id; the time-window condition rides along the equi-join as a
+    post-filter, so no interval/range join machinery is needed. At sf0.01
+    the funnel is 150 -> 60 -> 25 users, so all three null-padding shapes
+    are exercised."""
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@register(
+    "cohort_retention",
+    """
+    with f as (
+        select user_id, date_trunc('day', min(ts)) as cohort
+        from events group by user_id
+    )
+    select f.cohort,
+           cast(datediff('day', f.cohort, date_trunc('day', e.ts)) as integer)
+             as offset_d,
+           count(distinct e.user_id) as n_users
+    from events e join f on e.user_id = f.user_id
+    group by f.cohort, offset_d
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct per (cohort, day-offset) — the canonical retention triangle.
+    Scale: the first-seen frame is one aggregate keyed on user; the join
+    back to the fact is an equi-join on user_id (broadcastable — the
+    cohort frame has one row per user, tiny next to the event log);
+    count_distinct carries its usual Expand cost, bounded by the
+    (cohort x offset) cell count."""
+    ev = _tbl(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    return (
+        ev.join(F.broadcast(f), "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort"))
+            .cast("int")
+            .alias("offset_d"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    select doc_id,
+           case when b < 80 then 'train' when b < 90 then 'val'
+                else 'test' end as split
+    from (
+        select doc_id,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 100
+                 as b
+        from documents
+    )
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the bucket is a pure
+    md5 function of doc_id (portable across engines AND across runs — a
+    document never migrates between splits when the corpus grows, unlike
+    rand()-based splits). The split expression is a per-row projection
+    that pushes to the scan; no shuffle at all."""
+    docs = _tbl(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "share_of_total_agg",
+    """
+    with n as (
+        select n.n_name,
+               cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as revenue
+        from orders o
+        join customer c on o.o_custkey = c.c_custkey
+        join nation n on c.c_nationkey = n.n_nationkey
+        group by n.n_name
+    ),
+    t as (select cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+          from orders)
+    select n.n_name, n.revenue, round(n.revenue / t.total, 6) as share
+    from n cross join t
+    """,
+)
+def share_of_total_agg(spark, sf_dir):
+    """Percent-of-total report (revenue share per nation): group-level
+    aggregate divided by the grand total, with the total attached IN-PLAN
+    as a 1-row broadcast aggregate (the whitelisted scalar-attach shape)
+    rather than a driver-side collect. Decimal-cast sums keep both levels
+    engine-exact; the dimension joins broadcast."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(R.exact_sum("o_totalprice", "revenue"))
+    )
+    total = o.agg(R.exact_sum("o_totalprice", "total"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -3351,6 +3517,10 @@ _VERIFY_FIRST = [
     "scd2_user_history",
     "text_edit_distance_pairs",
     "text_source_roundtrip",
+    "funnel_conversion",
+    "cohort_retention",
+    "split_train_val_test",
+    "share_of_total_agg",
     # ---- prior-round-green entries re-checked if the window allows
     "map_funcs",
     "dedup_exact",

@@ -43,7 +43,12 @@ ARROW_OK = {"pandas_ema", "multimodal_decode"}
 #: "attach a scalar in-plan" shape. The nested loop degenerates to a
 #: constant-time single-row probe per stream row — O(n), not quadratic —
 #: and it replaces a driver-side .count() that cost a whole extra job.
-SCALAR_ATTACH_OK = {"text_tfidf", "text_unigram_logprob", "text_bigram_logprob"}
+SCALAR_ATTACH_OK = {
+    "text_tfidf",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "share_of_total_agg",
+}
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
