@@ -470,8 +470,15 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             T.StructField("cluster_id", id_type, nullable=False),
         ]
     )
-    rows = [(n, root_min[find(n)]) for n in parent]
-    return spark.createDataFrame(rows, out_schema)
+    import pandas as pd
+
+    # pandas + explicit schema keeps the Arrow fast path (a plain list of
+    # tuples would fall back to row-at-a-time Python serialization) while
+    # the schema carries the INPUT id dtype through untouched
+    out = pd.DataFrame(
+        {"doc_id": list(parent), "cluster_id": [root_min[find(n)] for n in parent]}
+    )
+    return spark.createDataFrame(out, out_schema)
 
 
 def connected_components(
