@@ -39,12 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    The 7 entries absent here (dedup_minhash_lsh, dedup_simhash,
+    The 6 entries absent here (dedup_minhash_lsh, dedup_simhash,
     sim_ann_lsh, sim_ivf_kmeans, sim_pq_topk — engine-specific hash
-    functions or trained model state — plus pandas_ema's sequential
-    recurrence and approx_distinct's HLL sketch) get the driver's weaker
-    rows-only check and are pinned by local tests against exact
-    baselines instead."""
+    functions or trained model state — plus approx_distinct's HLL
+    sketch) get the driver's weaker rows-only check and are pinned by
+    local tests against exact baselines instead."""
     from database_extractor_spark.registry import ORACLE
 
     return dict(ORACLE)

@@ -1734,16 +1734,40 @@ def streaming_stateful_first_seen(spark, sf_dir):
     return streaming_first_seen(spark, os.path.join(sf_dir, "events.parquet"))
 
 
-@register("pandas_ema")  # sequential recurrence -> rows-only driver check
+@register(
+    "pandas_ema",
+    """
+    with recursive base as (
+        select user_id, ts, value,
+               row_number() over (partition by user_id order by ts, value) as rn
+        from events where event_type = 'purchase'
+    ),
+    rec as (
+        select user_id, ts, value, rn, value as ema from base where rn = 1
+        union all
+        select b.user_id, b.ts, b.value, b.rn, 0.3 * b.value + 0.7 * r.ema
+        from rec r join base b on b.user_id = r.user_id and b.rn = r.rn + 1
+    )
+    select user_id, ts, value, round(ema, 6) as ema from rec
+    """,
+)
 def pandas_ema(spark, sf_dir):
     """Per-key EMA via the applyInPandas extension point (Arrow-batched,
     one worker per key group) — the canonical sequential-recurrence
-    operator relational algebra can't express. Pinned against an explicit
-    Python recurrence in tests/test_pandas_ext.py."""
+    operator relational algebra can't express. Also pinned against an
+    explicit Python recurrence in tests/test_pandas_ext.py.
+
+    Oracled since round 4: DuckDB replays the recurrence as a recursive
+    CTE stepping row_number per key (all keys advance per iteration, so
+    iterations = max rows per key, not total rows). pandas
+    ``ewm(adjust=False)`` and ``0.3*v + 0.7*e`` agree to ~1e-14 over the
+    ≈10² steps a key sees here; both sides round to 6 dp, far above the
+    drift, so the value-hash compare is exact."""
     from database_extractor_spark.operators.pandas_ext import grouped_ema
 
     ev = _tbl(spark, sf_dir, "events").filter("event_type = 'purchase'")
-    return grouped_ema(ev, ["user_id"], "ts", "value", alpha=0.3)
+    out = grouped_ema(ev, ["user_id"], "ts", "value", alpha=0.3)
+    return out.withColumn("ema", F.round("ema", 6))
 
 
 @register(
@@ -3521,6 +3545,7 @@ _VERIFY_FIRST = [
     "cohort_retention",
     "split_train_val_test",
     "share_of_total_agg",
+    "pandas_ema",              # gained a recursive-CTE oracle (round 4)
     # ---- prior-round-green entries re-checked if the window allows
     "map_funcs",
     "dedup_exact",
@@ -3556,7 +3581,6 @@ _VERIFY_FIRST = [
     "json_source_roundtrip",
     "orc_source_roundtrip",
     "jdbc_source_roundtrip",
-    "pandas_ema",
     "asof_join",
     "ffill_resample",
     "grouping_sets",
