@@ -438,3 +438,40 @@ def label_centroids(
             ).alias("centroid")
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(127·x_i/maxabs),
+    plus the de-quantization scale (maxabs/127) — the standard storage/
+    bandwidth compression for embedding corpora (4× smaller than float32,
+    8× than float64; ANN shortlist quality is barely affected).
+
+    All arithmetic is element-wise built-ins (transform/aggregate) —
+    JVM-side, no shuffle, pushes column pruning to the scan. An all-zero
+    vector quantizes to zeros with scale 0 rather than dividing by zero.
+    """
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    d = df.withColumn("__maxabs", maxabs)
+    q = F.when(F.col("__maxabs") == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("__maxabs"), 0).cast(
+                "int"
+            ),
+        )
+    )
+    return (
+        d.withColumn(out_col, q)
+        .withColumn(scale_col, F.col("__maxabs") / F.lit(127.0))
+        .drop("__maxabs")
+    )

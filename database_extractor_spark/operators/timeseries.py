@@ -229,3 +229,209 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flux-parity rate/calculus operators
+# --------------------------------------------------------------------------
+# The reference extracts from InfluxDB, whose Flux language ships a family
+# of per-series calculus transforms (derivative, difference, increase,
+# integral, timeWeightedAvg — Flux stdlib universe package). A user moving
+# an InfluxDB workload onto this engine needs the same verbs; each is ONE
+# keyed window pass (shuffle on the series key + per-partition sort),
+# linear at any scale, no global ordering anywhere. Time arithmetic uses
+# integer microseconds (unix_micros) so results are bit-identical across
+# engines (epoch-as-double loses ULPs at microsecond resolution).
+
+
+def _ordered_window(key_cols: Sequence[str], ts_col: str, tiebreak_col: Optional[str]):
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    return Window.partitionBy(*key_cols).orderBy(*order)
+
+
+def derivative(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: Optional[str] = None,
+    out_col: str = "deriv",
+) -> DataFrame:
+    """Per-series first derivative (value units per second) between each
+    point and its predecessor — Flux ``derivative(unit: 1s)``.
+
+    Rows with no predecessor, or a zero time delta (same-timestamp pair),
+    are dropped rather than emitting NULL/Inf.
+    """
+    w = _ordered_window(key_cols, ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    dt_us = us - F.lag(us).over(w)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    return (
+        df.withColumn("__dt_us", dt_us)
+        .withColumn(out_col, dv / (F.col("__dt_us") / F.lit(1000000.0)))
+        .filter(F.col("__dt_us") > 0)
+        .drop("__dt_us")
+    )
+
+
+def difference(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: Optional[str] = None,
+    non_negative: bool = False,
+    out_col: str = "delta",
+) -> DataFrame:
+    """Per-series consecutive difference — Flux ``difference()``. First
+    row of each series is dropped (no predecessor). ``non_negative`` drops
+    negative deltas (counter-style series), matching Flux's flag."""
+    w = _ordered_window(key_cols, ts_col, tiebreak_col)
+    out = df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w)).filter(
+        F.col(out_col).isNotNull()
+    )
+    if non_negative:
+        out = out.filter(F.col(out_col) >= 0)
+    return out
+
+
+def increase(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: Optional[str] = None,
+    out_col: str = "increase",
+) -> DataFrame:
+    """Per-series running total of NON-NEGATIVE deltas — Flux
+    ``increase()``: monotonic counter growth that survives counter resets
+    (a reset's negative delta contributes 0 instead of subtracting).
+
+    The running sum accumulates DECIMAL(18,6)-cast deltas so the prefix
+    sums are exact and engine-independent (float cumsum order varies with
+    the engine's window implementation — DuckDB segment-trees it)."""
+    w = _ordered_window(key_cols, ts_col, tiebreak_col)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    step = F.greatest(F.coalesce(delta, F.lit(0.0)), F.lit(0.0)).cast("decimal(18,6)")
+    run = _ordered_window(key_cols, ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(step).over(run).cast("double"))
+
+
+def integral(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: Optional[str] = None,
+    out_col: str = "integral",
+) -> DataFrame:
+    """Per-series trapezoidal integral of value over time (value·seconds)
+    — Flux ``integral(interpolate: "linear")``. One keyed window computes
+    each consecutive-pair trapezoid; a keyed aggregation sums them with
+    the DECIMAL trick (order-independent, engine-exact). Emits one row per
+    series key."""
+    w = _ordered_window(key_cols, ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
+    trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
+    terms = df.withColumn("__trap", trap.cast("decimal(18,4)"))
+    return terms.groupBy(*key_cols).agg(
+        F.sum("__trap").cast("double").alias(out_col)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: Optional[str] = None,
+    out_col: str = "twa",
+) -> DataFrame:
+    """Per-series time-weighted average: trapezoidal integral divided by
+    the series' observed time span — the unbiased mean for irregularly
+    sampled series (a plain AVG over-weights densely sampled stretches).
+    """
+    w = _ordered_window(key_cols, ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
+    trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
+    terms = df.withColumn("__trap", trap.cast("decimal(18,4)")).withColumn("__us", us)
+    return (
+        terms.groupBy(*key_cols)
+        .agg(
+            F.sum("__trap").cast("double").alias("__integral"),
+            F.min("__us").alias("__mn"),
+            F.max("__us").alias("__mx"),
+        )
+        .filter(F.col("__mx") > F.col("__mn"))
+        .withColumn(
+            out_col,
+            F.col("__integral") / ((F.col("__mx") - F.col("__mn")) / F.lit(1000000.0)),
+        )
+        .drop("__integral", "__mn", "__mx")
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    every: str = "1 minute",
+) -> DataFrame:
+    """Gap-filled downsample with LINEAR interpolation — the
+    ``interpolate.linear`` counterpart of :func:`ffill_resample`: bin to
+    ``every`` (take-last), materialize every bin between each key's first
+    and last point, and fill missing bins by interpolating between the
+    nearest real bins on each side (endpoints fall back to the one-sided
+    neighbor).
+
+    Scale: grid size = span/every per key (bounded by the queried window);
+    the fill is two keyed window passes (backward carry + forward carry) —
+    no joins beyond the grid left-join, no global ordering. Interpolation
+    weights use integer-microsecond deltas cast to double, identical on
+    any engine.
+    """
+    key_cols = list(key_cols)
+    binned = downsample_last(df, ts_col, key_cols, value_col, every=every)
+    bounds = binned.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    step = every if every.strip()[0].isdigit() else f"1 {every}"
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.sequence("__mn", "__mx", F.expr(f"interval {step}"))).alias(ts_col),
+    )
+    g = grid.join(binned, on=[*key_cols, ts_col], how="left")
+    us = F.unix_micros(F.col(ts_col))
+    obs_us = F.when(F.col(value_col).isNotNull(), us)
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = (
+        g.withColumn("__pv", F.last(value_col, ignorenulls=True).over(back))
+        .withColumn("__pt", F.last(obs_us, ignorenulls=True).over(back))
+        .withColumn("__nv", F.first(value_col, ignorenulls=True).over(fwd))
+        .withColumn("__nt", F.first(obs_us, ignorenulls=True).over(fwd))
+    )
+    frac = (us - F.col("__pt")).cast("double") / (F.col("__nt") - F.col("__pt")).cast(
+        "double"
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    )
+    return g.withColumn(value_col, filled).select(*key_cols, ts_col, value_col)

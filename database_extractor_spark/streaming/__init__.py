@@ -204,3 +204,33 @@ def streaming_event_counts(spark: SparkSession, events_path: str, every: str = "
     stream = stream_source(spark, events_path)
     agg = windowed_counts(stream, "ts", ("event_type",), every)
     return run_available_now(spark, agg)
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native ``session_window`` aggregation in STREAMING mode: stream-read
+    the events source, merge per-key events closer than ``gap`` into
+    sessions (state-store-backed session merging), availableNow trigger.
+
+    One pass over the fixture must equal the batch gaps-and-islands
+    sessionization — same gap semantics (a gap of exactly ``gap`` starts a
+    new session), pinned by the driver oracle. In production: add
+    ``withWatermark`` + append mode so closed sessions emit incrementally
+    and state stays bounded; complete mode here keeps the memory-sink
+    result equal to the batch answer at end-of-stream.
+    """
+    stream = stream_source(spark, events_path)
+    agg = (
+        stream.groupBy(F.session_window("ts", gap), F.col(key_col))
+        .count()
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("count").alias("n"),
+        )
+    )
+    return run_available_now(spark, agg, output_mode="complete")
