@@ -3711,7 +3711,7 @@ def gap_fill_linear(spark, sf_dir):
     keyed window passes; integer-microsecond weights)."""
     from database_extractor_spark.operators.timeseries import interpolate_linear
 
-    ev = C.time_range_filter(
+    ev = C.time_range(
         _tbl(spark, sf_dir, "events"), "ts", "2024-01-05", "2024-01-06"
     )
     return interpolate_linear(ev, "ts", ["event_type"], "value", every="1 minute")
