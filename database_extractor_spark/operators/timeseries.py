@@ -76,6 +76,7 @@ def ffill_resample(
     key_cols: Sequence[str],
     value_col: str,
     every: str = "1 second",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-filled downsample: take-last per bin, then materialize EVERY bin
     between each key's first and last point and forward-fill values — the
@@ -85,9 +86,15 @@ def ffill_resample(
     Scale: grid size = time-span / every per key — explicit, bounded by
     the queried window; the fill itself is one window pass (shuffle on
     keys + sort). Not for unbounded spans at 1 s resolution.
+
+    ``tiebreak_cols``: see :func:`interpolate_linear` — pass a unique
+    column when the input can carry duplicate (key, ts) rows so the
+    per-bin take-last is engine-independent.
     """
     key_cols = list(key_cols)
-    binned = downsample_last(df, ts_col, key_cols, value_col, every=every)
+    binned = downsample_last(
+        df, ts_col, key_cols, value_col, every=every, tiebreak_cols=tiebreak_cols
+    )
     bounds = binned.groupBy(*key_cols).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )
@@ -382,6 +389,7 @@ def interpolate_linear(
     key_cols: Sequence[str],
     value_col: str,
     every: str = "1 minute",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-filled downsample with LINEAR interpolation — the
     ``interpolate.linear`` counterpart of :func:`ffill_resample`: bin to
@@ -395,9 +403,17 @@ def interpolate_linear(
     no joins beyond the grid left-join, no global ordering. Interpolation
     weights use integer-microsecond deltas cast to double, identical on
     any engine.
+
+    ``tiebreak_cols`` disambiguates same-timestamp duplicates within a
+    bin (e.g. an event-id column): without it, the binned take-last
+    resolves ties by ``max_by(value, ts)`` with an arbitrary pick, which
+    is engine-dependent (ADVICE r4). Pass a unique column whenever the
+    input can carry duplicate (key, ts) rows.
     """
     key_cols = list(key_cols)
-    binned = downsample_last(df, ts_col, key_cols, value_col, every=every)
+    binned = downsample_last(
+        df, ts_col, key_cols, value_col, every=every, tiebreak_cols=tiebreak_cols
+    )
     bounds = binned.groupBy(*key_cols).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )

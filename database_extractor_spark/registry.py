@@ -1439,12 +1439,16 @@ def asof_join_q(spark, sf_dir):
 @register(
     "ffill_resample",
     """
-    with binned as (
-        select event_type, date_trunc('minute', ts) as ts, arg_max(value, ts) as value
+    with raw as (
+        select event_type, date_trunc('minute', ts) as bts, value
         from events
         where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-06'
-        group by 1, 2
+          and value is not null
+        qualify row_number() over (
+            partition by event_type, date_trunc('minute', ts)
+            order by ts desc, event_id desc) = 1
     ),
+    binned as (select event_type, bts as ts, value from raw),
     bounds as (select event_type, min(ts) as mn, max(ts) as mx from binned group by 1),
     grid as (
         select event_type, unnest(generate_series(mn, mx, interval 1 minute)) as ts
@@ -1460,12 +1464,20 @@ def asof_join_q(spark, sf_dir):
 def ffill_resample_q(spark, sf_dir):
     """Gap-filled 1-minute resample with forward fill — the pandas
     resample().last().ffill() analog (grid via sequence(), fill via one
-    last(ignorenulls) window pass)."""
+    last(ignorenulls) window pass). Per-bin take-last tiebreaks on
+    event_id so duplicate (key, ts) inputs resolve identically on any
+    engine (oracle mirrors via row_number over ts desc, event_id desc;
+    the `value is not null` guard matches max_by's null-skipping — the
+    fixture has no null values, and an all-null bin would interpolate
+    the same as a missing bin)."""
     from database_extractor_spark.operators.timeseries import ffill_resample
 
     ev = _tbl(spark, sf_dir, "events")
     day = C.time_range(ev, "ts", "2024-01-05 00:00:00", "2024-01-06 00:00:00")
-    return ffill_resample(day, "ts", ["event_type"], "value", every="1 minute")
+    return ffill_resample(
+        day, "ts", ["event_type"], "value", every="1 minute",
+        tiebreak_cols=["event_id"],
+    )
 
 
 @register(
@@ -3667,12 +3679,16 @@ def ts_rate_per_window(spark, sf_dir):
 @register(
     "gap_fill_linear",
     """
-    with binned as (
-        select event_type, date_trunc('minute', ts) as ts, arg_max(value, ts) as value
+    with raw as (
+        select event_type, date_trunc('minute', ts) as bts, value
         from events
         where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-06'
-        group by 1, 2
+          and value is not null
+        qualify row_number() over (
+            partition by event_type, date_trunc('minute', ts)
+            order by ts desc, event_id desc) = 1
     ),
+    binned as (select event_type, bts as ts, value from raw),
     bounds as (select event_type, min(ts) as mn, max(ts) as mx from binned group by 1),
     grid as (
         select event_type, unnest(generate_series(mn, mx, interval 1 minute)) as ts
@@ -3708,13 +3724,18 @@ def gap_fill_linear(spark, sf_dir):
     """Gap-filled minute resample with LINEAR interpolation — the
     ``interpolate.linear`` counterpart of ffill_resample: missing bins get
     the time-weighted blend of the nearest real bins on each side (two
-    keyed window passes; integer-microsecond weights)."""
+    keyed window passes; integer-microsecond weights). Per-bin take-last
+    tiebreaks on event_id (see ffill_resample's docstring for the oracle
+    mirror and null-skip note)."""
     from database_extractor_spark.operators.timeseries import interpolate_linear
 
     ev = C.time_range(
         _tbl(spark, sf_dir, "events"), "ts", "2024-01-05", "2024-01-06"
     )
-    return interpolate_linear(ev, "ts", ["event_type"], "value", every="1 minute")
+    return interpolate_linear(
+        ev, "ts", ["event_type"], "value", every="1 minute",
+        tiebreak_cols=["event_id"],
+    )
 
 
 # ==========================================================================
@@ -3731,29 +3752,56 @@ def gap_fill_linear(spark, sf_dir):
     ),
     d as (select day, count(*) as new_users from fs group by 1)
     select day, new_users,
-           cast(sum(new_users) over (partition by date_trunc('year', day)
-                                     order by day
+           cast(sum(new_users) over (order by day
                                      rows between unbounded preceding
                                      and current row) as bigint) as cum_users
     from d
     """,
 )
 def cumulative_distinct_users(spark, sf_dir):
-    """Running count of distinct users ever seen, by day — the classic
+    """TRUE running count of distinct users ever seen, by day — the classic
     "cumulative uniques" a windowed COUNT(DISTINCT) can't do scalably.
     Rewrite: distinct collapses to each user's FIRST day (one shuffle on
-    user_id), then a day-level running sum. The prefix window partitions
-    by year — day-level cardinality per partition is ≤366 regardless of
-    data volume, so no global single-task window exists in the plan."""
+    user_id), then a two-level distributed prefix sum: (1) an intra-year
+    running sum over a window PARTITIONED by year (≤366 rows per partition
+    regardless of data volume — no global single-task window), plus (2) a
+    cross-year carry computed on the per-year totals (cardinality = number
+    of years, bounded by the time range, not the data volume) by packing
+    them into one sorted array and prefix-summing with `transform` +
+    `aggregate`, then broadcast-equi-joined back. Unlike the round-4 form,
+    `cum_users` no longer resets each Jan 1 (ADVICE r4)."""
     ev = _tbl(spark, sf_dir, "events")
     fs = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
-    d = fs.groupBy("day").agg(F.count("*").alias("new_users"))
+    d = fs.groupBy("day").agg(F.count("*").alias("new_users")).withColumn(
+        "yr", F.date_trunc("year", F.col("day"))
+    )
     w = (
-        Window.partitionBy(F.date_trunc("year", F.col("day")))
+        Window.partitionBy("yr")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return d.withColumn("cum_users", F.sum("new_users").over(w))
+    yearly = d.groupBy("yr").agg(F.sum("new_users").alias("yt"))
+    carry = (
+        yearly.agg(F.sort_array(F.collect_list(F.struct("yr", "yt"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.yr as yr, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.yt) as carry))"
+                )
+            ).alias("s")
+        )
+        .select("s.yr", "s.carry")
+    )
+    return (
+        d.withColumn("intra", F.sum("new_users").over(w))
+        .join(F.broadcast(carry), "yr")
+        .select(
+            "day",
+            "new_users",
+            (F.col("intra") + F.col("carry")).cast("long").alias("cum_users"),
+        )
+    )
 
 
 @register(
@@ -3903,7 +3951,29 @@ def streaming_session_windows_q(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-4 front: the 23 entries with no driver row in any round
+    # ---- round-5 front: the 12 entries committed in the round-4 snapshot
+    # (e6a8284) that have never had a driver CORRECTNESS row
+    "ts_derivative",
+    "ts_difference",
+    "ts_increase",
+    "ts_integral",
+    "ts_rate_per_window",
+    "time_weighted_avg",
+    "gap_fill_linear",          # fixed round 5 (time_range_filter -> time_range)
+    "cumulative_distinct_users",  # fixed round 5 (true cross-year running count)
+    "weighted_sample_wor",
+    "embedding_quantize_int8",
+    "rolling_median",
+    "streaming_session_windows",
+    # ---- the 6 rows-only entries (no DuckDB oracle by design): rotate so
+    # their executed-row counts refresh (last rows r03, err: no_oracle)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ivf_kmeans",
+    "sim_ann_lsh",
+    "sim_pq_topk",
+    "approx_distinct",
+    # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",
     "window_frames",
@@ -3961,16 +4031,11 @@ _VERIFY_FIRST = [
     "multimodal_frame_sample",
     "multimodal_audio_decode",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
     "decontaminate_ngram_overlap",
     "sim_bruteforce_topk",
     "sim_partitioned_topk",
-    "sim_ivf_kmeans",
-    "sim_ann_lsh",
-    "sim_pq_topk",
     "not_exists_subquery",
     "deterministic_sample",
     "stratified_sample",
@@ -3983,7 +4048,6 @@ _VERIFY_FIRST = [
     "asof_join",
     "ffill_resample",
     "grouping_sets",
-    "approx_distinct",
     "histogram_fixed_bins",
     "sliding_window_counts",
     "session_windows",
