@@ -256,6 +256,19 @@ def _ordered_window(key_cols: Sequence[str], ts_col: str, tiebreak_col: Optional
     return Window.partitionBy(*key_cols).orderBy(*order)
 
 
+def _epoch_us(ts_col: str):
+    """Integer epoch-microseconds of a timestamp column, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ inputs. Parquet columns written with
+    isAdjustedToUTC=false arrive as TIMESTAMP_NTZ (Spark 4 infers NTZ by
+    default), and ``unix_micros`` rejects NTZ outright — the cast
+    reinterprets the wall-clock value in the session zone, which this
+    engine pins to UTC (session.py), so the integer equals DuckDB's
+    ``epoch_us`` on the same naive value. Caught by the round-5 sf0.01
+    sweep: ts_derivative/ts_integral/time_weighted_avg raised
+    AnalysisException on the NTZ fixture column."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def derivative(
     df: DataFrame,
     ts_col: str,
@@ -271,7 +284,7 @@ def derivative(
     are dropped rather than emitting NULL/Inf.
     """
     w = _ordered_window(key_cols, ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     dt_us = us - F.lag(us).over(w)
     dv = F.col(value_col) - F.lag(value_col).over(w)
     return (
@@ -341,7 +354,7 @@ def integral(
     the DECIMAL trick (order-independent, engine-exact). Emits one row per
     series key."""
     w = _ordered_window(key_cols, ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
     trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
     terms = df.withColumn("__trap", trap.cast("decimal(18,4)"))
@@ -363,7 +376,7 @@ def time_weighted_avg(
     sampled series (a plain AVG over-weights densely sampled stretches).
     """
     w = _ordered_window(key_cols, ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
     trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
     terms = df.withColumn("__trap", trap.cast("decimal(18,4)")).withColumn("__us", us)
@@ -423,7 +436,7 @@ def interpolate_linear(
         F.explode(F.sequence("__mn", "__mx", F.expr(f"interval {step}"))).alias(ts_col),
     )
     g = grid.join(binned, on=[*key_cols, ts_col], how="left")
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     obs_us = F.when(F.col(value_col).isNotNull(), us)
     back = (
         Window.partitionBy(*key_cols)
