@@ -283,6 +283,62 @@ def pairwise_similar_lsh(
     return pairs
 
 
+def hard_negatives_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each anchor
+    vector, the most-similar vector with a DIFFERENT label among those
+    sharing its LSH bucket — the highest-value negatives for a contrastive
+    or triplet loss.
+
+    Bucket-scoped by construction (never all-pairs): candidate pairs come
+    from an equi-self-join on the seeded-hyperplane bucket id, quadratic
+    only within buckets. Anchors whose bucket holds no cross-label vector
+    emit no row (they have no hard negative at this banding resolution —
+    rerun with fewer planes to widen buckets). Determinism: cosine is
+    rounded to 6dp and ties break on the SMALLEST negative id, so the
+    argmax is engine-independent.
+
+    Scale: shuffle on bucket id; at corpus scale pre-partition/bucket the
+    table by the LSH bucket and the join is co-located.
+    """
+    b = with_lsh_bucket(
+        df.select(id_col, vec_col, label_col), dim, vec_col, n_planes, seed
+    )
+    a = b.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__al"),
+        "bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__nv"),
+        F.col(label_col).alias("__nl"),
+        "bucket",
+    )
+    scored = (
+        a.join(c, on="bucket")
+        .filter(F.col("__al") != F.col("__nl"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(cosine(F.col("__av"), F.col("__nv")), 6).alias("cos"),
+        )
+    )
+    key = F.struct(F.col("cos"), (-F.col("neg_id")).alias("neg"))
+    return scored.groupBy("anchor_id").agg(
+        F.max_by("neg_id", key).alias("hard_neg_id"),
+        F.max("cos").alias("neg_cos"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — memory-compressed ANN
 # --------------------------------------------------------------------------

@@ -31,6 +31,7 @@ def asof_join(
     right_ts: str,
     value_col: str,
     out_col: Optional[str] = None,
+    tolerance: Optional[str] = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach ``value_col`` from
     the latest right row with ``right.ts <= left.ts`` within the same
@@ -50,6 +51,12 @@ def asof_join(
     Window.partitionBy groups NULLs into one partition — so NULL-keyed
     quotes are dropped before the union (NULL-keyed probes come back with
     a NULL fill, matching DuckDB ASOF LEFT JOIN).
+
+    ``tolerance`` (e.g. ``"30 minutes"``): maximum quote staleness — a
+    matched quote older than ``probe_ts - tolerance`` is nulled out
+    (pandas ``merge_asof(tolerance=...)`` semantics; the tolerance window
+    is inclusive). Carried by the same window pass (the last quote's ts
+    rides along), zero extra shuffles.
     """
     out_col = out_col or value_col
     on = list(on)
@@ -67,6 +74,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(out_col, F.last("__qv", ignorenulls=True).over(w))
+    if tolerance is not None:
+        qts = F.when(F.col("__src") == 0, F.col("__ts"))
+        filled = filled.withColumn("__qts", F.last(qts, ignorenulls=True).over(w))
+        fresh = F.col("__ts") <= F.col("__qts") + F.expr(f"interval {tolerance}")
+        filled = filled.withColumn(
+            out_col, F.when(fresh, F.col(out_col))
+        ).drop("__qts")
     return filled.filter(F.col("__src") == 1).drop("__src", "__qv", "__ts")
 
 

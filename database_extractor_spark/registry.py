@@ -2491,7 +2491,7 @@ def window_time_range_frame(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-600 * 1_000_000, Window.currentRow)
     )
     return ev.select(
@@ -3961,6 +3961,453 @@ def streaming_session_windows_q(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 5: CDC merge, canonical analytics, feature binning, drift, mode
+# ==========================================================================
+
+
+@register(
+    "cdc_merge_apply",
+    """
+    with latest as (
+        select o_custkey as k0, arg_max(o_totalprice, o_orderkey) as newbal
+        from orders group by 1
+    ),
+    changes as (
+        select case when k0 % 7 = 0 then k0 + 1000000 else k0 end as c_custkey,
+               case when k0 % 7 = 0 then 'I'
+                    when k0 % 13 = 0 then 'D'
+                    else 'U' end as op,
+               newbal
+        from latest
+    ),
+    merged as (
+        select coalesce(b.c_custkey, c.c_custkey) as c_custkey, c.op,
+               case when c.op is not null then c.newbal
+                    else b.c_acctbal end as c_acctbal
+        from (select c_custkey, c_acctbal from customer) b
+        full outer join changes c on b.c_custkey = c.c_custkey
+    )
+    select c_custkey, c_acctbal from merged where op is null or op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark, sf_dir):
+    """MERGE INTO on plain parquet: apply a deterministic change batch
+    (derived from orders — each customer's latest o_totalprice, with op
+    I/U/D assigned by key residue; %7 keys become brand-new inserted
+    entities, %13 keys are deletes) to the customer snapshot via ONE
+    full-outer shuffle join (operators/cdc.py). No double arithmetic —
+    payloads are copied, so the cross-engine hash is exact."""
+    from database_extractor_spark.operators.cdc import merge_changes
+
+    base = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    latest = (
+        _tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k0"))
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("newbal"))
+    )
+    changes = latest.select(
+        F.when(F.col("k0") % 7 == 0, F.col("k0") + 1000000)
+        .otherwise(F.col("k0"))
+        .alias("c_custkey"),
+        F.when(F.col("k0") % 7 == 0, F.lit("I"))
+        .when(F.col("k0") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("newbal").alias("c_acctbal"),
+    )
+    return merge_changes(base, changes, ["c_custkey"], op_col="op", delete_op="D")
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    select l_orderkey,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))
+                as double) as revenue,
+           o_orderdate
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1998-01-01'
+      and l_shipdate > timestamp '1998-01-01'
+    group by l_orderkey, o_orderdate
+    order by revenue desc, l_orderkey
+    limit 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): the canonical 3-table
+    filter-join-aggregate-topk. Spark-first shape: the segment-filtered
+    customer key list is broadcast into the orders join, revenue uses the
+    per-addend DECIMAL cast (order-independent exact sum), and the top-10
+    is TakeOrderedAndProject — per-partition heaps, no global sort."""
+    cust = (
+        _tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "mode_agg",
+    """
+    with c as (
+        select l_returnflag, l_quantity, count(*) as n
+        from lineitem group by 1, 2
+    )
+    select l_returnflag, l_quantity as mode_qty, n as mode_n from c
+    qualify row_number() over (partition by l_returnflag
+                               order by n desc, l_quantity asc) = 1
+    """,
+)
+def mode_agg(spark, sf_dir):
+    """Deterministic MODE per group (most frequent value, smallest value
+    wins ties): two hash aggregates — count per (group, value), then
+    max_by over the struct (count, -value). Both stages combine map-side;
+    no window, no sort, scale-linear. DuckDB's mode() breaks ties
+    arbitrarily, so the oracle states the tie-break explicitly."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    key = F.struct(F.col("n"), (-F.col("l_quantity")).alias("neg"))
+    return c.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", key).alias("mode_qty"),
+        F.max_by("n", key).alias("mode_n"),
+    )
+
+
+@register(
+    "equal_freq_binning",
+    """
+    with th as (
+        select quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as th
+        from lineitem
+    )
+    select cast(len(list_filter(th.th, t -> l_extendedprice > t)) as integer)
+               as bucket,
+           count(*) as n
+    from lineitem, th
+    group by 1
+    """,
+)
+def equal_freq_binning(spark, sf_dir):
+    """Equal-frequency (decile) feature binning: exact percentile
+    thresholds computed once, attached IN-PLAN via the 1-row broadcast
+    scalar-attach idiom (no driver collect), each row's bucket = how many
+    thresholds it exceeds (higher-order filter + size — codegen'd, no
+    UDF). Output is the per-bucket histogram proving ~equal frequencies.
+    At 100 TB swap the exact percentile for approx_percentile and keep
+    the identical downstream plan."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    probs = ",".join(str(p / 10) for p in range(1, 10))
+    th = li.agg(F.expr(f"percentile(l_extendedprice, array({probs}))").alias("th"))
+    return (
+        li.crossJoin(F.broadcast(th))
+        .select(
+            F.size(
+                F.filter(F.col("th"), lambda t: F.col("l_extendedprice") > t)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "psi_drift",
+    """
+    with flagged as (
+        select event_type, cast(floor(value / 25.0) as bigint) as bin,
+               case when ts >= timestamp '2024-01-05'
+                         and ts < timestamp '2024-01-06' then 'A'
+                    when ts >= timestamp '2024-01-20'
+                         and ts < timestamp '2024-01-21' then 'B'
+               end as flag
+        from events
+    ),
+    g as (
+        select event_type, bin,
+               count(*) filter (flag = 'A') as na,
+               count(*) filter (flag = 'B') as nb
+        from flagged where flag is not null
+        group by 1, 2
+    ),
+    tot as (
+        select event_type, sum(na) as ta, sum(nb) as tb, count(*) as nbins
+        from g group by 1
+    )
+    select g.event_type,
+           round(cast(sum(cast(
+               ((cast(na + 1 as double) / (ta + nbins))
+                - (cast(nb + 1 as double) / (tb + nbins)))
+               * ln((cast(na + 1 as double) / (ta + nbins))
+                    / (cast(nb + 1 as double) / (tb + nbins)))
+               as decimal(18,12))) as double), 6) as psi
+    from g join tot on g.event_type = tot.event_type
+    group by g.event_type
+    """,
+)
+def psi_drift(spark, sf_dir):
+    """Population Stability Index between two days' value distributions
+    per event_type — the standard drift gate before a corpus or feature
+    snapshot ships. Fixed-width bins (floor(value/25)), add-one (Laplace)
+    smoothing so bins present on only one day contribute finite terms,
+    PSI = Σ (p−q)·ln(p/q). One scan → per-(type,bin) conditional counts →
+    tiny per-type totals broadcast back → exact DECIMAL sum of per-bin
+    terms (order-independent; the per-term double math is the identical
+    IEEE expression sequence on both engines)."""
+    ev = _tbl(spark, sf_dir, "events")
+    a0, a1 = "2024-01-05", "2024-01-06"
+    b0, b1 = "2024-01-20", "2024-01-21"
+    ts = F.col("ts")
+    flag = (
+        F.when(
+            (ts >= F.lit(a0).cast("timestamp")) & (ts < F.lit(a1).cast("timestamp")),
+            "A",
+        ).when(
+            (ts >= F.lit(b0).cast("timestamp")) & (ts < F.lit(b1).cast("timestamp")),
+            "B",
+        )
+    )
+    g = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin"),
+            flag.alias("flag"),
+        )
+        .filter(F.col("flag").isNotNull())
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("flag") == "A", 1)).alias("na"),
+            F.count(F.when(F.col("flag") == "B", 1)).alias("nb"),
+        )
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count("*").alias("nbins")
+    )
+    j = g.join(F.broadcast(tot), "event_type")
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("nbins"))
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("nbins"))
+    term = ((p - q) * F.log(p / q)).cast("decimal(18,12)")
+    return j.groupBy("event_type").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("psi")
+    )
+
+
+@register(
+    "streaming_hopping_counts",
+    """
+    with expanded as (
+        select date_trunc('minute', ts) as w0, event_type from events
+        union all
+        select date_trunc('minute', ts) - interval 1 minute, event_type from events
+    )
+    select w0 as window_start, event_type, count(*) as n
+    from expanded group by 1, 2
+    """,
+)
+def streaming_hopping_counts_q(spark, sf_dir):
+    """Hopping windows (2 min / 1 min slide) in STREAMING mode — the
+    streaming flavor of sliding_window_counts: watermarked window()
+    expand + incremental state-store aggregation, availableNow. Must
+    equal the batch hopping aggregation (oracle expands each event into
+    its two window starts)."""
+    from database_extractor_spark.streaming import streaming_hopping_counts as run
+
+    return run(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _hard_neg_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    """DuckDB oracle for hard_negative_mining — same seeded-plane-literal
+    trick as _near_dup_oracle: buckets are deterministic driver constants,
+    cosine mirrors the Spark expression sequence, argmax is stated with
+    the explicit (cos desc, neg_id asc) tie-break."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (case when list_dot_product(embedding::DOUBLE[], {lit(p)})"
+        " >= 0 then 1 else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    norm = (
+        "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
+    )
+    denom = f"({norm.format('a')} * {norm.format('c')})"
+    return f"""
+    with b as (
+        select vec_id, label, embedding, {bucket} as bucket
+        from embeddings
+    ),
+    pairs as (
+        select a.vec_id as anchor_id, c.vec_id as neg_id,
+               round(case when {denom} = 0 then 0.0
+                          else list_dot_product(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]) / {denom}
+                     end, 6) as cos
+        from b a join b c on a.bucket = c.bucket and a.label <> c.label
+    )
+    select anchor_id, neg_id as hard_neg_id, cos as neg_cos from pairs
+    qualify row_number() over (partition by anchor_id
+                               order by cos desc, neg_id asc) = 1
+    """
+
+
+@register("hard_negative_mining", _hard_neg_oracle())
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives: per anchor, the most-similar
+    DIFFERENT-label vector among its LSH-bucket cohort (see
+    similarity.hard_negatives_lsh). Bucket-scoped — never all-pairs; fully
+    oracled because the hyperplanes are seeded driver constants baked into
+    the SQL as literals (the embedding_near_dup pattern)."""
+    return S.hard_negatives_lsh(
+        _tbl(spark, sf_dir, "embeddings"), dim=64, n_planes=4, seed=42
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    with probes as (
+        select user_id, ts, event_id from events where event_type = 'click'
+    ),
+    quotes as (
+        select user_id, date_trunc('second', ts) as qts, arg_max(value, ts) as qv
+        from events where event_type = 'purchase'
+        group by 1, 2
+    )
+    select p.event_id, p.user_id,
+           case when p.ts <= q.qts + interval 30 minute then q.qv
+           end as last_purchase
+    from probes p asof left join quotes q
+      on p.user_id = q.user_id and p.ts >= q.qts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS BOUND (pandas merge_asof tolerance):
+    each click gets the user's latest prior purchase only if it happened
+    within the last 30 minutes — stale quotes null out. Same single
+    union + keyed-window pass as plain asof_join; the quote timestamp
+    rides the same window, zero extra shuffles."""
+    from database_extractor_spark.operators.timeseries import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    probes = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    quotes = C.downsample_last(
+        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value"
+    ).withColumnRenamed("ts", "qts").withColumnRenamed("value", "qv")
+    out = asof_join(
+        probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+        value_col="qv", out_col="last_purchase", tolerance="30 minutes",
+    )
+    return out.select("event_id", "user_id", "last_purchase")
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    with aug as (
+        select doc_id,
+               text || ' contact user' || cast(doc_id as varchar)
+                    || '@example.com or +1-555-0' || cast(doc_id % 1000 as varchar)
+                    || ' today' as text
+        from documents
+    )
+    select doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '[EMAIL]', 'g'),
+               '\+?[0-9][0-9()\s.-]{6,}[0-9]', '[PHONE]', 'g') as scrubbed,
+           cast(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as integer)
+               as n_emails
+    from aug
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction pass every LLM training corpus runs:
+    email and phone patterns replaced with typed placeholders, plus a
+    per-doc match count for audit. Pure per-row regexp (codegen'd, no
+    UDF, no shuffle). The fixture text carries no PII, so a deterministic
+    synthetic contact line (derived from doc_id) is appended first —
+    making the scrub observable and the oracle exact. Patterns stay in
+    the RE2 ∩ Java-regex common subset so both engines match identically."""
+    docs = _tbl(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\s.-]{6,}[0-9]"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias("n_emails"),
+    )
+
+
+@register(
+    "robust_stats_mad",
+    """
+    with m as (
+        select event_type, quantile_cont(value, 0.5) as med
+        from events group by 1
+    )
+    select e.event_type, m.med,
+           quantile_cont(abs(e.value - m.med), 0.5) as mad
+    from events e join m on e.event_type = m.event_type
+    group by e.event_type, m.med
+    """,
+)
+def robust_stats_mad(spark, sf_dir):
+    """Robust dispersion per group: median + MAD (median absolute
+    deviation) — the outlier-resistant spread measure data-quality gates
+    prefer over stddev. Two keyed aggregates over the same shuffle key;
+    the 5-row median table broadcasts back for the deviation pass. Exact
+    percentile parity with quantile_cont is established by
+    percentile_agg."""
+    ev = _tbl(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion
@@ -3996,6 +4443,17 @@ _VERIFY_FIRST = [
     "sim_ann_lsh",
     "sim_pq_topk",
     "approx_distinct",
+    # ---- new in round 5 (all oracled): need their first driver row
+    "cdc_merge_apply",
+    "tpch_q3_shipping_priority",
+    "mode_agg",
+    "equal_freq_binning",
+    "psi_drift",
+    "streaming_hopping_counts",
+    "hard_negative_mining",
+    "asof_join_tolerance",
+    "text_pii_scrub",
+    "robust_stats_mad",
     # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",

@@ -27,7 +27,16 @@ NANOS_TS_COLS = {"ts"}
 
 
 def _normalize_nanos(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Convert known nano-epoch long columns to proper timestamps."""
+    """Convert known nano-epoch long columns to proper timestamps.
+
+    Only the NANOS fixture layout (rounds 1–4) hits this: with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a raw
+    long. The round-5 fixtures write TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ and
+    passes through untouched here — NTZ compares naively against DuckDB's
+    naive read of the same column, while the few operators that need a
+    zoned TIMESTAMP (unix_micros arithmetic, stream watermarks) cast at
+    the point of use (timeseries._epoch_us, streaming.stream_source)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 

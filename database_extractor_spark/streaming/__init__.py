@@ -43,7 +43,17 @@ def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
     stream = spark.readStream.schema(batch.schema).format(fmt).load(path)
     from database_extractor_spark.sources import _normalize_nanos
 
-    return _normalize_nanos(spark, stream)
+    stream = _normalize_nanos(spark, stream)
+    # withWatermark requires TIMESTAMP — parquet columns written with
+    # isAdjustedToUTC=false arrive as TIMESTAMP_NTZ (Spark 4 infers NTZ),
+    # which EventTimeWatermark rejects outright. The cast reinterprets the
+    # wall clock in the session zone (pinned UTC in session.py), so values
+    # are unchanged and windows/sessions label identically to the batch
+    # oracles. Caught by the round-5 sf0.01 sweep.
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return stream
 
 
 def windowed_counts(
@@ -232,5 +242,36 @@ def streaming_session_windows(
             F.col("session_window.start").alias("session_start"),
             F.col("count").alias("n"),
         )
+    )
+    return run_available_now(spark, agg, output_mode="complete")
+
+
+def streaming_hopping_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) windows in STREAMING mode: every event is counted
+    in window/slide overlapping windows — the streaming flavor of
+    operators.timeseries.sliding_counts, same left-edge window_start
+    labels.
+
+    Scale posture matches the batch op: the window() expand multiplies
+    state rows by window/slide before the incremental hash aggregation;
+    the watermark bounds how long each (window, key) state row lives. One
+    availableNow pass over the fixture must equal the batch hopping
+    aggregation, pinned by the driver oracle.
+    """
+    stream = stream_source(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", window, slide).getField("start").alias("window_start"),
+            F.col(key_col),
+        )
+        .count()
+        .withColumnRenamed("count", "n")
     )
     return run_available_now(spark, agg, output_mode="complete")

@@ -20,6 +20,7 @@ from tests.conftest import SF_DIR
 #: plan is inside the run (covered by their own tests)
 EXECUTES_ON_BUILD = {
     "streaming_event_counts",
+    "streaming_hopping_counts",
     "streaming_stateful_first_seen",
     "streaming_dedup",
     "streaming_incremental_sink",
@@ -48,6 +49,7 @@ SCALAR_ATTACH_OK = {
     "text_unigram_logprob",
     "text_bigram_logprob",
     "share_of_total_agg",
+    "equal_freq_binning",
 }
 
 
@@ -71,7 +73,7 @@ def test_plan_has_no_scale_antipatterns(name, spark):
 
             assert _re.search(
                 r"BroadcastExchange IdentityBroadcastMode[^\n]*\n[\s:]*\+- "
-                r"(?:Project [^\n]*\n[\s:]*\+- )?HashAggregate\(keys=\[\]",
+                r"(?:Project [^\n]*\n[\s:]*\+- )?(?:Object)?HashAggregate\(keys=\[\]",
                 plan,
             ), (
                 f"{name}: nested-loop join build side is not a 1-row global "

@@ -126,6 +126,154 @@ def test_interpolate_tiebreak_resolves_same_ts_duplicates(spark):
     assert [r["value"] for r in out2] == [200.0, 200.0, 400.0]
 
 
+def test_merge_changes_semantics(spark):
+    """MERGE INTO truth table: untouched keys survive, deletes vanish,
+    updates replace the payload, inserts add new keys."""
+    from database_extractor_spark.operators.cdc import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", 99.0), (3, "D", 0.0), (4, "I", 40.0)],
+        "k long, op string, v double",
+    )
+    out = {r["k"]: r["v"] for r in merge_changes(base, changes, ["k"]).collect()}
+    assert out == {1: 10.0, 2: 99.0, 4: 40.0}
+
+
+def test_merge_changes_plan_single_join(spark, tables):
+    """The merge is ONE join — no window, no cartesian, no Python stage."""
+    from database_extractor_spark.operators.cdc import merge_changes
+
+    import __spark_entry__ as E
+
+    df = E.queries()["cdc_merge_apply"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") >= 1
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_equal_freq_buckets_are_balanced(spark):
+    """Decile binning must yield 10 buckets within ±2% of n/10 each (exact
+    percentile thresholds => near-equal frequencies up to ties)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["equal_freq_binning"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["n"] - total / 10) <= max(2, 0.02 * total)
+
+
+def test_mode_agg_tiebreak_smallest(spark):
+    """Equal-count modes resolve to the SMALLEST value on both engines."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 3.0), ("a", 3.0), ("a", 9.0)],
+        "g string, v double",
+    )
+    c = df.groupBy("g", "v").agg(F.count("*").alias("n"))
+    key = F.struct(F.col("n"), (-F.col("v")).alias("neg"))
+    out = c.groupBy("g").agg(F.max_by("v", key).alias("mode_v")).collect()
+    assert out[0]["mode_v"] == 3.0
+
+
+def test_psi_drift_zero_for_identical_days(spark):
+    """PSI of a distribution against itself is exactly 0 (the add-one
+    smoothing is symmetric)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for day in (5, 20):
+        for i in range(200):
+            rows.append(
+                (i, datetime.datetime(2024, 1, day, 1, 0, i % 60),
+                 i % 7, "click", float(i % 400), None)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="psi_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    import __spark_entry__ as E
+
+    out = E.queries()["psi_drift"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
+
+
+def test_asof_tolerance_nulls_stale_quotes(spark):
+    """Quotes older than the tolerance must null out; fresh quotes fill."""
+    import datetime
+
+    from database_extractor_spark.operators.timeseries import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    probes = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(45), 101), (2, t(5), 102)],
+        "k long, ts timestamp, pid long",
+    )
+    quotes = spark.createDataFrame(
+        [(1, t(8), 1.0), (2, t(50), 2.0)], "k long, qts timestamp, qv double"
+    )
+    out = asof_join(
+        probes, quotes, on=["k"], left_ts="ts", right_ts="qts",
+        value_col="qv", out_col="filled", tolerance="10 minutes",
+    )
+    got = {r["pid"]: r["filled"] for r in out.collect()}
+    # pid 100: quote 2 min old -> fresh; pid 101: 37 min old -> stale;
+    # pid 102: no prior quote -> null
+    assert got == {100: 1.0, 101: None, 102: None}
+    # exactly-at-tolerance is inclusive
+    out2 = asof_join(
+        probes, quotes, on=["k"], left_ts="ts", right_ts="qts",
+        value_col="qv", out_col="filled", tolerance="37 minutes",
+    )
+    assert {r["pid"]: r["filled"] for r in out2.collect()}[101] == 1.0
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark):
+    """Every mined negative has a different label than its anchor, and is
+    the max-cosine cross-label vector within the anchor's bucket."""
+    from database_extractor_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = S.hard_negatives_lsh(e, dim=64, n_planes=4, seed=42)
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert labels[r["anchor_id"]] != labels[r["hard_neg_id"]]
+    # spot-check hardness for one anchor against a brute-force recompute
+    b = S.with_lsh_bucket(e, 64, "embedding", 4, 42)
+    anchor = rows[0]
+    arow = b.filter(F.col("vec_id") == anchor["anchor_id"]).collect()[0]
+    cands = b.filter(
+        (F.col("bucket") == arow["bucket"]) & (F.col("label") != arow["label"])
+    ).collect()
+    import math
+
+    def cos(u, v):
+        d = sum(float(x) * float(y) for x, y in zip(u, v))
+        nu = math.sqrt(sum(float(x) ** 2 for x in u))
+        nv = math.sqrt(sum(float(y) ** 2 for y in v))
+        return 0.0 if nu * nv == 0 else d / (nu * nv)
+
+    best = max(round(cos(arow["embedding"], c["embedding"]), 6) for c in cands)
+    assert abs(best - anchor["neg_cos"]) < 1e-9
+
+
 def test_coverage_ledger_totals_match_registry():
     """SURVEY.md / README.md totals must equal len(QUERIES)/len(ORACLE) —
     the repo's stated invariant; it drifted in rounds 3 and 4, so pin it."""
