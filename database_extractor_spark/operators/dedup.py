@@ -304,6 +304,46 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED n-gram containment C(a→b) = |shingles(a) ∩ shingles(b)|
+    / |shingles(a)| — the asymmetric near-dup measure Jaccard misses: a
+    short document wholly embedded in a long one scores ~1.0 containment
+    but low Jaccard (quote farms, boilerplate wrappers, chunk-of-other-doc
+    leakage). Emits both directions when both clear the threshold.
+
+    Same inverted-index posture as ngram_jaccard_pairs (shuffle on the
+    shingle key, never cartesian; hot-shingle tail is the cost driver —
+    at corpus scale run post-banding or cap hot shingles).
+    """
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    return (
+        common.join(na, "id_a")
+        .withColumn("containment", F.round(F.col("common") / F.col("na"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

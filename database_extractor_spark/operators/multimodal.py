@@ -239,3 +239,122 @@ def fake_decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+#: schema of a resized-image row (what a real resize stage would emit)
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def _fit_box(sw, sh, tw, th):
+    """Aspect-preserving fit of (sw, sh) into a (tw, th) box, never
+    upscaling: scale = min(tw/sw, th/sh, 1.0), floor dims, minimum 1 px.
+    Pure double arithmetic — the oracle repeats the identical expression
+    sequence, so results are bit-identical cross-engine."""
+    scale = min(tw / sw, th / sh, 1.0)
+    return max(1, int(sw * scale)), max(1, int(sh * scale))
+
+
+def resize_image_batch(
+    batch: pd.DataFrame,
+    target: tuple[int, int] = (64, 64),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> pd.DataFrame:
+    """REAL image resize via PIL (optional import — absent in this
+    container, covered by the sys.modules monkeypatch test): decode,
+    aspect-fit into the target box (never upscale), re-encode PNG, report
+    output byte size."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image resize requires Pillow; this container has no image "
+            "libraries — fake_resize_images covers the plumbing"
+        )
+    import io
+
+    tw, th = target
+    out = {k: [] for k in ("doc_id", "src_width", "src_height", "width", "height", "n_bytes_out")}
+    for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+        img = _PILImage.open(io.BytesIO(bytes(payload)))
+        w, h = _fit_box(img.width, img.height, tw, th)
+        resized = img.resize((w, h))
+        buf = io.BytesIO()
+        resized.save(buf, format="PNG")
+        out["doc_id"].append(int(doc_id))
+        out["src_width"].append(int(img.width))
+        out["src_height"].append(int(img.height))
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_bytes_out"].append(len(buf.getvalue()))
+    return pd.DataFrame(out).astype(
+        {"doc_id": "int64", "src_width": "int32", "src_height": "int32",
+         "width": "int32", "height": "int32", "n_bytes_out": "int64"}
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize with live optional-import dispatch (the decode_images
+    pattern): PIL when importable, deterministic fake otherwise — the
+    Spark plan is one Arrow-batched mapInPandas stage either way."""
+    if _PILImage is None:
+        return fake_resize_images(df, target, id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield resize_image_batch(b, target, id_col, payload_col)
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def fake_resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic FAKE resize: source dims from the fake_decode_images
+    formulas, aspect-fit via _fit_box, fake output bytes = w*h*3 (raw
+    RGB). Documented so the oracle mirrors every formula:
+
+      src_width  = 16 + n_bytes % 624
+      src_height = 16 + (n_bytes * 7) % 464
+      scale      = least(tw/sw, th/sh, 1.0)   -- double division
+      width      = greatest(1, floor(sw * scale))
+      height     = greatest(1, floor(sh * scale))
+      n_bytes_out = width * height * 3
+    """
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = b[payload_col].map(len).astype("int64")
+            sw = (16 + n % 624).astype("int64")
+            sh = (16 + (n * 7) % 464).astype("int64")
+            scale = (tw / sw).combine(th / sh, min).combine(1.0, min)
+            w = (sw * scale).astype("int64").clip(lower=1)
+            h = (sh * scale).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].astype("int64"),
+                    "src_width": sw.astype("int32"),
+                    "src_height": sh.astype("int32"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "n_bytes_out": (w * h * 3).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)

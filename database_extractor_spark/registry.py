@@ -4407,6 +4407,119 @@ def robust_stats_mad(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_resize",
+    """
+    with b as (select doc_id, octet_length(encode(text)) as n from documents),
+    src as (
+        select doc_id,
+               16 + n % 624 as sw,
+               16 + (n * 7) % 464 as sh
+        from b
+    ),
+    fit as (
+        select doc_id, sw, sh,
+               least(64.0 / sw, 64.0 / sh, 1.0) as scale
+        from src
+    )
+    select doc_id,
+           cast(sw as integer) as src_width,
+           cast(sh as integer) as src_height,
+           cast(greatest(1, cast(floor(sw * scale) as bigint)) as integer) as width,
+           cast(greatest(1, cast(floor(sh * scale) as bigint)) as integer) as height,
+           cast(greatest(1, cast(floor(sw * scale) as bigint))
+                * greatest(1, cast(floor(sh * scale) as bigint)) * 3 as bigint)
+               as n_bytes_out
+    from fit
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Image resize stage (aspect-preserving fit into a 64x64 box, never
+    upscaling) — the missing member of the decode/feature/resize/
+    frame-sample set. One Arrow-batched mapInPandas stage; real-PIL branch
+    covered by the sys.modules monkeypatch test, deterministic fake's
+    formulas mirrored exactly by the oracle (multimodal.py
+    fake_resize_images docstring)."""
+    from database_extractor_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    return resize_images(
+        attach_payload(_tbl(spark, sf_dir, "documents"), "text"), target=(64, 64)
+    )
+
+
+@register(
+    "dedup_containment",
+    r"""
+    with words as (
+        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+    ),
+    sh as (
+        select doc_id, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+        )) as s
+        from words
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from sh a join sh b on a.s = b.s and a.doc_id <> b.doc_id
+        group by 1, 2
+    )
+    select id_a, id_b, round(c / s1.n, 4) as containment
+    from common join sizes s1 on id_a = s1.doc_id
+    where round(c / s1.n, 4) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed n-gram containment pairs (|A∩B| / |A| >= 0.8): catches a
+    short doc embedded in a long one, which Jaccard under-scores. Same
+    inverted-index join shape as dedup_ngram_jaccard (shuffle on shingle
+    hash, never cartesian); see operators/dedup.py:containment_pairs."""
+    return D.containment_pairs(
+        _tbl(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3
+    )
+
+
+@register(
+    "entropy_profile",
+    """
+    with c as (
+        select date_trunc('day', ts) as day, event_type, count(*) as n
+        from events group by 1, 2
+    ),
+    t as (select day, sum(n) as tot from c group by 1)
+    select c.day,
+           round(cast(sum(cast(-(cast(n as double) / tot)
+                               * ln(cast(n as double) / tot)
+                               as decimal(18,12))) as double), 6) as entropy,
+           cast(count(*) as bigint) as n_types
+    from c join t on c.day = t.day
+    group by c.day
+    """,
+)
+def entropy_profile(spark, sf_dir):
+    """Per-day Shannon entropy of the event-type mix — the
+    distribution-shape profiler (a collapsed mix ≈ 0, uniform = ln 5):
+    drift/data-quality signal alongside psi_drift. Two keyed aggregates +
+    a tiny broadcast reattach; per-term double math is the identical IEEE
+    sequence both engines, decimal-exact term sum."""
+    ev = _tbl(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    j = c.join(F.broadcast(t), "day")
+    p = F.col("n").cast("double") / F.col("tot")
+    term = (-p * F.log(p)).cast("decimal(18,12)")
+    return j.groupBy("day").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        F.count("*").alias("n_types"),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -4454,6 +4567,9 @@ _VERIFY_FIRST = [
     "asof_join_tolerance",
     "text_pii_scrub",
     "robust_stats_mad",
+    "multimodal_resize",
+    "dedup_containment",
+    "entropy_profile",
     # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",

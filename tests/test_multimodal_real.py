@@ -116,3 +116,56 @@ def test_decode_audio_dispatches_to_real_branch(monkeypatch, spark):
     out = mm.decode_audio(df)
     assert out.schema == mm.AUDIO_META_SCHEMA
     assert "MapInPandas" in out._jdf.queryExecution().analyzed().toString()
+
+
+class _FakeResizableImg:
+    def __init__(self, raw: bytes):
+        self.width = 10 + len(raw)
+        self.height = 5 + len(raw)
+
+    def resize(self, wh):
+        self._wh = wh
+        return self
+
+    def save(self, buf, format=None):
+        # fake encoder: 2 bytes per pixel
+        buf.write(b"\x00" * (self._wh[0] * self._wh[1] * 2))
+
+
+class _FakeResizePIL:
+    @classmethod
+    def open(cls, fp):
+        return _FakeResizableImg(fp.read())
+
+
+def test_resize_image_batch_real_branch(monkeypatch):
+    monkeypatch.setattr(mm, "_PILImage", _FakeResizePIL)
+    # src 14x9 (payload len 4): fits under 64 box -> unchanged (no upscale)
+    # src 110x105 (payload len 100): scale = min(64/110, 64/105, 1) = 64/110
+    batch = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abcd", b"x" * 100]})
+    out = mm.resize_image_batch(batch, target=(64, 64))
+    assert out["src_width"].tolist() == [14, 110]
+    assert out["src_height"].tolist() == [9, 105]
+    assert out["width"].tolist() == [14, 64]
+    assert out["height"].tolist() == [9, int(105 * (64 / 110))]
+    assert out["n_bytes_out"].tolist() == [
+        14 * 9 * 2,
+        64 * int(105 * (64 / 110)) * 2,
+    ]
+    assert out["width"].dtype == "int32"
+    assert out["n_bytes_out"].dtype == "int64"
+
+
+def test_resize_image_batch_raises_without_library(monkeypatch):
+    monkeypatch.setattr(mm, "_PILImage", None)
+    with pytest.raises(NotImplementedError):
+        mm.resize_image_batch(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_resize_dispatch_uses_real_branch_in_plan(monkeypatch, spark):
+    monkeypatch.setattr(mm, "_PILImage", _FakeResizePIL)
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan_df = mm.resize_images(mm.attach_payload(df, "text"))
+    # dispatch chose the real mapInPandas path (plan construction only —
+    # executing would need the stub inside the Python worker)
+    assert plan_df.schema == mm.RESIZE_SCHEMA

@@ -37,7 +37,7 @@ EXECUTES_ON_BUILD = {
 }
 
 #: entries allowed to contain Arrow-batched Python stages
-ARROW_OK = {"pandas_ema", "multimodal_decode"}
+ARROW_OK = {"pandas_ema", "multimodal_decode", "multimodal_resize"}
 
 #: entries allowed ONE BroadcastNestedLoopJoin whose build side is a 1-row
 #: global aggregate (crossJoin(broadcast(df.agg(...)))): the idiomatic
