@@ -4520,6 +4520,144 @@ def entropy_profile(spark, sf_dir):
     )
 
 
+@register(
+    "text_bm25",
+    r"""
+    with toks as (
+        select doc_id, unnest(string_split_regex(trim(text), '\s+')) as term
+        from documents
+    ),
+    dl as (
+        select doc_id,
+               cast(len(string_split_regex(trim(text), '\s+')) as bigint) as dl
+        from documents
+    ),
+    stats as (
+        select cast(count(*) as bigint) as n, avg(dl) as avgdl from dl
+    ),
+    tf as (
+        select doc_id, term, cast(count(*) as bigint) as tf
+        from toks where term in ('data', 'table', 'query')
+        group by 1, 2
+    ),
+    dfreq as (select term, cast(count(*) as bigint) as df from tf group by 1),
+    scored as (
+        select tf.doc_id,
+               ln((cast(n - df as double) + 0.5) / (cast(df as double) + 0.5) + 1.0)
+               * (cast(tf as double) * 2.2)
+               / (cast(tf as double)
+                  + 1.2 * (0.25 + 0.75 * (cast(dl.dl as double) / avgdl)))
+                   as s
+        from tf
+        join dl on tf.doc_id = dl.doc_id
+        join dfreq on tf.term = dfreq.term
+        cross join stats
+    )
+    select doc_id,
+           round(cast(sum(cast(s as decimal(18,10))) as double), 6) as bm25
+    from scored group by doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 relevance scoring (Okapi, k1=1.2, b=0.75, Lucene +1 idf) for a
+    fixed query term set — the IR primitive behind corpus search and
+    quality-by-query-retrieval checks. Plan: explode -> tf restricted to
+    the query terms (a pushable IN filter, so the aggregate sees only
+    matching tokens), df per term (tiny, broadcast), corpus N/avgdl
+    attached via the 1-row scalar broadcast, per-(doc,term) score in the
+    identical IEEE sequence the oracle states, decimal-exact per-doc sum.
+    Docs containing no query term emit no row (score 0 by omission)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    q_terms = ["data", "table", "query"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    dl = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        ((F.col("n") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    score = idf * (F.col("tf").cast("double") * (k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.cast("decimal(18,10)").alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+
+
+@register(
+    "streaming_merge_upsert",
+    """
+    select user_id, ts, event_id, value from events
+    qualify row_number() over (partition by user_id
+                               order by ts desc, event_id desc) = 1
+    """,
+)
+def streaming_merge_upsert_q(spark, sf_dir):
+    """foreachBatch + MERGE: a streaming query maintains a per-user
+    latest-value serving snapshot, upserting each micro-batch
+    (streaming.streaming_merge_upsert). Latest-wins by (ts, event_id) is
+    associative across any batch split, so the final snapshot equals the
+    batch argmax the oracle states regardless of trigger chunking."""
+    from database_extractor_spark.streaming import streaming_merge_upsert as run
+
+    return run(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _zorder_key_sql(ub: str, vb: str, bits: int = 8) -> str:
+    """Bit-interleaved z-curve key over two bucketed dimensions — the SAME
+    integer expression string runs in Spark SQL and DuckDB (>> & % are
+    common syntax), so the oracle replays it verbatim."""
+    return " + ".join(
+        f"((({ub}) >> {i}) & 1) * {1 << (2 * i)}"
+        f" + ((({vb}) >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+_ZKEY = _zorder_key_sql("user_id % 256", "cast(floor(value) as bigint) % 256")
+
+
+@register(
+    "zorder_key_layout",
+    f"""
+    select event_id, cast({_ZKEY} as bigint) as zkey
+    from events where value is not null
+    """,
+)
+def zorder_key_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key: interleave the low 8 bits of two
+    bucketed dimensions (user bucket, value bucket) so that sorting by
+    zkey co-locates rows that are close in BOTH dimensions — the layout
+    trick behind multi-dimensional file pruning (Delta OPTIMIZE ZORDER):
+    range-partition + sort by zkey at write time and parquet min/max
+    stats prune on either dimension's filter. Pure integer bit ops,
+    codegen'd, no shuffle; the clustering benefit itself is pinned by
+    tests/test_round5_ops.py::test_zorder_layout_clusters_both_dims."""
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.select("event_id", F.expr(_ZKEY).cast("long").alias("zkey"))
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -4570,6 +4708,9 @@ _VERIFY_FIRST = [
     "multimodal_resize",
     "dedup_containment",
     "entropy_profile",
+    "text_bm25",
+    "streaming_merge_upsert",
+    "zorder_key_layout",
     # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",

@@ -275,3 +275,71 @@ def streaming_hopping_counts(
         .withColumnRenamed("count", "n")
     )
     return run_available_now(spark, agg, output_mode="complete")
+
+
+def streaming_merge_upsert(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: Optional[str] = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """The foreachBatch + MERGE pattern: a streaming query maintains a
+    per-user LATEST-VALUE snapshot on disk, upserting each micro-batch —
+    the standard way to keep a serving table current from a CDC feed when
+    the sink has no native MERGE.
+
+    Latest-wins is by (ts, event_id) — associative and commutative across
+    any batch split, so the final snapshot is independent of how the
+    trigger chops the input: each batch's per-user latest is unioned with
+    the current snapshot and the (ts, event_id)-max row survives. The
+    snapshot swap is write-new-then-rename (local-FS fixture); on a real
+    deployment the body of ``apply_batch`` is one Delta/Iceberg
+    ``MERGE INTO`` with the same latest-wins condition, and the
+    checkpoint makes the whole loop exactly-once.
+    """
+    import shutil
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="merge_upsert_")
+    snap = os.path.join(out_dir, "snapshot")
+
+    key = F.struct("ts", "event_id")
+    payload = F.struct("ts", "event_id", "value")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(F.max_by(payload, key).alias("s")).select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = latest_per_user(batch_df.select("user_id", "ts", "event_id", "value"))
+        if os.path.exists(snap):
+            cur = sess.read.parquet(snap)
+            merged = latest_per_user(cur.unionByName(merged))
+        tmp = f"{snap}_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        os.rename(tmp, snap)
+
+    stream = stream_source(spark, events_path).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError("streaming_merge_upsert did not finish")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(snap)

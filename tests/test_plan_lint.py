@@ -21,6 +21,7 @@ from tests.conftest import SF_DIR
 EXECUTES_ON_BUILD = {
     "streaming_event_counts",
     "streaming_hopping_counts",
+    "streaming_merge_upsert",
     "streaming_stateful_first_seen",
     "streaming_dedup",
     "streaming_incremental_sink",
@@ -50,6 +51,7 @@ SCALAR_ATTACH_OK = {
     "text_bigram_logprob",
     "share_of_total_agg",
     "equal_freq_binning",
+    "text_bm25",
 }
 
 

@@ -274,6 +274,86 @@ def test_hard_negatives_are_cross_label_and_hardest(spark):
     assert abs(best - anchor["neg_cos"]) < 1e-9
 
 
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """Writing events range-sorted by zkey must shrink the per-file spread
+    of BOTH underlying dimensions vs the unsorted layout — the property
+    that makes parquet min/max stats prune on either dimension's filter."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import _tbl, _zorder_key_sql
+
+    # dense buckets on BOTH dims at every SF (sf0.001 has only ~15 users,
+    # which degenerates the entry's user dimension — the layout property
+    # is what's pinned here, on event_id x value)
+    zkey = _zorder_key_sql("event_id % 256", "cast(floor(value) as bigint) % 256")
+    ev = (
+        _tbl(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (F.col("event_id") % 256).alias("ub"),
+            (F.floor("value").cast("long") % 256).alias("vb"),
+            F.expr(zkey).cast("long").alias("zkey"),
+        )
+    )
+    out = str(tmp_path / "zsorted")
+    ev.repartitionByRange(8, "zkey").sortWithinPartitions("zkey").write.parquet(out)
+    back = spark.read.parquet(out).withColumn(
+        "f", F.input_file_name()
+    )
+    spread = back.groupBy("f").agg(
+        (F.max("ub") - F.min("ub")).alias("ub_spread"),
+        (F.max("vb") - F.min("vb")).alias("vb_spread"),
+    ).agg(F.avg("ub_spread").alias("aub"), F.avg("vb_spread").alias("avb")).collect()[0]
+    g = ev.agg(
+        (F.max("ub") - F.min("ub")).alias("gu"), (F.max("vb") - F.min("vb")).alias("gv")
+    ).collect()[0]
+    # each file must cover well under the full range of BOTH dimensions
+    # (a 1-d sort would leave the other dimension at ~full spread)
+    assert spread["aub"] < 0.6 * g["gu"]
+    assert spread["avb"] < 0.6 * g["gv"]
+
+
+def test_merge_upsert_is_batch_split_independent(spark, tmp_path):
+    """Applying the upsert in two half-batches (either order) must produce
+    the same snapshot as one batch — latest-wins by (ts, event_id) is
+    associative/commutative, so trigger chunking can't change results."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0), 10, 1.0),
+        (1, datetime.datetime(2024, 1, 1, 0, 5), 11, 2.0),
+        (2, datetime.datetime(2024, 1, 1, 0, 3), 12, 3.0),
+        (1, datetime.datetime(2024, 1, 1, 0, 5), 9, 9.0),  # same ts, lower id
+        (2, datetime.datetime(2024, 1, 1, 0, 1), 13, 4.0),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    key = F.struct("ts", "event_id")
+    payload = F.struct("ts", "event_id", "value")
+
+    def latest(df):
+        return df.groupBy("user_id").agg(F.max_by(payload, key).alias("s")).select(
+            "user_id", "s.ts", "s.event_id", "s.value"
+        )
+
+    full = {tuple(r) for r in latest(spark.createDataFrame(rows, schema)).collect()}
+    for split in (2, 3):
+        for order in ((0, 1), (1, 0)):
+            parts = [rows[:split], rows[split:]]
+            snap = None
+            for i in order:
+                b = spark.createDataFrame(parts[i], schema)
+                snap = latest(b) if snap is None else latest(snap.unionByName(latest(b)))
+            assert {tuple(r) for r in snap.collect()} == full
+    # expected winners: user 1 -> event 11 (ts tie broken by higher id),
+    # user 2 -> event 12 (later ts)
+    winners = {r[0]: r[2] for r in full}
+    assert winners == {1: 11, 2: 12}
+
+
 def test_coverage_ledger_totals_match_registry():
     """SURVEY.md / README.md totals must equal len(QUERIES)/len(ORACLE) —
     the repo's stated invariant; it drifted in rounds 3 and 4, so pin it."""
