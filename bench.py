@@ -50,6 +50,14 @@ HEADLINE = [
 SECONDARY = [
     "dedup_clusters",
     "sim_pq_topk",
+    # round-5 additions: measured but non-headline (no baseline row yet)
+    "cdc_merge_apply",
+    "tpch_q3_shipping_priority",
+    "text_bm25",
+    "hard_negative_mining",
+    "dedup_containment",
+    "psi_drift",
+    "zorder_key_layout",
 ]
 
 
