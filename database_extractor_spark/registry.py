@@ -4658,6 +4658,42 @@ def zorder_key_layout(spark, sf_dir):
     return ev.select("event_id", F.expr(_ZKEY).cast("long").alias("zkey"))
 
 
+def _embedding_clusters_oracle() -> str:
+    """Recursive-CTE closure over the embedding_near_dup pair set (same
+    seeded plane literals) — checks the composed ANN-pairs -> connected
+    components pipeline end-to-end."""
+    pair_sql = _near_dup_oracle()
+    return f"""
+    with recursive pairs as (
+        {pair_sql}
+    ),
+    edges as (select id_a as u, id_b as v from pairs
+              union select id_b, id_a from pairs),
+    reach as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u where e.v <> r.u
+    )
+    select u as doc_id, least(u, min(v)) as cluster_id
+    from reach group by u
+    """
+
+
+@register("embedding_dedup_clusters", _embedding_clusters_oracle())
+def embedding_dedup_clusters(spark, sf_dir):
+    """SEMANTIC dedup clusters: embedding-cosine near-dup pairs (LSH
+    bucket join, seeded planes — the embedding_near_dup path) fed through
+    connected components — per-vector cluster ids for
+    keep-one-per-cluster semantic deduplication, the embedding-space
+    sibling of dedup_clusters' lexical pipeline. Components run on the
+    hybrid union-find/min-label fixpoint (dedup.connected_components);
+    the oracle replays pairs + recursive-CTE closure end-to-end."""
+    pairs = S.pairwise_similar_lsh(
+        _tbl(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
+    )
+    return D.connected_components(pairs.select("id_a", "id_b"))
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -4711,6 +4747,7 @@ _VERIFY_FIRST = [
     "text_bm25",
     "streaming_merge_upsert",
     "zorder_key_layout",
+    "embedding_dedup_clusters",
     # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",
