@@ -4698,6 +4698,103 @@ def embedding_dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs.select("id_a", "id_b"))
 
 
+def _pagerank_oracle(iters: int = 10) -> str:
+    """DuckDB oracle for pagerank_event_graph: the power iteration is
+    UNROLLED into chained CTEs (pr0..prN) — no recursive aggregation
+    (disallowed in a recursive term) and bit-identical to the Spark
+    driver loop: per-term double product, DECIMAL-exact sum, then the
+    damping update in double."""
+    ctes = [
+        """seq as (
+        select user_id, event_type,
+               lag(event_type) over (partition by user_id
+                                     order by ts, event_id) as src
+        from events
+    ),
+    e0 as (
+        select src, event_type as dst, count(*) as c
+        from seq where src is not null group by 1, 2
+    ),
+    tot as (select src, sum(c) as t from e0 group by 1),
+    edges as (
+        select e0.src, e0.dst, cast(c as double) / cast(t as double) as w
+        from e0 join tot on e0.src = tot.src
+    ),
+    pr0 as (
+        select event_type as node, 0.2 as rank
+        from (select distinct event_type from events)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} as (
+        select e.dst as node,
+               0.03 + 0.85 * cast(sum(cast(p.rank * e.w as decimal(28,20)))
+                                  as double) as rank
+        from pr{i - 1} p join edges e on p.node = e.src
+        group by e.dst
+    )"""
+        )
+    return (
+        "\n    with " + ",\n    ".join(ctes)
+        + f"\n    select node as event_type, round(rank, 6) as pagerank from pr{iters}"
+    )
+
+
+@register("pagerank_event_graph", _pagerank_oracle())
+def pagerank_event_graph(spark, sf_dir):
+    """PageRank power iteration (damping 0.85, 10 rounds) over the
+    event-type transition graph (edges = consecutive event pairs per
+    user, weights = transition probabilities) — the engine's template for
+    ITERATIVE algorithms beyond connected components: a driver loop of
+    join + aggregate per round, localCheckpoint truncating lineage each
+    iteration (the same shape at graph scale: shuffle on node id per
+    round, O(iters) rounds). Fully oracled: the oracle unrolls the same
+    10 iterations as chained CTEs; per-term products stay double (IEEE
+    identical), the per-node sum goes through DECIMAL (order-independent),
+    the damping update is the same double expression."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    e0 = seq.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    tot = e0.groupBy("src").agg(F.sum("c").alias("t"))
+    edges = (
+        e0.join(tot, "src")
+        .select(
+            "src", "dst",
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(0.2))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(10):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") * F.col("w")).cast("decimal(28,20)").alias("term"),
+            )
+            .groupBy("dst")
+            .agg(
+                (F.lit(0.03) + F.lit(0.85) * F.sum("term").cast("double")).alias(
+                    "rank"
+                )
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -4752,6 +4849,7 @@ _VERIFY_FIRST = [
     "streaming_merge_upsert",
     "zorder_key_layout",
     "embedding_dedup_clusters",
+    "pagerank_event_graph",
     # ---- round-4 front: entries whose first driver row was round 4
     # (cheap scalar/agg/window entries first in case the cap is time-based)
     "filtered_agg",

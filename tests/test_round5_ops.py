@@ -354,6 +354,20 @@ def test_merge_upsert_is_batch_split_independent(spark, tmp_path):
     assert winners == {1: 11, 2: 12}
 
 
+def test_pagerank_ranks_conserve_mass(spark):
+    """On a graph where every node has out-edges, total PageRank mass is
+    conserved at 1.0 each iteration (5 * 0.03 + 0.85 * 1); also the
+    distribution is a proper ranking (all positive, not uniform unless
+    the transition matrix is doubly stochastic)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["pagerank_event_graph"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
 def test_coverage_ledger_totals_match_registry():
     """SURVEY.md / README.md totals must equal len(QUERIES)/len(ORACLE) —
     the repo's stated invariant; it drifted in rounds 3 and 4, so pin it."""
