@@ -308,29 +308,35 @@ def hard_negatives_lsh(
     Scale: shuffle on bucket id; at corpus scale pre-partition/bucket the
     table by the LSH bucket and the join is co-located.
     """
+    # per-row norm ONCE before the self-join: cosine inside the join would
+    # re-aggregate both self-dots per PAIR (3x64 ops/pair); hoisting them
+    # leaves one dot per pair — bit-identical values (same expressions on
+    # the same inputs, just computed pre-join), ~3x less pair work
     b = with_lsh_bucket(
         df.select(id_col, vec_col, label_col), dim, vec_col, n_planes, seed
-    )
+    ).withColumn("__nrm", l2_norm(F.col(vec_col)))
     a = b.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("__av"),
         F.col(label_col).alias("__al"),
+        F.col("__nrm").alias("__an"),
         "bucket",
     )
     c = b.select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).alias("__nv"),
         F.col(label_col).alias("__nl"),
+        F.col("__nrm").alias("__cn"),
         "bucket",
+    )
+    denom = F.col("__an") * F.col("__cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__av"), F.col("__nv")) / denom
     )
     scored = (
         a.join(c, on="bucket")
         .filter(F.col("__al") != F.col("__nl"))
-        .select(
-            "anchor_id",
-            "neg_id",
-            F.round(cosine(F.col("__av"), F.col("__nv")), 6).alias("cos"),
-        )
+        .select("anchor_id", "neg_id", F.round(cos, 6).alias("cos"))
     )
     key = F.struct(F.col("cos"), (-F.col("neg_id")).alias("neg"))
     return scored.groupBy("anchor_id").agg(
