@@ -366,14 +366,26 @@ def integral(
     — Flux ``integral(interpolate: "linear")``. One keyed window computes
     each consecutive-pair trapezoid; a keyed aggregation sums them with
     the DECIMAL trick (order-independent, engine-exact). Emits one row per
-    series key."""
+    series key.
+
+    Cross-engine determinism (the round-5 red): quantizing each trapezoid
+    with a double->decimal CAST is rounding-tie-unstable — Spark rounds
+    the double's shortest string repr (HALF_UP) while DuckDB rounds the
+    exact binary value, and over ~50k terms a few boundary-straddling
+    terms flip the last decimal. The tie-proof restatement quantizes with
+    ``floor((v1+v2) * dt_us)`` instead: add, int->double cast, multiply
+    and floor are all exactly-specified IEEE-754 ops that every engine
+    computes bit-identically, the floored terms sum exactly as integers,
+    and the single final division by 2e6 is one more deterministic op.
+    Quantum = 0.5 value·µs = 5e-7 value·s per term — far finer than the
+    decimal(18,4) it replaces, with zero tie surface."""
     w = _ordered_window(key_cols, ts_col, tiebreak_col)
     us = _epoch_us(ts_col)
-    dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
-    trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
-    terms = df.withColumn("__trap", trap.cast("decimal(18,4)"))
+    dt_us = (us - F.lag(us).over(w)).cast("double")
+    term = F.floor((F.col(value_col) + F.lag(value_col).over(w)) * dt_us)
+    terms = df.withColumn("__term", term)
     return terms.groupBy(*key_cols).agg(
-        F.sum("__trap").cast("double").alias(out_col)
+        (F.sum("__term") / F.lit(2000000.0)).alias(out_col)
     )
 
 
@@ -388,16 +400,22 @@ def time_weighted_avg(
     """Per-series time-weighted average: trapezoidal integral divided by
     the series' observed time span — the unbiased mean for irregularly
     sampled series (a plain AVG over-weights densely sampled stretches).
+
+    Shares :func:`integral`'s tie-proof integer-domain trapezoid terms
+    (floor of IEEE products, exact integer sum, one final division) —
+    the decimal(18,4) cast it previously shared with ``integral`` had
+    the identical cross-engine rounding tie, masked only by the ÷span
+    division shrinking the discrepancy below hash resolution.
     """
     w = _ordered_window(key_cols, ts_col, tiebreak_col)
     us = _epoch_us(ts_col)
-    dt_s = (us - F.lag(us).over(w)) / F.lit(1000000.0)
-    trap = ((F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)) * dt_s
-    terms = df.withColumn("__trap", trap.cast("decimal(18,4)")).withColumn("__us", us)
+    dt_us = (us - F.lag(us).over(w)).cast("double")
+    term = F.floor((F.col(value_col) + F.lag(value_col).over(w)) * dt_us)
+    terms = df.withColumn("__term", term).withColumn("__us", us)
     return (
         terms.groupBy(*key_cols)
         .agg(
-            F.sum("__trap").cast("double").alias("__integral"),
+            (F.sum("__term") / F.lit(2000000.0)).alias("__integral"),
             F.min("__us").alias("__mn"),
             F.max("__us").alias("__mx"),
         )

@@ -3610,19 +3610,22 @@ def ts_increase(spark, sf_dir):
     """
     with d as (
         select event_type,
-               (value + lag(value) over w) / 2.0 *
-               ((epoch_us(ts) - lag(epoch_us(ts)) over w) / 1000000.0) as trap
+               cast(floor((value + lag(value) over w) *
+                          cast(epoch_us(ts) - lag(epoch_us(ts)) over w
+                               as double)) as bigint) as term
         from events
         window w as (partition by event_type order by ts, event_id)
     )
-    select event_type, cast(sum(cast(trap as decimal(18,4))) as double) as integral
+    select event_type, cast(sum(term) as double) / 2000000.0 as integral
     from d group by event_type
     """,
 )
 def ts_integral(spark, sf_dir):
     """Flux ``integral(interpolate: "linear")``: trapezoidal integral of
     value·seconds per series — one keyed window for the trapezoids, one
-    decimal-exact keyed sum."""
+    integer-exact keyed sum. Terms are floor-quantized doubles (pure
+    IEEE ops, bit-identical across engines) — the r05 decimal(18,4)
+    cast was rounding-tie-unstable between Spark and DuckDB."""
     from database_extractor_spark.operators.timeseries import integral
 
     ev = _tbl(spark, sf_dir, "events")
@@ -3634,14 +3637,15 @@ def ts_integral(spark, sf_dir):
     """
     with d as (
         select event_type, epoch_us(ts) as us,
-               cast((value + lag(value) over w) / 2.0 *
-                    ((epoch_us(ts) - lag(epoch_us(ts)) over w) / 1000000.0)
-                    as decimal(18,4)) as trap
+               cast(floor((value + lag(value) over w) *
+                          cast(epoch_us(ts) - lag(epoch_us(ts)) over w
+                               as double)) as bigint) as term
         from events
         window w as (partition by event_type order by ts, event_id)
     )
     select event_type,
-           cast(sum(trap) as double) / ((max(us) - min(us)) / 1000000.0) as twa
+           (cast(sum(term) as double) / 2000000.0)
+               / ((max(us) - min(us)) / 1000000.0) as twa
     from d group by event_type
     having max(us) > min(us)
     """,
