@@ -75,7 +75,13 @@ def asof_join(
     )
     filled = unioned.withColumn(out_col, F.last("__qv", ignorenulls=True).over(w))
     if tolerance is not None:
-        qts = F.when(F.col("__src") == 0, F.col("__ts"))
+        # Guard the staleness clock exactly like the value: a NULL-valued
+        # quote is skipped by last(__qv, ignorenulls) but would otherwise
+        # refresh __qts, letting an older quote's value dodge the
+        # tolerance check (pandas merge_asof drops null quotes entirely).
+        qts = F.when(
+            (F.col("__src") == 0) & F.col("__qv").isNotNull(), F.col("__ts")
+        )
         filled = filled.withColumn("__qts", F.last(qts, ignorenulls=True).over(w))
         fresh = F.col("__ts") <= F.col("__qts") + F.expr(f"interval {tolerance}")
         filled = filled.withColumn(

@@ -1409,9 +1409,11 @@ def streaming_event_counts(spark, sf_dir):
         select user_id, ts, event_id from events where event_type = 'click'
     ),
     quotes as (
-        select user_id, date_trunc('second', ts) as qts, arg_max(value, ts) as qv
-        from events where event_type = 'purchase'
-        group by 1, 2
+        select user_id, date_trunc('second', ts) as qts, value as qv
+        from events where event_type = 'purchase' and value is not null
+        qualify row_number() over (
+            partition by user_id, date_trunc('second', ts)
+            order by ts desc, event_id desc) = 1
     )
     select p.event_id, p.user_id, q.qv as last_purchase
     from probes p asof left join quotes q
@@ -1427,7 +1429,8 @@ def asof_join_q(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     probes = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
     quotes = C.downsample_last(
-        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value"
+        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value",
+        tiebreak_cols=["event_id"],
     ).withColumnRenamed("ts", "qts").withColumnRenamed("value", "qv")
     out = asof_join(
         probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
@@ -4301,9 +4304,11 @@ def hard_negative_mining(spark, sf_dir):
         select user_id, ts, event_id from events where event_type = 'click'
     ),
     quotes as (
-        select user_id, date_trunc('second', ts) as qts, arg_max(value, ts) as qv
-        from events where event_type = 'purchase'
-        group by 1, 2
+        select user_id, date_trunc('second', ts) as qts, value as qv
+        from events where event_type = 'purchase' and value is not null
+        qualify row_number() over (
+            partition by user_id, date_trunc('second', ts)
+            order by ts desc, event_id desc) = 1
     )
     select p.event_id, p.user_id,
            case when p.ts <= q.qts + interval 30 minute then q.qv
@@ -4323,7 +4328,8 @@ def asof_join_tolerance(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     probes = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
     quotes = C.downsample_last(
-        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value"
+        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value",
+        tiebreak_cols=["event_id"],
     ).withColumnRenamed("ts", "qts").withColumnRenamed("value", "qv")
     out = asof_join(
         probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
@@ -4380,7 +4386,11 @@ def text_pii_scrub(spark, sf_dir):
         F.regexp_replace(
             F.regexp_replace(F.col("text"), email, "[EMAIL]"), phone, "[PHONE]"
         ).alias("scrubbed"),
-        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias("n_emails"),
+        # Python API, not F.expr: SQL string-literal unescaping would strip
+        # the backslash from '\.' and silently laxen the pattern (ADVICE r5).
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))
+        ).alias("n_emails"),
     )
 
 

@@ -292,7 +292,9 @@ def streaming_merge_upsert(
     any batch split, so the final snapshot is independent of how the
     trigger chops the input: each batch's per-user latest is unioned with
     the current snapshot and the (ts, event_id)-max row survives. The
-    snapshot swap is write-new-then-rename (local-FS fixture); on a real
+    snapshot swap is write-new / park-old / promote / delete-old with
+    startup recovery from a parked copy, so no single crash point loses
+    the only snapshot (local-FS fixture); on a real
     deployment the body of ``apply_batch`` is one Delta/Iceberg
     ``MERGE INTO`` with the same latest-wins condition, and the
     checkpoint makes the whole loop exactly-once.
@@ -316,15 +318,29 @@ def streaming_merge_upsert(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # Startup recovery: a crash mid-swap leaves the snapshot parked
+        # at snap_old (renamed aside, tmp never promoted) — restore it.
+        old = f"{snap}_old"
+        if not os.path.exists(snap) and os.path.exists(old):
+            os.rename(old, snap)
         merged = latest_per_user(batch_df.select("user_id", "ts", "event_id", "value"))
         if os.path.exists(snap):
             cur = sess.read.parquet(snap)
             merged = latest_per_user(cur.unionByName(merged))
         tmp = f"{snap}_b{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # Crash-safe swap (ADVICE r5): rename the live snapshot ASIDE
+        # before promoting tmp, and delete the old copy only once tmp is
+        # in place — rmtree-then-rename loses the snapshot permanently if
+        # the process dies between the two (the batch is already
+        # committed to the checkpoint and will not replay).
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(snap):
-            shutil.rmtree(snap)
+            os.rename(snap, old)
         os.rename(tmp, snap)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     stream = stream_source(spark, events_path).select(
         "user_id", "ts", "event_id", "value"
