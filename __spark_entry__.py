@@ -39,11 +39,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    The 6 entries absent here (dedup_minhash_lsh, dedup_simhash,
-    sim_ann_lsh, sim_ivf_kmeans, sim_pq_topk — engine-specific hash
-    functions or trained model state — plus approx_distinct's HLL
-    sketch) get the driver's weaker rows-only check and are pinned by
-    local tests against exact baselines instead."""
+    The 4 entries absent here (dedup_minhash_lsh, dedup_simhash —
+    xxhash64 has no DuckDB twin — and sim_ivf_kmeans, sim_pq_topk —
+    trained model state) get the driver's weaker rows-only check and are
+    pinned by local tests against exact baselines instead. sim_ann_lsh
+    and approx_distinct graduated to full oracles (seeded-plane literals
+    / exact-regime HLL)."""
     from database_extractor_spark.registry import ORACLE
 
     return dict(ORACLE)

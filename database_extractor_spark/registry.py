@@ -1244,10 +1244,46 @@ def sim_pq_topk(spark, sf_dir):
     return S.pq_topk(encoded, codebooks, q, k=10, exclude_ids=[0], rerank=100)
 
 
-@register("sim_ann_lsh")  # bucket ids are hash-seeded -> rows-only check
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB oracle for sim_ann_lsh (VERDICT r5 item 4): the hyperplanes
+    are seeded driver constants (S.hyperplanes), so the same +/-1 plane
+    literals bake into the SQL — the embedding_near_dup /
+    hard_negative_mining trick. The query's own bucket is computed in-SQL
+    from the vec_id=0 row (the query vector is dataset-relative), and the
+    multiprobe set {exact, 1-bit, 2-bit flips} is exactly Hamming<=2 on
+    the packed bucket id: bit_count(xor(bucket, qb)) <= 2."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (case when list_dot_product(embedding::DOUBLE[], {lit(p)})"
+        " >= 0 then 1 else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    with b as (
+        select vec_id, embedding, {bucket} as bucket
+        from embeddings
+    ),
+    q as (select embedding as qv, bucket as qb from b where vec_id = 0)
+    select b.vec_id,
+           round(list_dot_product(b.embedding::DOUBLE[], q.qv::DOUBLE[])
+                 / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+    from b, q
+    where b.vec_id <> 0 and bit_count(xor(b.bucket, q.qb)) <= 2
+    order by cos desc, vec_id limit 10
+    """
+
+
+@register("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-10 via random-hyperplane LSH + multiprobe. Recall
-    vs the exact baseline is pinned in tests/test_llm_ops.py."""
+    vs the exact baseline is pinned in tests/test_llm_ops.py. Fully
+    oracled: seeded planes are driver constants, so buckets and the
+    Hamming<=2 probe set are deterministic, not engine-hash state."""
     e = _tbl(spark, sf_dir, "embeddings")
     q, _ = _fixture_query_vec(sf_dir)
     return S.ann_topk_lsh(e, q, k=10, n_planes=6, multiprobe_hamming=2, exclude_ids=[0])
@@ -4821,133 +4857,73 @@ def pagerank_event_graph(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-5 front: the 12 entries committed in the round-4 snapshot
-    # (e6a8284) that have never had a driver CORRECTNESS row
-    "ts_derivative",
-    "ts_difference",
-    "ts_increase",
-    "ts_integral",
-    "ts_rate_per_window",
-    "time_weighted_avg",
-    "gap_fill_linear",          # fixed round 5 (time_range_filter -> time_range)
-    "cumulative_distinct_users",  # fixed round 5 (true cross-year running count)
-    "weighted_sample_wor",
-    "embedding_quantize_int8",
-    "rolling_median",
-    "streaming_session_windows",
-    # ---- the rows-only entries (no DuckDB oracle by design): rotate so
-    # their executed-row counts refresh (last rows r03, err: no_oracle).
-    # approx_distinct converted to a FULL oracle in round 5 (exact-regime
-    # HLL); it rides along here for its first hash-checked row.
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ivf_kmeans",
-    "sim_ann_lsh",
-    "sim_pq_topk",
-    "approx_distinct",
-    # ---- new in round 5 (all oracled): need their first driver row
-    "cdc_merge_apply",
-    "tpch_q3_shipping_priority",
-    "mode_agg",
-    "equal_freq_binning",
-    "psi_drift",
-    "streaming_hopping_counts",
-    "hard_negative_mining",
-    "asof_join_tolerance",
-    "text_pii_scrub",
-    "robust_stats_mad",
-    "multimodal_resize",
-    "dedup_containment",
-    "entropy_profile",
-    "text_bm25",
-    "streaming_merge_upsert",
-    "zorder_key_layout",
-    "embedding_dedup_clusters",
-    "pagerank_event_graph",
-    # ---- round-4 front: entries whose first driver row was round 4
-    # (cheap scalar/agg/window entries first in case the cap is time-based)
-    "filtered_agg",
-    "window_frames",
-    "window_time_range_frame",
-    "posexplode_tokens",
-    "null_safe_join",
-    "salted_agg",
-    "salted_join_agg",
-    "cap_per_group",
-    "time_hierarchy_rollup",
-    "approx_percentile_sketch",
-    "profile_columns",
-    "data_quality_checks",
-    "pack_sequences",
-    "mixture_weighted_sample",
-    "range_join_counts",
-    "federated_join",
-    "maintenance_compact",
-    "bucketed_join_colocated",
-    "upsert_day_overwrite",
-    "schema_evolution_merge",
-    "python_datasource_scan",
-    "streaming_dedup",
-    "streaming_incremental_sink",
-    # ---- entries changed in round 4: need a FRESH row (r03 rows are stale)
-    "scalar_subquery",         # de-vacuated: threshold 1.5x so rows > 0
-    "embedding_near_dup",      # gained a DuckDB oracle (plane literals)
-    # ---- new in round 4 (all oracled): need their first driver row
-    "join_full_outer",
-    "vocab_build",
-    "token_count_bpe",
-    "text_bigram_logprob",
-    "embedding_centroids",
-    "scd2_user_history",
-    "text_edit_distance_pairs",
-    "text_source_roundtrip",
-    "funnel_conversion",
-    "cohort_retention",
-    "split_train_val_test",
-    "share_of_total_agg",
-    "pandas_ema",              # gained a recursive-CTE oracle (round 4)
-    # ---- prior-round-green entries re-checked if the window allows
-    "map_funcs",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_chunking",
-    "text_repetition",
-    "text_tfidf",
-    "text_unigram_logprob",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_audio_decode",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_incremental",
-    "decontaminate_ngram_overlap",
-    "sim_bruteforce_topk",
-    "sim_partitioned_topk",
-    "not_exists_subquery",
-    "deterministic_sample",
-    "stratified_sample",
-    "sql_windowed_cte",
-    "o14_pickle_sink_roundtrip",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    "jdbc_source_roundtrip",
-    "asof_join",
-    "ffill_resample",
-    "grouping_sets",
-    "histogram_fixed_bins",
-    "sliding_window_counts",
-    "session_windows",
-    "streaming_event_counts",
-    "streaming_stateful_first_seen",
-    "streaming_join_static",
-    "streaming_stream_stream_join",
-    "stat_funcs",
-    "regex_funcs",
+    # ---- round-6 front: entries FIXED or CHANGED this round — each needs
+    # a fresh driver row (ts_integral was the r05 red; the others carry
+    # behavior changes from ADVICE r5 / VERDICT item 4)
+    "ts_integral",              # fixed: tie-proof integer-domain trapezoids
+    "time_weighted_avg",        # hardened the same way
+    "sim_ann_lsh",              # graduated rows-only -> seeded-plane oracle
+    "asof_join",                # event_id tiebreak on per-bin take-last
+    "asof_join_tolerance",      # + NULL-quote staleness-clock guard
+    "text_pii_scrub",           # n_emails regex un-laxened (Python API)
+    "streaming_merge_upsert",   # crash-safe snapshot swap
+    # ---- new in round 6 (all oracled): first driver row
+    # (inserted here as they land)
+    # ---- the r02 cohort: all 50 entries below carry green rows that
+    # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
+    # timestamp-touching entries first (highest re-encode risk), pure
+    # relational/scalar entries last (they roll to r07 if the 50-cap
+    # cuts the tail; they never touch the re-encoded column)
+    "flagship_day_extract",
+    "o02_time_range_filter",
+    "o03_time_shift_hours",
+    "o03b_time_shift_zone",
+    "o05_pivot_minute",
+    "o08_downsample_1s_last",
+    "o08b_downsample_avg_minute",
+    "o15_time_endpoints",
+    "o16_deltatime_algebra",
+    "o17_shift_string_time",
+    "o18_tz_offset_dst",
+    "o19_day_partition_counts",
+    "o20_datetime_list",
+    "datetime_funcs",
+    "o04_row_predicate",
+    "o07_multi_sort",
+    "o09_drop_columns",
+    "o11_drop_allnull_rows",
+    "o12_guard_min_rows",
+    "o13_sink_roundtrip",
+    "o21_config_roundtrip",
+    "o01_scan_project",
+    "window_rank",
+    "window_lag",
+    "window_running_sum",
+    "window_analytics",
+    "topk_per_group",
+    "topk_global",
+    "distinct_pairs",
+    "dropdup_keep_first",
+    "agg_collect",
+    "unpivot_counts",
+    "percentile_agg",
+    "agg_suite",
+    "agg_rollup",
+    "agg_cube",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_agg",
+    "join_star_5way",
+    "array_funcs",
+    "json_funcs",
+    "string_funcs",
+    "math_funcs",
+    "conditional_funcs",
+    "set_union",
+    "set_intersect",
+    "set_except",
 ]
 
 
