@@ -4678,6 +4678,34 @@ def streaming_merge_upsert_q(spark, sf_dir):
     return run(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@register(
+    "streaming_python_datasource",
+    """
+    select 'sensor_' || cast(i % 7 as varchar) as sensor,
+           count(*) as n,
+           cast(sum(i) as bigint) as sum_id,
+           cast(sum(cast(floor((i * 37 % 1000) / 10.0 * 10) as bigint)) as bigint)
+               as sum_v10,
+           max((i * 37 % 1000) / 10.0) as max_value
+    from range(0, 2000) t(i)
+    group by 1
+    """,
+)
+def streaming_python_datasource(spark, sf_dir):
+    """The custom Python DataSource's STREAMING face (VERDICT r5 item 8):
+    readStream through SimpleDataSourceStreamReader (sources/custom.py),
+    micro-batched by row-index offsets (7 batches of <=300 at the fixture
+    size), complete-mode per-sensor aggregate, drained until the source
+    offset stops advancing — the reference's cron-live loop (main.py:
+    38-41) through the Spark 4 DataSource seam. The rows are a pure
+    index formula, so DuckDB replays them exactly; the value sum is
+    floor-quantized to integers (the ts_integral trick) so hashes match
+    bit-for-bit across engines AND across any micro-batch chunking."""
+    from database_extractor_spark.streaming import streaming_python_datasource as run
+
+    return run(spark, rows=2000, batch_rows=300)
+
+
 def _zorder_key_sql(ub: str, vb: str, bits: int = 8) -> str:
     """Bit-interleaved z-curve key over two bucketed dimensions — the SAME
     integer expression string runs in Spark SQL and DuckDB (>> & % are
@@ -4868,7 +4896,7 @@ _VERIFY_FIRST = [
     "text_pii_scrub",           # n_emails regex un-laxened (Python API)
     "streaming_merge_upsert",   # crash-safe snapshot swap
     # ---- new in round 6 (all oracled): first driver row
-    # (inserted here as they land)
+    "streaming_python_datasource",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure

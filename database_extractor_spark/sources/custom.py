@@ -18,7 +18,12 @@ the custom-connector path.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -48,8 +53,43 @@ class SyntheticEventsReader(DataSourceReader):
             yield (i, f"sensor_{i % 7}", (i * 37 % 1000) / 10.0)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector — the Spark-4 seam for the
+    reference's cron-live path (reference main.py:38-41: poll the bucket,
+    process what's new, repeat). Offsets are plain row indexes, so the
+    source is replayable (``readBetweenOffsets``) and exactly-once under a
+    checkpoint; each micro-batch serves at most ``batchRows`` rows. A real
+    connector would store a server cursor/timestamp in the offset dict the
+    same way."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 250))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return self._rows(lo, hi), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["offset"]), int(end["offset"]))
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator: the wrapper wants an iterator (it next()s it)
+        # that is also picklable for the driver-side replay cache — a
+        # plain generator fails the pickle, a bare list fails the next()
+        return iter(
+            [(i, f"sensor_{i % 7}", (i * 37 % 1000) / 10.0) for i in range(lo, hi)]
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N).load()``"""
+    """``spark.read.format("synthetic_events").option("rows", N).load()``
+    (batch) or ``spark.readStream.format("synthetic_events")...`` (stream;
+    same schema, same deterministic rows, micro-batched by row index)."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +100,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

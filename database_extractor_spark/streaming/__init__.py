@@ -359,3 +359,55 @@ def streaming_merge_upsert(
         if q.isActive:
             q.stop()
     return spark.read.parquet(snap)
+
+
+def streaming_python_datasource(
+    spark: SparkSession,
+    rows: int = 2000,
+    batch_rows: int = 300,
+) -> DataFrame:
+    """Drive the custom Python DataSource's STREAMING face end-to-end:
+    readStream from the SimpleDataSourceStreamReader (sources/custom.py),
+    micro-batched by row-index offsets, complete-mode aggregate per
+    sensor, drained with ``processAllAvailable()`` — which blocks until
+    the source's offset stops advancing, i.e. the reference's cron-live
+    loop "poll, process what's new, repeat until drained" (reference
+    main.py:38-41) through the Spark 4 Python DataSource seam.
+
+    ``availableNow`` is deliberately NOT used here: with a simple stream
+    reader it snapshots only the first prefetched batch as its end
+    offset, so it would drain one micro-batch, not the source. The
+    source is finite by construction (``rows``), so the drain is bounded.
+
+    Sums are floor-quantized to integers (engine-exact, same trick as
+    ts_integral) so the DuckDB oracle can replay the formula rows and
+    match hashes bit-for-bit.
+    """
+    from database_extractor_spark.sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", rows)
+        .option("batchRows", batch_rows)
+        .load()
+    )
+    agg = stream.groupBy("sensor").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.sum(F.floor(F.col("value") * 10)).alias("sum_v10"),
+        F.max("value").alias("max_value"),
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
