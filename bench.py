@@ -58,6 +58,13 @@ SECONDARY = [
     "dedup_containment",
     "psi_drift",
     "zorder_key_layout",
+    # round-6 additions
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_customers",
+    "ts_outlier_zscore",
+    "graph_triangle_count",
+    "sentence_dedup",
 ]
 
 

@@ -4873,6 +4873,391 @@ def pagerank_event_graph(spark, sf_dir):
     )
 
 
+
+# ==========================================================================
+# Round 6: TPC-H canon (Q1/Q5/Q18), rank windows, rolling outliers,
+# co-occurrence triangles, boilerplate sentence dedup
+# ==========================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,4))) as double)
+               as sum_base_price,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                         as bigint)) as double) / 10000.0 as sum_disc_price,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 10000.0) as bigint)) as double) / 10000.0
+               as sum_charge,
+           cast(sum(cast(l_quantity as decimal(18,4))) as double) / count(*)
+               as avg_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,4))) as double) / count(*)
+               as avg_price,
+           cast(sum(cast(l_discount as decimal(18,4))) as double) / count(*)
+               as avg_disc,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '2000-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report): the canonical scan-heavy
+    single-pass aggregate — one shuffle on a 6-ish-key group, partial
+    aggregation collapses everything map-side, the shipdate filter and
+    7-column projection push to the parquet scan. Raw-column sums use the
+    audited-safe per-addend DECIMAL cast; the derived products
+    (disc_price, charge) use floor-quantized integer terms — products are
+    exactly the structured-value shape that hit the ts_integral
+    cross-engine rounding tie (see tests/test_round6_ops.py audit)."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+
+    def dec_sum(c):
+        return F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        (F.sum(F.floor(disc * F.lit(10000.0))) / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
+        (F.sum(F.floor(charge * F.lit(10000.0))) / F.lit(10000.0)).alias(
+            "sum_charge"
+        ),
+        (dec_sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (dec_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        (dec_sum("l_discount") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    select n_name,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                         as bigint)) as double) / 10000.0 as revenue
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1998-01-01'
+    group by n_name
+    order by revenue desc, n_name
+    """,
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table join where customer and
+    supplier must share a nation — the classic join-ordering stress.
+    Spark-first shape: region->nation prunes to the ASIA nation keys and
+    BROADCASTs into supplier (tiny dims never shuffle the fact side);
+    the lineitem-orders-customer chain shuffles on its natural keys with
+    the date filter pushed into the orders scan; the c_nationkey =
+    s_nationkey equality rides the supplier join as a second key, not a
+    post-filter. Revenue uses tie-proof floor-quantized terms."""
+    asia_nations = (
+        _tbl(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = _tbl(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _tbl(spark, sf_dir, "customer")
+    li = _tbl(spark, sf_dir, "lineitem")
+    rev_term = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(10000.0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_term) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q18_large_customers",
+    """
+    select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           cast(sum(cast(l_quantity as decimal(18,4))) as double) as total_qty
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on o_orderkey = l_orderkey
+    where o_orderkey in (
+        select l_orderkey from lineitem
+        group by l_orderkey having sum(l_quantity) > 300
+    )
+    group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    order by o_totalprice desc, o_orderkey
+    limit 100
+    """,
+)
+def tpch_q18_large_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): aggregate subquery feeding a
+    semi join — find orders whose total quantity exceeds 300 and attach
+    their customers. Spark-first: the qualifying-order list is its own
+    keyed aggregate (sum of integer-valued doubles — exact below 2^53,
+    engine-independent) LEFT SEMI joined into lineitem before the wide
+    joins, so the expensive customer join only sees qualifying rows; the
+    top-100 is TakeOrderedAndProject."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    li_q = li.join(qualifying, "l_orderkey", "left_semi")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    return (
+        li_q.join(orders, li_q.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "window_ntile_percentiles",
+    """
+    select event_id, event_type,
+           ntile(4) over w as quartile,
+           percent_rank() over w as pct_rank,
+           cume_dist() over w as cum_dist
+    from events
+    window w as (partition by event_type order by value, event_id)
+    """,
+)
+def window_ntile_percentiles(spark, sf_dir):
+    """Rank-family windows the suite lacked: ntile quartiles,
+    percent_rank, cume_dist per series. All three are pure rank
+    arithmetic over a deterministic (value, event_id) order, so the
+    doubles are (rank-1)/(n-1)-style integer ratios — identical on any
+    engine, no rounding needed. One shuffle on the partition key."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
+    "ts_outlier_zscore",
+    """
+    with q as (
+        select event_id, event_type, ts, value,
+               cast(floor(value * 1000000.0) as bigint) as qv
+        from events
+    ),
+    s as (
+        select event_id, event_type, ts, value, qv,
+               cast(sum(qv) over w as double) as s1,
+               cast(sum(qv * qv) over w as double) as s2,
+               cast(count(*) over w as double) as n
+        from q
+        window w as (partition by event_type order by ts, event_id
+                     rows between 49 preceding and current row)
+    )
+    select event_id, event_type, ts, value,
+           (qv - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) as z
+    from s
+    where n >= 20 and (s2 - s1 * s1 / n) > 0
+      and abs((qv - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+    """,
+)
+def ts_outlier_zscore(spark, sf_dir):
+    """Rolling z-score outlier detection (|z| > 3 against the trailing
+    50-point window, minimum 20 points) — the streaming-friendly anomaly
+    gate for sensor feeds. Engine-exact by construction: values quantize
+    to integer micro-units (floor of an IEEE product), the rolling sum
+    and sum-of-squares are exact integer window sums, and the z
+    expression is the same IEEE double sequence on both engines — so
+    even the |z| > 3 boundary cuts identically. One keyed window pass,
+    no joins."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    q = ev.withColumn("qv", F.floor(F.col("value") * F.lit(1000000.0)))
+    s = (
+        q.withColumn("s1", F.sum("qv").over(w).cast("double"))
+        .withColumn("s2", F.sum(F.col("qv") * F.col("qv")).over(w).cast("double"))
+        .withColumn("n", F.count("*").over(w).cast("double"))
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    z = (F.col("qv") - F.col("s1") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - F.lit(1))
+    )
+    return (
+        s.filter((F.col("n") >= 20) & (var_num > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "ts", "value", "z")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    with pairs as (
+        select distinct a.l_partkey as pa, b.l_partkey as pb
+        from lineitem a
+        join lineitem b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+    )
+    select count(*) as n_triangles
+    from pairs e1
+    join pairs e2 on e1.pb = e2.pa
+    join pairs e3 on e3.pa = e1.pa and e3.pb = e2.pb
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-occurrence graph (edges =
+    part pairs appearing in the same order; market-basket cohesion).
+    The standard distributed formulation: edges oriented by key order
+    (pa < pb) so each triangle counts exactly once via the
+    e1(a,b)-e2(b,c)-e3(a,c) equi-join chain — all shuffle joins on part
+    keys, never cartesian. Scale posture: per-order pair fan-out is
+    C(lines_per_order, 2) (bounded, ~21 for TPC-H-ish data); for skewed
+    degree distributions orient edges low-degree -> high-degree instead
+    of by key so the e2 probe side stays bounded."""
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "sentence_dedup",
+    r"""
+    with aug as (
+        select doc_id,
+               lower(text) || '. subscribe to ' || source ||
+               ' newsletter today. thanks for reading ' || source ||
+               ' daily digest.' as text
+        from documents
+    ),
+    s as (
+        select doc_id, trim(x.s) as sent
+        from aug, unnest(string_split_regex(text, '[.!?]\s+')) x(s)
+        where length(trim(x.s)) >= 20
+    ),
+    d as (select distinct doc_id, sent from s),
+    cnt as (select sent, count(*) as nd from d group by 1)
+    select s.doc_id,
+           count(*) as n_sentences,
+           cast(sum(case when cnt.nd >= 5 then 1 else 0 end) as bigint)
+               as n_boilerplate
+    from s join cnt on s.sent = cnt.sent
+    group by s.doc_id
+    """,
+)
+def sentence_dedup(spark, sf_dir):
+    """Boilerplate sentence detection — the corpus-level cleanup pass
+    that strips repeated template sentences (nav footers, subscribe
+    prompts) before training: split docs into sentences, count DISTINCT
+    documents per normalized sentence, flag sentences shared by >= 5
+    docs. The fixture text has no natural repetition, so a deterministic
+    per-source footer is appended first (the text_pii_scrub augmentation
+    trick) — each source's footer recurs across its ~25 docs and must be
+    flagged; organic sentences must not. Scale: sentences shuffle by
+    their own hash for the count (16-byte keys, not bodies); the
+    per-doc re-join is the same equi-key. Spark and DuckDB split on the
+    same RE2-compatible regex."""
+    docs = _tbl(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.col("text")),
+            F.lit(". subscribe to "),
+            F.col("source"),
+            F.lit(" newsletter today. thanks for reading "),
+            F.col("source"),
+            F.lit(" daily digest."),
+        ).alias("text"),
+    )
+    sent = (
+        aug.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]\s+")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("sent"))
+        .filter(F.length("sent") >= 20)
+    )
+    cnt = (
+        sent.select("doc_id", "sent")
+        .distinct()
+        .groupBy("sent")
+        .agg(F.count("*").alias("nd"))
+    )
+    return (
+        sent.join(cnt, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("nd") >= 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -4897,6 +5282,13 @@ _VERIFY_FIRST = [
     "streaming_merge_upsert",   # crash-safe snapshot swap
     # ---- new in round 6 (all oracled): first driver row
     "streaming_python_datasource",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_customers",
+    "window_ntile_percentiles",
+    "ts_outlier_zscore",
+    "graph_triangle_count",
+    "sentence_dedup",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure

@@ -155,3 +155,62 @@ def test_epoch_us_and_watermark_accept_ntz(spark, tmp_path):
 
     stream = stream_source(spark, path).withWatermark("ts", "1 minute")
     assert stream.isStreaming
+
+
+def test_no_decimal_midpoint_flips_in_cast_inputs():
+    """Round-6 audit, pinned: every per-addend double->decimal cast in the
+    registry is only cross-engine-safe while no input value's shortest
+    repr lands exactly on a scale+1 midpoint ('...5'), where Spark's
+    string-based HALF_UP and DuckDB's binary-value rounding diverge
+    (the r05 ts_integral red: terms like 7357.81125 whose binary value
+    sits just below the midpoint). This scans the cast inputs actually
+    used by the decimal-sum entries at the test SF; a regenerated
+    fixture that introduces midpoint values must fail here and move the
+    affected entries to floor-quantized terms (the ts_integral fix)."""
+    import decimal
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ["events", "lineitem", "orders", "customer"]:
+        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+
+    cases = {
+        "events.value @6": ("select value from events", 6),
+        "events.value @4": ("select value from events", 4),
+        "orders.o_totalprice @4": ("select o_totalprice from orders", 4),
+        "orders.o_totalprice @2": ("select o_totalprice from orders", 2),
+        "lineitem.l_extendedprice @4": ("select l_extendedprice from lineitem", 4),
+        "lineitem.l_quantity @4": ("select l_quantity from lineitem", 4),
+        "price*(1-disc) @4": (
+            "select l_extendedprice*(1-l_discount) from lineitem", 4),
+        "customer.c_acctbal @4": ("select c_acctbal from customer", 4),
+        "increase-delta @6": (
+            """select greatest(coalesce(value - lag(value) over (
+                   partition by event_type order by ts, event_id), 0), 0)
+               from events""", 6),
+    }
+    flips = {}
+    for name, (sql, scale) in cases.items():
+        quantum = decimal.Decimal(1).scaleb(-scale)
+        n = 0
+        for (v,) in con.sql(sql).fetchall():
+            if v is None:
+                continue
+            spark_side = decimal.Decimal(repr(v)).quantize(
+                quantum, rounding=decimal.ROUND_HALF_UP
+            )
+            duckdb_side = decimal.Decimal(v).quantize(
+                quantum, rounding=decimal.ROUND_HALF_UP
+            )
+            if spark_side != duckdb_side:
+                n += 1
+        if n:
+            flips[name] = n
+    assert not flips, (
+        f"decimal-cast inputs hit cross-engine rounding midpoints: {flips}; "
+        "switch the affected entries to floor-quantized integer terms "
+        "(see operators/timeseries.py integral)"
+    )
