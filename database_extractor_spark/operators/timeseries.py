@@ -32,10 +32,16 @@ def asof_join(
     value_col: str,
     out_col: Optional[str] = None,
     tolerance: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach ``value_col`` from
-    the latest right row with ``right.ts <= left.ts`` within the same
-    ``on`` key (ANSI/DuckDB `ASOF LEFT JOIN` semantics, inclusive).
+    """Backward (default) or forward as-of join: for each left row,
+    attach ``value_col`` from the latest right row with
+    ``right.ts <= left.ts`` (backward) or the EARLIEST right row with
+    ``right.ts >= left.ts`` (forward) within the same ``on`` key
+    (ANSI/DuckDB `ASOF LEFT JOIN` semantics, inclusive both ways —
+    pandas ``merge_asof(direction=...)``). Forward is the same one-pass
+    union + window plan with the sort order reversed; ``tolerance``
+    bounds how far in the future the matched quote may be.
 
     Plan: union both sides tagged probe/quote, one window
     (partition by key, order by ts with quotes before probes at equal ts,
@@ -58,6 +64,8 @@ def asof_join(
     is inclusive). Carried by the same window pass (the last quote's ts
     rides along), zero extra shuffles.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_col = out_col or value_col
     on = list(on)
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__src", F.lit(1))
@@ -68,9 +76,17 @@ def asof_join(
     for k in on:
         r_tagged = r_tagged.filter(F.col(k).isNotNull())
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # Backward: ascending scan, quotes (src=0) before probes at equal ts so
+    # a same-instant quote is visible (inclusive). Forward: the mirror —
+    # descending scan, quotes still first at equal ts.
+    order = (
+        [F.col("__ts").asc(), F.col("__src").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__src").asc()]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__src")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(out_col, F.last("__qv", ignorenulls=True).over(w))
@@ -83,7 +99,10 @@ def asof_join(
             (F.col("__src") == 0) & F.col("__qv").isNotNull(), F.col("__ts")
         )
         filled = filled.withColumn("__qts", F.last(qts, ignorenulls=True).over(w))
-        fresh = F.col("__ts") <= F.col("__qts") + F.expr(f"interval {tolerance}")
+        if direction == "backward":
+            fresh = F.col("__ts") <= F.col("__qts") + F.expr(f"interval {tolerance}")
+        else:
+            fresh = F.col("__qts") <= F.col("__ts") + F.expr(f"interval {tolerance}")
         filled = filled.withColumn(
             out_col, F.when(fresh, F.col(out_col))
         ).drop("__qts")

@@ -5258,6 +5258,196 @@ def sentence_dedup(spark, sf_dir):
     )
 
 
+
+@register(
+    "asof_join_forward",
+    """
+    with probes as (
+        select user_id, ts, event_id from events where event_type = 'click'
+    ),
+    quotes as (
+        select user_id, date_trunc('second', ts) as qts, value as qv
+        from events where event_type = 'purchase' and value is not null
+        qualify row_number() over (
+            partition by user_id, date_trunc('second', ts)
+            order by ts desc, event_id desc) = 1
+    )
+    select p.event_id, p.user_id,
+           case when q.qts <= p.ts + interval 30 minute then q.qv
+           end as next_purchase
+    from probes p asof left join quotes q
+      on p.user_id = q.user_id and p.ts <= q.qts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    click gets the user's NEXT purchase value, nulled when it is more
+    than 30 minutes in the future — lookahead labeling for conversion
+    prediction. Same single union + keyed-window pass as backward as-of
+    with the scan order reversed; oracle is DuckDB's native forward ASOF
+    (p.ts <= q.qts). Tiebreak and the NULL-quote clock guard are shared
+    with the backward path."""
+    from database_extractor_spark.operators.timeseries import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    probes = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    quotes = C.downsample_last(
+        ev.filter("event_type = 'purchase'"), "ts", ["user_id"], "value",
+        tiebreak_cols=["event_id"],
+    ).withColumnRenamed("ts", "qts").withColumnRenamed("value", "qv")
+    out = asof_join(
+        probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+        value_col="qv", out_col="next_purchase", tolerance="30 minutes",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase")
+
+
+@register(
+    "series_correlation",
+    """
+    with hc as (
+        select event_type, date_trunc('hour', ts) as hour,
+               count(*) as c
+        from events group by 1, 2
+    ),
+    j as (
+        select a.event_type as et_a, b.event_type as et_b,
+               a.c as x, b.c as y
+        from hc a join hc b
+          on a.hour = b.hour and a.event_type < b.event_type
+    ),
+    m as (
+        select et_a, et_b,
+               cast(count(*) as bigint) as n,
+               cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+               cast(sum(x * y) as bigint) as sxy,
+               cast(sum(x * x) as bigint) as sxx,
+               cast(sum(y * y) as bigint) as syy
+        from j group by 1, 2
+    )
+    select et_a, et_b, n,
+           (cast(n * sxy - sx * sy as double))
+               / (sqrt(cast(n * sxx - sx * sx as double))
+                  * sqrt(cast(n * syy - sy * sy as double))) as r
+    from m
+    where n * sxx - sx * sx > 0 and n * syy - sy * sy > 0
+    """,
+)
+def series_correlation(spark, sf_dir):
+    """Cross-series Pearson correlation: hourly activity counts per
+    event type, correlated across every series pair over their common
+    hours — the co-movement matrix behind anomaly correlation and
+    metric clustering. Engine-exact by construction: every moment (n,
+    sums, cross/square sums) is INTEGER arithmetic on counts, and the
+    final r is one shared IEEE expression — no float accumulation
+    anywhere, so no rounding tie is possible. Scale: the hourly
+    pre-aggregate shrinks the fact table first (the downsample-early
+    rule); the pair join fans out series x series per hour, quadratic
+    only in the number of SERIES, never in rows."""
+    ev = _tbl(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("c"))
+    a, b = hc.alias("a"), hc.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.hour") == F.col("b.hour"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("et_a"),
+        F.col("b.event_type").alias("et_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    m = j.groupBy("et_a", "et_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((dx > 0) & (dy > 0))
+        .withColumn(
+            "r",
+            num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        )
+        .select("et_a", "et_b", "n", "r")
+    )
+
+
+def _crosslingual_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                         threshold: float = 0.3) -> str:
+    """Bitext-mining oracle: same seeded-plane bucket join as
+    embedding_near_dup, then a documents join keyed on the shared
+    vec_id/doc_id space filters to CROSS-LANGUAGE pairs."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (case when list_dot_product(embedding::DOUBLE[], {lit(p)})"
+        " >= 0 then 1 else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    norm = (
+        "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
+    )
+    denom = f"({norm.format('a')} * {norm.format('c')})"
+    return f"""
+    with b as (
+        select vec_id, embedding, {bucket} as bucket
+        from embeddings
+    ),
+    pairs as (
+        select distinct a.vec_id as id_a, c.vec_id as id_b,
+               round(case when {denom} = 0 then 0.0
+                          else list_dot_product(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]) / {denom}
+                     end, 6) as cos
+        from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+    )
+    select id_a, id_b, da.lang as lang_a, db.lang as lang_b, cos
+    from pairs
+    join documents da on id_a = da.doc_id
+    join documents db on id_b = db.doc_id
+    where cos >= {threshold} and da.lang <> db.lang
+    """
+
+
+@register("crosslingual_pair_mining", _crosslingual_oracle())
+def crosslingual_pair_mining(spark, sf_dir):
+    """Bitext-style mining: high-cosine embedding pairs whose documents
+    are in DIFFERENT languages — the candidate generator for parallel-
+    corpus construction (translation pairs for multilingual training).
+    Candidates come from the seeded-plane LSH bucket join (never
+    all-pairs); the documents join rides the shared vec_id/doc_id key
+    with the small lang projection broadcast. Fully oracled via the
+    plane-literal replay."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = S.pairwise_similar_lsh(emb, threshold=0.3, n_planes=6)
+    da = docs.alias("da")
+    db = docs.alias("db")
+    return (
+        pairs.join(F.broadcast(da), F.col("id_a") == F.col("da.doc_id"))
+        .join(F.broadcast(db), F.col("id_b") == F.col("db.doc_id"))
+        .filter(F.col("da.lang") != F.col("db.lang"))
+        .select(
+            "id_a", "id_b",
+            F.col("da.lang").alias("lang_a"),
+            F.col("db.lang").alias("lang_b"),
+            "cos",
+        )
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -5289,6 +5479,9 @@ _VERIFY_FIRST = [
     "ts_outlier_zscore",
     "graph_triangle_count",
     "sentence_dedup",
+    "asof_join_forward",
+    "series_correlation",
+    "crosslingual_pair_mining",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure

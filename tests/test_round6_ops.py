@@ -214,3 +214,44 @@ def test_no_decimal_midpoint_flips_in_cast_inputs():
         "switch the affected entries to floor-quantized integer terms "
         "(see operators/timeseries.py integral)"
     )
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward as-of: earliest quote at-or-after the probe (inclusive),
+    tolerance bounds the lookahead, NULL-valued quotes neither fill nor
+    refresh the clock, and direction validation rejects typos."""
+    from database_extractor_spark.operators.timeseries import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    quotes = spark.createDataFrame(
+        [("u", ts(0), 1.0), ("u", ts(10), 2.0), ("u", ts(100), 9.0),
+         ("u", ts(41), None)],
+        ["user_id", "qts", "qv"],
+    )
+    probes = spark.createDataFrame(
+        [("u", ts(10)), ("u", ts(5)), ("u", ts(40)), ("u", ts(200))],
+        ["user_id", "ts"],
+    )
+    out = {
+        r.ts: r.next_q
+        for r in asof_join(
+            probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+            value_col="qv", out_col="next_q", tolerance="30 minutes",
+            direction="forward",
+        ).collect()
+    }
+    assert out[ts(10)] == 2.0      # inclusive: equal-ts quote matches
+    assert out[ts(5)] == 2.0       # next quote within 30 min
+    assert out[ts(40)] is None     # null quote at +1 min must not fill;
+                                   # real quote at +60 min is out of bound
+    assert out[ts(200)] is None    # nothing after the last probe
+
+    with pytest.raises(ValueError):
+        asof_join(
+            probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+            value_col="qv", direction="nearest",
+        )
