@@ -5448,6 +5448,120 @@ def crosslingual_pair_mining(spark, sf_dir):
     )
 
 
+
+def _pca_power_oracle(dim: int = 64, iters: int = 6) -> str:
+    """Unrolled-CTE oracle for embedding_pca_power_iteration — the
+    pagerank trick extended to linear algebra. Every order-dependent
+    float sum (the matvec s = Xw, the co-vector y = X^T s, the squared
+    norm) is floor-quantized to integer nano-units before summation, so
+    Spark's distributed aggregation and DuckDB's serial one produce the
+    SAME doubles, and the per-element divisions/sqrt are shared IEEE
+    expressions. w0 = 1/8 per coordinate (unit 64-vector)."""
+    w_prev = "w0"
+    ctes = [
+        "w0 as (select j as idx, 0.125 as wv from range({d}) t(j))".format(d=dim)
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""s{it} as (
+        select vec_id,
+               cast(sum(cast(floor(e.embedding[j.j + 1]::DOUBLE * w.wv
+                                   * 1000000000.0) as bigint)) as double)
+                   / 1000000000.0 as s
+        from embeddings e
+        cross join range({dim}) j(j)
+        join {w_prev} w on w.idx = j.j
+        group by vec_id
+    )"""
+        )
+        ctes.append(
+            f"""y{it} as (
+        select j.j as idx,
+               cast(sum(cast(floor(e.embedding[j.j + 1]::DOUBLE * s.s
+                                   * 1000000000.0) as bigint)) as double)
+                   / 1000000000.0 as y
+        from embeddings e
+        join s{it} s using (vec_id)
+        cross join range({dim}) j(j)
+        group by j.j
+    )"""
+        )
+        ctes.append(
+            f"""n{it} as (
+        select cast(sum(cast(floor(y * y * 1000000000.0) as bigint)) as double)
+                   / 1000000000.0 as n2
+        from y{it}
+    )"""
+        )
+        ctes.append(
+            f"w{it} as (select idx, y / sqrt(n2) as wv from y{it}, n{it})"
+        )
+        w_prev = f"w{it}"
+    return (
+        "with " + ",\n    ".join(ctes)
+        + f"\n    select idx as dim, wv as loading from w{iters}"
+    )
+
+
+@register("embedding_pca_power_iteration", _pca_power_oracle())
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Dominant principal direction of the embedding Gram matrix by
+    POWER ITERATION — the engine's template for iterative distributed
+    linear algebra (the pagerank loop shape applied to matvecs): each
+    round computes s = Xw (per-row quantized dot with the broadcast
+    w literals), y = X^T s (posexplode + per-coordinate integer-exact
+    sum — ONE shuffle of N x 64 narrow rows), collects the 64-value
+    model state, normalizes driver-side with the same IEEE ops, and
+    feeds w back as literals. Fully oracled: the DuckDB twin unrolls
+    the same 6 iterations as CTEs; floor-quantized nano-unit terms make
+    every cross-row sum order-independent, so the loadings match
+    bit-for-bit. Scale: per-iteration cost is one narrow shuffle;
+    at 100 TB swap posexplode for per-partition float64 accumulators
+    (mapInPandas partial sums) — the quantization contract is unchanged.
+    Like pagerank_event_graph, the entry pins the ITERATION MECHANISM
+    at a fixed round count; convergence to the true eigenvector is
+    governed by the spectral gap ((l2/l1)^k — the fixture Gram matrix
+    is nearly flat at 0.98, so production use would run Lanczos or
+    subspace iteration with deflation on the same matvec plan)."""
+    import math
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dim, iters, q = 64, 6, 1000000000.0
+    w = [0.125] * dim
+    ydf = None
+    n2 = None
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(float(v)) for v in w])
+        s_col = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    w_lit,
+                    lambda x, wv: F.floor(x.cast("double") * wv * F.lit(q)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(q)
+        )
+        sdf = emb.select("vec_id", "embedding", s_col.alias("s"))
+        exploded = sdf.select("s", F.posexplode("embedding"))
+        terms = exploded.select(
+            F.col("pos"),
+            F.floor(F.col("col").cast("double") * F.col("s") * F.lit(q)).alias("t"),
+        )
+        ydf = terms.groupBy("pos").agg(F.sum("t").alias("ts"))
+        ys = {r["pos"]: r["ts"] / q for r in ydf.collect()}
+        n2 = sum(math.floor(ys[j] * ys[j] * q) for j in range(dim)) / q
+        w = [ys[j] / math.sqrt(n2) for j in range(dim)]
+    return ydf.select(
+        F.col("pos").alias("dim"),
+        ((F.col("ts").cast("double") / F.lit(q)) / F.lit(math.sqrt(n2))).alias(
+            "loading"
+        ),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -5482,6 +5596,7 @@ _VERIFY_FIRST = [
     "asof_join_forward",
     "series_correlation",
     "crosslingual_pair_mining",
+    "embedding_pca_power_iteration",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure
