@@ -62,6 +62,7 @@ SECONDARY = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
     "tpch_q18_large_customers",
+    "tpch_q10_returned_items",
     "ts_outlier_zscore",
     "graph_triangle_count",
     "sentence_dedup",

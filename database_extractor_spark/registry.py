@@ -5627,6 +5627,56 @@ def embedding_pca_power_iteration(spark, sf_dir):
     )
 
 
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    select c_custkey, c_name,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                         as bigint)) as double) / 10000.0 as revenue,
+           c_acctbal, n_name
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join nation on c_nationkey = n_nationkey
+    where o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1996-07-01'
+      and l_returnflag = 'R'
+    group by c_custkey, c_name, c_acctbal, n_name
+    order by revenue desc, c_custkey
+    limit 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue last quarter. The fourth canonical join shape in the
+    suite: date-filtered orders and returnflag-filtered lineitem shuffle
+    on their natural keys, the customer dimension joins on custkey, and
+    the 25-row nation dim broadcasts; top-20 is TakeOrderedAndProject
+    with a c_custkey tiebreak. Revenue uses the tie-proof floor-
+    quantized terms."""
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    rev_term = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(10000.0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev_term) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -5662,6 +5712,7 @@ _VERIFY_FIRST = [
     "series_correlation",
     "crosslingual_pair_mining",
     "embedding_pca_power_iteration",
+    "tpch_q10_returned_items",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure
