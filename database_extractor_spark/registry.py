@@ -5716,8 +5716,15 @@ _VERIFY_FIRST = [
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure
-    # relational/scalar entries last (they roll to r07 if the 50-cap
-    # cuts the tail; they never touch the re-encoded column)
+    # relational/scalar entries last. With 20 round-6 entries ahead of
+    # them, a 50-entry driver window refreshes the first 30: that is
+    # EVERY entry that reads the re-encoded events.ts column (o02-o20,
+    # datetime_funcs, the events-keyed windows/distinct/topk). The ~20
+    # that roll to r07 are TPC-H relational and string/math/json scalar
+    # entries whose inputs the re-encode cannot affect — deliberate
+    # triage: changed entries must not ship on stale green rows, new
+    # entries need a first row, and the NTZ-exposed cohort fits in what
+    # remains.
     "flagship_day_extract",
     "o02_time_range_filter",
     "o03_time_shift_hours",
