@@ -188,6 +188,18 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ANSI INTERSECT ALL (multiset): each row kept min(count_a, count_b)
+    times — one aggregate per side on the full row, not a distinct."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ANSI EXCEPT ALL (multiset): each row kept
+    max(count_a - count_b, 0) times."""
+    return a.exceptAll(b)
+
+
 def unpivot_long(
     df: DataFrame,
     ids: Sequence[str],

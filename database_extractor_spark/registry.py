@@ -5677,6 +5677,44 @@ def tpch_q10_returned_items(spark, sf_dir):
     )
 
 
+
+@register(
+    "set_intersect_all",
+    """
+    select l_suppkey as k from lineitem where l_returnflag = 'R'
+    intersect all
+    select l_suppkey as k from lineitem where l_returnflag = 'A'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """ANSI INTERSECT ALL — multiset semantics the distinct-based
+    set_intersect entry can't express: each supplier key survives
+    min(returned-count, acknowledged-count) times. Spark plans this as
+    per-side row counts + a generate, one shuffle per side."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    a = li.filter("l_returnflag = 'R'").select(F.col("l_suppkey").alias("k"))
+    b = li.filter("l_returnflag = 'A'").select(F.col("l_suppkey").alias("k"))
+    return R.intersect_all(a, b)
+
+
+@register(
+    "set_except_all",
+    """
+    select l_suppkey as k from lineitem where l_returnflag = 'R'
+    except all
+    select l_suppkey as k from lineitem where l_returnflag = 'A'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """ANSI EXCEPT ALL — multiset difference: each supplier key kept
+    max(returned-count - acknowledged-count, 0) times, distinguishing
+    volume imbalance from mere membership (which set_except tests)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    a = li.filter("l_returnflag = 'R'").select(F.col("l_suppkey").alias("k"))
+    b = li.filter("l_returnflag = 'A'").select(F.col("l_suppkey").alias("k"))
+    return R.except_all(a, b)
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -5713,6 +5751,8 @@ _VERIFY_FIRST = [
     "crosslingual_pair_mining",
     "embedding_pca_power_iteration",
     "tpch_q10_returned_items",
+    "set_intersect_all",
+    "set_except_all",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure
