@@ -63,6 +63,7 @@ SECONDARY = [
     "tpch_q5_local_supplier",
     "tpch_q18_large_customers",
     "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
     "ts_outlier_zscore",
     "graph_triangle_count",
     "sentence_dedup",

@@ -5715,6 +5715,77 @@ def set_except_all(spark, sf_dir):
     return R.except_all(a, b)
 
 
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    select cast(sum(cast(floor(l_extendedprice * l_discount * 10000.0)
+                         as bigint)) as double) / 10000.0 as revenue
+    from lineitem
+    where l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1997-01-01'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure-pushdown probe —
+    three range predicates and a two-column projection that must ALL
+    reach the parquet scan (PushedFilters + ReadSchema), one global sum,
+    no shuffle beyond the single-row aggregate exchange. The canonical
+    'is your scan path lazy enough' benchmark. Floor-quantized terms."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    term = F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000.0))
+    return li.agg((F.sum(term) / F.lit(10000.0)).alias("revenue"))
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    select o_orderpriority, count(*) as order_count
+    from orders
+    where o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1996-07-01'
+      and exists (
+          select 1 from lineitem
+          where l_orderkey = o_orderkey and l_returnflag = 'R'
+      )
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted to the fixture
+    schema: the reference Q4's late-delivery predicate uses
+    l_commitdate/l_receiptdate, which the fixture lacks — the EXISTS
+    shape is preserved with 'has a returned line' (l_returnflag = 'R')
+    as the correlated condition. Spark-first: the EXISTS compiles to a
+    LEFT SEMI join from the date-filtered orders onto the flag-filtered
+    lineitem keys — the semi join deduplicates multi-line matches
+    without a distinct, then one small group-count."""
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    flagged = (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -5753,6 +5824,8 @@ _VERIFY_FIRST = [
     "tpch_q10_returned_items",
     "set_intersect_all",
     "set_except_all",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
     # ---- the r02 cohort: all 50 entries below carry green rows that
     # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
     # timestamp-touching entries first (highest re-encode risk), pure
