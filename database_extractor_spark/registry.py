@@ -12,10 +12,12 @@ green across two engines:
   IEEE double ops are deterministic, so identical formulas on identical
   inputs produce bit-identical doubles (rounding is then safe).
 - Ratios/hashes avoid engine-specific functions (xxhash64) in oracled
-  entries; md5 and plain arithmetic are portable. xxhash64-based ops
-  (minhash/simhash/LSH) are registered WITHOUT an oracle — the driver
-  records its weaker rows-only check, and tests/test_llm_ops.py pins them
-  against exact-jaccard/numpy baselines instead.
+  entries; md5 and plain arithmetic are portable. MinHash/SimHash/LSH
+  derive every hash from md5 since round 7 (operators/dedup.py module
+  docstring), so they carry FULL oracles; the only remaining rows-only
+  entries are the trained-model ANN pair (sim_ivf_kmeans / sim_pq_topk),
+  whose fixture-frozen companions (sim_ivf_fixed / sim_pq_fixed) replay
+  centroid literals in SQL instead.
 - count() is BIGINT on both sides; DuckDB SUM(int) would be HUGEINT, so
   integer sums are explicitly cast to BIGINT in the SQL.
 """
@@ -1147,19 +1149,140 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # xxhash64-based -> rows-only driver check
+def _minhash_lsh_oracle(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB oracle for dedup_minhash_lsh (VERDICT r6 item 5): the md5
+    base hash and the seeded (a,b) lane constants are portable, so the
+    oracle replays the ENTIRE pipeline bit-identically — shingles -> 32-bit
+    md5 base -> 64 universal-hash lane mins -> 16 md5 band buckets (with
+    the same max_bucket cap) -> agreeing-lane Jaccard estimate >= threshold
+    -> recursive-CTE connected components -> min-id survivors."""
+    p = D.MINHASH_PRIME
+    params = D.minhash_lane_params(num_hashes)
+    lanes = ",\n               ".join(
+        f"min(({a} * x + {b}) % {p})" for a, b in params
+    )
+    rpb = num_hashes // bands
+    band_structs = ",\n            ".join(
+        f"{{'band': {b}, 'bucket': ('0x' || substr(md5(array_to_string("
+        f"list_transform(sig[{b * rpb + 1}:{b * rpb + rpb}], e -> e::varchar),"
+        f" ',')), 1, 15))::bigint}}"
+        for b in range(bands)
+    )
+    return rf"""
+    with recursive words as (
+        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+    ),
+    sh as (
+        select doc_id, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+        )) as s
+        from words
+    ),
+    hx as (select doc_id, ('0x' || substr(md5(s), 1, 8))::bigint % {p} as x from sh),
+    sig as (
+        select doc_id, [{lanes}] as sig
+        from hx group by doc_id
+    ),
+    banded as (
+        select doc_id, unnest([
+            {band_structs}
+        ]) as bb from sig
+    ),
+    bb as (
+        select doc_id, bb.band as band, bb.bucket as bucket from banded
+        qualify count(*) over (partition by band, bucket) <= {max_bucket}
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bb a join bb b on a.band = b.band and a.bucket = b.bucket
+                           and a.doc_id < b.doc_id
+    ),
+    dup as (
+        select id_a, id_b
+        from pairs
+          join sig sa on id_a = sa.doc_id
+          join sig sb on id_b = sb.doc_id
+        where round(len([i for i in range(1, {num_hashes + 1})
+                         if sa.sig[i] = sb.sig[i]]) / {num_hashes}.0, 4)
+              >= {threshold}
+    ),
+    edges as (select id_a as u, id_b as v from dup union select id_b, id_a from dup),
+    reach as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u where e.v <> r.u
+    ),
+    comp as (select u as node, least(u, min(v)) as cluster_id from reach group by u)
+    select doc_id from documents
+    where doc_id not in (select node from comp where node <> cluster_id)
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64) + LSH(16 bands) near-dedup survivors. Pinned against
-    exact jaccard in tests/test_llm_ops.py (recall >= 90%); hash fn is
-    engine-specific so no SQL oracle."""
+    """MinHash(64) + LSH(16 bands) near-dedup survivors. FULLY oracled
+    since round 7: md5-derived base hash + seeded universal-hash lanes
+    (operators/dedup.py module docstring) make signatures, band buckets,
+    and the Jaccard estimate DuckDB-replayable; the recursive-CTE closure
+    checks the component survivors end-to-end. Recall vs exact jaccard
+    additionally pinned in tests/test_llm_ops.py (>= 90%)."""
     return D.minhash_dedup(
         _tbl(spark, sf_dir, "documents").select("doc_id", "text"), threshold=0.7
     ).select("doc_id")
 
 
-@register("dedup_simhash")  # xxhash64-based -> rows-only driver check
+def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
+    """DuckDB oracle for dedup_simhash: replays the 60-bit md5 token hash,
+    the per-bit +1/-1 votes, the packed simhash, the 15-bit pigeonhole
+    band buckets, and the bit_count(xor) verification."""
+    bits = D.SIMHASH_BITS
+    width = bits // bands
+    votes = ",\n               ".join(
+        f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
+        for i in range(bits)
+    )
+    packed = "\n             + ".join(
+        f"(case when v{i} > 0 then {1 << i} else 0 end)" for i in range(bits)
+    )
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'bucket': (sh >> {b * width}) & {(1 << width) - 1}}}"
+        for b in range(bands)
+    )
+    return rf"""
+    with toks as (
+        select doc_id, unnest(string_split_regex(trim(text), '\s+')) as t
+        from documents
+    ),
+    th as (select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h from toks),
+    v as (
+        select doc_id,
+               {votes}
+        from th group by doc_id
+    ),
+    s as (
+        select doc_id,
+               {packed}
+               as sh
+        from v
+    ),
+    banded as (select doc_id, sh, unnest([{band_structs}]) as bb from s),
+    bb as (select doc_id, sh, bb.band as band, bb.bucket as bucket from banded)
+    select distinct a.doc_id as id_a, b.doc_id as id_b,
+           cast(bit_count(xor(a.sh, b.sh)) as integer) as hamming
+    from bb a join bb b on a.band = b.band and a.bucket = b.bucket
+                       and a.doc_id < b.doc_id
+    where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-pairs (hamming <= 6) via 16-bit band buckets."""
+    """SimHash near-pairs (hamming <= 6) via 15-bit band buckets. FULLY
+    oracled since round 7 (60-bit md5 token hash — see operators/dedup.py);
+    the no-cartesian plan shape stays asserted in tests."""
     return D.simhash_near_pairs(_tbl(spark, sf_dir, "documents"), max_hamming=6)
 
 
