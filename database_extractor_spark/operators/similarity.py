@@ -250,6 +250,164 @@ def ivf_topk(
     return brute_force_topk(pruned, q, k, id_col, vec_col, exclude_ids=exclude_ids)
 
 
+def ivf_fixed_topk(
+    df: DataFrame,
+    seeds: Sequence[tuple[int, Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """IVF with a FIXED sampled-seed coarse quantizer: the inverted lists
+    are defined by ``seeds`` — (seed_id, vector) pairs drawn from the
+    corpus by a fixed rule (the random-sample initialization step of
+    KMeans, frozen as the quantizer). Unlike ``ivf_index``/``ivf_topk``
+    (trained model state -> rows-only driver check), every quantity here
+    is a deterministic function of the DATA, so a DuckDB oracle replays
+    assignment, probe selection, and the final top-k bit-identically
+    (VERDICT r6 item 6).
+
+    Assignment is an in-plan per-row expression (argmax cosine over the
+    seed literals, smallest seed id on ties) — a pure scan+project, no
+    join; probe selection (the ``nprobe`` seeds nearest the query) is
+    driver-side float math over the tiny seed set. Scale: identical plan
+    shape to ivf_topk — `assigned IN (probes)` prunes when the table is
+    laid out by list id; scored rows ≈ N * nprobe / n_lists.
+    """
+    structs = [
+        F.struct(
+            (-cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec]))).alias("nc"),
+            F.lit(int(sid)).alias("sid"),
+        )
+        for sid, vec in seeds
+    ]
+    assigned = df.withColumn("__list", F.array_min(F.array(*structs))["sid"])
+
+    import math
+
+    def _pycos(a, b):
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        d = math.sqrt(na) * math.sqrt(nb)
+        return s / d if d else 0.0
+
+    ranked = sorted(
+        ((_pycos(query_vec, vec), int(sid)) for sid, vec in seeds),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probes = [sid for _, sid in ranked[:nprobe]]
+    pruned = assigned.filter(F.col("__list").isin(probes)).drop("__list")
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids=exclude_ids)
+
+
+def pq_fixed_topk(
+    df: DataFrame,
+    seeds: Sequence[tuple[int, Sequence[float]]],
+    query_vec: Sequence[float],
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Product quantization with FIXED sampled codebooks: subspace ``j``'s
+    codewords are the ``j``-th subvectors of the ``seeds`` (same frozen
+    sample as :func:`ivf_fixed_topk`), so encoding, the ADC table, and the
+    two-stage search are all deterministic functions of the data — fully
+    SQL-oracle-able, unlike the KMeans-trained ``pq_index`` (VERDICT r6
+    item 6).
+
+    Portability contract (every formula mirrored verbatim in the oracle):
+    squared-L2 terms use the dot-product identity ``|x|^2 - 2<x,c> +
+    |c|^2`` (list_dot_product is the one cross-engine-identical fold;
+    a direct (x-y)^2 fold has no DuckDB twin), codeword/ADC argmins break
+    ties on the smallest code index, and the ADC sum adds the ``m``
+    lookups in subspace order.
+
+    Scale: encode is scan+project (per-row expression over literal
+    codewords), shortlist is TakeOrdered on the compressed distance, and
+    only ``rerank`` rows touch full vectors via a broadcast semi-join —
+    the standard two-stage PQ shape.
+    """
+    dim = len(query_vec)
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible into {m} subspaces"
+    # codebooks[j][c]: subvector j of seed c (seed order = code index)
+    codebooks = [
+        [[float(v) for v in vec[j * sub:(j + 1) * sub]] for _, vec in seeds]
+        for j in range(m)
+    ]
+
+    def _pydot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    q = [float(v) for v in query_vec]
+
+    # encode: per subspace, argmin (|x_j|^2 - 2<x_j,c> + |c|^2, code)
+    code_cols = []
+    for j in range(m):
+        xj = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dxx = dot(xj, xj)
+        structs = [
+            F.struct(
+                (
+                    dxx
+                    - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
+                    + F.lit(_pydot(cw, cw))
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cw in enumerate(codebooks[j])
+        ]
+        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__code{j}"))
+    encoded = df.select(F.col(id_col), F.col(vec_col), *code_cols)
+
+    # ADC lookup tables: query-to-codeword distances (driver-side floats —
+    # the same left-fold IEEE sequence the oracle's list_dot_product runs)
+    total = None
+    for j in range(m):
+        qj = q[j * sub:(j + 1) * sub]
+        table = [
+            _pydot(qj, qj) - 2.0 * _pydot(qj, cw) + _pydot(cw, cw)
+            for cw in codebooks[j]
+        ]
+        lookup = F.element_at(
+            F.array(*[F.lit(d) for d in table]), F.col(f"__code{j}") + 1
+        )
+        total = lookup if total is None else total + lookup
+    scored = encoded.withColumn("approx_dist", F.round(total, 6))
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+
+    shortlist = (
+        scored.select(id_col, "approx_dist")
+        .orderBy(F.col("approx_dist"), F.col(id_col))
+        .limit(int(rerank))
+        .select(id_col)
+    )
+    qlit = _query_lit(q)
+    exact_d = dot(F.col(vec_col), F.col(vec_col)) - F.lit(2.0) * dot(
+        F.col(vec_col), qlit
+    ) + F.lit(_pydot(q, q))
+    return (
+        df.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(F.col(id_col), F.round(exact_d, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_similar_lsh(
     df: DataFrame,
     threshold: float = 0.9,

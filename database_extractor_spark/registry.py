@@ -1367,6 +1367,165 @@ def sim_pq_topk(spark, sf_dir):
     return S.pq_topk(encoded, codebooks, q, k=10, exclude_ids=[0], rerank=100)
 
 
+_SEED_VEC_CACHE: dict[str, list] = {}
+
+#: the frozen sampled-quantizer seed ids (sim_ivf_fixed / sim_pq_fixed):
+#: 16 corpus vectors by a fixed rule — the random-sample init of KMeans,
+#: frozen so the quantizer is a pure function of the data
+_FIXED_SEED_IDS = list(range(1, 17))
+
+
+def _fixture_seed_vecs(sf_dir: str) -> list[tuple[int, list[float]]]:
+    """(vec_id, embedding) of the frozen quantizer seeds, read driver-side
+    via pyarrow and cached per sf_dir (a 16-row parameter lookup, same
+    pattern as _fixture_query_vec)."""
+    if sf_dir not in _SEED_VEC_CACHE:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", _FIXED_SEED_IDS)],
+        ).to_pylist()
+        rows.sort(key=lambda r: r["vec_id"])
+        _SEED_VEC_CACHE[sf_dir] = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+        ]
+    return _SEED_VEC_CACHE[sf_dir]
+
+
+_IVF_FIXED_ORACLE = f"""
+    with s as (
+        select vec_id as sid, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
+    a as (
+        select e.vec_id, s.sid,
+               list_dot_product(e.v, s.sv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))) as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a
+        qualify row_number() over (partition by vec_id order by c desc, sid) = 1
+    ),
+    q as (select v as qv from e where vec_id = 0),
+    probes as (
+        select s.sid from s, q
+        order by list_dot_product(s.sv, q.qv)
+                 / (sqrt(list_dot_product(s.sv, s.sv)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 desc, s.sid
+        limit 4
+    )
+    select e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+    from e
+      join assign on e.vec_id = assign.vec_id, q
+    where e.vec_id <> 0 and assign.list_id in (select sid from probes)
+    order by cos desc, e.vec_id limit 10
+"""
+
+
+@register("sim_ivf_fixed", _IVF_FIXED_ORACLE)
+def sim_ivf_fixed(spark, sf_dir):
+    """IVF with the FROZEN sampled-seed coarse quantizer (vec_id 1-16 as
+    list centroids — KMeans' random-sample init without the Lloyd rounds):
+    the fully-oracled companion to sim_ivf_kmeans (VERDICT r6 item 6).
+    Same plan shape (assign -> probe 4 nearest lists -> exact top-10
+    within), but every quantity is a deterministic function of the data,
+    so DuckDB replays assignment, probe selection, and the ranked result
+    hash-identically."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    return S.ivf_fixed_topk(
+        e, _fixture_seed_vecs(sf_dir), q, k=10, nprobe=4, exclude_ids=[0]
+    )
+
+
+def _pq_fixed_oracle(m: int = 8, sub: int = 8, rerank: int = 100) -> str:
+    """DuckDB oracle for sim_pq_fixed: replays encode (argmin over the 16
+    sampled codewords per subspace, dot-identity distances), the ADC
+    lookup sum in subspace order, the shortlist, and the exact re-rank."""
+    code_cols = ",\n               ".join(
+        f"max(case when j = {j} then c end) as c{j}" for j in range(m)
+    )
+    adc_joins = "\n      ".join(
+        f"join t t{j} on t{j}.j = {j} and t{j}.c = cs.c{j}" for j in range(m)
+    )
+    adc_sum = " + ".join(f"t{j}.d" for j in range(m))
+    return f"""
+    with s as (
+        select vec_id - 1 as c, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
+    cw as (
+        select s.c, j.j, list_slice(s.sv, j.j * {sub} + 1, j.j * {sub} + {sub}) as cw
+        from s cross join (select unnest(range({m})) as j) j
+    ),
+    d as (
+        select e.vec_id, cw.j, cw.c,
+               list_dot_product(list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}),
+                                list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}))
+               - 2.0 * list_dot_product(
+                   list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}), cw.cw)
+               + list_dot_product(cw.cw, cw.cw) as d2
+        from e cross join cw
+    ),
+    codes as (
+        select vec_id, j, c from d
+        qualify row_number() over (partition by vec_id, j order by d2, c) = 1
+    ),
+    cs as (
+        select vec_id,
+               {code_cols}
+        from codes group by vec_id
+    ),
+    q as (select v as qv from e where vec_id = 0),
+    t as (
+        select cw.j, cw.c,
+               list_dot_product(list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}),
+                                list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}))
+               - 2.0 * list_dot_product(
+                   list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}), cw.cw)
+               + list_dot_product(cw.cw, cw.cw) as d
+        from cw, q
+    ),
+    approx as (
+        select cs.vec_id, round({adc_sum}, 6) as approx_dist
+        from cs
+      {adc_joins}
+    ),
+    short as (
+        select vec_id from approx where vec_id <> 0
+        order by approx_dist, vec_id limit {rerank}
+    )
+    select e.vec_id,
+           round(list_dot_product(e.v, e.v)
+                 - 2.0 * list_dot_product(e.v, q.qv)
+                 + list_dot_product(q.qv, q.qv), 6) as approx_dist
+    from e join short on e.vec_id = short.vec_id, q
+    order by approx_dist, e.vec_id limit 10
+    """
+
+
+@register("sim_pq_fixed", _pq_fixed_oracle())
+def sim_pq_fixed(spark, sf_dir):
+    """Product quantization with FROZEN sampled codebooks (subvectors of
+    the vec_id 1-16 seeds): the fully-oracled companion to sim_pq_topk
+    (VERDICT r6 item 6). Same two-stage shape — ADC shortlist over the
+    compressed codes, exact re-rank of 100 candidates — with squared-L2
+    via the dot-product identity so DuckDB replays encode, the ADC sum,
+    and the re-ranked top-10 hash-identically."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    return S.pq_fixed_topk(
+        e, _fixture_seed_vecs(sf_dir), q, m=8, k=10, rerank=100, exclude_ids=[0]
+    )
+
+
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
     """DuckDB oracle for sim_ann_lsh (VERDICT r5 item 4): the hyperplanes
     are seeded driver constants (S.hyperplanes), so the same +/-1 plane
