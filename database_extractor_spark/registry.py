@@ -5101,18 +5101,12 @@ def _pagerank_oracle(iters: int = 10) -> str:
     )
 
 
-@register("pagerank_event_graph", _pagerank_oracle())
-def pagerank_event_graph(spark, sf_dir):
-    """PageRank power iteration (damping 0.85, 10 rounds) over the
-    event-type transition graph (edges = consecutive event pairs per
-    user, weights = transition probabilities) — the engine's template for
-    ITERATIVE algorithms beyond connected components: a driver loop of
-    join + aggregate per round, localCheckpoint truncating lineage each
-    iteration (the same shape at graph scale: shuffle on node id per
-    round, O(iters) rounds). Fully oracled: the oracle unrolls the same
-    10 iterations as chained CTEs; per-term products stay double (IEEE
-    identical), the per-node sum goes through DECIMAL (order-independent),
-    the damping update is the same double expression."""
+def _pagerank_plan(spark, sf_dir, materialize: bool = True, iters: int = 10) -> DataFrame:
+    """PageRank plan builder, shared by the registry entry
+    (``materialize=True``: per-round eager localCheckpoint) and the plan
+    lint (``materialize=False``, few iters: the full lazy plan, so the
+    edge build and the per-round join+aggregate are asserted
+    cartesian-free pre-checkpoint)."""
     ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -5120,21 +5114,19 @@ def pagerank_event_graph(spark, sf_dir):
     ).filter(F.col("src").isNotNull())
     e0 = seq.groupBy("src", "dst").agg(F.count("*").alias("c"))
     tot = e0.groupBy("src").agg(F.sum("c").alias("t"))
-    edges = (
-        e0.join(tot, "src")
-        .select(
-            "src", "dst",
-            (F.col("c").cast("double") / F.col("t").cast("double")).alias("w"),
-        )
-        .localCheckpoint(eager=True)
+    edges = e0.join(tot, "src").select(
+        "src", "dst",
+        (F.col("c").cast("double") / F.col("t").cast("double")).alias("w"),
     )
     ranks = (
         ev.select(F.col("event_type").alias("node"))
         .distinct()
         .withColumn("rank", F.lit(0.2))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(10):
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
         ranks = (
             edges.join(ranks, edges.src == ranks.node)
             .select(
@@ -5148,11 +5140,28 @@ def pagerank_event_graph(spark, sf_dir):
                 )
             )
             .withColumnRenamed("dst", "node")
-            .localCheckpoint(eager=True)
         )
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register("pagerank_event_graph", _pagerank_oracle())
+def pagerank_event_graph(spark, sf_dir):
+    """PageRank power iteration (damping 0.85, 10 rounds) over the
+    event-type transition graph (edges = consecutive event pairs per
+    user, weights = transition probabilities) — the engine's template for
+    ITERATIVE algorithms beyond connected components: a driver loop of
+    join + aggregate per round, localCheckpoint truncating lineage each
+    iteration (the same shape at graph scale: shuffle on node id per
+    round, O(iters) rounds). Fully oracled: the oracle unrolls the same
+    10 iterations as chained CTEs; per-term products stay double (IEEE
+    identical), the per-node sum goes through DECIMAL (order-independent),
+    the damping update is the same double expression. The pre-checkpoint
+    plan is linted via _pagerank_plan(materialize=False)."""
+    return _pagerank_plan(spark, sf_dir, materialize=True, iters=10)
 
 
 
@@ -5339,7 +5348,7 @@ def tpch_q18_large_customers(spark, sf_dir):
            percent_rank() over w as pct_rank,
            cume_dist() over w as cum_dist
     from events
-    window w as (partition by event_type order by value, event_id)
+    window w as (partition by event_type order by value nulls last, event_id)
     """,
 )
 def window_ntile_percentiles(spark, sf_dir):
@@ -5347,9 +5356,16 @@ def window_ntile_percentiles(spark, sf_dir):
     percent_rank, cume_dist per series. All three are pure rank
     arithmetic over a deterministic (value, event_id) order, so the
     doubles are (rank-1)/(n-1)-style integer ratios — identical on any
-    engine, no rounding needed. One shuffle on the partition key."""
+    engine, no rounding needed. One shuffle on the partition key.
+
+    Null ordering is pinned explicitly (ADVICE r6): Spark defaults ASC
+    windows to NULLS FIRST, DuckDB to NULLS LAST — events.value has no
+    nulls today, but a regenerated fixture with nulls would silently flip
+    every rank cross-engine without asc_nulls_last / 'nulls last'."""
     ev = _tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",
@@ -5364,7 +5380,7 @@ def window_ntile_percentiles(spark, sf_dir):
     """
     with q as (
         select event_id, event_type, ts, value,
-               cast(floor(value * 1000000.0) as bigint) as qv
+               cast(floor(value * 1000.0) as bigint) as qv
         from events
     ),
     s as (
@@ -5387,18 +5403,25 @@ def ts_outlier_zscore(spark, sf_dir):
     """Rolling z-score outlier detection (|z| > 3 against the trailing
     50-point window, minimum 20 points) — the streaming-friendly anomaly
     gate for sensor feeds. Engine-exact by construction: values quantize
-    to integer micro-units (floor of an IEEE product), the rolling sum
+    to integer milli-units (floor of an IEEE product), the rolling sum
     and sum-of-squares are exact integer window sums, and the z
     expression is the same IEEE double sequence on both engines — so
     even the |z| > 3 boundary cuts identically. One keyed window pass,
-    no joins."""
+    no joins.
+
+    Quantization is 1e3 (ADVICE r6): at 1e6 the 50-row sum of qv*qv
+    reached ~7% of int64 max at sf0.1 — Spark would WRAP on ~4x larger
+    values while DuckDB silently promotes to HUGEINT. At 1e3, |value| up
+    to ~6e5 keeps the squared window sum under 1% of int64 max
+    (50*(6e5*1e3)^2 ~ 1.8e16); headroom on the actual fixture is pinned
+    by tests/test_round7_ops.py."""
     ev = _tbl(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(-49, 0)
     )
-    q = ev.withColumn("qv", F.floor(F.col("value") * F.lit(1000000.0)))
+    q = ev.withColumn("qv", F.floor(F.col("value") * F.lit(1000.0)))
     s = (
         q.withColumn("s1", F.sum("qv").over(w).cast("double"))
         .withColumn("s2", F.sum(F.col("qv") * F.col("qv")).over(w).cast("double"))
@@ -5416,57 +5439,13 @@ def ts_outlier_zscore(spark, sf_dir):
     )
 
 
-@register(
-    "graph_triangle_count",
-    """
-    with pairs as (
-        select a.l_partkey as pa, b.l_partkey as pb
-        from lineitem a
-        join lineitem b
-          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
-        group by 1, 2 having count(*) >= 2
-    ),
-    deg as (
-        select node, count(*) as d from (
-            select pa as node from pairs
-            union all
-            select pb as node from pairs
-        ) group by node
-    ),
-    ordmap as (
-        select node, row_number() over (order by d, node) as ord from deg
-    ),
-    edges as (
-        select least(oa.ord, ob.ord) as lo, greatest(oa.ord, ob.ord) as hi
-        from pairs
-        join ordmap oa on pa = oa.node
-        join ordmap ob on pb = ob.node
-    )
-    select count(*) as n_triangles
-    from edges e1
-    join edges e2 on e1.lo = e2.lo and e1.hi < e2.hi
-    join edges e3 on e3.lo = e1.hi and e3.hi = e2.hi
-    """,
-)
-def graph_triangle_count(spark, sf_dir):
-    """Triangle counting over the part co-occurrence graph (edges =
-    part pairs co-occurring in >= 2 orders; market-basket cohesion with
-    the standard min-support cut — unfiltered co-occurrence is noise-
-    dominated singleton pairs, ~1.2M edges and 1.9M triangles at sf0.1
-    where the supported core is ~4k edges).
-    The compact-forward formulation: nodes are ranked by (degree, id)
-    and every edge oriented low-rank -> high-rank, so the wedge join
-    e1(a,b)-e2(a,c) fans out only from each node's HIGHER-ranked
-    neighbors — sum of C(outdeg, 2) with outdeg bounded ~O(sqrt(E)) —
-    instead of exploding through hub nodes (key-ordered orientation
-    measured 13 s at sf0.1 on this dense co-occurrence graph; degree
-    orientation cuts the wedge set ~20x). Each triangle (a<b<c in rank
-    order) counts exactly once via the oriented equi-join chain; all
-    shuffle joins, never cartesian. The rank is one global row_number
-    over the NODE set (|V| << |E|; at billion-node scale swap for a
-    distributed sort-based dense rank, same contract). Edge list is
-    localCheckpoint'd so the three self-join branches don't recompute
-    the pair-generation join."""
+def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
+    """Triangle-count plan builder, shared by the registry entry
+    (``materialize=True``: one eager localCheckpoint on the supported
+    pair core) and the plan lint (``materialize=False``: the FULL lazy
+    plan, so the pair-generation join and the orientation joins are
+    asserted cartesian-free — closing the round-6 checkpoint loophole,
+    tests/test_plan_lint.py::test_triangle_count_prechk_plan)."""
     # Repartition by the join key FIRST: the fixture parquet exposes only
     # 3 splits, and a broadcast self-join inherits the probe side's
     # partitioning — 3 tasks on a 32-core box (measured 2.3 s for pair
@@ -5492,31 +5471,40 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
-        # materialize the ~4k-edge supported core once: deg, ordmap and
-        # the edge-relabel join all branch from it, and without this the
-        # expensive lineitem self-join re-runs in every branch
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        # materialize the ~4k-edge supported core ONCE (round 7: the only
+        # checkpoint — deg and the orientation joins re-derive from it for
+        # pennies, where recomputing the lineitem self-join per branch
+        # would dominate). ADVICE/VERDICT r6 item 4 trimmed the second
+        # (edges) checkpoint: the three triangle branches now recompute
+        # two broadcast joins over the tiny checkpointed core instead of
+        # re-materializing a relabeled copy.
+        pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionAll(pairs.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    ordmap = deg.select(
-        "node",
-        F.row_number().over(Window.orderBy("d", "node")).alias("ord"),
-    )
-    oa = ordmap.alias("oa")
-    ob = ordmap.alias("ob")
+    # Degree orientation WITHOUT a global window (round 7, closing the
+    # round-6 lint blind spot): the orientation key packs (degree, node)
+    # into one int64 — k = d * 2^32 + node — whose integer order IS the
+    # (d, node) lexicographic order the old global row_number produced.
+    # No rank, no single-task window, and the oracle replays the same
+    # packing. Bounds: node ids < 2^32 and degree < 2^31 (degree <= |V|,
+    # and |V| is part-key-bounded); at larger id domains widen to a
+    # (d, node) struct key — same joins, same comparisons.
+    keyed = deg.select("node", (F.col("d") * F.lit(1 << 32) + F.col("node")).alias("k"))
+    ka = keyed.alias("ka")
+    kb = keyed.alias("kb")
     edges = (
-        pairs.join(oa, F.col("pa") == F.col("oa.node"))
-        .join(ob, F.col("pb") == F.col("ob.node"))
+        pairs.join(ka, F.col("pa") == F.col("ka.node"))
+        .join(kb, F.col("pb") == F.col("kb.node"))
         .select(
-            F.least(F.col("oa.ord"), F.col("ob.ord")).alias("lo"),
-            F.greatest(F.col("oa.ord"), F.col("ob.ord")).alias("hi"),
+            F.least(F.col("ka.k"), F.col("kb.k")).alias("lo"),
+            F.greatest(F.col("ka.k"), F.col("kb.k")).alias("hi"),
         )
-        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -5528,6 +5516,59 @@ def graph_triangle_count(spark, sf_dir):
         (F.col("e3.lo") == F.col("e1.hi")) & (F.col("e3.hi") == F.col("e2.hi")),
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "graph_triangle_count",
+    """
+    with pairs as (
+        select a.l_partkey as pa, b.l_partkey as pb
+        from lineitem a
+        join lineitem b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+        group by 1, 2 having count(*) >= 2
+    ),
+    deg as (
+        select node, count(*) as d from (
+            select pa as node from pairs
+            union all
+            select pb as node from pairs
+        ) group by node
+    ),
+    keyed as (
+        select node, d * 4294967296 + node as k from deg
+    ),
+    edges as (
+        select least(ka.k, kb.k) as lo, greatest(ka.k, kb.k) as hi
+        from pairs
+        join keyed ka on pa = ka.node
+        join keyed kb on pb = kb.node
+    )
+    select count(*) as n_triangles
+    from edges e1
+    join edges e2 on e1.lo = e2.lo and e1.hi < e2.hi
+    join edges e3 on e3.lo = e1.hi and e3.hi = e2.hi
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-occurrence graph (edges =
+    part pairs co-occurring in >= 2 orders; market-basket cohesion with
+    the standard min-support cut — unfiltered co-occurrence is noise-
+    dominated singleton pairs, ~1.2M edges and 1.9M triangles at sf0.1
+    where the supported core is ~4k edges).
+    The compact-forward formulation: every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so the wedge join
+    e1(a,b)-e2(a,c) fans out only from each node's HIGHER-ordered
+    neighbors — sum of C(outdeg, 2) with outdeg bounded ~O(sqrt(E)) —
+    instead of exploding through hub nodes (key-ordered orientation
+    measured 13 s at sf0.1 on this dense co-occurrence graph; degree
+    orientation cuts the wedge set ~20x). Each triangle (a<b<c in
+    orientation order) counts exactly once via the oriented equi-join
+    chain; all shuffle joins, never cartesian. Since round 7 the
+    orientation key is the packed int64 d*2^32+node — no global
+    row_number, no single-task window, one localCheckpoint (the pair
+    core), and the full lazy plan is linted pre-checkpoint."""
+    return _triangle_count_plan(spark, sf_dir, materialize=True)
 
 
 @register(
@@ -6165,79 +6206,69 @@ def tpch_q16_parts_supplier(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-6 front: entries FIXED or CHANGED this round — each needs
-    # a fresh driver row (ts_integral was the r05 red; the others carry
-    # behavior changes from ADVICE r5 / VERDICT item 4)
-    "ts_integral",              # fixed: tie-proof integer-domain trapezoids
-    "time_weighted_avg",        # hardened the same way
-    "sim_ann_lsh",              # graduated rows-only -> seeded-plane oracle
-    "asof_join",                # event_id tiebreak on per-bin take-last
-    "asof_join_tolerance",      # + NULL-quote staleness-clock guard
-    "text_pii_scrub",           # n_emails regex un-laxened (Python API)
-    "streaming_merge_upsert",   # crash-safe snapshot swap
-    # ---- new in round 6 (all oracled): first driver row
-    "streaming_python_datasource",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier",
-    "tpch_q18_large_customers",
-    "window_ntile_percentiles",
-    "ts_outlier_zscore",
-    "graph_triangle_count",
-    "sentence_dedup",
-    "asof_join_forward",
-    "series_correlation",
-    "crosslingual_pair_mining",
-    "embedding_pca_power_iteration",
-    "tpch_q10_returned_items",
-    "set_intersect_all",
-    "set_except_all",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    # ---- the r02 cohort: all 50 entries below carry green rows that
-    # PREDATE the round-5 NTZ fixture re-encode (VERDICT item 3) —
-    # timestamp-touching entries first (highest re-encode risk), pure
-    # relational/scalar entries last. With 20 round-6 entries ahead of
-    # them, a 50-entry driver window refreshes the first 30: that is
-    # EVERY entry that reads the re-encoded events.ts column (o02-o20,
-    # datetime_funcs, the events-keyed windows/distinct/topk). The ~20
-    # that roll to r07 are TPC-H relational and string/math/json scalar
-    # entries whose inputs the re-encode cannot affect — deliberate
-    # triage: changed entries must not ship on stale green rows, new
-    # entries need a first row, and the NTZ-exposed cohort fits in what
-    # remains.
-    "flagship_day_extract",
-    "o02_time_range_filter",
-    "o03_time_shift_hours",
-    "o03b_time_shift_zone",
-    "o05_pivot_minute",
-    "o08_downsample_1s_last",
-    "o08b_downsample_avg_minute",
-    "o15_time_endpoints",
-    "o16_deltatime_algebra",
-    "o17_shift_string_time",
-    "o18_tz_offset_dst",
-    "o19_day_partition_counts",
-    "o20_datetime_list",
-    "datetime_funcs",
-    "o04_row_predicate",
-    "o07_multi_sort",
-    "o09_drop_columns",
-    "o11_drop_allnull_rows",
-    "o12_guard_min_rows",
-    "o13_sink_roundtrip",
-    "o21_config_roundtrip",
-    "o01_scan_project",
-    "window_rank",
-    "window_lag",
-    "window_running_sum",
-    "window_analytics",
+    # ---- round-7 front: entries whose CODE CHANGED this round or that
+    # are NEW — the triage rule is "changed entries must not ship on
+    # stale green rows", so every one of these needs a fresh r07 row.
+    # ffill_resample leads: its take-last tiebreak changed in round 5
+    # (commit 91cc727) AFTER its last driver row (r03) — the round-6
+    # verdict's one `weak`.
+    "ffill_resample",            # r5 semantics change, last row r03
+    "dedup_minhash_lsh",         # graduated rows-only -> md5-lane oracle
+    "dedup_simhash",             # graduated rows-only -> md5-lane oracle
+    "sim_ivf_fixed",             # new: frozen-quantizer IVF companion
+    "sim_pq_fixed",              # new: frozen-codebook PQ companion
+    "tpch_q2_min_cost_supplier", # new: correlated scalar subquery
+    "tpch_q16_parts_supplier",   # new: NOT IN + count-distinct
+    "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
+    "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
+    "graph_triangle_count",      # packed orientation key, 1 checkpoint
+    "pagerank_event_graph",      # refactored into _pagerank_plan
+    # stream_source now stages single-file fixtures at a deterministic
+    # path (restart recovery); every stream_source consumer re-verifies
+    "streaming_merge_upsert",    # + startup recovery hoist (ADVICE r6)
+    "streaming_dedup",
+    "streaming_incremental_sink",
+    "streaming_session_windows",
+    "streaming_hopping_counts",
+    # ---- the events.ts r02/r03 cohort the round-6 triage comment
+    # wrongly claimed was fully refreshed (VERDICT r6 item 1): these
+    # read the NTZ-re-encoded events.ts and still sit on pre-re-encode
+    # rows (they are also stream_source consumers where applicable)
+    "session_windows",
+    "sliding_window_counts",
+    "streaming_event_counts",
+    "streaming_join_static",
+    "streaming_stateful_first_seen",
+    "streaming_stream_stream_join",
+    "multimodal_frame_sample",
+    # ---- the remaining <=r03 stale cohort, oldest signal first by risk:
+    # sources, dedup/similarity, joins/aggs. 27 fit in the 50-entry
+    # window after the 23 above; the 17 that roll to r08 are pure
+    # string/math/json scalar and set-op entries over non-timestamp
+    # columns (string_funcs, math_funcs, conditional_funcs, regex_funcs,
+    # array_funcs, json_funcs, set_union/intersect/except, agg_collect,
+    # distinct_pairs, dropdup_keep_first, unpivot_counts, grouping_sets,
+    # histogram_fixed_bins, not_exists_subquery,
+    # o14_pickle_sink_roundtrip) — r08 has no planned code churn, so the
+    # whole remainder clears next round.
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    "jdbc_source_roundtrip",
+    "sim_bruteforce_topk",
+    "sim_partitioned_topk",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_incremental",
+    "decontaminate_ngram_overlap",
+    "deterministic_sample",
+    "stratified_sample",
+    "multimodal_audio_decode",
+    "sql_windowed_cte",
+    "stat_funcs",
+    "percentile_agg",
     "topk_per_group",
     "topk_global",
-    "distinct_pairs",
-    "dropdup_keep_first",
-    "agg_collect",
-    "unpivot_counts",
-    "percentile_agg",
     "agg_suite",
     "agg_rollup",
     "agg_cube",
@@ -6247,14 +6278,6 @@ _VERIFY_FIRST = [
     "join_anti",
     "join_broadcast_agg",
     "join_star_5way",
-    "array_funcs",
-    "json_funcs",
-    "string_funcs",
-    "math_funcs",
-    "conditional_funcs",
-    "set_union",
-    "set_intersect",
-    "set_except",
 ]
 
 

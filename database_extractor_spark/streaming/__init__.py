@@ -34,11 +34,22 @@ def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
     batch = spark.read.format(fmt).load(path)
     if os.path.isfile(path):
         # FileStreamSource only monitors directories; expose a single-file
-        # fixture as a one-file directory via symlink
+        # fixture as a one-file directory via symlink. The directory name
+        # is a DETERMINISTIC function of the source path (not mkdtemp):
+        # a streaming checkpoint pins the source path, so a restart
+        # against the same checkpoint must resolve the same monitored
+        # directory or it dies with a basePath mismatch (round-7 restart
+        # recovery test).
+        import hashlib
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        abspath = os.path.abspath(path)
+        digest = hashlib.md5(abspath.encode()).hexdigest()[:16]
+        d = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.islink(link):
+            os.symlink(abspath, link)
         path = d
     stream = spark.readStream.schema(batch.schema).format(fmt).load(path)
     from database_extractor_spark.sources import _normalize_nanos
@@ -341,6 +352,14 @@ def streaming_merge_upsert(
         os.rename(tmp, snap)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    # Startup recovery must ALSO run before the stream starts (ADVICE r6):
+    # a restart against the same checkpoint with no new input invokes no
+    # batch at all, so the per-batch recovery above would never fire and a
+    # parked snapshot_old would stay unrestored (final snapshot read fails).
+    _old = f"{snap}_old"
+    if not os.path.exists(snap) and os.path.exists(_old):
+        os.rename(_old, snap)
 
     stream = stream_source(spark, events_path).select(
         "user_id", "ts", "event_id", "value"

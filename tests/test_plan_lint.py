@@ -55,6 +55,91 @@ SCALAR_ATTACH_OK = {
 }
 
 
+def _assert_no_antipatterns(plan: str, name: str) -> None:
+    import re
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert not re.search(r"Window \[[^\n]*?\], \[\], \[", plan), (
+        f"{name}: global (unpartitioned) window in plan"
+    )
+
+
+def test_local_checkpoint_usage_is_pinned():
+    """Closes the round-6 lint loophole: an eager localCheckpoint during
+    plan construction truncates everything before it to an ExistingRDD
+    scan, so the registry-wide lint below cannot see the hidden subplan.
+    Any function that calls localCheckpoint must therefore be on this
+    list, and each listed function must have a PRE-checkpoint plan
+    asserted by a dedicated test (or a lazily-built twin entry that the
+    registry-wide lint covers)."""
+    import pathlib
+    import re
+
+    import database_extractor_spark as pkg
+
+    allowed = {
+        # lazy twin linted by test_triangle_count_prechk_plan
+        ("registry.py", "_triangle_count_plan"),
+        # lazy twin linted by test_pagerank_prechk_plan
+        ("registry.py", "_pagerank_plan"),
+        # pair subplans have lazily-linted twins: dedup_ngram_jaccard /
+        # embedding_near_dup are the same candidate plans the clustered
+        # entries feed in, and test_llm_ops lints the minhash candidate
+        # join; the checkpointed interior is a bounded fixpoint loop
+        ("operators/dedup.py", "connected_components"),
+    }
+    root = pathlib.Path(pkg.__file__).parent
+    found = set()
+    for path in root.rglob("*.py"):
+        src = path.read_text()
+        defs = [(m.start(), m.group(1)) for m in re.finditer(r"^def (\w+)", src, re.M)]
+        for m in re.finditer(r"\.localCheckpoint\(", src):
+            name = None
+            for start, dname in defs:
+                if start < m.start():
+                    name = dname
+            found.add((str(path.relative_to(root)), name))
+    assert found == allowed, (
+        f"localCheckpoint usage changed: unexpected {found - allowed}, "
+        f"missing {allowed - found} — every checkpoint-using function needs "
+        f"a dedicated pre-checkpoint plan test and a row in this list"
+    )
+
+
+def test_triangle_count_prechk_plan(spark):
+    """graph_triangle_count's FULL lazy plan (pair-generation self-join +
+    degree orientation + triangle joins, no checkpoints) must be free of
+    the scale anti-patterns — round 6 hid the self-join and a global
+    row_number behind two checkpoints; round 7 removed the window
+    (packed d*2^32+node orientation key) and this test keeps the whole
+    shape honest."""
+    from database_extractor_spark.registry import _triangle_count_plan
+
+    df = _triangle_count_plan(spark, SF_DIR, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "graph_triangle_count[pre-checkpoint]")
+    # the oriented wedge join must be equi-join based: at least the pair
+    # self-join, two orientation joins, and two triangle joins
+    import re
+
+    n_joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
+    assert n_joins >= 5, f"expected >=5 hash/merge joins, saw {n_joins}"
+
+
+def test_pagerank_prechk_plan(spark):
+    """pagerank_event_graph's per-round join+aggregate, lazily unrolled
+    for two rounds with no checkpoints, must be free of the scale
+    anti-patterns (the lag window is user-partitioned, the rank updates
+    are keyed equi-joins)."""
+    from database_extractor_spark.registry import _pagerank_plan
+
+    df = _pagerank_plan(spark, SF_DIR, materialize=False, iters=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "pagerank_event_graph[pre-checkpoint]")
+
+
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
 def test_plan_has_no_scale_antipatterns(name, spark):
     if name in EXECUTES_ON_BUILD:

@@ -1,0 +1,185 @@
+"""Round-7 additions: ADVICE r6 fixes (zscore quantization headroom,
+merge-upsert startup recovery, ntile null ordering), the md5-lane
+MinHash/SimHash oracle graduation, and the fixed-quantizer ANN companions.
+"""
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_zscore_quantization_headroom(spark):
+    """ADVICE r6: the rolling z-score sums qv*qv over a 50-row window as
+    int64. At the round-7 quantization (1e3) the worst-case window sum on
+    the actual fixture must keep two orders of magnitude of headroom under
+    int64 max, so regenerated fixtures with ~10x larger values cannot
+    silently wrap in Spark while DuckDB promotes to HUGEINT."""
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    max_qv = (
+        ev.select(F.max(F.abs(F.floor(F.col("value") * 1000.0))).alias("m"))
+        .first()["m"]
+    )
+    worst_window_sum = 50 * max_qv * max_qv
+    assert worst_window_sum < (1 << 63) // 100, (
+        f"zscore squared-sum headroom eroded: worst window sum "
+        f"{worst_window_sum:.3g} is within 100x of int64 max — requantize"
+    )
+
+
+def test_merge_upsert_recovers_parked_snapshot_without_new_batch(spark, tmp_path):
+    """ADVICE r6: recovery must run at STARTUP, not only inside
+    apply_batch — a restart against the same checkpoint with no new input
+    invokes no batch at all, so a snapshot parked by a mid-swap crash
+    would otherwise never be restored and the final read would fail."""
+    from database_extractor_spark.streaming import streaming_merge_upsert
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    out_dir = str(tmp_path / "upsert")
+    expected = (
+        streaming_merge_upsert(spark, src, out_dir=out_dir)
+        .orderBy("user_id")
+        .collect()
+    )
+    snap = os.path.join(out_dir, "snapshot")
+    # Crash simulation at the worst point: live snapshot parked aside,
+    # tmp never promoted. SAME out_dir -> checkpoint already has the
+    # whole input committed -> the restarted query runs zero batches.
+    os.rename(snap, f"{snap}_old")
+    got = (
+        streaming_merge_upsert(spark, src, out_dir=out_dir)
+        .orderBy("user_id")
+        .collect()
+    )
+    assert got == expected
+    assert os.path.exists(snap) and not os.path.exists(f"{snap}_old")
+
+
+def test_ntile_percentiles_rank_nulls_last(spark, tmp_path):
+    """ADVICE r6: Spark defaults ASC window order to NULLS FIRST, DuckDB
+    to NULLS LAST. The entry pins NULLS LAST on both sides; feed it a
+    fixture WITH null values and assert nulls take the top ranks."""
+    from database_extractor_spark.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "click",
+         None if i >= 8 else float(i), "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r
+        for r in QUERIES["window_ntile_percentiles"](spark, str(tmp_path)).collect()
+    }
+    # the two null-value rows (ids 8, 9) must rank LAST: top quartile,
+    # the largest percent_rank / cume_dist values
+    assert out[8]["quartile"] == 4 and out[9]["quartile"] == 4
+    assert out[9]["pct_rank"] == 1.0
+    assert out[8]["pct_rank"] > out[7]["pct_rank"]
+
+
+def test_minhash_lane_family_is_portable_and_seeded():
+    """The md5-lane MinHash family must be reproducible across driver
+    restarts (seeded constants — the oracle bakes them as literals) and
+    stay inside the no-overflow envelope a*x + b < 2^62."""
+    from database_extractor_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_lane_params,
+    )
+
+    p1 = minhash_lane_params(64)
+    p2 = minhash_lane_params(64)
+    assert p1 == p2 and len(p1) == 64
+    assert all(1 <= a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME for a, b in p1)
+    worst = (MINHASH_PRIME - 1) * (MINHASH_PRIME - 1) + (MINHASH_PRIME - 1)
+    assert worst < 1 << 62
+
+
+def test_simhash_is_60_bit_nonnegative(spark):
+    from database_extractor_spark.operators.dedup import SIMHASH_BITS, simhash_table
+
+    assert SIMHASH_BITS == 60
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    vals = [r["sh"] for r in simhash_table(docs.limit(20)).collect()]
+    assert vals and all(0 <= v < (1 << 60) for v in vals)
+
+
+def test_ivf_fixed_assignment_matches_relational_argmax(spark):
+    """The in-plan literal-seed assignment (argmax cosine, min seed id on
+    ties) must equal the relational formulation the oracle uses."""
+    from database_extractor_spark.registry import _fixture_seed_vecs
+    from database_extractor_spark.operators.similarity import cosine, ivf_fixed_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    seeds = _fixture_seed_vecs(SF_DIR)
+    # relational: explode the 16 seeds per vector, rank by (cos desc, sid)
+    seed_df = spark.createDataFrame(
+        [(sid, vec) for sid, vec in seeds], "sid int, sv array<double>"
+    )
+    from pyspark.sql import Window
+
+    fan = emb.select("vec_id", "embedding").crossJoin(F.broadcast(seed_df))
+    ranked = fan.withColumn(
+        "c", cosine(F.col("embedding"), F.col("sv"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("sid"))
+        ),
+    ).filter("rn = 1").select("vec_id", F.col("sid").alias("want"))
+
+    structs = [
+        F.struct(
+            (-cosine(F.col("embedding"), F.array(*[F.lit(v) for v in vec]))).alias("nc"),
+            F.lit(sid).alias("sid"),
+        )
+        for sid, vec in seeds
+    ]
+    got = emb.select(
+        "vec_id", F.array_min(F.array(*structs))["sid"].alias("got")
+    )
+    joined = got.join(ranked, "vec_id")
+    assert joined.filter("got <> want").count() == 0
+
+    # and the entry returns k well-formed rows
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = ivf_fixed_topk(emb, seeds, q, k=10, nprobe=4, exclude_ids=[0]).collect()
+    assert len(top) == 10 and all(r["vec_id"] != 0 for r in top)
+
+
+def test_pq_fixed_rerank_beats_adc_only_recall(spark):
+    """The exact re-rank stage must not lose ground vs the raw ADC
+    ordering: the re-ranked top-10 of sim_pq_fixed should overlap the
+    true exact-L2 top-10 at least as well as a no-rerank shortlist cut."""
+    from database_extractor_spark.registry import _fixture_seed_vecs
+    from database_extractor_spark.operators.similarity import pq_fixed_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    seeds = _fixture_seed_vecs(SF_DIR)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    # exact L2 top-10 (numpy baseline)
+    import numpy as np
+
+    rows = emb.filter("vec_id <> 0").collect()
+    qv = np.array(q)
+    exact = sorted(
+        ((float(((np.array(r["embedding"], dtype=np.float64) - qv) ** 2).sum()), r["vec_id"])
+         for r in rows)
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+
+    got = pq_fixed_topk(emb, seeds, q, k=10, rerank=100, exclude_ids=[0]).collect()
+    got_ids = {r["vec_id"] for r in got}
+    # two-stage PQ with a 100-wide shortlist on a 500-vector corpus
+    # should recover most of the true top-10
+    assert len(got_ids & exact_ids) >= 6
