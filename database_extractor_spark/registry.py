@@ -6194,6 +6194,366 @@ def tpch_q16_parts_supplier(spark, sf_dir):
     return spark.sql(_TPCH_Q16_SQL)
 
 
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    select supp_nation, cust_nation, l_year,
+           cast(sum(cents) as double) / 10000.0 as revenue
+    from (
+        select n1.n_name as supp_nation, n2.n_name as cust_nation,
+               year(l.l_shipdate) as l_year,
+               cast(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                    as bigint) as cents
+        from supplier s
+          join lineitem l on s.s_suppkey = l.l_suppkey
+          join orders o on o.o_orderkey = l.l_orderkey
+          join customer c on c.c_custkey = o.o_custkey
+          join nation n1 on s.s_nationkey = n1.n_nationkey
+          join nation n2 on c.c_nationkey = n2.n_nationkey
+        where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+            or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+          and l.l_shipdate >= timestamp '1996-01-01'
+          and l.l_shipdate < timestamp '1998-01-01'
+    ) shipping
+    group by supp_nation, cust_nation, l_year
+    order by supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by shipment year — the suite's widest fact-fact-dim join fan
+    (lineitem joins BOTH its supplier's nation and, through orders ->
+    customer, its customer's nation). Adapted names: the fixture's
+    nations are NATION_<k>. Spark-first: nation (25 rows, joined twice
+    under different aliases), supplier and customer broadcast; the only
+    real shuffle is lineitem->orders on orderkey; the disjunctive
+    nation-pair predicate is applied post-join where both nation names
+    are in scope, and Catalyst still pushes the shipdate range to the
+    scan. Revenue floor-quantized to bigint cents for engine-exact
+    summation (the Q6 pattern)."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q7_volume_shipping"])
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    select l_linestatus as ship_group,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 0 else 1 end) as bigint) as low_line_count
+    from orders join lineitem on o_orderkey = l_orderkey
+    where l_shipdate >= o_orderdate + interval 90 day
+      and l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1997-01-01'
+    group by l_linestatus
+    order by l_linestatus
+    """,
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority), adapted to the
+    fixture schema: there is no l_shipmode/l_commitdate/l_receiptdate,
+    so the mode group is l_linestatus and 'late delivery' becomes
+    'shipped more than 90 days after the order date' — preserving the
+    SHAPE: an orders-lineitem join filtered by an inter-column date
+    predicate, then a CASE-bucketed conditional count by class. The
+    inter-column predicate (l_shipdate >= o_orderdate + 90d) cannot be
+    pushed to either scan — it is evaluated in the join's post-condition
+    — but the absolute shipdate range still prunes the lineitem scan.
+    Built with the DataFrame API (interval literal syntax differs from
+    DuckDB's)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_group"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_group")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    select c_count, count(*) as custdist
+    from (
+        select c.c_custkey, count(o.o_orderkey) as c_count
+        from customer c
+          left outer join orders o
+            on c.c_custkey = o.o_custkey
+           and o.o_orderpriority <> '5-LOW'
+        group by c.c_custkey
+    ) c_orders
+    group by c_count
+    order by custdist desc, c_count desc
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): the two-level aggregation
+    shape — count orders per customer THROUGH a left outer join (so
+    zero-order customers survive with c_count = 0), then histogram the
+    per-customer counts. Adapted filter: the reference excludes orders
+    by o_comment LIKE (fixture lacks comments); o_orderpriority <>
+    '5-LOW' preserves the join-side-predicate placement (it must sit in
+    the JOIN condition, not a WHERE, or zero-order customers vanish).
+    Spark-first: outer join shuffles on custkey, the first aggregate
+    reuses that partitioning (no extra exchange), the second aggregate
+    is over ~|distinct counts| rows."""
+    for t in ("customer", "orders"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q13_customer_distribution"])
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    select 100.00 * cast(sum(case when p_type = 'PROMO' then cents else 0 end)
+                         as double)
+                  / cast(sum(cents) as double) as promo_revenue
+    from (
+        select cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                    as bigint) as cents, p_type
+        from lineitem join part on l_partkey = p_partkey
+        where l_shipdate >= timestamp '1996-09-01'
+          and l_shipdate < timestamp '1996-10-01'
+    ) t
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio — the
+    percentage of one month's revenue from PROMO parts (the fixture's
+    p_type domain includes exactly 'PROMO', no adaptation needed beyond
+    dropping the 'PROMO%' prefix match to equality). Both sums are
+    floor-quantized bigint cents, so the final ratio is one
+    exactly-reproducible double division. Spark-first: the one-month
+    shipdate range prunes the lineitem scan; part is broadcast; both
+    conditional sums fold into a single partial-aggregate pass (one
+    HashAggregate, two CASE accumulators), one single-row exchange."""
+    for t in ("lineitem", "part"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q14_promo_revenue"])
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    with revenue as (
+        select l_suppkey as supplier_no,
+               sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                        as bigint)) as total_cents
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1996-04-01'
+        group by l_suppkey
+    )
+    select s_suppkey, s_name,
+           cast(total_cents as double) / 10000.0 as total_revenue
+    from supplier join revenue on s_suppkey = supplier_no
+    where total_cents = (select max(total_cents) from revenue)
+    order by s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the aggregate-of-aggregate scalar
+    subquery shape — a quarterly revenue-per-supplier view consumed
+    twice, once as the join input and once reduced to its max, with the
+    tie-safe equality join back (ALL suppliers at the max revenue
+    return, which is why TPC-H specifies this shape instead of LIMIT 1).
+    Revenue is summed as floor-quantized bigint cents, making the
+    max-equality exact across engines — the reference's double equality
+    is the textbook cross-engine hash-mismatch trap. Spark-first: the
+    CTE is planned once per consumer with the scalar max as a separate
+    tiny subquery stage; supplier (1k rows) is broadcast onto the
+    aggregated (not raw) side."""
+    for t in ("lineitem", "supplier"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q15_top_supplier"])
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    select cast(sum(cast(floor(l.l_extendedprice * 100.0) as bigint)) as double)
+           / 700.0 as avg_yearly
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    where p.p_brand = 'Brand#23' and p.p_size = 5
+      and l.l_quantity < 0.2 * (
+          select avg(l2.l_quantity) from lineitem l2
+          where l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    AGGREGATE subquery — each lineitem row is compared against the
+    average order quantity OF ITS OWN PART. Adapted: the container
+    attribute doesn't exist, so the part filter is p_brand + p_size.
+    Determinism: l_quantity is integral-valued, so avg() = exact integer
+    sum / count is the identical IEEE double in both engines, and the
+    0.2x comparison cannot flip; the output sum is floor-quantized
+    cents / 700 (sum/7.0 in cents). Spark-first: Catalyst decorrelates
+    the subquery into a per-partkey average aggregated over the FULL
+    lineitem (not just Brand#23 rows) joined back on partkey — the
+    filtered side is tiny after the broadcast part filter, the
+    decorrelated aggregate is the one real shuffle."""
+    for t in ("lineitem", "part"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q17_small_quantity_revenue"])
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    select cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                         as bigint)) as double) / 10000.0 as revenue
+    from lineitem join part on p_partkey = l_partkey
+    where (p_brand = 'Brand#12' and p_size between 1 and 5
+           and l_quantity >= 1 and l_quantity <= 11)
+       or (p_brand = 'Brand#23' and p_size between 1 and 10
+           and l_quantity >= 10 and l_quantity <= 20)
+       or (p_brand = 'Brand#34' and p_size between 1 and 15
+           and l_quantity >= 20 and l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): the disjunctive-predicate
+    pushdown probe — three OR'd conjunctions that each mix part-side
+    (brand, size) and lineitem-side (quantity) conditions across the
+    join. Adapted: no p_container/l_shipmode/l_shipinstruct in the
+    fixture, so each branch keeps its brand + size-range + quantity-band
+    core. The optimizer test: Catalyst must factor the per-side
+    implications out of the OR — l_quantity between 1 and 30 pushes to
+    the lineitem scan, p_size between 1 and 15 to the part scan — while
+    the full disjunction evaluates post-join on an equi (not
+    nested-loop) hash join. The plan-lint cartesian ban holds this
+    entry to that."""
+    for t in ("lineitem", "part"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q19_disjunctive_revenue"])
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    with cust as (
+        select right(c_name, 2) as cntrycode, c_acctbal, c_custkey
+        from customer
+        where right(c_name, 2) in ('01', '12', '23', '34', '45', '56', '67')
+    ),
+    thr as (
+        select sum(cast(round(c_acctbal * 100.0) as bigint)) as total_cents,
+               count(*) as n
+        from cust where c_acctbal > 0.0
+    )
+    select cntrycode, count(*) as numcust,
+           cast(sum(cast(round(c_acctbal * 100.0) as bigint)) as double)
+           / 100.0 as totacctbal
+    from cust, thr
+    where cast(round(c_acctbal * 100.0) as bigint) * n > total_cents
+      and not exists (
+          select 1 from orders
+          where o_custkey = c_custkey
+            and o_orderpriority = '1-URGENT'
+            and o_orderdate >= timestamp '1999-01-01'
+      )
+    group by cntrycode
+    order by cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers WITH NO (recent urgent) ORDERS, grouped by country code.
+    Adapted twice: the fixture has no c_phone, so the 2-char code is
+    right(c_name, 2) — the same derived-substring-membership shape — and
+    because the fixture assigns orders to essentially EVERY customer
+    (0 order-less customers at sf0.01), the anti-join condition becomes
+    'no 1-URGENT order since 1999', keeping the NOT EXISTS non-vacuous
+    at every SF instead of matching zero rows. Two shapes pinned at
+    once: a NOT EXISTS anti join against a predicated orders scan, and a
+    global
+    average threshold which the canonical query leaves as a float avg()
+    scalar subquery — here restated as an exact integer cross-product
+    test (acctbal_cents * n > total_cents), so the boundary cannot flip
+    between engines' float summation orders. Spark-first: the threshold
+    is the whitelisted 1-row scalar attach (broadcast single-row
+    aggregate, O(n) probe — see tests/test_plan_lint.py
+    SCALAR_ATTACH_OK); the anti join builds on the filtered customer
+    side; both aggregates reuse the cntrycode shuffle."""
+    for t in ("customer", "orders"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q22_global_sales_opportunity"])
+
+
+@register(
+    "sql_recursive_spine",
+    """
+    with recursive nums(n) as (
+        select 0
+        union all
+        select n + 1 from nums where n < 30
+    ),
+    daily as (
+        select cast(ts as date) as d, count(*) as n_events,
+               count(distinct user_id) as n_users
+        from events
+        where ts >= timestamp '1995-01-01' and ts < timestamp '1995-02-01'
+        group by cast(ts as date)
+    )
+    select cast(spine.d as varchar) as day,
+           cast(coalesce(daily.n_events, 0) as bigint) as n_events,
+           cast(coalesce(daily.n_users, 0) as bigint) as n_users
+    from (select date '1995-01-01' + n as d from nums) spine
+      left join daily on daily.d = spine.d
+    order by day
+    """,
+)
+def sql_recursive_spine(spark, sf_dir):
+    """Recursive-CTE calendar spine (Spark 4's WITH RECURSIVE): generate
+    all 31 January-1995 days by recursion, left-join the events table's
+    daily activity, and emit zero rows for silent days — the canonical
+    'gap-free report' shape that a non-recursive engine needs a
+    sequence() explode for (gap_fill_linear's approach; this entry pins
+    the SQL-standard form DuckDB also runs). Scale posture: recursion
+    depth is the calendar length (31), driver-side plan unrolling only —
+    the data-side work is one pruned scan + small aggregate; the spine
+    side is 31 rows, broadcast. Spark's date arithmetic differs
+    (date_add vs DuckDB's date + int), so the Spark plan is issued with
+    its own dialect string below."""
+    _tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        with recursive nums(n) as (
+            select 0
+            union all
+            select n + 1 from nums where n < 30
+        ),
+        daily as (
+            select cast(ts as date) as d, count(*) as n_events,
+                   count(distinct user_id) as n_users
+            from events
+            where ts >= timestamp '1995-01-01' and ts < timestamp '1995-02-01'
+            group by cast(ts as date)
+        )
+        select cast(spine.d as string) as day,
+               coalesce(daily.n_events, 0) as n_events,
+               coalesce(daily.n_users, 0) as n_users
+        from (select date_add(date '1995-01-01', n) as d from nums) spine
+          left join daily on daily.d = spine.d
+        order by day
+        """
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -6219,6 +6579,15 @@ _VERIFY_FIRST = [
     "sim_pq_fixed",              # new: frozen-codebook PQ companion
     "tpch_q2_min_cost_supplier", # new: correlated scalar subquery
     "tpch_q16_parts_supplier",   # new: NOT IN + count-distinct
+    "tpch_q7_volume_shipping",   # new: double-nation join fan
+    "tpch_q12_shipmode_priority",  # new: inter-column date predicate
+    "tpch_q13_customer_distribution",  # new: outer-join 2-level agg
+    "tpch_q14_promo_revenue",    # new: conditional-agg ratio
+    "tpch_q15_top_supplier",     # new: agg-of-agg scalar subquery
+    "tpch_q17_small_quantity_revenue",  # new: correlated avg subquery
+    "tpch_q19_disjunctive_revenue",  # new: OR-pushdown probe
+    "tpch_q22_global_sales_opportunity",  # new: NOT EXISTS + threshold
+    "sql_recursive_spine",       # new: WITH RECURSIVE calendar spine
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint

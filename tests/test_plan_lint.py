@@ -52,6 +52,10 @@ SCALAR_ATTACH_OK = {
     "share_of_total_agg",
     "equal_freq_binning",
     "text_bm25",
+    # Q22's global-threshold CTE (`from cust, thr` with thr a 1-row
+    # sum/count aggregate) is the same exact-integer scalar attach,
+    # expressed through the SQL front-end
+    "tpch_q22_global_sales_opportunity",
 }
 
 
@@ -160,7 +164,8 @@ def test_plan_has_no_scale_antipatterns(name, spark):
 
             assert _re.search(
                 r"BroadcastExchange IdentityBroadcastMode[^\n]*\n[\s:]*\+- "
-                r"(?:Project [^\n]*\n[\s:]*\+- )?(?:Object)?HashAggregate\(keys=\[\]",
+                r"(?:(?:Project|Filter) [^\n]*\n[\s:]*\+- ){0,2}"
+                r"(?:Object)?HashAggregate\(keys=\[\]",
                 plan,
             ), (
                 f"{name}: nested-loop join build side is not a 1-row global "
