@@ -67,6 +67,10 @@ SECONDARY = [
     "ts_outlier_zscore",
     "graph_triangle_count",
     "sentence_dedup",
+    # round-7 additions: widest join fan, outer-join 2-level agg, OR-pushdown
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 

@@ -183,3 +183,86 @@ def test_pq_fixed_rerank_beats_adc_only_recall(spark):
     # two-stage PQ with a 100-wide shortlist on a 500-vector corpus
     # should recover most of the true top-10
     assert len(got_ids & exact_ids) >= 6
+
+
+# ---------------------------------------------------------------------------
+# Round-7 TPC-H batch: plan-shape pins for the optimizer properties each
+# query exists to exercise (correctness itself is the oracle compare in
+# test_entry_contract.py).
+# ---------------------------------------------------------------------------
+
+def _plan(spark, name):
+    import __spark_entry__ as E
+
+    return E.queries()[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_disjunction_factors_into_both_scans(spark):
+    """Q19's whole point: Catalyst must factor the per-side implications
+    out of the 3-way OR — quantity bands push to the lineitem scan,
+    size/brand bands to the part scan — and the join must stay a hash
+    equi-join with the disjunction as a post-condition."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    import re
+
+    li_scan = re.search(r"FileScan parquet [^\n]*lineitem[^\n]*", plan).group(0)
+    part_scan = re.search(r"FileScan parquet [^\n]*part\.parquet[^\n]*", plan).group(0)
+    assert "l_quantity" in li_scan and "PushedFilters: [IsNotNull(l_partkey), Or(" in li_scan
+    assert "p_size" in part_scan
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_subquery_decorrelates_to_aggregate_join(spark):
+    """The correlated avg subquery must decorrelate into a per-partkey
+    aggregate joined back on the key — never a per-row re-execution
+    (which would surface as a nested-loop join)."""
+    plan = _plan(spark, "tpch_q17_small_quantity_revenue")
+    assert "partial_avg(l_quantity" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q17_avg_threshold_is_engine_exact(spark):
+    """The 0.2*avg comparison only hashes cross-engine because
+    l_quantity is integral-valued: avg = exact-int sum / count is the
+    same IEEE double everywhere. Pin the fixture property the proof
+    rests on, so a regenerated fixture with fractional quantities fails
+    HERE instead of as a driver hash mismatch."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    n_frac = li.filter(F.col("l_quantity") != F.floor("l_quantity")).count()
+    assert n_frac == 0, "l_quantity no longer integral: Q17 avg exactness proof void"
+
+
+def test_q15_max_equality_is_on_quantized_bigint(spark):
+    """Tie-safe top supplier: the max-revenue equality must compare
+    bigint cents (exact), not floating revenue (the cross-engine hash
+    trap the docstring calls out)."""
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert "total_cents" in plan
+    # the scalar max arrives as a subquery result, compared on the long
+    import re
+
+    assert re.search(r"total_cents#\d+L", plan), "max-equality column is not a bigint"
+
+
+def test_recursive_spine_is_bounded_and_broadcast(spark):
+    """WITH RECURSIVE plans as UnionLoop; the 31-row spine must sit on
+    the BROADCAST side of the outer join (the events aggregate is the
+    big side at scale), and the recursion is calendar-bounded."""
+    plan = _plan(spark, "sql_recursive_spine")
+    assert "UnionLoop" in plan
+    import __spark_entry__ as E
+
+    rows = E.queries()["sql_recursive_spine"](spark, SF_DIR).collect()
+    assert len(rows) == 31
+    assert all(r["n_events"] >= 0 for r in rows)
+
+
+def test_q22_not_exists_is_non_vacuous(spark):
+    """The fixture assigns orders to every customer, which made the
+    canonical Q22 'no orders' anti join match ZERO rows (a vacuous
+    always-green oracle). The adapted predicate must keep the result
+    non-empty at every SF so the driver hash actually constrains it."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_q22_global_sales_opportunity"](spark, SF_DIR)
+    assert df.count() > 0
