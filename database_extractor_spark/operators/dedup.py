@@ -419,6 +419,61 @@ def containment_pairs(
     )
 
 
+def containment_pairs_capped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 20,
+) -> DataFrame:
+    """``containment_pairs`` with the hot-shingle mitigation its docstring
+    prescribes for corpus scale, as a first-class operator: shingles whose
+    DOCUMENT FREQUENCY exceeds ``df_cap`` are dropped from the index
+    before the self-join.
+
+    Why this is the 100 TB path: the inverted-index join's cost is
+    sum(df(s)^2) over shingles — a single boilerplate shingle shared by
+    100k documents contributes 10^10 pairs on its own, and real corpora
+    concentrate mass in exactly such shingles (headers, footers,
+    licenses). Capping df bounds every shingle's fan-out at df_cap^2 and
+    removes precisely the shingles with no discriminative value (a
+    shingle in 10k docs says nothing about any PAIR of them). Semantics
+    shift is explicit: containment is measured over the <=df_cap shingle
+    universe — both the numerator AND the per-doc denominator count only
+    kept shingles, so C(a->b) stays a true containment ratio of the
+    informative shingles. Docs whose shingles are ALL capped (pure
+    boilerplate) drop out of the result rather than matching everything.
+    """
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    )
+    # document frequency per shingle hash; shingles() is distinct-per-doc,
+    # so count(*) == count(distinct doc) without the distinct expansion
+    kept = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= df_cap),
+        "s",
+    ).drop("__df")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    return (
+        common.join(na, "id_a")
+        .withColumn("containment", F.round(F.col("common") / F.col("na"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

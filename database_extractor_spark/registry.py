@@ -6554,6 +6554,194 @@ def sql_recursive_spine(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_containment_capped",
+    r"""
+    with words as (
+        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+    ),
+    sh as (
+        select doc_id, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+        )) as s
+        from words
+    ),
+    dfreq as (select s, count(*) as dfv from sh group by s),
+    kept as (
+        select sh.doc_id, sh.s
+        from sh join dfreq on sh.s = dfreq.s
+        where dfreq.dfv <= 20
+    ),
+    sizes as (select doc_id, count(*) as n from kept group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from kept a join kept b on a.s = b.s and a.doc_id <> b.doc_id
+        group by 1, 2
+    )
+    select id_a, id_b, round(c / s1.n, 4) as containment
+    from common join sizes s1 on id_a = s1.doc_id
+    where round(c / s1.n, 4) >= 0.8
+    """,
+)
+def dedup_containment_capped(spark, sf_dir):
+    """Directed containment with the hot-shingle DOCUMENT-FREQUENCY cap
+    (df <= 20) applied before the inverted-index self-join — the 100 TB
+    mitigation dedup_containment's docstring prescribes, promoted to a
+    first-class oracled operator. The self-join's cost is sum(df(s)^2):
+    the round-7 sf1 scaling run measured the uncapped entry at 18x for
+    10x docs precisely because replica boilerplate shingles fatten that
+    tail; capping bounds every shingle's fan-out at df_cap^2 = 400 pairs
+    and drops only non-discriminative shingles. Containment is measured
+    over the kept-shingle universe (numerator AND denominator), so the
+    ratio stays a true containment of the informative shingles. See
+    operators/dedup.py:containment_pairs_capped."""
+    return D.containment_pairs_capped(
+        _tbl(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3, df_cap=20
+    )
+
+
+@register(
+    "dsir_importance_resample",
+    r"""
+    with toks as (
+        select doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+        from documents
+    ),
+    stats as (
+        select count(distinct token) as v, count(*) as tr,
+               sum(case when lang = 'en' then 1 else 0 end) as tt
+        from toks
+    ),
+    fr as (select token, count(*) as cr from toks group by token),
+    ft as (select token, count(*) as ct from toks where lang = 'en'
+           group by token),
+    scored as (
+        select t.doc_id, max(t.lang) as lang,
+               round(avg(ln(cast(coalesce(ft.ct, 0) + 1 as double) / (tt + v))
+                       - ln(cast(fr.cr + 1 as double) / (tr + v))), 4)
+               + 0.0 as score
+        from toks t
+          join fr on t.token = fr.token
+          left join ft on t.token = ft.token
+          cross join stats
+        group by t.doc_id
+    )
+    select doc_id, lang, score
+    from scored
+    order by score + round(-ln(-ln(
+              ((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint + 1)
+               / 4294967297.0))), 4) desc,
+             doc_id
+    limit 200
+    """,
+)
+def dsir_importance_resample(spark, sf_dir):
+    """DSIR-style data selection (importance resampling toward a target
+    distribution; Xie et al. 2023, public): score every document by the
+    mean per-token log importance ratio between an add-one-smoothed
+    TARGET unigram LM (here: the lang='en' slice) and the RAW-corpus LM,
+    then draw a 200-doc sample via Gumbel-top-k — adding a deterministic
+    Gumbel(0,1) perturbation (-ln(-ln(u)), u from the portable md5 lane)
+    to each log-weight and taking the top k, which is exactly sampling
+    without replacement proportional to the importance weights. Fully
+    reproducible: no rand(), the same md5-lane trick as
+    deterministic_sample. Scale: tokenize+explode, one broadcast-able
+    token-frequency join pair, ONE 1-row corpus-stats attach
+    (whitelisted scalar broadcast), per-doc aggregate, then
+    TakeOrderedAndProject — no global sort materializes. FP posture:
+    both engines round the score and the Gumbel key to 4 dp (ln drift
+    ~1e-14, the text_unigram_logprob precedent), ties at the k-boundary
+    broken by doc_id."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
+    )
+    stats = toks.agg(
+        F.countDistinct("token").alias("__v"),
+        F.count("*").alias("__tr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("__tt"),
+    )
+    fr = toks.groupBy("token").agg(F.count("*").alias("cr"))
+    ft = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count("*").alias("ct"))
+    )
+    lp = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+              / (F.col("__tt") + F.col("__v")))
+        - F.log((F.col("cr") + 1).cast("double") / (F.col("__tr") + F.col("__v")))
+    )
+    scored = (
+        toks.join(F.broadcast(fr), "token")
+        .join(F.broadcast(ft), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (cross-engine hash identity)
+        .agg(F.max("lang").alias("lang"), (F.round(F.avg(lp), 4) + F.lit(0.0)).alias("score"))
+    )
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") + 1)
+        / F.lit(4294967297.0)
+    )
+    gumbel = F.round(-F.log(-F.log(u)), 4)
+    return (
+        scored.orderBy((F.col("score") + gumbel).desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "lang", "score")
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    with words as (
+        select word, count(*) as wc from (
+            select unnest(string_split_regex(lower(trim(text)), '\s+')) as word
+            from documents
+        ) group by word
+    )
+    select substr(word, i, 2) as pair, cast(sum(wc) as bigint) as pair_count
+    from (select word, wc, unnest(range(1, len(word))) as i
+          from words where len(word) >= 2)
+    group by pair
+    order by pair_count desc, pair
+    limit 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training inner loop, distributed: count adjacent
+    symbol pairs across the corpus weighted by word frequency — the
+    statistic each byte-pair-encoding merge step maximizes. The key
+    scale move is aggregating words FIRST (|vocab| rows, zipfian-small)
+    so the quadratic-ish pair explode runs over distinct words x their
+    counts, not over every token occurrence; pair emission is
+    substr(word, i, 2) over a per-row index sequence — no Python, no
+    shuffle until the final pair aggregate. Integer counts, engine-exact
+    top-20 with lexicographic tiebreak."""
+    docs = _tbl(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        F.col("word"),
+    ).select(F.expr("substr(word, i, 2)").alias("pair"), "wc")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -6588,6 +6776,9 @@ _VERIFY_FIRST = [
     "tpch_q19_disjunctive_revenue",  # new: OR-pushdown probe
     "tpch_q22_global_sales_opportunity",  # new: NOT EXISTS + threshold
     "sql_recursive_spine",       # new: WITH RECURSIVE calendar spine
+    "dedup_containment_capped",  # new: df-capped inverted index
+    "dsir_importance_resample",  # new: DSIR Gumbel-top-k selection
+    "bpe_pair_counts",           # new: BPE merge-pair statistic
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint

@@ -56,6 +56,8 @@ SCALAR_ATTACH_OK = {
     # sum/count aggregate) is the same exact-integer scalar attach,
     # expressed through the SQL front-end
     "tpch_q22_global_sales_opportunity",
+    # DSIR's corpus stats (V, total, target-total) ride one 1-row attach
+    "dsir_importance_resample",
 }
 
 
