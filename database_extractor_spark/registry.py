@@ -6742,6 +6742,125 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
+def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
+    """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
+    embedding to 1e6-scaled bigints, score relevance against the
+    vec_id=0 query vector as an integer dot product (exact — max |dot|
+    ~2e13 is far under 2^53, so even double math on these values is
+    exact), and take the top-``pool`` candidates. Exposed separately so
+    tests/test_plan_lint.py can assert the full lazy plan
+    (TakeOrderedAndProject, no cartesian) — the registry entry collects
+    this pool on build (bounded: pool x 64 bigints), so the entry's own
+    returned plan is a LocalTableScan."""
+    emb = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # widen float->double BEFORE the multiply: a float x float product
+        # rounds to 24-bit mantissa first (DuckDB's default), landing some
+        # values exactly on .5 and flipping the round vs double math
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("e"),
+    )
+    qe = emb.filter("vec_id = 0").select(F.col("e").alias("qe"))
+    return (
+        emb.filter("vec_id <> 0")
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id", "e",
+            F.expr(
+                "aggregate(zip_with(e, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+    )
+
+
+def _mmr_oracle_sql(pool: int = 50, k: int = 10) -> str:
+    """Unrolled-CTE DuckDB replay of the MMR greedy (the PCA-oracle
+    pattern applied to submodular selection): sel1 = argmax relevance;
+    sel{i} adds the argmax of 7*rel - 3*max_dot_to_selected. All
+    arithmetic is integer-valued (1e6-quantized embeddings; dots < 2^53
+    so DOUBLE list_dot_product is exact), ties broken by vec_id — the
+    selection is bit-reproducible on any engine."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # sel{{i}} references sel{{i-1}} three times — naive inlining expands
+    # the chain 3^k-fold (observed as "too many open files" on the
+    # parquet view). Materialization keeps the unroll linear in k.
+    parts = [f"""
+    with emb as materialized (
+        select vec_id,
+               [cast(round(cast(x as double) * 1000000.0) as bigint)
+                for x in embedding] as e
+        from embeddings
+    ),
+    q as materialized (select e as qe from emb where vec_id = 0),
+    pool as materialized (
+        select emb.vec_id, emb.e,
+               cast(list_dot_product(emb.e::DOUBLE[], q.qe::DOUBLE[]) as bigint) as rel
+        from emb, q where emb.vec_id <> 0
+        order by rel desc, vec_id limit {pool}
+    ),
+    sel1 as materialized (select vec_id, e, rel, 1 as rank from pool
+             order by rel desc, vec_id limit 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    s{i} as materialized (
+        select p.vec_id, p.e, p.rel, {i} as rank
+        from pool p
+        where p.vec_id not in (select vec_id from sel{i - 1})
+        order by 7 * p.rel - 3 * (
+            select max(cast(list_dot_product(p.e::DOUBLE[], s.e::DOUBLE[]) as bigint))
+            from sel{i - 1} s) desc, p.vec_id
+        limit 1
+    ),
+    sel{i} as materialized (select * from sel{i - 1} union all select * from s{i})""")
+    parts.append(f"""
+    select cast(rank as int) as rank, vec_id, rel as relevance
+    from sel{k} order by rank""")
+    return "".join(parts)
+
+
+@register("mmr_diversified_topk", _mmr_oracle_sql())
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    public): pick k=10 vectors that are RELEVANT to the query but
+    mutually DIVERSE — greedy argmax of lambda*rel(c) -
+    (1-lambda)*max_{s in S} sim(c, s), lambda=0.7 (integerized as
+    7*rel - 3*maxsim). The training-data use case: diverse few-shot /
+    eval-set selection where plain top-k returns 10 near-duplicates.
+
+    Spark-first split: relevance scoring + top-50 pooling run
+    distributed over the full corpus (_mmr_pool_plan —
+    TakeOrderedAndProject, integer-exact dots); the greedy itself is
+    inherently sequential over k x pool = 500 comparisons, so the pool
+    (bounded by construction: 50 rows x 64 bigints) is collected as
+    model state — the union-find/PCA bounded-collect pattern — and the
+    selection replayed in exact int64 arithmetic. At 100 TB only the
+    pool stage grows; the greedy stays 500 comparisons. Oracle: the
+    full greedy unrolled as 10 chained CTEs, bit-identical integer
+    scores, vec_id ties."""
+    rows = _mmr_pool_plan(spark, sf_dir, pool=50).collect()
+    import numpy as np
+
+    E = {int(r["vec_id"]): np.asarray(r["e"], dtype=np.int64) for r in rows}
+    rel = {int(r["vec_id"]): int(r["rel"]) for r in rows}
+    selected: list[int] = []
+    out: list[tuple[int, int, int]] = []
+    while len(out) < 10 and len(out) < len(E):
+        best = None
+        for vid in sorted(E):
+            if vid in selected:
+                continue
+            maxsim = max((int(E[vid] @ E[s]) for s in selected), default=0)
+            score = 7 * rel[vid] - 3 * maxsim
+            if best is None or score > best[0]:
+                best = (score, vid)
+        selected.append(best[1])
+        out.append((len(out) + 1, best[1], rel[best[1]]))
+    return spark.createDataFrame(out, "rank int, vec_id bigint, relevance bigint")
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -6779,6 +6898,7 @@ _VERIFY_FIRST = [
     "dedup_containment_capped",  # new: df-capped inverted index
     "dsir_importance_resample",  # new: DSIR Gumbel-top-k selection
     "bpe_pair_counts",           # new: BPE merge-pair statistic
+    "mmr_diversified_topk",      # new: MMR diverse selection
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint

@@ -35,6 +35,9 @@ EXECUTES_ON_BUILD = {
     # writes its bucketed tables on build; join-plan shape asserted in
     # tests/test_scale_posture.py::test_bucketed_join_registry_entry_plan
     "bucketed_join_colocated",
+    # collects its bounded 50-row candidate pool on build; the
+    # distributed pool plan is asserted in test_mmr_pool_plan below
+    "mmr_diversified_topk",
 }
 
 #: entries allowed to contain Arrow-batched Python stages
@@ -132,6 +135,22 @@ def test_triangle_count_prechk_plan(spark):
 
     n_joins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
     assert n_joins >= 5, f"expected >=5 hash/merge joins, saw {n_joins}"
+
+
+def test_mmr_pool_plan(spark):
+    """mmr_diversified_topk's distributed stage (quantized integer
+    relevance scoring + top-50 pooling) must be a TakeOrderedAndProject
+    over the full corpus with the 1-row query vector broadcast — no
+    cartesian blowup, no global sort materialization."""
+    from database_extractor_spark.registry import _mmr_pool_plan
+
+    df = _mmr_pool_plan(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, f"pool is not a distributed top-k:\n{plan}"
+    # the only nested-loop shape allowed is the 1-row query-vector attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_pagerank_prechk_plan(spark):
