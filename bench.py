@@ -67,10 +67,16 @@ SECONDARY = [
     "ts_outlier_zscore",
     "graph_triangle_count",
     "sentence_dedup",
-    # round-7 additions: widest join fan, outer-join 2-level agg, OR-pushdown
+    # round-7 additions: widest join fans, outer-join 2-level agg,
+    # OR-pushdown, decorrelated Q21, capped containment, DSIR, MMR
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
+    "dedup_containment_capped",
+    "dsir_importance_resample",
+    "mmr_diversified_topk",
 ]
 
 

@@ -6742,6 +6742,187 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q8_market_share",
+    """
+    select o_year,
+           cast(sum(case when supp_nation = 'NATION_1' then cents else 0 end)
+                as double)
+           / cast(sum(cents) as double) as mkt_share
+    from (
+        select year(o.o_orderdate) as o_year,
+               n1.n_name as supp_nation,
+               cast(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                    as bigint) as cents
+        from lineitem l
+          join part p on p.p_partkey = l.l_partkey
+          join supplier s on s.s_suppkey = l.l_suppkey
+          join orders o on o.o_orderkey = l.l_orderkey
+          join customer c on c.c_custkey = o.o_custkey
+          join nation n1 on s.s_nationkey = n1.n_nationkey
+          join nation n2 on c.c_nationkey = n2.n_nationkey
+          join region r on n2.n_regionkey = r.r_regionkey
+        where r.r_name = 'EUROPE'
+          and p.p_type = 'ECONOMY'
+          and o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1998-01-01'
+    ) all_nations
+    group by o_year
+    order by o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_1 suppliers' share of
+    ECONOMY-part revenue among REGION_0 customers, by order year — the
+    suite's widest join fan (8 tables: lineitem reaches nation through
+    BOTH the supplier and the orders->customer->region chain). Adapted
+    names only (NATION_k / REGION_k / p_type domain). The ratio is two
+    floor-quantized bigint-cent sums -> one exact double division per
+    year, so no float-summation-order hazard. Spark-first: every dim
+    (part, supplier, customer, nation x2, region) broadcasts; the only
+    fact-fact shuffle is lineitem-orders on orderkey; both CASE sums
+    fold into one HashAggregate pass keyed by year."""
+    for t in ("lineitem", "part", "supplier", "orders", "customer", "nation", "region"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q8_market_share"])
+
+
+@register(
+    "tpch_q20_excess_stock",
+    """
+    with partsupp as (
+        select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+               sum(l_quantity) as ps_qty
+        from lineitem group by 1, 2
+    )
+    select s_name, round(s_acctbal, 2) as s_acctbal
+    from supplier join nation on s_nationkey = n_nationkey
+    where n_name = 'NATION_1'
+      and s_suppkey in (
+          select ps1.ps_suppkey from partsupp ps1
+          where ps1.ps_partkey in (
+              select p_partkey from part where p_type = 'SMALL'
+          )
+          and ps1.ps_qty * (
+              select count(*) from partsupp p2
+              where p2.ps_partkey = ps1.ps_partkey
+          ) > 2.0 * (
+              select sum(p3.ps_qty) from partsupp p3
+              where p3.ps_partkey = ps1.ps_partkey
+          )
+      )
+    order by s_name
+    """,
+)
+def tpch_q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): the NESTED subquery chain —
+    an IN whose subquery contains another IN plus CORRELATED scalar
+    aggregates. Adapted: no partsupp/availqty in the fixture, so
+    partsupp derives from lineitem and 'availqty > half of this
+    part's lineitem volume' becomes 'this supplier carries more than
+    2x the part's FAIR SHARE of shipped quantity' (qty * n_suppliers >
+    2 * total — a dominant-supplier query; an absolute 50% cut goes
+    vacuous as supplier counts per part grow with SF, this stays
+    populated at every SF). Shape-identical correlation, doubled: two
+    correlated scalar aggregates over the same derived partsupp.
+    Determinism: l_quantity is integral, so every sum/count is exact
+    and the comparison cannot flip. Spark-first: Catalyst decorrelates the scalar sum into a
+    per-partkey aggregate equi-joined back; both INs become LEFT SEMI
+    joins; part's p_type filter broadcasts into the chain."""
+    for t in ("lineitem", "supplier", "nation", "part"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q20_excess_stock"])
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    select s_name, cast(count(*) as bigint) as numwait
+    from supplier s
+      join lineitem l1 on s.s_suppkey = l1.l_suppkey
+      join orders o on o.o_orderkey = l1.l_orderkey
+      join nation n on s.s_nationkey = n.n_nationkey
+    where n.n_name = 'NATION_1'
+      and o.o_orderstatus = 'F'
+      and l1.l_shipdate >= o.o_orderdate + interval 60 day
+      and exists (
+          select 1 from lineitem l2
+          where l2.l_orderkey = l1.l_orderkey
+            and l2.l_suppkey <> l1.l_suppkey
+      )
+      and not exists (
+          select 1 from lineitem l3
+          where l3.l_orderkey = l1.l_orderkey
+            and l3.l_suppkey <> l1.l_suppkey
+            and l3.l_shipdate > l1.l_shipdate
+      )
+    group by s_name
+    order by numwait desc, s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the double
+    correlated EXISTS / NOT EXISTS — the hardest TPC-H subquery shape.
+    Adapted: no commit/receipt dates, so 'delivered late' is shipdate
+    >= orderdate + 60d, and the l2/l3 correlation keys on shipdate
+    (the supplier who shipped LAST among multi-supplier finished
+    orders). Spark-first REWRITE: the NOT EXISTS carries an inequality
+    correlation (l3.l_shipdate > l1.l_shipdate), which a hash join
+    cannot express — Spark would fall to a nested-loop per order — so
+    it is restated as l1.shipdate >= max(shipdate over the order's
+    OTHER suppliers), derived once per (order, supplier) with the
+    top-2 trick (per-supplier max -> per-order global max m1, count of
+    suppliers at m1, runner-up m2; max_other = m2 only for the unique
+    m1 holder). Everything becomes keyed equi-joins on orderkey — the
+    classic manual decorrelation Catalyst cannot do automatically for
+    inequality correlation. The DuckDB oracle keeps the canonical
+    nested-EXISTS form, proving the rewrite equivalent on every
+    fixture."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    # "no OTHER supplier shipped strictly later than l1" ==
+    # l1.shipdate >= max shipdate over the order's OTHER suppliers.
+    # Derive that per (order, supplier) with the top-2 trick: per-supplier
+    # max -> per-order global max m1, #suppliers at m1, runner-up m2;
+    # max_other = m1 unless this supplier is the UNIQUE holder of m1, in
+    # which case m2.
+    ms = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
+    per_order = ms.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.max("ms").alias("m1"),
+    )
+    tops = (
+        ms.join(per_order, "l_orderkey")
+        .groupBy("l_orderkey", "n_supp", "m1")
+        .agg(
+            F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).alias("cnt1"),
+            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).alias("m2"),
+        )
+    )
+    max_other = (
+        ms.join(tops, "l_orderkey")
+        .select(
+            "l_orderkey", "l_suppkey", "n_supp",
+            F.when(
+                (F.col("ms") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
+            ).otherwise(F.col("m1")).alias("max_other"),
+        )
+    )
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(max_other, ["l_orderkey", "l_suppkey"])
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") >= F.col("max_other")))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -6899,6 +7080,9 @@ _VERIFY_FIRST = [
     "dsir_importance_resample",  # new: DSIR Gumbel-top-k selection
     "bpe_pair_counts",           # new: BPE merge-pair statistic
     "mmr_diversified_topk",      # new: MMR diverse selection
+    "tpch_q8_market_share",      # new: 8-table market-share ratio
+    "tpch_q20_excess_stock",     # new: nested IN + correlated agg
+    "tpch_q21_waiting_suppliers",  # new: double EXISTS decorrelated
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint

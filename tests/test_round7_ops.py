@@ -266,3 +266,23 @@ def test_q22_not_exists_is_non_vacuous(spark):
 
     df = E.queries()["tpch_q22_global_sales_opportunity"](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_q8_q20_q21_are_non_vacuous(spark):
+    """Q8's region filter and Q20's dominance threshold were initially
+    vacuous on the fixture (REGION_0 doesn't exist; no supplier holds
+    50% of a part's volume once parts have many suppliers). Guard all
+    three round-7 subquery entries against silently matching nothing —
+    a 0-row oracle compare is always-green."""
+    import __spark_entry__ as E
+
+    # count at sf0.01 — the DRIVER's oracle-compare SF, where vacuity
+    # would actually blind the gate (sf0.001 is legitimately sparse for
+    # Q20/Q21's selective predicates)
+    driver_sf = "/root/testdata/sf0.01"
+    for name in (
+        "tpch_q8_market_share",
+        "tpch_q20_excess_stock",
+        "tpch_q21_waiting_suppliers",
+    ):
+        assert E.queries()[name](spark, driver_sf).count() > 0, f"{name} is vacuous"
