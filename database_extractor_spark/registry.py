@@ -6923,6 +6923,92 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q9_product_profit",
+    """
+    with partsupp as (
+        select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+               min(l_extendedprice / l_quantity) as ps_supplycost
+        from lineitem group by 1, 2
+    )
+    select nation, o_year,
+           cast(sum(profit_cents) as double) / 10000.0 as sum_profit
+    from (
+        select n.n_name as nation, year(o.o_orderdate) as o_year,
+               cast(floor((l.l_extendedprice * (1 - l.l_discount)
+                           - ps.ps_supplycost * l.l_quantity) * 10000.0)
+                    as bigint) as profit_cents
+        from lineitem l
+          join part p on p.p_partkey = l.l_partkey
+          join supplier s on s.s_suppkey = l.l_suppkey
+          join partsupp ps on ps.ps_partkey = l.l_partkey
+                          and ps.ps_suppkey = l.l_suppkey
+          join orders o on o.o_orderkey = l.l_orderkey
+          join nation n on s.s_nationkey = n.n_nationkey
+        where p.p_name like '%ring%'
+    ) profit
+    group by nation, o_year
+    order by nation, o_year desc
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit): per-nation per-year profit on a
+    part-name LIKE family — the composite-key fact-to-derived-fact join
+    (lineitem joins the derived partsupp on BOTH partkey and suppkey).
+    Adapted: ps_supplycost is Q2's derived min unit price
+    (min(l_extendedprice / l_quantity) per part-supplier), p_name LIKE
+    '%ring%' replaces '%green%' (fixture name vocabulary). Determinism:
+    ps_supplycost is a min over identical IEEE divisions — the same
+    double on any engine — so each profit term is floor-quantized from
+    an engine-identical product. Spark-first: the '%ring%' filter can't
+    prune the scan but broadcasts part early; partsupp shuffles once on
+    the composite key, reused by the probe join; nation broadcasts."""
+    for t in ("lineitem", "part", "supplier", "orders", "nation"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q9_product_profit"])
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    with partsupp as (
+        select l.l_partkey as ps_partkey,
+               cast(floor(min(l.l_extendedprice / l.l_quantity)
+                          * sum(l.l_quantity) * 100.0) as bigint) as value_cents
+        from lineitem l
+          join supplier s on s.s_suppkey = l.l_suppkey
+          join nation n on s.s_nationkey = n.n_nationkey
+        where n.n_name = 'NATION_1'
+        group by l.l_partkey, l.l_suppkey
+    )
+    select ps_partkey, cast(sum(value_cents) as double) / 100.0 as value
+    from partsupp
+    group by ps_partkey
+    having sum(value_cents) > (
+        select sum(value_cents) * 0.001 from partsupp
+    )
+    order by value desc, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): the HAVING-with-
+    global-scalar-subquery shape — per-part inventory value within one
+    nation, kept only when it exceeds a fraction of the NATION-WIDE
+    total (0.001, scaled to the fixture). Adapted: value :=
+    min-unit-price x total shipped quantity per (part, supplier),
+    floor-quantized to bigint cents at the leaf so both the per-part
+    sums and the global threshold sum are exact integer arithmetic —
+    the canonical query's double sum would hash-flip on summation
+    order. Spark-first: one aggregate produces the per-(part,supplier)
+    values; the global total is the same aggregated relation reduced
+    again and attached as a scalar subquery (Spark plans it as a
+    separate tiny subquery stage, not a join); supplier/nation
+    broadcast into the grouped scan."""
+    for t in ("lineitem", "supplier", "nation"):
+        _tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["tpch_q11_important_stock"])
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -7083,6 +7169,8 @@ _VERIFY_FIRST = [
     "tpch_q8_market_share",      # new: 8-table market-share ratio
     "tpch_q20_excess_stock",     # new: nested IN + correlated agg
     "tpch_q21_waiting_suppliers",  # new: double EXISTS decorrelated
+    "tpch_q9_product_profit",    # new: composite-key derived-fact join
+    "tpch_q11_important_stock",  # new: HAVING + global scalar subquery
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint
