@@ -7009,6 +7009,80 @@ def tpch_q11_important_stock(spark, sf_dir):
     return spark.sql(ORACLE["tpch_q11_important_stock"])
 
 
+def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf_dir) lineitem partitioned by ship year
+    to a temp lake, for the DPP entry. Cached so repeated invocations in
+    one session re-use the layout (the realistic shape: the lake exists,
+    queries come later)."""
+    key = f"__dpp_lake::{sf_dir}"
+    existing = spark.conf.get(f"spark.{key}", None)
+    if existing:
+        return existing
+    path = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "lake")
+    (
+        _tbl(spark, sf_dir, "lineitem")
+        .withColumn("l_year", F.year("l_shipdate"))
+        .write.partitionBy("l_year")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.conf.set(f"spark.{key}", path)
+    return path
+
+
+@register(
+    "dpp_partition_pruned_join",
+    """
+    with dim as (
+        select distinct year(o_orderdate) as o_year
+        from orders
+        where o_orderdate >= timestamp '1999-06-01'
+    )
+    select cast(year(l_shipdate) as int) as l_year,
+           cast(count(*) as bigint) as n_lines,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                         as bigint)) as double) / 10000.0 as revenue
+    from lineitem join dim on year(l_shipdate) = o_year
+    group by 1
+    order by l_year
+    """,
+)
+def dpp_partition_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by ship year, and the dim side is 'the distinct order years since
+    1999-06' — the qualifying year SET exists only at runtime (no
+    optimizer rule derives year(o_orderdate) bounds from a timestamp
+    range, so static partition pruning cannot apply; a LIMIT-based dim
+    doesn't even trigger the rule, which requires a selective
+    predicate). Spark inserts a dynamicpruning#... subquery on the fact's partition
+    column at runtime, reusing the broadcast dim to skip the losing
+    year partitions entirely — at 100 TB this is the difference between
+    scanning 3/7 of the lake and all of it. Plan shape (partitioned
+    scan + PartitionFilters: [dynamicpruning...]) is pinned in
+    tests/test_round7_ops.py; the oracle replays the same join against
+    the unpartitioned source (results are layout-independent).
+    EXECUTES_ON_BUILD: the partitioned lake is written once per
+    session."""
+    path = _dpp_fact_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
+        .select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0))
+    return (
+        fact.join(F.broadcast(dim), fact.l_year == F.col("o_year"))
+        .groupBy(F.col("l_year").cast("int").alias("l_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            (F.sum(cents.cast("bigint")).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -7171,6 +7245,7 @@ _VERIFY_FIRST = [
     "tpch_q21_waiting_suppliers",  # new: double EXISTS decorrelated
     "tpch_q9_product_profit",    # new: composite-key derived-fact join
     "tpch_q11_important_stock",  # new: HAVING + global scalar subquery
+    "dpp_partition_pruned_join",  # new: runtime partition pruning
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint
@@ -7194,15 +7269,12 @@ _VERIFY_FIRST = [
     "streaming_stream_stream_join",
     "multimodal_frame_sample",
     # ---- the remaining <=r03 stale cohort, oldest signal first by risk:
-    # sources, dedup/similarity, joins/aggs. 27 fit in the 50-entry
-    # window after the 23 above; the 17 that roll to r08 are pure
-    # string/math/json scalar and set-op entries over non-timestamp
-    # columns (string_funcs, math_funcs, conditional_funcs, regex_funcs,
-    # array_funcs, json_funcs, set_union/intersect/except, agg_collect,
-    # distinct_pairs, dropdup_keep_first, unpivot_counts, grouping_sets,
-    # histogram_fixed_bins, not_exists_subquery,
-    # o14_pickle_sink_roundtrip) — r08 has no planned code churn, so the
-    # whole remainder clears next round.
+    # sources, dedup/similarity, joins/aggs. After the 25 NEW round-7
+    # entries + 9 code-changed + 7 events.ts readers above, 9 of these
+    # fit in the 50-entry window; the rest (plus the pure string/math/
+    # json scalar and set-op tail) roll to r08 — none of them has code
+    # churn after its last green row, so nothing ships on a
+    # changed-code stale green; r08's window clears the remainder.
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "orc_source_roundtrip",

@@ -38,6 +38,9 @@ EXECUTES_ON_BUILD = {
     # collects its bounded 50-row candidate pool on build; the
     # distributed pool plan is asserted in test_mmr_pool_plan below
     "mmr_diversified_topk",
+    # writes its year-partitioned lake on build; the DPP plan shape is
+    # asserted in tests/test_round7_ops.py::test_dpp_plan_prunes_at_runtime
+    "dpp_partition_pruned_join",
 }
 
 #: entries allowed to contain Arrow-batched Python stages

@@ -286,3 +286,17 @@ def test_q8_q20_q21_are_non_vacuous(spark):
         "tpch_q21_waiting_suppliers",
     ):
         assert E.queries()[name](spark, driver_sf).count() > 0, f"{name} is vacuous"
+
+
+def test_dpp_plan_prunes_at_runtime(spark):
+    """dpp_partition_pruned_join must actually engage dynamic partition
+    pruning: the fact scan's PartitionFilters must carry a
+    dynamicpruning subquery on l_year (a static filter cannot exist —
+    the qualifying years are data-driven), and the dim must broadcast."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dpp_partition_pruned_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
