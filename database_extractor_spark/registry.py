@@ -7083,6 +7083,81 @@ def dpp_partition_pruned_join(spark, sf_dir):
     )
 
 
+@register(
+    "skyline_pareto_frontier",
+    """
+    select p_partkey, p_retailprice, p_size
+    from part p
+    where not exists (
+        select 1 from part b
+        where b.p_retailprice <= p.p_retailprice and b.p_size >= p.p_size
+          and (b.p_retailprice < p.p_retailprice or b.p_size > p.p_size)
+    )
+    order by p_retailprice, p_partkey
+    """,
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts not strictly dominated on
+    (minimize retail price, maximize size) — the classic multi-criteria
+    shortlist. The canonical form is a correlated NOT EXISTS with
+    INEQUALITY correlation on both attributes (the DuckDB oracle keeps
+    it), which on any engine degenerates to an O(n^2) nested loop.
+    Spark-first rewrite, O(n log n) and equi-join-only: collapse to
+    per-distinct-price max size (value-domain bounded: <=10k two-decimal
+    prices in [900, 1000]), then a TWO-LEVEL distributed prefix max (the
+    cumulative_distinct_users pattern) — intra-bucket running max over a
+    window PARTITIONED by $10 price bucket plus a broadcast cross-bucket
+    exclusive prefix-max carry — yielding for every price the max size
+    among STRICTLY cheaper parts. A part survives iff that max is
+    smaller than its size (no cheaper part at least as big) AND no
+    same-price part is strictly bigger. No global window, no
+    cartesian; the frontier itself is ~H(n) = ln(n) rows."""
+    part = _tbl(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    pp = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("mx"))
+        .withColumn("bkt", F.floor(F.col("p_retailprice") / F.lit(10.0)))
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive cross-bucket carry: max bucket-max over all EARLIER buckets
+    carry = (
+        pp.groupBy("bkt").agg(F.max("mx").alias("bm"))
+        .agg(F.sort_array(F.collect_list(F.struct("bkt", "bm"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.bkt as bkt, "
+                    "aggregate(slice(a, 1, i), -1L, "  # i is 0-based: exclusive prefix
+                    "(acc, t) -> greatest(acc, cast(t.bm as bigint))) as carry))"
+                )
+            ).alias("s")
+        )
+        .select("s.bkt", "s.carry")
+    )
+    ranked = (
+        pp.withColumn("runmax_le", F.max("mx").over(w))
+        .withColumn("lag_le", F.lag("runmax_le").over(Window.partitionBy("bkt").orderBy("p_retailprice")))
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            "p_retailprice", "mx",
+            F.greatest(F.coalesce(F.col("lag_le"), F.lit(-1)).cast("long"), F.col("carry"))
+            .alias("runmax_lt"),
+        )
+    )
+    return (
+        part.join(ranked, "p_retailprice")
+        .filter(
+            (F.col("runmax_lt") < F.col("p_size")) & (F.col("mx") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -7246,6 +7321,7 @@ _VERIFY_FIRST = [
     "tpch_q9_product_profit",    # new: composite-key derived-fact join
     "tpch_q11_important_stock",  # new: HAVING + global scalar subquery
     "dpp_partition_pruned_join",  # new: runtime partition pruning
+    "skyline_pareto_frontier",   # new: windowed skyline rewrite
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint
