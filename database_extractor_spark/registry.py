@@ -7158,6 +7158,71 @@ def skyline_pareto_frontier(spark, sf_dir):
     )
 
 
+@register(
+    "pit_join_scd2",
+    """
+    with o as (
+        select user_id, ts, event_id, event_type,
+               lag(event_type) over (partition by user_id order by ts, event_id)
+                 as prev
+        from events
+    ),
+    c as (
+        select user_id, ts, event_id, event_type from o
+        where prev is null or prev <> event_type
+    ),
+    hist as (
+        select user_id, event_type, ts as valid_from,
+               lead(ts) over (partition by user_id order by ts, event_id)
+                 as valid_to
+        from c
+    ),
+    probes as (
+        select event_id, user_id, ts from events
+        where event_type = 'purchase'
+    )
+    select p.event_id, p.user_id, p.ts, h.event_type as state_at
+    from probes p join hist h on p.user_id = h.user_id
+     and h.valid_from <= p.ts
+     and (h.valid_to is null or p.ts < h.valid_to)
+    """,
+)
+def pit_join_scd2(spark, sf_dir):
+    """Point-in-time (PIT) join against the SCD2 dimension — the
+    feature-store primitive that makes training joins leakage-free:
+    each label row (here: every purchase event) is joined to the
+    dimension state that was valid AT ITS TIMESTAMP, never to a future
+    version. The oracle keeps the canonical interval-predicate join
+    (valid_from <= ts < valid_to), which on any engine is a range join;
+    the Spark plan observes that PIT-validity equals backward-AS-OF on
+    the version start times, and reuses the one-pass union+window as-of
+    plan (operators/timeseries.asof_join): one shuffle on user_id,
+    linear, no range-condition fan-out. Zero-length versions (two state
+    changes at one timestamp) are dropped from the quote side first —
+    exactly the rows the canonical interval predicate can never match —
+    which also dedupes quotes to one per (key, ts)."""
+    from database_extractor_spark.operators.timeseries import asof_join, scd2_history
+
+    ev = _tbl(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", tiebreak_col="event_id")
+    quotes = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("user_id", F.col("valid_from").alias("qts"), F.col("event_type").alias("state"))
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        probes, quotes, on=["user_id"], left_ts="ts", right_ts="qts",
+        value_col="state", out_col="state_at",
+    )
+    # the oracle's INNER interval join: drop probes with no valid version
+    # (cannot occur on this fixture — every probe is itself in the log —
+    # but keeps the semantics aligned if a probe predates all history)
+    return out.filter(F.col("state_at").isNotNull()).select(
+        "event_id", "user_id", "ts", "state_at"
+    )
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -7322,6 +7387,7 @@ _VERIFY_FIRST = [
     "tpch_q11_important_stock",  # new: HAVING + global scalar subquery
     "dpp_partition_pruned_join",  # new: runtime partition pruning
     "skyline_pareto_frontier",   # new: windowed skyline rewrite
+    "pit_join_scd2",             # new: point-in-time feature join
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint
