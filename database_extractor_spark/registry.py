@@ -7223,6 +7223,92 @@ def pit_join_scd2(spark, sf_dir):
     )
 
 
+@register(
+    "variant_semi_structured",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint)
+             as sum_k,
+           cast(max(cast(json_extract(props, '$.k') as bigint)) as bigint)
+             as max_k
+    from events
+    where cast(json_extract(props, '$.k') as bigint) >= 50
+    group by event_type
+    order by event_type
+    """,
+)
+def variant_semi_structured(spark, sf_dir):
+    """Semi-structured analytics through Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding (parse_json), then
+    field access is variant_get path extraction — the open-table-format
+    answer to schema-on-read JSON columns (vs json_funcs' per-access
+    get_json_object string re-parsing; at 100 TB the single parse +
+    binary field reads replace N string scans per row). The oracle
+    states the same pipeline over DuckDB's JSON extraction; all
+    extracted values are integers, so the filter/sums are engine-exact."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.expr("cast(variant_get(parse_json(props), '$.k', 'bigint') as bigint)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "python_datasource_sink_roundtrip",
+    """
+    select event_type, cast(count(*) as bigint) as n,
+           cast(sum(cast(floor(value * 1000.0) as bigint)) as double) / 1000.0
+             as sum_val
+    from events
+    where event_id % 5 = 0
+    group by event_type
+    order by event_type
+    """,
+)
+def python_datasource_sink_roundtrip(spark, sf_dir):
+    """Writer face of the Spark 4 custom Python Data Source seam
+    (sources/custom.py:JsonlSinkDataSource): every 5th event is written
+    through ``format("jsonl_sink")`` — partition-parallel Python
+    writers, two-phase staged-file commit (a failed or speculative task
+    can never leave partial output visible) — then read back with an
+    explicit schema and aggregated; the oracle replays the aggregate on
+    the original table, so any row lost, duplicated, or corrupted by
+    the sink fails the value hash. Completes the custom-connector
+    surface: batch read (r04), stream read (r06), and now write.
+    EXECUTES_ON_BUILD (the sink runs on call)."""
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="pyds_sink_"), "out")
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    ev.write.format("jsonl_sink").option("path", out_dir).mode("append").save()
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        out_dir
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum(F.floor(F.col("value") * 1000.0).cast("bigint")).cast("double")
+             / F.lit(1000.0)).alias("sum_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _mmr_pool_plan(spark: SparkSession, sf_dir: str, pool: int = 50) -> DataFrame:
     """The DISTRIBUTED stage of mmr_diversified_topk: quantize every
     embedding to 1e6-scaled bigints, score relevance against the
@@ -7388,6 +7474,8 @@ _VERIFY_FIRST = [
     "dpp_partition_pruned_join",  # new: runtime partition pruning
     "skyline_pareto_frontier",   # new: windowed skyline rewrite
     "pit_join_scd2",             # new: point-in-time feature join
+    "variant_semi_structured",   # new: Spark 4 VARIANT type
+    "python_datasource_sink_roundtrip",  # new: custom writer seam
     "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
     "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
     "graph_triangle_count",      # packed orientation key, 1 checkpoint

@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -108,3 +110,76 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotently register the custom source on the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer face: the sink half of the custom-connector seam
+# ---------------------------------------------------------------------------
+
+class _JsonlCommit(WriterCommitMessage):
+    """WriterCommitMessage carrying the partition's staged file."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-partition writer for the ``jsonl_sink`` format. Demonstrates
+    the full two-phase commit protocol a real connector needs: each task
+    STAGES its output under a temp name (so a failed/speculative task
+    never corrupts the sink), and the driver-side ``commit`` promotes all
+    staged files at once; ``abort`` removes them. The same shape carries
+    a real connector's transaction handle in the commit message."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                _os.rename(m.tmp_path, m.tmp_path.replace("_staged-", "part-"))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    partition-parallel JSON-lines sink through the Spark 4 Python Data
+    Source writer API (the reference's CSV-file sink generalized to the
+    custom-connector seam; a REST/bespoke-protocol sink implements the
+    same three methods)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -41,6 +41,9 @@ EXECUTES_ON_BUILD = {
     # writes its year-partitioned lake on build; the DPP plan shape is
     # asserted in tests/test_round7_ops.py::test_dpp_plan_prunes_at_runtime
     "dpp_partition_pruned_join",
+    # runs the custom Python writer on build; the returned frame is the
+    # read-back aggregate (Arrow/Python stages live in the write job)
+    "python_datasource_sink_roundtrip",
 }
 
 #: entries allowed to contain Arrow-batched Python stages
