@@ -6618,7 +6618,7 @@ def dedup_containment_capped(spark, sf_dir):
            group by token),
     scored as (
         select t.doc_id, max(t.lang) as lang,
-               round(avg(ln(cast(coalesce(ft.ct, 0) + 1 as double) / (tt + v))
+               round(sum(ln(cast(coalesce(ft.ct, 0) + 1 as double) / (tt + v))
                        - ln(cast(fr.cr + 1 as double) / (tr + v))), 4)
                + 0.0 as score
         from toks t
@@ -6639,7 +6639,7 @@ def dedup_containment_capped(spark, sf_dir):
 def dsir_importance_resample(spark, sf_dir):
     """DSIR-style data selection (importance resampling toward a target
     distribution; Xie et al. 2023, public): score every document by the
-    mean per-token log importance ratio between an add-one-smoothed
+    summed log importance ratio (log of the DSIR weight; a per-token MEAN shrinks the signal below the Gumbel noise and degenerates to uniform sampling — pinned by test) between an add-one-smoothed
     TARGET unigram LM (here: the lang='en' slice) and the RAW-corpus LM,
     then draw a 200-doc sample via Gumbel-top-k — adding a deterministic
     Gumbel(0,1) perturbation (-ln(-ln(u)), u from the portable md5 lane)
@@ -6653,6 +6653,25 @@ def dsir_importance_resample(spark, sf_dir):
     both engines round the score and the Gumbel key to 4 dp (ln drift
     ~1e-14, the text_unigram_logprob precedent), ties at the k-boundary
     broken by doc_id."""
+    scored = _dsir_scored(spark, sf_dir)
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") + 1)
+        / F.lit(4294967297.0)
+    )
+    gumbel = F.round(-F.log(-F.log(u)), 4)
+    return (
+        scored.orderBy((F.col("score") + gumbel).desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "lang", "score")
+    )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weights (the scoring stage of
+    dsir_importance_resample, before the Gumbel-top-k draw) — exposed so
+    tests can compare the selected sample's score distribution against
+    the full population's."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
@@ -6674,24 +6693,13 @@ def dsir_importance_resample(spark, sf_dir):
               / (F.col("__tt") + F.col("__v")))
         - F.log((F.col("cr") + 1).cast("double") / (F.col("__tr") + F.col("__v")))
     )
-    scored = (
+    return (
         toks.join(F.broadcast(fr), "token")
         .join(F.broadcast(ft), "token", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         # + 0.0 normalizes IEEE -0.0 to +0.0 (cross-engine hash identity)
-        .agg(F.max("lang").alias("lang"), (F.round(F.avg(lp), 4) + F.lit(0.0)).alias("score"))
-    )
-    u = (
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-         .cast("long") + 1)
-        / F.lit(4294967297.0)
-    )
-    gumbel = F.round(-F.log(-F.log(u)), 4)
-    return (
-        scored.orderBy((F.col("score") + gumbel).desc(), "doc_id")
-        .limit(200)
-        .select("doc_id", "lang", "score")
+        .agg(F.max("lang").alias("lang"), (F.round(F.sum(lp), 4) + F.lit(0.0)).alias("score"))
     )
 
 

@@ -300,3 +300,75 @@ def test_dpp_plan_prunes_at_runtime(spark):
     assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jsonl_sink_abort_leaves_no_visible_output(spark, tmp_path):
+    """The custom writer's two-phase commit: a task failure mid-job must
+    leave NO visible part- files (staged files are either promoted by
+    commit or removed by abort). Simulate by writing a frame whose last
+    partition throws inside the Python worker."""
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id as event_id",
+        "case when id = 99 then assert_true(false) else 'x' end as event_type",
+        "cast(id as double) as value",
+    )
+    with pytest.raises(Exception):
+        df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    import glob
+
+    assert glob.glob(os.path.join(out, "part-*.jsonl")) == [], (
+        "failed job left committed part files visible"
+    )
+
+
+def test_mmr_selection_is_more_diverse_than_plain_topk(spark):
+    """MMR's entire point: the selected set's internal similarity must be
+    LOWER than plain relevance top-10's. Compare max pairwise dot within
+    each set (quantized ints, same measure the operator optimizes)."""
+    import numpy as np
+
+    from database_extractor_spark.registry import _mmr_pool_plan, QUERIES
+
+    pool = {int(r["vec_id"]): np.asarray(r["e"], dtype=np.int64)
+            for r in _mmr_pool_plan(spark, SF_DIR, pool=50).collect()}
+    ranked = sorted(pool)  # pool is already top-50 by relevance
+    mmr_ids = [int(r["vec_id"]) for r in
+               QUERIES["mmr_diversified_topk"](spark, SF_DIR).collect()]
+    top10 = [int(r["vec_id"]) for r in
+             _mmr_pool_plan(spark, SF_DIR, pool=10).collect()]
+
+    def max_pair_sim(ids):
+        return max(
+            int(pool[a] @ pool[b]) for i, a in enumerate(ids) for b in ids[i + 1:]
+        )
+
+    assert max_pair_sim(mmr_ids) <= max_pair_sim(top10), (
+        "MMR selection is no more diverse than plain top-k"
+    )
+
+
+def test_dsir_sample_is_biased_toward_high_importance(spark):
+    """The Gumbel-top-k property DSIR rests on: the selected sample's
+    mean log-importance must exceed the population mean (sampling
+    proportional-ish to weights is biased toward high weights even when
+    the fixture's cross-language vocabulary overlap keeps the absolute
+    signal small). Also: en docs within the sample must score higher on
+    average than non-en docs (the target distribution is lang='en')."""
+    from database_extractor_spark.registry import _dsir_scored, QUERIES
+
+    pop = [r["score"] for r in _dsir_scored(spark, SF_DIR).collect()]
+    rows = QUERIES["dsir_importance_resample"](spark, SF_DIR).collect()
+    sel = [r["score"] for r in rows]
+    assert len(sel) < len(pop), "selection did not subsample"
+    assert sum(sel) / len(sel) > sum(pop) / len(pop), (
+        "selected sample is not biased toward high importance weights"
+    )
+    en = [r["score"] for r in rows if r["lang"] == "en"]
+    other = [r["score"] for r in rows if r["lang"] != "en"]
+    assert en, "no en docs selected"
+    if other:
+        assert sum(en) / len(en) > sum(other) / len(other)
