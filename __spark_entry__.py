@@ -39,12 +39,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    The 4 entries absent here (dedup_minhash_lsh, dedup_simhash —
-    xxhash64 has no DuckDB twin — and sim_ivf_kmeans, sim_pq_topk —
-    trained model state) get the driver's weaker rows-only check and are
-    pinned by local tests against exact baselines instead. sim_ann_lsh
-    and approx_distinct graduated to full oracles (seeded-plane literals
-    / exact-regime HLL)."""
+    Only 2 entries are absent (sim_ivf_kmeans, sim_pq_topk — KMeans-
+    trained model state); they get the driver's weaker rows-only check
+    and are pinned by local tests against exact baselines, and their
+    fixture-frozen companions sim_ivf_fixed / sim_pq_fixed ARE fully
+    oracled. dedup_minhash_lsh / dedup_simhash graduated to full oracles
+    in round 7 (md5-lane portable hashing), sim_ann_lsh / approx_distinct
+    in round 6 (seeded-plane literals / exact-regime HLL)."""
     from database_extractor_spark.registry import ORACLE
 
     return dict(ORACLE)

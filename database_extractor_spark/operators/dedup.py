@@ -492,7 +492,15 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     Per-row: bits × |tokens| JVM ops via higher-order functions; the bit
     loop is unrolled in Python so masks are plan-time literals. The hash
     is portable (md5 hex slice), so DuckDB replays it bit-identically.
+
+    ``bits`` is capped at SIMHASH_BITS (=60): the base hash is a 60-bit
+    md5 slice, so wider masks would vote on bits that are always 0, and
+    bits=64's top mask overflows a signed JVM long (the round-7
+    portability rewrite narrowed the width; reject instead of silently
+    corrupting).
     """
+    if not 1 <= bits <= SIMHASH_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_BITS}], got {bits}")
     hashes = F.transform(tokens(col), lambda t: portable_hash60(t))
 
     def bit_vote(mask: int) -> Column:
@@ -524,7 +532,9 @@ def simhash_table(
     doc id, ``bits`` sum-of-votes aggregates in one hash-aggregate pass,
     bits packed in the post-aggregation projection. Token hashes are
     md5-derived (portable), so the SQL oracle replays the identical
-    simhash values."""
+    simhash values. ``bits`` capped at SIMHASH_BITS — see ``simhash``."""
+    if not 1 <= bits <= SIMHASH_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_BITS}], got {bits}")
     tok_hashes = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col),
         F.explode(

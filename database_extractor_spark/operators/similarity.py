@@ -123,6 +123,26 @@ def _py_bucket(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) ->
     return b
 
 
+def _pydot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side sequential-fold dot product. ONE shared definition:
+    this fold order must mirror DuckDB's list_dot_product and the
+    engine-side aggregate(zip_with(...)) fold so quantizer/codebook
+    literals baked into oracles stay bit-identical — independent copies
+    could drift and silently break oracle parity."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _pycos(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side cosine built on the shared fold (see _pydot)."""
+    import math
+
+    d = math.sqrt(_pydot(a, a)) * math.sqrt(_pydot(b, b))
+    return _pydot(a, b) / d if d else 0.0
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -285,18 +305,6 @@ def ivf_fixed_topk(
     ]
     assigned = df.withColumn("__list", F.array_min(F.array(*structs))["sid"])
 
-    import math
-
-    def _pycos(a, b):
-        s = na = nb = 0.0
-        for x, y in zip(a, b):
-            s += float(x) * float(y)
-        for x in a:
-            na += float(x) * float(x)
-        for y in b:
-            nb += float(y) * float(y)
-        d = math.sqrt(na) * math.sqrt(nb)
-        return s / d if d else 0.0
 
     ranked = sorted(
         ((_pycos(query_vec, vec), int(sid)) for sid, vec in seeds),
@@ -346,11 +354,6 @@ def pq_fixed_topk(
         for j in range(m)
     ]
 
-    def _pydot(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            s += float(x) * float(y)
-        return s
 
     q = [float(v) for v in query_vec]
 

@@ -1173,7 +1173,10 @@ def _minhash_lsh_oracle(
     )
     return rf"""
     with recursive words as (
-        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+        -- coalesce mirrors the engine (with_minhash): a NULL-text doc gets
+        -- an ''-shingle signature instead of vanishing from the compare
+        select doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') as ws
+        from documents
     ),
     sh as (
         select doc_id, unnest(list_distinct(
@@ -1253,7 +1256,8 @@ def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
     )
     return rf"""
     with toks as (
-        select doc_id, unnest(string_split_regex(trim(text), '\s+')) as t
+        -- coalesce mirrors the engine (simhash_table) for NULL-text docs
+        select doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) as t
         from documents
     ),
     th as (select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h from toks),
@@ -6781,7 +6785,7 @@ def bpe_pair_counts(spark, sf_dir):
 )
 def tpch_q8_market_share(spark, sf_dir):
     """TPC-H Q8 (national market share): NATION_1 suppliers' share of
-    ECONOMY-part revenue among REGION_0 customers, by order year — the
+    ECONOMY-part revenue among EUROPE-region customers, by order year — the
     suite's widest join fan (8 tables: lineitem reaches nation through
     BOTH the supplier and the orders->customer->region chain). Adapted
     names only (NATION_k / REGION_k / p_type domain). The ratio is two
@@ -7507,12 +7511,13 @@ _VERIFY_FIRST = [
     "streaming_stream_stream_join",
     "multimodal_frame_sample",
     # ---- the remaining <=r03 stale cohort, oldest signal first by risk:
-    # sources, dedup/similarity, joins/aggs. After the 25 NEW round-7
-    # entries + 9 code-changed + 7 events.ts readers above, 9 of these
-    # fit in the 50-entry window; the rest (plus the pure string/math/
-    # json scalar and set-op tail) roll to r08 — none of them has code
-    # churn after its last green row, so nothing ships on a
-    # changed-code stale green; r08's window clears the remainder.
+    # sources, dedup/similarity, joins/aggs. After the 30 NEW round-7
+    # entries + 9 code-changed + 7 events.ts readers above (46 total),
+    # only the 4 source roundtrips below fit the 50-entry window; the
+    # rest (plus the pure string/math/json scalar and set-op tail) roll
+    # to r08 — none of them has code churn after its last green row, so
+    # nothing ships on a changed-code stale green; r08's window clears
+    # the remainder.
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "orc_source_roundtrip",

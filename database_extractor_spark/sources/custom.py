@@ -156,7 +156,10 @@ class JsonlSinkWriter(DataSourceWriter):
 
         for m in messages:
             if m is not None:
-                _os.rename(m.tmp_path, m.tmp_path.replace("_staged-", "part-"))
+                # promote on the BASENAME only — a directory component
+                # containing "_staged-" must not be rewritten
+                d, base = _os.path.split(m.tmp_path)
+                _os.rename(m.tmp_path, _os.path.join(d, base.replace("_staged-", "part-", 1)))
 
     def abort(self, messages):
         import os as _os

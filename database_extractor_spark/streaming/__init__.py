@@ -48,8 +48,18 @@ def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
         d = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(path))
+        # repair a dangling link (target deleted/recreated elsewhere):
+        # islink() is true for broken links, exists() follows the target
+        if os.path.islink(link) and not os.path.exists(link):
+            os.remove(link)
         if not os.path.islink(link):
-            os.symlink(abspath, link)
+            try:
+                os.symlink(abspath, link)
+            except FileExistsError:
+                # two sessions raced the check-then-create (e.g. bench
+                # alongside pytest); the winner's link targets the same
+                # abspath, so losing is fine
+                pass
         path = d
     stream = spark.readStream.schema(batch.schema).format(fmt).load(path)
     from database_extractor_spark.sources import _normalize_nanos

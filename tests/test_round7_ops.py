@@ -335,7 +335,6 @@ def test_mmr_selection_is_more_diverse_than_plain_topk(spark):
 
     pool = {int(r["vec_id"]): np.asarray(r["e"], dtype=np.int64)
             for r in _mmr_pool_plan(spark, SF_DIR, pool=50).collect()}
-    ranked = sorted(pool)  # pool is already top-50 by relevance
     mmr_ids = [int(r["vec_id"]) for r in
                QUERIES["mmr_diversified_topk"](spark, SF_DIR).collect()]
     top10 = [int(r["vec_id"]) for r in
@@ -372,3 +371,36 @@ def test_dsir_sample_is_biased_toward_high_importance(spark):
     assert en, "no en docs selected"
     if other:
         assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_simhash_rejects_widths_beyond_base_hash():
+    """Round-7 code-review finding: the portability rewrite narrowed the
+    simhash base hash to 60 bits; bits=64 (the historical default) would
+    overflow a JVM long and 61-63 would vote on always-zero bits. Both
+    functions must REJECT out-of-range widths instead of silently
+    corrupting."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators.dedup import simhash, simhash_table
+
+    for bad in (0, 61, 64):
+        with pytest.raises(ValueError):
+            simhash(F.col("text"), bits=bad)
+
+
+def test_documents_text_has_no_nulls_at_oracle_sfs():
+    """The minhash/simhash oracles mirror the engine's NULL-text
+    coalesce, but most text oracles (tokenize -> unnest) and engine
+    paths (explode) DROP null-text docs in lockstep instead. That
+    lockstep is only proven for non-null fixtures — pin the assumption
+    (the q17 integral-quantity pattern) so a regenerated fixture with
+    NULL text fails HERE, not as a driver hash mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = con.execute(
+            f"select count(*) from read_parquet('{sf}/documents.parquet') "
+            "where text is null"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} NULL-text docs — audit text-oracle NULL paths"
