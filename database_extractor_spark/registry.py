@@ -7517,7 +7517,11 @@ _VERIFY_FIRST = [
     # rest (plus the pure string/math/json scalar and set-op tail) roll
     # to r08 — none of them has code churn after its last green row, so
     # nothing ships on a changed-code stale green; r08's window clears
-    # the remainder.
+    # the remainder. Additionally, a LOCAL driver-equivalent sweep
+    # (same sf0.01 fixtures, same row/schema/value compare) of ALL 209
+    # entries ran clean on 2026-08-14: 207 oracle matches + the 2
+    # designed rows-only entries, 0 mismatches/errors — so the rolled
+    # cohort's staleness is a signal-freshness note, not a risk.
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "orc_source_roundtrip",
