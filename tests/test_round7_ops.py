@@ -404,3 +404,110 @@ def test_documents_text_has_no_nulls_at_oracle_sfs():
             "where text is null"
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} NULL-text docs — audit text-oracle NULL paths"
+
+
+# ---------------------------------------------------------------------------
+# Randomized equivalence for the round-7 decorrelation rewrites: the fixture
+# oracles prove them on real data; these prove them on adversarial TIE-heavy
+# inputs (duplicate prices/sizes, shared max shipdates) where rewrite bugs
+# actually live. Few examples, tiny inputs — each example runs a Spark job.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 4)),  # (price_code, size)
+        min_size=1, max_size=12,
+    )
+)
+def test_skyline_rewrite_equals_bruteforce_under_ties(spark, rows):
+    """skyline_pareto_frontier's prefix-max rewrite vs the O(n^2)
+    dominance definition, on inputs dense with equal prices AND equal
+    sizes (the tie cases the 4-row fixture frontier barely exercises)."""
+    spark = spark
+    data = [(i, 900.0 + pc, sz) for i, (pc, sz) in enumerate(rows)]
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in data if b[0] != a[0]
+        )
+
+    want = sorted(r[0] for r in data if not dominated(r))
+
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+
+    d = tempfile.mkdtemp(prefix="sky_prop_")
+    spark.createDataFrame(
+        data, "p_partkey long, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    got = sorted(
+        r["p_partkey"] for r in QUERIES["skyline_pareto_frontier"](spark, d).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        # (orderkey, suppkey, shipday) — tiny domains force shared maxima
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(0, 3)),
+        min_size=1, max_size=14,
+    )
+)
+def test_q21_max_other_trick_equals_nested_exists(spark, lines):
+    """Q21's top-2 max_other derivation vs the canonical double-EXISTS
+    semantics, brute-forced in Python: a line counts iff another supplier
+    exists in the order AND none shipped strictly later."""
+    spark = spark
+    import datetime as _dt
+
+    base = _dt.datetime(1996, 1, 1)
+    data = [
+        (ok, sk, base + _dt.timedelta(days=d), i)
+        for i, (ok, sk, d) in enumerate(lines)
+    ]
+
+    def qualifies(row):
+        ok, sk, ship, _ = row
+        others = [r for r in data if r[0] == ok and r[1] != sk]
+        return bool(others) and all(r[2] <= ship for r in others)
+
+    want = sorted(r[3] for r in data if qualifies(r))
+
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        data, "l_orderkey long, l_suppkey long, l_shipdate timestamp, line_id long"
+    )
+    # replicate the entry's max_other derivation (registry
+    # tpch_q21_waiting_suppliers) on the raw frame
+    ms = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
+    per_order = ms.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.max("ms").alias("m1")
+    )
+    tops = (
+        ms.join(per_order, "l_orderkey")
+        .groupBy("l_orderkey", "n_supp", "m1")
+        .agg(
+            F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).alias("cnt1"),
+            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).alias("m2"),
+        )
+    )
+    max_other = ms.join(tops, "l_orderkey").select(
+        "l_orderkey", "l_suppkey", "n_supp",
+        F.when((F.col("ms") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2"))
+        .otherwise(F.col("m1")).alias("max_other"),
+    )
+    got = sorted(
+        r["line_id"]
+        for r in li.join(max_other, ["l_orderkey", "l_suppkey"])
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") >= F.col("max_other")))
+        .collect()
+    )
+    assert got == want
