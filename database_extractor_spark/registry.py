@@ -6697,9 +6697,14 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (F.col("__tt") + F.col("__v")))
         - F.log((F.col("cr") + 1).cast("double") / (F.col("__tr") + F.col("__v")))
     )
+    # the token-frequency tables grow with VOCABULARY size, so no explicit
+    # broadcast hint (ADVICE r7: an unconditional hint bypasses
+    # autoBroadcastJoinThreshold and can OOM at corpus scale) — AQE picks
+    # broadcast when the measured build side fits, shuffle join otherwise.
+    # The 1-row stats attach stays an explicit broadcast: always tiny.
     return (
-        toks.join(F.broadcast(fr), "token")
-        .join(F.broadcast(ft), "token", "left")
+        toks.join(fr, "token")
+        .join(ft, "token", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         # + 0.0 normalizes IEEE -0.0 to +0.0 (cross-engine hash identity)
@@ -7026,11 +7031,18 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     to a temp lake, for the DPP entry. Cached so repeated invocations in
     one session re-use the layout (the realistic shape: the lake exists,
     queries come later)."""
-    key = f"__dpp_lake::{sf_dir}"
-    existing = spark.conf.get(f"spark.{key}", None)
-    if existing:
-        return existing
-    path = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "lake")
+    # deterministic path keyed by sf_dir (stream_source's digest scheme):
+    # every session — bench, pytest, driver — resolves the SAME lake and
+    # reuses it instead of writing a fresh mkdtemp copy per session
+    # (ADVICE r7: the per-session copies accumulated in /tmp). A completed
+    # write is detected by parquet's _SUCCESS marker; a session that finds
+    # it skips the write entirely.
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"dpp_lake_{digest}", "lake")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     (
         _tbl(spark, sf_dir, "lineitem")
         .withColumn("l_year", F.year("l_shipdate"))
@@ -7038,7 +7050,6 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
         .mode("overwrite")
         .parquet(path)
     )
-    spark.conf.set(f"spark.{key}", path)
     return path
 
 

@@ -145,13 +145,24 @@ class JsonlSinkWriter(DataSourceWriter):
         _os.makedirs(self.path, exist_ok=True)
         tmp = _os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
         n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
+        # a task that dies mid-write must not leak its staged file: only
+        # files named in a returned commit message are visible to
+        # commit()/abort(), so unlink on ANY failure before re-raising
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+        except BaseException:
+            try:
+                _os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return _JsonlCommit(tmp, n)
 
     def commit(self, messages):
+        import glob as _glob
         import os as _os
 
         for m in messages:
@@ -160,6 +171,16 @@ class JsonlSinkWriter(DataSourceWriter):
                 # containing "_staged-" must not be rewritten
                 d, base = _os.path.split(m.tmp_path)
                 _os.rename(m.tmp_path, _os.path.join(d, base.replace("_staged-", "part-", 1)))
+        # sweep orphans from failed/speculative task attempts (killed
+        # between open() and the unlink above). Safe because the sink is
+        # single-writer per directory (Spark's own FileOutputCommitter
+        # assumes the same): every live staged file was either promoted
+        # above or belongs to a task attempt this job abandoned.
+        for orphan in _glob.glob(_os.path.join(self.path, "_staged-*.jsonl")):
+            try:
+                _os.remove(orphan)
+            except OSError:
+                pass
 
     def abort(self, messages):
         import os as _os

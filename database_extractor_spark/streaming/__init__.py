@@ -51,7 +51,13 @@ def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
         # repair a dangling link (target deleted/recreated elsewhere):
         # islink() is true for broken links, exists() follows the target
         if os.path.islink(link) and not os.path.exists(link):
-            os.remove(link)
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                # a concurrent session repaired the same broken link
+                # between our islink() check and the remove — mirror of
+                # the FileExistsError race handled on create below
+                pass
         if not os.path.islink(link):
             try:
                 os.symlink(abspath, link)
