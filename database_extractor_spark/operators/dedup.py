@@ -830,3 +830,95 @@ def edit_distance_pairs(
         )
         .filter(F.col("lev") <= max_dist)
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (duplicate token spans across documents)
+# --------------------------------------------------------------------------
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 5,
+    min_tokens: int = 8,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT duplicate token spans — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", public)
+    operator: find every maximal run of >= ``min_tokens`` consecutive
+    tokens shared verbatim by two documents. Jaccard/MinHash measure
+    SET overlap and miss a 50-token quote inside two otherwise-different
+    documents; this is the operator that catches it.
+
+    Distributed shape (suffix arrays are a single-machine construction;
+    the rolling-gram inverted index is the Spark-native equivalent):
+
+    1. every ``gram``-token window -> portable 60-bit md5 hash with its
+       0-based position (text.rolling_hashes + posexplode);
+    2. hot-gram DOCUMENT-FREQUENCY cap (df <= ``df_cap``), the same 100 TB
+       mitigation as containment_pairs_capped — the inverted-index
+       self-join costs sum(df(g)^2) and boilerplate grams carry no span
+       information worth df_cap^2+ pairs;
+    3. inverted-index self-join on the gram hash (equi-join, never
+       cartesian), id_a < id_b;
+    4. span merge: matched positions on the same DIAGONAL
+       (pos_a - pos_b) with consecutive pos_a form one span — classic
+       gaps-and-islands via ``pos_a - row_number()`` per
+       (id_a, id_b, diagonal) partition (a partitioned window: parallel
+       by pair, no global funnel);
+    5. keep maximal spans covering >= ``min_tokens`` tokens.
+
+    Returns (id_a, id_b, a_start, b_start, n_tokens) with 1-based token
+    offsets — enough for a downstream pass to cut the span out of either
+    document (the Lee et al. remediation).
+
+    Every hash is the md5 lane, so a DuckDB oracle replays gram hashing,
+    the df cap, and the island merge bit-identically.
+    """
+    from pyspark.sql import Window
+
+    from database_extractor_spark.operators.text import rolling_hashes
+
+    norm = F.lower(F.trim(F.col(text_col)))
+    grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col), F.posexplode(rolling_hashes(norm, gram)).alias("pos", "g")
+    )
+    # document frequency per gram (a gram may repeat WITHIN a doc, so
+    # distinct-doc count, unlike the shingle indexes where shingles() is
+    # already distinct-per-doc)
+    kept = grams.join(
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("g"),
+        "g",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    hits = (
+        a.join(b, "g")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = hits.select("id_a", "id_b", "pos_a", diag).withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.min("pos_a").alias("a0"), F.max("pos_a").alias("a1"))
+        .filter(F.col("a1") - F.col("a0") + gram >= min_tokens)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("a0") + 1).cast("int").alias("a_start"),
+            (F.col("a0") - F.col("diag") + 1).cast("int").alias("b_start"),
+            (F.col("a1") - F.col("a0") + F.lit(gram)).cast("int").alias("n_tokens"),
+        )
+    )

@@ -136,20 +136,35 @@ def with_fingerprint(
 
 
 def rolling_hashes(col: Column, window: int = 8) -> Column:
-    """Array of rolling window fingerprints (winnowing-style): hash of each
-    ``window``-token shingle, via xxhash64 (JVM-side, 64-bit).
+    """Array of rolling ``window``-token gram fingerprints, position-indexed:
+    element ``i`` (0-based) is the hash of tokens ``[i, i+window)``. The
+    hash is the PORTABLE 60-bit md5 slice (15 hex chars -> non-negative
+    bigint — same lane as operators.dedup), so a DuckDB oracle replays
+    every gram bit-identically::
 
-    Used by near-dup detection (see operators.dedup); xxhash64 is not
-    portable to other engines, so results are pinned by property tests,
-    not a SQL oracle.
+        ('0x' || substr(md5(array_to_string(t[i:i+window-1], ' ')), 1, 15))::bigint
+
+    Documents shorter than ``window`` tokens emit an EMPTY array (no
+    partial-gram hash): a sub-window document cannot contain a
+    ``window``-token duplicate span, and a whole-doc fallback hash would
+    overstate match length downstream.
+
+    Consumed by exact-substring dedup (operators.dedup.
+    exact_substring_spans): posexplode gives (position, gram-hash) pairs,
+    the unit of the duplicate-span inverted index.
     """
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(0), n - window)
+    grams = F.transform(
         idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
     )
+    return F.when(n >= window, grams).otherwise(F.array().cast("array<long>"))
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:

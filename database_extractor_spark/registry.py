@@ -7452,6 +7452,219 @@ def mmr_diversified_topk(spark, sf_dir):
 
 
 # ==========================================================================
+# round 8: exact-substring dedup, UDTF, quality classifier
+# ==========================================================================
+
+
+@register(
+    "dedup_exact_substring",
+    r"""
+    with toks as (
+        select doc_id, string_split_regex(lower(trim(text)), '\s+') as t
+        from documents
+    ),
+    grams as (
+        select doc_id, cast(i - 1 as int) as pos,
+               ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::bigint as g
+        from (select doc_id, t, unnest(range(1, len(t) - 5 + 2)) as i
+              from toks where len(t) >= 5)
+    ),
+    kept as (
+        select * from grams
+        where g in (select g from grams group by g
+                    having count(distinct doc_id) <= 20)
+    ),
+    hits as (
+        select a.doc_id as id_a, b.doc_id as id_b, a.pos as pos_a, b.pos as pos_b
+        from kept a join kept b using (g)
+        where a.doc_id < b.doc_id
+    ),
+    runs as (
+        select id_a, id_b, pos_a - pos_b as diag, pos_a,
+               pos_a - row_number() over (
+                   partition by id_a, id_b, pos_a - pos_b order by pos_a) as grp
+        from hits
+    ),
+    spans as (
+        select id_a, id_b, diag, min(pos_a) as a0, max(pos_a) as a1
+        from runs group by id_a, id_b, diag, grp
+    )
+    select id_a, id_b,
+           cast(a0 + 1 as int) as a_start,
+           cast(a0 - diag + 1 as int) as b_start,
+           cast(a1 - a0 + 5 as int) as n_tokens
+    from spans
+    where a1 - a0 + 5 >= 8
+    order by id_a, id_b, a_start, b_start
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): every maximal cross-document
+    run of >= 8 verbatim-shared tokens, via a rolling 5-gram md5 inverted
+    index (df <= 20 hot-gram cap) + diagonal gaps-and-islands span merge —
+    the duplicate-SPAN operator that set-overlap dedups (MinHash/Jaccard)
+    structurally miss. See operators/dedup.py:exact_substring_spans for the
+    100 TB shape (equi-join only, partitioned window, df-capped fan-out);
+    the oracle replays gram hashing, cap, and merge on the same md5 lane."""
+    return D.exact_substring_spans(
+        _tbl(spark, sf_dir, "documents"), gram=5, min_tokens=8, df_cap=20
+    )
+
+
+@register(
+    "udtf_tokenize_offsets",
+    r"""
+    with w as (
+        select doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ') as ws
+        from documents
+        where len(trim(text)) > 0
+    ),
+    tok as (
+        select doc_id, cast(i as int) as token_idx, ws[i] as token,
+               cast(coalesce(sum(len(ws[i]) + 1) over (
+                   partition by doc_id order by i
+                   rows between unbounded preceding and 1 preceding), 0) as int)
+               as char_start
+        from (select doc_id, ws, unnest(range(1, len(ws) + 1)) as i from w)
+    )
+    select doc_id, token_idx, token, char_start,
+           cast(char_start + len(token) as int) as char_end
+    from tok
+    order by doc_id, token_idx
+    """,
+)
+def udtf_tokenize_offsets(spark, sf_dir):
+    """Python UDTF (Spark 4 table-function extension point, SURVEY §2.2
+    UDF/UDAF/UDTF): tokenize each document and emit one row per token with
+    its CHARACTER span [char_start, char_end) in the whitespace-normalized
+    text — the offset map annotation pipelines need to project token-level
+    decisions (PII masks, dedup spans) back onto text. The cumulative
+    char cursor is an imperative per-row scan — the table-function shape —
+    while the oracle replays it relationally as a partitioned prefix-sum
+    window. Arrow-batched (`useArrow=True` -> ArrowEvalPythonUDTF, the
+    sanctioned vectorized Python stage; row-at-a-time BatchEvalPythonUDTF
+    stays banned by the plan lint), invoked through the SQL LATERAL
+    correlated-table-function syntax. Scale: per-row generator over one
+    scan — embarrassingly parallel, no shuffle, output ~n_tokens rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="token_idx int, token string, char_start int, char_end int",
+        useArrow=True,
+    )
+    class TokenizeWithOffsets:
+        def eval(self, text):
+            import re
+
+            norm = re.sub(r"\s+", " ", (text or "").strip().lower())
+            if not norm:
+                return
+            pos = 0
+            for i, t in enumerate(norm.split(" "), start=1):
+                yield i, t, pos, pos + len(t)
+                pos += len(t) + 1
+
+    spark.udtf.register("tokenize_with_offsets", TokenizeWithOffsets)
+    _tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        select d.doc_id, t.token_idx, t.token, t.char_start, t.char_end
+        from documents d, lateral tokenize_with_offsets(d.text) t
+        """
+    )
+
+
+def _qc_weights(n_buckets: int = 64) -> list[int]:
+    """Frozen INTEGER weights of the hashed-feature linear quality scorer:
+    w_j = md5("qcw{j}") mapped into [-1000, 1000]. A stand-in for trained
+    fasttext-style classifier weights with the same plan shape — frozen at
+    registration so both engines embed identical literals, and integer so
+    the per-document weight sum is EXACT under any summation order (the
+    FP-portability lesson of dsir/text_tfidf applied at the design stage).
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qcw{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for j in range(n_buckets)
+    ]
+
+
+def _qc_oracle() -> str:
+    w = _qc_weights()
+    wlit = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    with docs as (
+        select doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') as t
+        from documents
+    ),
+    ws as (
+        select doc_id,
+               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
+                               as int) + 1]) as wsum,
+               count(*) as n
+        from (select doc_id, unnest(t) as token from docs)
+        group by doc_id
+    )
+    select d.doc_id, d.lang, cast(len(d.t) as int) as n_tokens,
+           round(1.0 / (1.0 + exp(-(ws.wsum / (1000.0 * ws.n)))), 6) as score,
+           ws.wsum >= 0 as quality_pass
+    from docs d join ws on d.doc_id = ws.doc_id
+    order by d.doc_id
+    """
+
+
+@register("quality_classifier_score", _qc_oracle())
+def quality_classifier_score(spark, sf_dir):
+    """Learned-filter scoring (the fasttext-style linear classifier step
+    between heuristic text_quality and DSIR selection, VERDICT r7 item 5):
+    hash every token into 64 feature buckets (portable 32-bit md5 lane),
+    dot the bucket counts with FROZEN integer weights, squash through a
+    sigmoid -> per-document quality score + keep/drop decision.
+
+    Spark-first: the whole scorer is ONE narrow projection — tokens ->
+    transform(token -> weight_literal[md5_bucket]) -> integer aggregate
+    fold -> sigmoid — no shuffle, no UDF, no model server; 100 TB cost is
+    a single scan. The keep decision compares the INTEGER weight sum to 0
+    (algebraically = score >= 0.5), immune to FP-boundary flips; only the
+    reported score rounds a double (6 dp, exp drift ~1e-16). Weights are
+    literals in both engines (_qc_weights), so the oracle is exact."""
+    w = _qc_weights()
+    warr = F.array(*[F.lit(v) for v in w])
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("__toks")
+    )
+
+    def weight_of(t):
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 64
+        ).cast("int")
+        return F.element_at(warr, bucket + 1).cast("long")
+
+    wsum = F.aggregate(
+        F.transform(F.col("__toks"), weight_of),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(F.col("__toks"))
+    z = F.col("__wsum") / (1000.0 * n)
+    return (
+        docs.withColumn("__wsum", wsum)
+        .select(
+            "doc_id",
+            "lang",
+            n.cast("int").alias("n_tokens"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+            (F.col("__wsum") >= 0).alias("quality_pass"),
+        )
+    )
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion

@@ -47,7 +47,14 @@ EXECUTES_ON_BUILD = {
 }
 
 #: entries allowed to contain Arrow-batched Python stages
-ARROW_OK = {"pandas_ema", "multimodal_decode", "multimodal_resize"}
+ARROW_OK = {
+    "pandas_ema",
+    "multimodal_decode",
+    "multimodal_resize",
+    # Spark 4 Python UDTF, Arrow-batched (ArrowEvalPythonUDTF); the
+    # row-at-a-time BatchEvalPythonUDTF form would still fail the lint
+    "udtf_tokenize_offsets",
+}
 
 #: entries allowed ONE BroadcastNestedLoopJoin whose build side is a 1-row
 #: global aggregate (crossJoin(broadcast(df.agg(...)))): the idiomatic

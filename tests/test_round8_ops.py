@@ -1,0 +1,204 @@
+"""Round-8 operators: exact-substring dedup span semantics, the Python
+UDTF offset map, and the frozen-weight quality classifier."""
+
+import hashlib
+import math
+import re
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, **kw):
+    from database_extractor_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = exact_substring_spans(df, **kw)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_planted_duplicate_span_found_and_maximal(spark):
+    """A 10-token run shared verbatim by two otherwise-different documents
+    must come back as ONE maximal span with exact offsets, not a pile of
+    overlapping gram hits."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        (2, "z1 " + shared + " w1 w2 w3 w4"),
+    ]
+    got = _spans(spark, rows, gram=5, min_tokens=8, df_cap=20)
+    # doc 1: tokens 4..13 (1-based); doc 2: tokens 2..11
+    assert got == [(1, 2, 4, 2, 10)]
+
+
+def test_two_disjoint_spans_stay_separate(spark):
+    """Two shared runs separated by non-matching tokens (same diagonal
+    broken by a gap) merge into two spans, not one."""
+    a = "p1 p2 p3 p4 p5 p6 p7 p8"
+    b = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [
+        (1, a + " mid1 mid2 " + b),
+        (2, a + " other1 other2 " + b),
+    ]
+    got = _spans(spark, rows, gram=5, min_tokens=8, df_cap=20)
+    assert got == [(1, 2, 1, 1, 8), (1, 2, 11, 11, 8)]
+
+
+def test_sub_min_span_dropped(spark):
+    """A shared run shorter than min_tokens is filtered out."""
+    shared = "s1 s2 s3 s4 s5 s6"  # 6 tokens < 8
+    rows = [(1, "a1 a2 " + shared), (2, shared + " b1 b2")]
+    assert _spans(spark, rows, gram=5, min_tokens=8, df_cap=20) == []
+
+
+def test_df_cap_drops_boilerplate_grams(spark):
+    """A gram present in more than df_cap documents is dropped from the
+    index: the boilerplate run matches NOWHERE once capped."""
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    rows = [(i, f"u{i} " + boiler) for i in range(1, 6)]  # 5 docs share it
+    assert _spans(spark, rows, gram=5, min_tokens=8, df_cap=4) == []
+    # raise the cap and every pair reports the span
+    got = _spans(spark, rows, gram=5, min_tokens=8, df_cap=10)
+    assert len(got) == 10  # C(5,2) pairs
+    assert all(t[4] == 9 for t in got)
+
+
+def test_short_docs_emit_no_grams(spark):
+    """Documents under the gram width produce an empty hash array (no
+    partial-gram fallback)."""
+    from database_extractor_spark.operators.text import rolling_hashes
+
+    df = spark.createDataFrame([("a b c",), ("",)], "text string")
+    out = df.select(rolling_hashes(F.col("text"), 5).alias("h")).collect()
+    assert [r["h"] for r in out] == [[], []]
+
+
+def test_rolling_hash_matches_md5_reference(spark):
+    """The gram hash is the portable 60-bit md5 lane, reproducible outside
+    Spark byte-for-byte."""
+    txt = "one two three four five six"
+    df = spark.createDataFrame([(txt,)], "text string")
+    out = df.select(
+        F.posexplode(
+            __import__(
+                "database_extractor_spark.operators.text", fromlist=["rolling_hashes"]
+            ).rolling_hashes(F.col("text"), 5)
+        ).alias("pos", "h")
+    ).collect()
+    toks = txt.split()
+    expect = [
+        int(hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - 5 + 1)
+    ]
+    assert [(r["pos"], r["h"]) for r in out] == list(enumerate(expect))
+
+
+def test_exact_substring_registry_rows(spark):
+    """Fixture smoke: the registry entry returns spans on the sf0.001
+    corpus with valid offsets (positive, 1-based, >= min span length)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["dedup_exact_substring"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["a_start"] >= 1 and r["b_start"] >= 1
+        assert r["n_tokens"] >= 8
+
+
+# ---------------------------------------------------------------------------
+# UDTF: tokenize_with_offsets
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_offsets_reconstruct_normalized_text(spark):
+    """Every emitted (char_start, char_end) slice of the normalized text
+    must equal the emitted token — the offset map's defining property."""
+    import __spark_entry__ as E
+
+    out = E.queries()["udtf_tokenize_offsets"](spark, SF_DIR)
+    sample = out.filter(F.col("doc_id") < 10).collect()
+    assert sample
+    docs = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].strip().lower())
+        for r in pq.read_table(f"{SF_DIR}/documents.parquet")
+        .to_pylist()
+        if r["doc_id"] < 10
+    }
+    for r in sample:
+        norm = docs[r["doc_id"]]
+        assert norm[r["char_start"] : r["char_end"]] == r["token"]
+        assert r["char_end"] - r["char_start"] == len(r["token"])
+
+
+def test_udtf_plan_is_arrow_batched(spark):
+    """The UDTF must run as ArrowEvalPythonUDTF (vectorized), never the
+    row-at-a-time BatchEvalPythonUDTF the lint bans."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["udtf_tokenize_offsets"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython " not in plan
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _py_quality(text: str, weights):
+    toks = re.split(r"\s+", text.strip().lower())
+    wsum = sum(
+        weights[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64] for t in toks
+    )
+    n = len(toks)
+    z = wsum / (1000.0 * n)
+    return round(1.0 / (1.0 + math.exp(-z)), 6), wsum >= 0, n
+
+
+def test_quality_classifier_matches_independent_reimplementation(spark):
+    """Scores from the Spark expression pipeline equal a from-scratch
+    Python scorer on every sf0.001 document (independent-implementation
+    property, the DSIR-style correctness pin)."""
+    import __spark_entry__ as E
+    from database_extractor_spark.registry import _qc_weights
+
+    w = _qc_weights()
+    got = {
+        r["doc_id"]: (r["score"], r["quality_pass"], r["n_tokens"])
+        for r in E.queries()["quality_classifier_score"](spark, SF_DIR).collect()
+    }
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    assert len(got) == len(docs)
+    for d in docs:
+        score, ok, n = _py_quality(d["text"], w)
+        assert got[d["doc_id"]] == (score, ok, n), d["doc_id"]
+
+
+def test_quality_classifier_selection_is_nondegenerate(spark):
+    """Selection-bias sanity (the DSIR lesson): the scorer must actually
+    separate documents — a formulation bug that collapses z toward 0
+    (e.g. dividing by a wrong scale) degenerates every score to ~0.5 and
+    the keep set to all-or-nothing."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["quality_classifier_score"](spark, SF_DIR).collect()
+    scores = [r["score"] for r in rows]
+    passed = sum(r["quality_pass"] for r in rows)
+    assert 0 < passed < len(rows)
+    assert max(scores) - min(scores) > 0.01
+    # keep decision is the exact integer predicate, consistent with score
+    for r in rows:
+        assert r["quality_pass"] == (r["score"] >= 0.5)
