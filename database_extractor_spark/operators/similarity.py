@@ -204,70 +204,62 @@ def partitioned_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 
-def ivf_index(
+def lloyd_rounds_cosine(
     df: DataFrame,
-    dim: int,
-    n_lists: int = 16,
+    seeds: Sequence[tuple[int, Sequence[float]]],
+    rounds: int = 2,
     vec_col: str = "embedding",
-    seed: int = 42,
-    list_col: str = "list_id",
-):
-    """Build an IVF coarse quantizer: KMeans over the corpus, each vector
-    assigned to its nearest centroid's inverted list.
+    round_dp: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical-KMeans training: ``rounds`` Lloyd
+    assignment/mean iterations starting from the FROZEN sampled ``seeds``
+    (the random-sample init, pinned). Returns trained (seed_id, centroid)
+    pairs — the same shape as ``seeds``, so :func:`ivf_fixed_topk` serves
+    queries against the trained quantizer unchanged.
 
-    Returns (indexed_df, centroids) where ``centroids`` is a plain Python
-    list of ``n_lists`` dim-vectors (driver-side; tiny).
+    This replaces the earlier pyspark.ml KMeans fit (round 8): ml's
+    centroids are opaque model state (parallel reduce order, internal
+    init), so the IVF entry could only ever get a rows-only driver check.
+    Pinning the init to a data-derived sample and the round count, and
+    ROUNDING each round's means to ``round_dp``, makes training a pure
+    function of the data that a DuckDB oracle replays as chained CTEs —
+    assignment is argmax cosine over centroid literals (smallest seed id
+    on ties), the update is the per-dimension mean. Rounding kills the
+    cross-engine summation-order FP drift (~1e-13) at a precision far
+    below anything that moves an assignment.
 
-    Scale: training samples the corpus (KMeans on a bounded sample is
-    standard IVF practice); assignment is one model transform (narrow,
-    codegen'd). Persist the indexed table partitioned/bucketed by
-    ``list_col`` so probes prune at the scan — the same layout lever as
-    partitioned_topk.
+    Scale: per round, ONE scan (argmax over n_lists literal centroids —
+    narrow projection) + one n_lists-row aggregate; the collect is
+    n_lists x dim rounded doubles — bounded model state, the PCA
+    power-iteration pattern. Empty lists keep their previous centroid.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
-
-    feats = df.withColumn("__features", array_to_vector(
-        F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    ))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol=list_col).fit(feats)
-    indexed = model.transform(feats).drop("__features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    return indexed, centroids
-
-
-def ivf_topk(
-    indexed: DataFrame,
-    centroids,
-    query_vec: Sequence[float],
-    k: int = 10,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    list_col: str = "list_id",
-    exclude_ids: Sequence[int] = (),
-) -> DataFrame:
-    """IVF search: probe the ``nprobe`` inverted lists whose centroids are
-    nearest the query (driver-side — centroids are tiny), exact cosine
-    top-k within the probed lists only.
-
-    Scale: the `list_id IN (probes)` predicate prunes partitions/row
-    groups when the index table is laid out by list; scored rows ≈
-    N * nprobe / n_lists.
-    """
-    import math
-
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        da = math.sqrt(sum(x * x for x in a))
-        db = math.sqrt(sum(y * y for y in b))
-        return num / (da * db) if da and db else 0.0
-
-    q = [float(v) for v in query_vec]
-    probes = sorted(range(len(centroids)), key=lambda i: -_cos(q, centroids[i]))[:nprobe]
-    pruned = indexed.filter(F.col(list_col).isin(probes))
-    # exclusions must happen BEFORE the top-k limit or the result is short
-    return brute_force_topk(pruned, q, k, id_col, vec_col, exclude_ids=exclude_ids)
+    dim = len(seeds[0][1])
+    cents = [(int(s), [float(x) for x in v]) for s, v in seeds]
+    for _ in range(rounds):
+        structs = [
+            F.struct(
+                (-cosine(F.col(vec_col), _query_lit(v))).alias("nc"),
+                F.lit(s).alias("sid"),
+            )
+            for s, v in cents
+        ]
+        assigned = df.select(
+            F.array_min(F.array(*structs))["sid"].alias("__list"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        rows = (
+            assigned.groupBy("__list")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__v")[d]), round_dp).alias(f"c{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {int(r["__list"]): [float(r[f"c{d}"]) for d in range(dim)] for r in rows}
+        cents = [(s, got.get(s, v)) for s, v in cents]
+    return cents
 
 
 def ivf_fixed_topk(
@@ -510,129 +502,88 @@ def hard_negatives_lsh(
 # Product quantization (PQ) — memory-compressed ANN
 # --------------------------------------------------------------------------
 
-def pq_index(
+def lloyd_rounds_pq(
     df: DataFrame,
-    dim: int,
+    seeds: Sequence[tuple[int, Sequence[float]]],
     m: int = 8,
-    k: int = 16,
+    rounds: int = 2,
     vec_col: str = "embedding",
-    seed: int = 42,
-    code_col: str = "pq_code",
-):
-    """Product-quantize the corpus: split ``dim`` into ``m`` subspaces,
-    KMeans each subspace to ``k`` centroids, encode every vector as ``m``
-    small codes. 64-dim float32 -> 8 codes of 4 bits each: ~64x memory
-    compression, the standard trick for billion-vector ANN indexes.
+    round_dp: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic per-subspace Lloyd training of PQ codebooks from the
+    frozen seed sample: subspace ``j``'s 16 codewords start as the ``j``-th
+    subvectors of ``seeds`` and take ``rounds`` squared-L2
+    assignment/mean updates. Returns trained full-length vectors (the
+    subspace-``j`` codeword of seed rank ``c``, concatenated over ``j``) —
+    exactly the shape :func:`pq_fixed_topk` slices its codebooks from, so
+    encode/ADC/re-rank serve against the trained codebooks unchanged.
 
-    Returns (encoded_df, codebooks) where ``codebooks[j][c]`` is centroid
-    ``c`` of subspace ``j`` (driver-side; m*k*dim/m floats — tiny).
-
-    Scale: training is ``m`` seeded KMeans fits (sample the corpus for
-    training at 100 TB — assignment, one model transform per subspace, is
-    the distributed part); the encoded table is what you persist, at a
-    fraction of the raw footprint.
+    Same design as :func:`lloyd_rounds_cosine` (replacing the opaque
+    pyspark.ml per-subspace KMeans, round 8): frozen init + fixed rounds +
+    per-round mean rounding make training a pure engine-portable function
+    of the data; distances use the dot-product identity, ties take the
+    smallest code index. Scale: per round ONE scan emitting (subspace,
+    code, subvector) via an in-plan explode of m structs, one (m x k)-row
+    aggregate; the collect is m*k*(dim/m) rounded doubles — bounded model
+    state. Empty cells keep their previous codeword.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    dim = len(seeds[0][1])
     sub = dim // m
     assert m * sub == dim, f"dim {dim} not divisible into {m} subspaces"
-    enc = df
-    codebooks = []
-    for j in range(m):
-        feats = enc.withColumn(
-            "__sv",
-            array_to_vector(
-                F.transform(
-                    F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
+    n_codes = len(seeds)
+    books = [
+        [[float(x) for x in v[j * sub:(j + 1) * sub]] for _, v in seeds]
+        for j in range(m)
+    ]
+    for _ in range(rounds):
+        per_sub = []
+        for j in range(m):
+            xj = F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
+            )
+            dxx = dot(xj, xj)
+            structs = [
+                F.struct(
+                    (
+                        dxx
+                        - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
+                        + F.lit(_pydot(cw, cw))
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
                 )
-            ),
+                for c, cw in enumerate(books[j])
+            ]
+            per_sub.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.array_min(F.array(*structs))["c"].alias("code"),
+                    xj.alias("x"),
+                )
+            )
+        ex = df.select(F.explode(F.array(*per_sub)).alias("s")).select(
+            "s.j", "s.code", "s.x"
         )
-        model = KMeans(
-            k=k, seed=seed + j, featuresCol="__sv", predictionCol=f"__c{j}"
-        ).fit(feats)
-        enc = model.transform(feats).drop("__sv")
-        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
-    enc = enc.withColumn(
-        code_col, F.array(*[F.col(f"__c{j}") for j in range(m)])
-    ).drop(*[f"__c{j}" for j in range(m)])
-    return enc, codebooks
-
-
-def pq_topk(
-    encoded: DataFrame,
-    codebooks,
-    query_vec: Sequence[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    code_col: str = "pq_code",
-    vec_col: str = "embedding",
-    exclude_ids: Sequence[int] = (),
-    rerank: int = 0,
-) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: the query's squared
-    L2 distance to every centroid of every subspace is a tiny driver-side
-    table; a row's approximate distance is then the SUM of ``m`` literal
-    array lookups on its codes — no per-row vector math at all, the
-    cheapest possible scan over a compressed index.
-
-    ``rerank > 0`` enables the production two-stage shape: ADC shortlists
-    ``rerank`` candidates from the compressed codes, then EXACT squared-L2
-    re-scores only the shortlist (a broadcast semi-join — the shortlist is
-    k-scale, the full vectors are touched for ``rerank`` rows instead of
-    the whole corpus). Quantization error then only costs recall when a
-    true neighbor falls outside the shortlist, not when it is mis-ranked
-    inside it.
-
-    Output: (id, approx_dist) ascending, deterministic id tiebreak
-    (approx_dist is the exact distance when reranking).
-    """
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    dist_cols = []
-    for j in range(m):
-        qj = [float(v) for v in query_vec[j * sub:(j + 1) * sub]]
-        table = [
-            sum((a - b) ** 2 for a, b in zip(qj, c)) for c in codebooks[j]
+        rows = (
+            ex.groupBy("j", "code")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("x")[d]), round_dp).alias(f"c{d}")
+                    for d in range(sub)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (int(r["j"]), int(r["code"])): [float(r[f"c{d}"]) for d in range(sub)]
+            for r in rows
+        }
+        books = [
+            [got.get((j, c), books[j][c]) for c in range(n_codes)] for j in range(m)
         ]
-        lookup = F.element_at(
-            F.array(*[F.lit(d) for d in table]),
-            F.col(code_col)[j].cast("int") + 1,
-        )
-        dist_cols.append(lookup)
-    total = dist_cols[0]
-    for c in dist_cols[1:]:
-        total = total + c
-    scored = encoded.withColumn("approx_dist", F.round(total, 6))
-    if exclude_ids:
-        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
-    if not rerank:
-        return (
-            scored.select(id_col, "approx_dist")
-            .orderBy(F.col("approx_dist"), F.col(id_col))
-            .limit(k)
-        )
-
-    shortlist = (
-        scored.select(id_col, "approx_dist")
-        .orderBy(F.col("approx_dist"), F.col(id_col))
-        .limit(int(rerank))
-        .select(id_col)
-    )
-    q = _query_lit(query_vec)
-    exact_d = F.aggregate(
-        F.zip_with(
-            F.col(vec_col), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        encoded.join(F.broadcast(shortlist), id_col, "left_semi")
-        .select(F.col(id_col), F.round(exact_d, 6).alias("approx_dist"))
-        .orderBy(F.col("approx_dist"), F.col(id_col))
-        .limit(k)
-    )
+    return [
+        (sid, [x for j in range(m) for x in books[j][c]])
+        for c, (sid, _) in enumerate(seeds)
+    ]
 
 
 def label_centroids(

@@ -14,10 +14,11 @@ green across two engines:
 - Ratios/hashes avoid engine-specific functions (xxhash64) in oracled
   entries; md5 and plain arithmetic are portable. MinHash/SimHash/LSH
   derive every hash from md5 since round 7 (operators/dedup.py module
-  docstring), so they carry FULL oracles; the only remaining rows-only
-  entries are the trained-model ANN pair (sim_ivf_kmeans / sim_pq_topk),
-  whose fixture-frozen companions (sim_ivf_fixed / sim_pq_fixed) replay
-  centroid literals in SQL instead.
+  docstring), so they carry FULL oracles. Round 8 closed the last
+  rows-only gap: the trained ANN pair (sim_ivf_kmeans / sim_pq_topk) now
+  trains by DETERMINISTIC Lloyd rounds (frozen seed init, fixed round
+  count, 6-dp mean rounding — similarity.lloyd_rounds_*), so its oracles
+  unroll training as chained CTEs; every registry entry has an oracle.
 - count() is BIGINT on both sides; DuckDB SUM(int) would be HUGEINT, so
   integer sums are explicitly cast to BIGINT in the SQL.
 """
@@ -1334,43 +1335,6 @@ def sim_partitioned_topk(spark, sf_dir):
     return S.partitioned_topk(e.filter("vec_id <> 0"), q, "label", [q_label], k=5)
 
 
-@register("sim_ivf_kmeans")  # centroid assignment is model state -> rows-only
-def sim_ivf_kmeans(spark, sf_dir):
-    """Real IVF: KMeans coarse quantizer (seeded), probe the nprobe
-    nearest lists, exact top-k within. Recall vs the exact baseline is
-    pinned in tests/test_llm_ops.py; list assignments are model state so
-    no SQL oracle."""
-    e = _tbl(spark, sf_dir, "embeddings")
-    q, _ = _fixture_query_vec(sf_dir)
-    indexed, centroids = S.ivf_index(e, dim=64, n_lists=16)
-    return S.ivf_topk(indexed, centroids, q, k=10, nprobe=4, exclude_ids=[0])
-
-
-# keyed by fixture dir, but a cached encoded DataFrame is bound to the
-# SparkSession that built it — the lookup verifies the cached plan's
-# session is the caller's and rebuilds on mismatch (restarted session)
-_PQ_INDEX_CACHE: dict[str, tuple] = {}
-
-
-@register("sim_pq_topk")  # codebooks are model state -> rows-only check
-def sim_pq_topk(spark, sf_dir):
-    """Memory-compressed ANN: product quantization (8 subspaces x 16
-    centroids each = ~64x compression of float32 vectors), two-stage
-    search — ADC shortlist (per-row cost: 8 literal-array lookups summed,
-    no vector math) then exact re-rank of only the shortlist. The index
-    (codebooks + encoded plan) is built once per fixture dir and cached —
-    a PQ index is persisted state queried many times, so repeat calls
-    measure SEARCH cost, not quantizer training. Planted near-dup
-    retrieval and exact-L2 recall pinned in tests/test_llm_ops.py."""
-    cached = _PQ_INDEX_CACHE.get(sf_dir)
-    if cached is None or cached[0].sparkSession is not spark:
-        e = _tbl(spark, sf_dir, "embeddings")
-        _PQ_INDEX_CACHE[sf_dir] = S.pq_index(e, dim=64, m=8, k=16)
-    encoded, codebooks = _PQ_INDEX_CACHE[sf_dir]
-    q, _ = _fixture_query_vec(sf_dir)
-    return S.pq_topk(encoded, codebooks, q, k=10, exclude_ids=[0], rerank=100)
-
-
 _SEED_VEC_CACHE: dict[str, list] = {}
 
 #: the frozen sampled-quantizer seed ids (sim_ivf_fixed / sim_pq_fixed):
@@ -1528,6 +1492,242 @@ def sim_pq_fixed(spark, sf_dir):
     return S.pq_fixed_topk(
         e, _fixture_seed_vecs(sf_dir), q, m=8, k=10, rerank=100, exclude_ids=[0]
     )
+
+
+def _ivf_kmeans_oracle(rounds: int = 2, dim: int = 64, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB oracle for sim_ivf_kmeans: replays the DETERMINISTIC Lloyd
+    training (frozen seed init, ``rounds`` assignment/mean iterations,
+    means rounded to 6 dp — see similarity.lloyd_rounds_cosine) as chained
+    CTEs — the pagerank/graph pattern of unrolling a driver loop — then
+    the trained-quantizer assignment, probe selection, and exact top-k."""
+    cos = (
+        "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.c, c.c)))"
+    )
+    parts = [
+        f"""
+    with e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
+               from embeddings),
+    cent0 as (
+        select vec_id as sid, v as c from e
+        where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cent{r - 1}"
+        parts.append(
+            f""",
+    a{r} as (
+        select e.vec_id, c.sid, {cos} as cs
+        from e cross join {prev} c
+    ),
+    asg{r} as (
+        select vec_id, sid from a{r}
+        qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
+    ),
+    cd{r} as (
+        select g.sid, i.i, round(avg(e.v[i.i]), 6) as cv
+        from asg{r} g join e using (vec_id)
+        cross join range(1, {dim + 1}) i(i)
+        group by g.sid, i.i
+    ),
+    cl{r} as (select sid, list(cv order by i) as c from cd{r} group by sid),
+    cent{r} as (
+        select p.sid, coalesce(n.c, p.c) as c
+        from {prev} p left join cl{r} n using (sid)
+    )"""
+        )
+    last = f"cent{rounds}"
+    parts.append(
+        f""",
+    fa as (
+        select e.vec_id, c.sid, {cos} as cs
+        from e cross join {last} c
+    ),
+    assign as (
+        select vec_id, sid as list_id from fa
+        qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
+    ),
+    q as (select v as qv from e where vec_id = 0),
+    probes as (
+        select c.sid from {last} c, q
+        order by list_dot_product(c.c, q.qv)
+                 / (sqrt(list_dot_product(c.c, c.c))
+                    * sqrt(list_dot_product(q.qv, q.qv))) desc, c.sid
+        limit {nprobe}
+    )
+    select e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+    from e
+      join assign on e.vec_id = assign.vec_id, q
+    where e.vec_id <> 0 and assign.list_id in (select sid from probes)
+    order by cos desc, e.vec_id limit {k}"""
+    )
+    return "".join(parts)
+
+
+#: trained quantizer state, keyed by fixture dir. Plain rounded floats —
+#: a pure deterministic function of the data (frozen init, fixed rounds),
+#: so entries are safe to reuse across SparkSessions, unlike the cached
+#: DataFrame the pre-round-8 ml.KMeans index held.
+_TRAINED_IVF_CACHE: dict[str, list] = {}
+_TRAINED_PQ_CACHE: dict[str, list] = {}
+
+
+@register("sim_ivf_kmeans", _ivf_kmeans_oracle())
+def sim_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: deterministic spherical
+    KMeans — frozen sampled-seed init (vec_id 1-16), two Lloyd
+    assignment/mean rounds (similarity.lloyd_rounds_cosine) — then the
+    standard probe-4-of-16-lists search. Round 8 closes the last
+    rows-only gap (VERDICT r7 item 3): the earlier pyspark.ml fit was
+    opaque model state, while this training is a pure function of the
+    data, so the oracle unrolls both Lloyd rounds as CTEs and replays
+    assignment/probes/top-k hash-identically. Trained centroids are
+    cached per fixture dir (an IVF quantizer is persisted state queried
+    many times; repeat calls measure SEARCH, not training). Scale:
+    training cost is rounds x (one scan + 16-row aggregate); search is
+    the ivf_fixed_topk shape — assignment literals prune to
+    ~N*nprobe/n_lists scored rows. Recall vs the exact baseline pinned
+    in tests/test_llm_ops.py."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    cents = _TRAINED_IVF_CACHE.get(sf_dir)
+    if cents is None:
+        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
+        _TRAINED_IVF_CACHE[sf_dir] = cents
+    return S.ivf_fixed_topk(e, cents, q, k=10, nprobe=4, exclude_ids=[0])
+
+
+def _pq_kmeans_oracle(
+    rounds: int = 2, m: int = 8, sub: int = 8, rerank: int = 100, k: int = 10
+) -> str:
+    """DuckDB oracle for sim_pq_topk: unrolls the per-subspace Lloyd
+    codebook training (similarity.lloyd_rounds_pq — frozen seed-subvector
+    init, squared-L2 via the dot identity, 6-dp mean rounding) as chained
+    CTEs, then replays encode, the ADC lookup sum, shortlist, and exact
+    re-rank exactly as _pq_fixed_oracle does over frozen codebooks."""
+    code_cols = ",\n               ".join(
+        f"max(case when j = {j} then code end) as c{j}" for j in range(m)
+    )
+    adc_joins = "\n      ".join(
+        f"join t t{j} on t{j}.j = {j} and t{j}.code = cs.c{j}" for j in range(m)
+    )
+    adc_sum = " + ".join(f"t{j}.d" for j in range(m))
+    d2 = (
+        "list_dot_product(x.x, x.x) - 2.0 * list_dot_product(x.x, b.cw)"
+        " + list_dot_product(b.cw, b.cw)"
+    )
+    parts = [
+        f"""
+    with e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
+               from embeddings),
+    js as (select unnest(range({m})) as j),
+    cb0 as (
+        select js.j, s.code, list_slice(s.v, js.j * {sub} + 1, js.j * {sub} + {sub}) as cw
+        from (select vec_id - {_FIXED_SEED_IDS[0]} as code, v from e
+              where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}) s
+        cross join js
+    ),
+    x as (
+        select e.vec_id, js.j,
+               list_slice(e.v, js.j * {sub} + 1, js.j * {sub} + {sub}) as x
+        from e cross join js
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cb{r - 1}"
+        parts.append(
+            f""",
+    a{r} as (
+        select x.vec_id, x.j, b.code, {d2} as d
+        from x join {prev} b on x.j = b.j
+    ),
+    asg{r} as (
+        select vec_id, j, code from a{r}
+        qualify row_number() over (partition by vec_id, j order by d, code) = 1
+    ),
+    cd{r} as (
+        select g.j, g.code, i.i, round(avg(x.x[i.i]), 6) as cv
+        from asg{r} g
+          join x on x.vec_id = g.vec_id and x.j = g.j
+          cross join range(1, {sub + 1}) i(i)
+        group by g.j, g.code, i.i
+    ),
+    cl{r} as (select j, code, list(cv order by i) as cw from cd{r} group by j, code),
+    cb{r} as (
+        select p.j, p.code, coalesce(n.cw, p.cw) as cw
+        from {prev} p left join cl{r} n using (j, code)
+    )"""
+        )
+    last = f"cb{rounds}"
+    parts.append(
+        f""",
+    d as (
+        select x.vec_id, x.j, b.code, {d2} as d2
+        from x join {last} b on x.j = b.j
+    ),
+    codes as (
+        select vec_id, j, code from d
+        qualify row_number() over (partition by vec_id, j order by d2, code) = 1
+    ),
+    cs as (
+        select vec_id,
+               {code_cols}
+        from codes group by vec_id
+    ),
+    q as (select v as qv from e where vec_id = 0),
+    qx as (
+        select js.j, list_slice(q.qv, js.j * {sub} + 1, js.j * {sub} + {sub}) as qj
+        from js, q
+    ),
+    t as (
+        select b.j, b.code,
+               list_dot_product(qx.qj, qx.qj) - 2.0 * list_dot_product(qx.qj, b.cw)
+               + list_dot_product(b.cw, b.cw) as d
+        from {last} b join qx on qx.j = b.j
+    ),
+    approx as (
+        select cs.vec_id, round({adc_sum}, 6) as approx_dist
+        from cs
+      {adc_joins}
+    ),
+    short as (
+        select vec_id from approx where vec_id <> 0
+        order by approx_dist, vec_id limit {rerank}
+    )
+    select e.vec_id,
+           round(list_dot_product(e.v, e.v)
+                 - 2.0 * list_dot_product(e.v, q.qv)
+                 + list_dot_product(q.qv, q.qv), 6) as approx_dist
+    from e join short on e.vec_id = short.vec_id, q
+    order by approx_dist, e.vec_id limit {k}"""
+    )
+    return "".join(parts)
+
+
+@register("sim_pq_topk", _pq_kmeans_oracle())
+def sim_pq_topk(spark, sf_dir):
+    """Memory-compressed ANN over TRAINED product-quantization codebooks:
+    8 subspaces x 16 codewords (~64x compression), codebooks trained by
+    deterministic per-subspace Lloyd rounds (similarity.lloyd_rounds_pq —
+    frozen seed-subvector init, 2 rounds), then the two-stage search —
+    ADC shortlist (8 literal-array lookups per row, no vector math) and
+    exact re-rank of 100 candidates. Round 8 closes the last rows-only
+    gap (VERDICT r7 item 3): training is a pure function of the data, so
+    the oracle unrolls the Lloyd rounds and replays encode/ADC/re-rank
+    hash-identically. Trained codebooks cached per fixture dir (persisted
+    index state; repeat calls measure SEARCH, not training). Planted
+    near-dup retrieval and exact-L2 recall pinned in tests/test_llm_ops.py."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    books = _TRAINED_PQ_CACHE.get(sf_dir)
+    if books is None:
+        books = S.lloyd_rounds_pq(e, _fixture_seed_vecs(sf_dir), m=8, rounds=2)
+        _TRAINED_PQ_CACHE[sf_dir] = books
+    return S.pq_fixed_topk(e, books, q, m=8, k=10, rerank=100, exclude_ids=[0])
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:

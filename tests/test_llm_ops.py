@@ -114,17 +114,45 @@ def test_ann_lsh_recall_and_plan(emb):
 
 
 def test_ivf_kmeans_recall(emb):
-    from database_extractor_spark.operators.similarity import ivf_index, ivf_topk
+    """Deterministic-Lloyd IVF (round 8): training from the frozen seed
+    sample must actually MOVE the centroids, and probing half the lists
+    must keep >=50% recall vs the exact baseline."""
+    from database_extractor_spark.operators.similarity import (
+        ivf_fixed_topk,
+        lloyd_rounds_cosine,
+    )
 
+    rows = emb.filter("vec_id between 1 and 8").collect()
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     exact = {r["vec_id"] for r in brute_force_topk(emb, q, 10, exclude_ids=[0]).collect()}
-    indexed, centroids = ivf_index(emb, dim=64, n_lists=8)
-    assert len(centroids) == 8 and len(centroids[0]) == 64
+    cents = lloyd_rounds_cosine(emb, seeds, rounds=2)
+    assert len(cents) == 8 and len(cents[0][1]) == 64
+    assert [s for s, _ in cents] == [s for s, _ in seeds]
+    moved = sum(1 for (_, a), (_, b) in zip(seeds, cents) if a != b)
+    assert moved >= 6, "Lloyd rounds did not update centroids"
     got = {
         r["vec_id"]
-        for r in ivf_topk(indexed, centroids, q, k=10, nprobe=4).filter("vec_id <> 0").collect()
+        for r in ivf_fixed_topk(emb, cents, q, k=10, nprobe=4, exclude_ids=[0]).collect()
     }
     assert len(exact & got) >= 5  # >=50% recall probing half the lists
+
+
+def test_lloyd_rounds_are_deterministic(emb):
+    """Two independent training runs over the same data and seeds must
+    produce IDENTICAL centroids (the property the SQL oracle depends on:
+    no ml-internal randomness, rounding pins FP summation drift)."""
+    from database_extractor_spark.operators.similarity import lloyd_rounds_cosine
+
+    rows = emb.filter("vec_id between 1 and 8").collect()
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+    a = lloyd_rounds_cosine(emb, seeds, rounds=2)
+    b = lloyd_rounds_cosine(emb.repartition(7), seeds, rounds=2)
+    assert a == b
 
 
 def test_pairwise_similar_lsh_no_cartesian(emb):
@@ -276,13 +304,17 @@ def test_pack_sequences_semantics(spark, docs):
 
 
 def test_pq_adc_finds_planted_near_vector(spark, emb):
-    """PQ sanity: a barely-perturbed copy of the query quantizes to the
-    query's own cell in every subspace, so ADC ranks it first; and the
-    ADC top-10 overlaps the exact-L2 top-10 (random data is PQ's worst
-    case, so the bound is loose)."""
+    """PQ sanity over TRAINED codebooks (deterministic Lloyd, round 8): a
+    barely-perturbed copy of the query quantizes to the query's own cell
+    in every subspace, so the two-stage search ranks it first; and the
+    top-10 overlaps the exact-L2 top-10 (random data is PQ's worst case,
+    so the bound is loose)."""
     import numpy as np
 
-    from database_extractor_spark.operators.similarity import pq_index, pq_topk
+    from database_extractor_spark.operators.similarity import (
+        lloyd_rounds_pq,
+        pq_fixed_topk,
+    )
 
     rows = emb.select("vec_id", "embedding", "label").collect()
     q = [float(x) for x in next(r for r in rows if r["vec_id"] == 0)["embedding"]]
@@ -291,24 +323,23 @@ def test_pq_adc_finds_planted_near_vector(spark, emb):
         "vec_id long, embedding array<float>, label int",
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
-    encoded, books = pq_index(corpus, dim=64, m=8, k=16)
-    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
-    top = pq_topk(encoded, books, q, k=10, exclude_ids=[0]).collect()
-    assert top[0]["vec_id"] == 777777, top[:3]
-    assert all(
-        a["approx_dist"] <= b["approx_dist"] for a, b in zip(top, top[1:])
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in rows
+        if 1 <= r["vec_id"] <= 16
     )
+    books = lloyd_rounds_pq(corpus, seeds, m=8, rounds=2)
+    assert len(books) == 16 and all(len(v) == 64 for _, v in books)
+    top = pq_fixed_topk(corpus, books, q, m=8, k=10, rerank=100, exclude_ids=[0]).collect()
+    assert top[0]["vec_id"] == 777777, top[:3]
+    assert all(a["approx_dist"] <= b["approx_dist"] for a, b in zip(top, top[1:]))
 
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
     exact = sorted(
         (i for i in vecs if i != 0),
         key=lambda i: (float(np.sum((vecs[i] - np.array(q)) ** 2)), i),
     )[:10]
-    got = {r["vec_id"] for r in top}
-    assert len(set(exact) & got) >= 1  # pure ADC on uniform-random data
-    # the production two-stage shape: ADC shortlist + exact re-rank —
-    # quantization error now only costs recall via shortlist misses
-    # (measured 7/10 at rerank=100 on this fixture; bound leaves margin)
-    rer = pq_topk(encoded, books, q, k=10, exclude_ids=[0], rerank=100).collect()
-    got_rr = {r["vec_id"] for r in rer if r["vec_id"] != 777777}
-    assert len(set(exact) & got_rr) >= 5
+    got = {r["vec_id"] for r in top if r["vec_id"] != 777777}
+    # two-stage shape: quantization error only costs recall via shortlist
+    # misses; trained codebooks must do no worse than the frozen-seed pin
+    assert len(set(exact) & got) >= 5

@@ -388,28 +388,29 @@ def test_coverage_ledger_totals_match_registry():
     assert (int(m2.group(1)), int(m2.group(2))) == (len(QUERIES), len(ORACLE))
 
 
-def test_pq_cache_rebuilds_on_session_mismatch(spark):
-    """_PQ_INDEX_CACHE is keyed by fixture dir, but a cached encoded
-    DataFrame is bound to the session that built it; a stale entry from a
-    restarted session must be rebuilt, not returned (ADVICE r3 /
-    VERDICT r4 item 8)."""
-    import types
-
+def test_trained_pq_cache_is_session_independent(spark):
+    """Round 8 replaced the session-bound encoded-DataFrame PQ cache with
+    plain trained-codebook floats (a pure deterministic function of the
+    data), so entries are valid across SparkSessions by construction —
+    the stale-session rebuild dance (ADVICE r3 / VERDICT r4 item 8) is
+    structurally gone. Pin that shape: after a call the cache holds plain
+    (seed_id, vector) float pairs, and a second call reuses the object
+    (no retraining jobs)."""
     from database_extractor_spark import registry as R
 
-    stale = (types.SimpleNamespace(sparkSession=object()), None)
-    R._PQ_INDEX_CACHE[SF_DIR] = stale
+    R._TRAINED_PQ_CACHE.pop(SF_DIR, None)
     try:
         out = R.QUERIES["sim_pq_topk"](spark, SF_DIR)
-        assert R._PQ_INDEX_CACHE[SF_DIR] is not stale
-        assert R._PQ_INDEX_CACHE[SF_DIR][0].sparkSession is spark
         assert out.count() == 10
-        # a second call with the right session reuses the fresh entry
-        fresh = R._PQ_INDEX_CACHE[SF_DIR]
+        books = R._TRAINED_PQ_CACHE[SF_DIR]
+        assert all(
+            isinstance(sid, int) and all(isinstance(x, float) for x in vec)
+            for sid, vec in books
+        ), "cache must hold plain floats, not session-bound objects"
         R.QUERIES["sim_pq_topk"](spark, SF_DIR)
-        assert R._PQ_INDEX_CACHE[SF_DIR] is fresh
+        assert R._TRAINED_PQ_CACHE[SF_DIR] is books  # reused, not retrained
     finally:
-        R._PQ_INDEX_CACHE.pop(SF_DIR, None)
+        R._TRAINED_PQ_CACHE.pop(SF_DIR, None)
 
 
 def test_weighted_sample_wor_plan_is_takeordered(spark):
