@@ -77,7 +77,55 @@ SECONDARY = [
     "dedup_containment_capped",
     "dsir_importance_resample",
     "mmr_diversified_topk",
+    # round-8 additions: duplicate-span dedup, the Arrow UDTF seam, the
+    # learned quality filter, and the Lloyd-trained IVF (search cost;
+    # training is cached per fixture dir like a persisted index)
+    "dedup_exact_substring",
+    "udtf_tokenize_offsets",
+    "quality_classifier_score",
+    "sim_ivf_kmeans",
 ]
+
+
+#: scale-regression anchor (VERDICT r7 item 6): the most expensive
+#: entries re-timed at sf1 (the 10x replicated fixture,
+#: scripts/make_scaled_fixture.py) every round, so a plan regression that
+#: only shows at scale — a lost broadcast, a new shuffle, a window
+#: funnel — moves a RECORDED number instead of hiding under sf0.1 noise.
+#: One probe per scale risk: pair-emitting dedup + components clustering,
+#: df-capped inverted index, decorrelated join fan, iterative checkpoint
+#: loop, 50-row window sort.
+SF1_SUITE = [
+    "dedup_minhash_lsh",
+    "dedup_containment_capped",
+    "tpch_q21_waiting_suppliers",
+    "graph_triangle_count",
+    "ts_outlier_zscore",
+]
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".sf1"))
+
+
+def _ensure_sf1() -> bool:
+    """Materialize the 10x fixture if absent (idempotent; ~1 min once per
+    container). Returns False when generation is impossible/skipped so
+    the bench still emits its sf0.1 line."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
+        return False
+    if os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        return True
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scripts", "make_scaled_fixture.py"),
+         "--out", SF1_DIR],
+        capture_output=True,
+    )
+    return r.returncode == 0 and os.path.exists(
+        os.path.join(SF1_DIR, "lineitem.parquet"))
 
 
 def _dedup_minhash_pairs(spark, sf_dir):
@@ -131,6 +179,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         secondary[name] = round(best, 3)
 
+    sf1: dict[str, float] = {}
+    if _ensure_sf1():
+        for name in SF1_SUITE:
+            fn = QUERIES[name]
+            fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            sf1[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
@@ -138,6 +198,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "secondary": secondary,
+        "sf1": sf1,
+        "sf1_total": round(sum(sf1.values()), 3),
         "sf": float(sf),
     }))
 

@@ -7876,103 +7876,72 @@ def quality_classifier_score(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-7 front: entries whose CODE CHANGED this round or that
-    # are NEW — the triage rule is "changed entries must not ship on
-    # stale green rows", so every one of these needs a fresh r07 row.
-    # ffill_resample leads: its take-last tiebreak changed in round 5
-    # (commit 91cc727) AFTER its last driver row (r03) — the round-6
-    # verdict's one `weak`.
-    "ffill_resample",            # r5 semantics change, last row r03
-    "dedup_minhash_lsh",         # graduated rows-only -> md5-lane oracle
-    "dedup_simhash",             # graduated rows-only -> md5-lane oracle
-    "sim_ivf_fixed",             # new: frozen-quantizer IVF companion
-    "sim_pq_fixed",              # new: frozen-codebook PQ companion
-    "tpch_q2_min_cost_supplier", # new: correlated scalar subquery
-    "tpch_q16_parts_supplier",   # new: NOT IN + count-distinct
-    "tpch_q7_volume_shipping",   # new: double-nation join fan
-    "tpch_q12_shipmode_priority",  # new: inter-column date predicate
-    "tpch_q13_customer_distribution",  # new: outer-join 2-level agg
-    "tpch_q14_promo_revenue",    # new: conditional-agg ratio
-    "tpch_q15_top_supplier",     # new: agg-of-agg scalar subquery
-    "tpch_q17_small_quantity_revenue",  # new: correlated avg subquery
-    "tpch_q19_disjunctive_revenue",  # new: OR-pushdown probe
-    "tpch_q22_global_sales_opportunity",  # new: NOT EXISTS + threshold
-    "sql_recursive_spine",       # new: WITH RECURSIVE calendar spine
-    "dedup_containment_capped",  # new: df-capped inverted index
-    "dsir_importance_resample",  # new: DSIR Gumbel-top-k selection
-    "bpe_pair_counts",           # new: BPE merge-pair statistic
-    "mmr_diversified_topk",      # new: MMR diverse selection
-    "tpch_q8_market_share",      # new: 8-table market-share ratio
-    "tpch_q20_excess_stock",     # new: nested IN + correlated agg
-    "tpch_q21_waiting_suppliers",  # new: double EXISTS decorrelated
-    "tpch_q9_product_profit",    # new: composite-key derived-fact join
-    "tpch_q11_important_stock",  # new: HAVING + global scalar subquery
-    "dpp_partition_pruned_join",  # new: runtime partition pruning
-    "skyline_pareto_frontier",   # new: windowed skyline rewrite
-    "pit_join_scd2",             # new: point-in-time feature join
-    "variant_semi_structured",   # new: Spark 4 VARIANT type
-    "python_datasource_sink_roundtrip",  # new: custom writer seam
-    "ts_outlier_zscore",         # requantized 1e6 -> 1e3 (ADVICE r6)
-    "window_ntile_percentiles",  # nulls-last pinned (ADVICE r6)
-    "graph_triangle_count",      # packed orientation key, 1 checkpoint
-    "pagerank_event_graph",      # refactored into _pagerank_plan
-    # stream_source now stages single-file fixtures at a deterministic
-    # path (restart recovery); every stream_source consumer re-verifies
-    "streaming_merge_upsert",    # + startup recovery hoist (ADVICE r6)
-    "streaming_dedup",
-    "streaming_incremental_sink",
-    "streaming_session_windows",
-    "streaming_hopping_counts",
-    # ---- the events.ts r02/r03 cohort the round-6 triage comment
-    # wrongly claimed was fully refreshed (VERDICT r6 item 1): these
-    # read the NTZ-re-encoded events.ts and still sit on pre-re-encode
-    # rows (they are also stream_source consumers where applicable)
-    "session_windows",
-    "sliding_window_counts",
-    "streaming_event_counts",
-    "streaming_join_static",
-    "streaming_stateful_first_seen",
-    "streaming_stream_stream_join",
-    "multimodal_frame_sample",
-    # ---- the remaining <=r03 stale cohort, oldest signal first by risk:
-    # sources, dedup/similarity, joins/aggs. After the 30 NEW round-7
-    # entries + 9 code-changed + 7 events.ts readers above (46 total),
-    # only the 4 source roundtrips below fit the 50-entry window; the
-    # rest (plus the pure string/math/json scalar and set-op tail) roll
-    # to r08 — none of them has code churn after its last green row, so
-    # nothing ships on a changed-code stale green; r08's window clears
-    # the remainder. Additionally, a LOCAL driver-equivalent sweep
-    # (same sf0.01 fixtures, same row/schema/value compare) of ALL 209
-    # entries ran clean on 2026-08-14: 207 oracle matches + the 2
-    # designed rows-only entries, 0 mismatches/errors — so the rolled
-    # cohort's staleness is a signal-freshness note, not a risk.
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    "jdbc_source_roundtrip",
-    "sim_bruteforce_topk",
-    "sim_partitioned_topk",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_incremental",
-    "decontaminate_ngram_overlap",
-    "deterministic_sample",
-    "stratified_sample",
-    "multimodal_audio_decode",
-    "sql_windowed_cte",
-    "stat_funcs",
-    "percentile_agg",
-    "topk_per_group",
-    "topk_global",
-    "agg_suite",
-    "agg_rollup",
+    # ---- round-8 front: NEW entries + entries whose CODE CHANGED this
+    # round (triage rule: changed entries must not ship on stale green
+    # rows). The three new operators lead, then the trained ANN pair
+    # whose implementation was REPLACED (ml.KMeans -> deterministic
+    # Lloyd, first-ever full oracles), then the three r7-green entries
+    # the ADVICE fixes touched (DSIR join hints, DPP lake path, custom
+    # writer commit/abort).
+    "dedup_exact_substring",     # new: Lee et al. duplicate-span dedup
+    "udtf_tokenize_offsets",     # new: Spark 4 Python UDTF seam
+    "quality_classifier_score",  # new: frozen-weight learned filter
+    "sim_ivf_kmeans",            # rewritten: Lloyd-trained, full oracle
+    "sim_pq_topk",               # rewritten: Lloyd-trained, full oracle
+    "dsir_importance_resample",  # r8 change: AQE-chosen freq joins
+    "dpp_partition_pruned_join", # r8 change: shared deterministic lake
+    "python_datasource_sink_roundtrip",  # r8 change: staged-file sweep
+    # ---- stale-signal backlog, oldest driver row first (VERDICT r7
+    # item 2): the full r02 cohort, the full r03 cohort, plus the first
+    # two of r04 — after this round no entry's driver row predates r04,
+    # and the remaining r04/r05 tail (~70 entries, all code-stable since
+    # their green rows, re-proven by the local full-registry sweeps)
+    # rotates through r09/r10.
+    # r02 cohort (24):
+    "agg_collect",
     "agg_cube",
+    "agg_rollup",
+    "agg_suite",
+    "array_funcs",
+    "conditional_funcs",
+    "distinct_pairs",
+    "dropdup_keep_first",
+    "join_anti",
+    "join_broadcast_agg",
     "join_inner",
     "join_left",
     "join_semi",
-    "join_anti",
-    "join_broadcast_agg",
     "join_star_5way",
+    "json_funcs",
+    "math_funcs",
+    "percentile_agg",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "string_funcs",
+    "topk_global",
+    "topk_per_group",
+    "unpivot_counts",
+    # r03 cohort (16):
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "deterministic_sample",
+    "grouping_sets",
+    "histogram_fixed_bins",
+    "multimodal_audio_decode",
+    "not_exists_subquery",
+    "o14_pickle_sink_roundtrip",
+    "regex_funcs",
+    "sim_bruteforce_topk",
+    "sim_partitioned_topk",
+    "sql_windowed_cte",
+    "stat_funcs",
+    "stratified_sample",
+    # r04 head (2):
+    "bucketed_join_colocated",
+    "cohort_retention",
 ]
 
 
