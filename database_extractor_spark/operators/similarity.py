@@ -262,6 +262,29 @@ def lloyd_rounds_cosine(
     return cents
 
 
+def ivf_assign(
+    df: DataFrame,
+    seeds: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+    list_col: str = "__list",
+) -> DataFrame:
+    """Assign every vector to its inverted list: argmax cosine over the
+    (trained or frozen) centroid literals, smallest seed id on ties — a
+    pure scan+project, no join. This is the MATERIALIZABLE half of IVF:
+    at scale (and in the registry entries) the assignment is computed
+    once, persisted/laid out by ``list_col``, and served to every query,
+    so repeat searches pay only the probe-pruned scan, not n_lists x dim
+    multiply-adds per row per query."""
+    structs = [
+        F.struct(
+            (-cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec]))).alias("nc"),
+            F.lit(int(sid)).alias("sid"),
+        )
+        for sid, vec in seeds
+    ]
+    return df.withColumn(list_col, F.array_min(F.array(*structs))["sid"])
+
+
 def ivf_fixed_topk(
     df: DataFrame,
     seeds: Sequence[tuple[int, Sequence[float]]],
@@ -271,6 +294,7 @@ def ivf_fixed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: Sequence[int] = (),
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF with a FIXED sampled-seed coarse quantizer: the inverted lists
     are defined by ``seeds`` — (seed_id, vector) pairs drawn from the
@@ -288,15 +312,8 @@ def ivf_fixed_topk(
     shape to ivf_topk — `assigned IN (probes)` prunes when the table is
     laid out by list id; scored rows ≈ N * nprobe / n_lists.
     """
-    structs = [
-        F.struct(
-            (-cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec]))).alias("nc"),
-            F.lit(int(sid)).alias("sid"),
-        )
-        for sid, vec in seeds
-    ]
-    assigned = df.withColumn("__list", F.array_min(F.array(*structs))["sid"])
-
+    if assigned is None:
+        assigned = ivf_assign(df, seeds, vec_col=vec_col)
 
     ranked = sorted(
         ((_pycos(query_vec, vec), int(sid)) for sid, vec in seeds),
@@ -305,6 +322,54 @@ def ivf_fixed_topk(
     probes = [sid for _, sid in ranked[:nprobe]]
     pruned = assigned.filter(F.col("__list").isin(probes)).drop("__list")
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids=exclude_ids)
+
+
+def pq_codebooks(
+    seeds: Sequence[tuple[int, Sequence[float]]], m: int
+) -> list[list[list[float]]]:
+    """codebooks[j][c]: subvector ``j`` of seed rank ``c`` (seed order =
+    code index) — shared by encode, the ADC table, and the oracles."""
+    dim = len(seeds[0][1])
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible into {m} subspaces"
+    return [
+        [[float(v) for v in vec[j * sub:(j + 1) * sub]] for _, vec in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    seeds: Sequence[tuple[int, Sequence[float]]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codes (per subspace: argmin squared-L2
+    to the codeword literals via the dot identity, smallest code on ties)
+    -> (id, vector, __code0..__code{m-1}). This is the MATERIALIZABLE half
+    of PQ — the compressed index a real deployment persists; the registry
+    entries cache/persist it so repeat queries pay ADC lookups over stored
+    codes, not m x k codeword distances per row per query."""
+    codebooks = pq_codebooks(seeds, m)
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for j in range(m):
+        xj = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dxx = dot(xj, xj)
+        structs = [
+            F.struct(
+                (
+                    dxx
+                    - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
+                    + F.lit(_pydot(cw, cw))
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cw in enumerate(codebooks[j])
+        ]
+        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__code{j}"))
+    return df.select(F.col(id_col), F.col(vec_col), *code_cols)
 
 
 def pq_fixed_topk(
@@ -317,6 +382,7 @@ def pq_fixed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: Sequence[int] = (),
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization with FIXED sampled codebooks: subspace ``j``'s
     codewords are the ``j``-th subvectors of the ``seeds`` (same frozen
@@ -337,36 +403,11 @@ def pq_fixed_topk(
     only ``rerank`` rows touch full vectors via a broadcast semi-join —
     the standard two-stage PQ shape.
     """
-    dim = len(query_vec)
-    sub = dim // m
-    assert m * sub == dim, f"dim {dim} not divisible into {m} subspaces"
-    # codebooks[j][c]: subvector j of seed c (seed order = code index)
-    codebooks = [
-        [[float(v) for v in vec[j * sub:(j + 1) * sub]] for _, vec in seeds]
-        for j in range(m)
-    ]
-
-
+    codebooks = pq_codebooks(seeds, m)
+    sub = len(codebooks[0][0])
     q = [float(v) for v in query_vec]
-
-    # encode: per subspace, argmin (|x_j|^2 - 2<x_j,c> + |c|^2, code)
-    code_cols = []
-    for j in range(m):
-        xj = F.slice(F.col(vec_col), j * sub + 1, sub)
-        dxx = dot(xj, xj)
-        structs = [
-            F.struct(
-                (
-                    dxx
-                    - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
-                    + F.lit(_pydot(cw, cw))
-                ).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cw in enumerate(codebooks[j])
-        ]
-        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__code{j}"))
-    encoded = df.select(F.col(id_col), F.col(vec_col), *code_cols)
+    if encoded is None:
+        encoded = pq_encode(df, seeds, m, id_col, vec_col)
 
     # ADC lookup tables: query-to-codeword distances (driver-side floats —
     # the same left-fold IEEE sequence the oracle's list_dot_product runs)
@@ -396,7 +437,7 @@ def pq_fixed_topk(
         F.col(vec_col), qlit
     ) + F.lit(_pydot(q, q))
     return (
-        df.join(F.broadcast(shortlist), id_col, "left_semi")
+        encoded.join(F.broadcast(shortlist), id_col, "left_semi")
         .select(F.col(id_col), F.round(exact_d, 6).alias("approx_dist"))
         .orderBy(F.col("approx_dist"), F.col(id_col))
         .limit(k)

@@ -202,3 +202,35 @@ def test_quality_classifier_selection_is_nondegenerate(spark):
     # keep decision is the exact integer predicate, consistent with score
     for r in rows:
         assert r["quality_pass"] == (r["score"] >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ANN index cache (materialized assignment/codes)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_cache_rebuilds_on_session_mismatch(spark):
+    """The persisted IVF-assignment / PQ-codes DataFrames are bound to the
+    session that built them; a stale entry from a restarted session must
+    be rebuilt, not returned (the r4 _PQ_INDEX_CACHE lesson, re-pinned
+    for the round-8 materialized-index cache)."""
+    import types
+
+    from database_extractor_spark import registry as R
+
+    stale = types.SimpleNamespace(sparkSession=object())
+    key = ("pq", SF_DIR)
+    old = R._ANN_INDEX_CACHE.get(key)
+    R._ANN_INDEX_CACHE[key] = stale
+    try:
+        out = R.QUERIES["sim_pq_topk"](spark, SF_DIR)
+        assert R._ANN_INDEX_CACHE[key] is not stale
+        assert R._ANN_INDEX_CACHE[key].sparkSession is spark
+        assert out.count() == 10
+        fresh = R._ANN_INDEX_CACHE[key]
+        R.QUERIES["sim_pq_topk"](spark, SF_DIR)
+        assert R._ANN_INDEX_CACHE[key] is fresh  # reused, not rebuilt
+    finally:
+        R._ANN_INDEX_CACHE.pop(key, None)
+        if old is not None and old.sparkSession is spark:
+            R._ANN_INDEX_CACHE[key] = old
