@@ -41,7 +41,13 @@ def norm_cell(v):
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        # a DATE equals the midnight TIMESTAMP on the other engine (the
+        # driver's comparator coerces both to datetime64; day-grain
+        # oracles legitimately return DATE where Spark date_trunc
+        # returns midnight timestamps)
+        return datetime.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
