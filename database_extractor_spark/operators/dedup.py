@@ -922,3 +922,56 @@ def exact_substring_spans(
             (F.col("a1") - F.col("a0") + F.lit(gram)).cast("int").alias("n_tokens"),
         )
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remediation half of exact-substring dedup (Lee et al. 2022): cut
+    every detected duplicate span out of the LATER document of each pair
+    (``spans.id_b`` — the earlier doc keeps the canonical copy), returning
+    the cleaned corpus.
+
+    ``spans`` is the output of :func:`exact_substring_spans`; positions are
+    1-based TOKEN offsets over whitespace tokenization, which aligns 1:1
+    between the lowercased match text and the original-case text (casing
+    never moves whitespace), so the cut applies to original tokens.
+
+    Shape: one n-spans-per-doc aggregate (spans are k-scale per doc),
+    LEFT-joined back to the corpus, then a single narrow projection —
+    token index/membership tests are higher-order functions over the
+    token array (JVM-side, no UDF, no extra shuffle beyond the tiny span
+    aggregate's). Output: (id, n_tokens_before, n_removed, text_clean)
+    with whitespace normalized to single spaces.
+    """
+    span_t = "array<struct<b_start:int,n_tokens:int>>"
+    agg = spans.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.collect_list(F.struct("b_start", "n_tokens")).alias("__spans")
+    )
+    toks = tokens(F.trim(F.col(text_col)))
+    ti = F.transform(
+        toks, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
+    )
+    sp = F.coalesce(F.col("__spans"), F.array().cast(span_t))
+    keep = F.filter(
+        ti,
+        lambda s: ~F.exists(
+            sp,
+            lambda x: (s["p"] >= x["b_start"])
+            & (s["p"] < x["b_start"] + x["n_tokens"]),
+        ),
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("int").alias("n_tokens_before"),
+            (F.size(toks) - F.size(keep)).cast("int").alias("n_removed"),
+            F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias(
+                "text_clean"
+            ),
+        )
+    )

@@ -7739,6 +7739,63 @@ def dedup_exact_substring(spark, sf_dir):
     )
 
 
+def _exact_substring_apply_oracle() -> str:
+    """Oracle for the remediation entry: re-run the span-detection oracle
+    as a subquery (DuckDB allows WITH inside a derived table), then cut
+    the spans from each id_b document with the same 1-based token
+    positions and rebuild the text."""
+    spans_sql = ORACLE["dedup_exact_substring"]
+    return f"""
+    with sp as (
+        select id_b as doc_id, b_start, n_tokens from ({spans_sql})
+    ),
+    atoks as (
+        select doc_id, string_split_regex(trim(text), '\\s+') as t
+        from documents
+    ),
+    atok as (
+        select doc_id, cast(i as int) as p, t[i] as tk
+        from (select doc_id, t, unnest(range(1, len(t) + 1)) as i from atoks)
+    ),
+    akept as (
+        select atok.doc_id, atok.p, atok.tk from atok
+        where not exists (
+            select 1 from sp
+            where sp.doc_id = atok.doc_id
+              and atok.p >= sp.b_start and atok.p < sp.b_start + sp.n_tokens)
+    ),
+    aagg as (
+        select doc_id, count(*) as n_kept,
+               array_to_string(list(tk order by p), ' ') as text_clean
+        from akept group by doc_id
+    )
+    select d.doc_id,
+           cast(len(t.t) as int) as n_tokens_before,
+           cast(len(t.t) - coalesce(aagg.n_kept, 0) as int) as n_removed,
+           coalesce(aagg.text_clean, '') as text_clean
+    from documents d
+      join atoks t using (doc_id)
+      left join aagg using (doc_id)
+    order by d.doc_id
+    """
+
+
+@register("dedup_exact_substring_apply", _exact_substring_apply_oracle())
+def dedup_exact_substring_apply(spark, sf_dir):
+    """The REMEDIATION half of exact-substring dedup (Lee et al. 2022):
+    detect duplicate spans (dedup_exact_substring's plan feeds in
+    unchanged) and CUT each one from the later document of its pair,
+    emitting the cleaned corpus with per-doc removal counts — detect ->
+    cut, the complete pipeline a corpus dedup pass actually ships. See
+    operators/dedup.py:remove_spans for the shape (tiny span aggregate
+    left-joined back, then one narrow higher-order-function projection —
+    no UDF, no extra shuffle); the oracle replays span detection as a
+    subquery and the cut as an anti-semi position filter."""
+    docs = _tbl(spark, sf_dir, "documents")
+    spans = D.exact_substring_spans(docs, gram=5, min_tokens=8, df_cap=20)
+    return D.remove_spans(docs, spans)
+
+
 @register(
     "udtf_tokenize_offsets",
     r"""
@@ -7912,6 +7969,7 @@ _VERIFY_FIRST = [
     # the ADVICE fixes touched (DSIR join hints, DPP lake path, custom
     # writer commit/abort).
     "dedup_exact_substring",     # new: Lee et al. duplicate-span dedup
+    "dedup_exact_substring_apply",  # new: span-removal remediation
     "udtf_tokenize_offsets",     # new: Spark 4 Python UDTF seam
     "quality_classifier_score",  # new: frozen-weight learned filter
     "sim_ivf_kmeans",            # rewritten: Lloyd-trained, full oracle
@@ -7967,9 +8025,8 @@ _VERIFY_FIRST = [
     "sql_windowed_cte",
     "stat_funcs",
     "stratified_sample",
-    # r04 head (2):
+    # r04 head (1; second slot ceded to the remediation entry):
     "bucketed_join_colocated",
-    "cohort_retention",
 ]
 
 

@@ -234,3 +234,62 @@ def test_ann_index_cache_rebuilds_on_session_mismatch(spark):
         R._ANN_INDEX_CACHE.pop(key, None)
         if old is not None and old.sparkSession is spark:
             R._ANN_INDEX_CACHE[key] = old
+
+
+# ---------------------------------------------------------------------------
+# exact-substring remediation (span removal)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_spans_cuts_later_doc_only(spark):
+    """The duplicated run is cut from the LATER doc (id_b) and only
+    there; the earlier doc keeps the canonical copy; untouched docs pass
+    through with whitespace normalized."""
+    from database_extractor_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        (2, "z1 " + shared + " w1 w2 w3 w4"),
+        (3, "totally unrelated document with enough tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = exact_substring_spans(df, gram=5, min_tokens=8, df_cap=20)
+    out = {r["doc_id"]: r for r in remove_spans(df, spans).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == rows[0][1]
+    assert out[2]["n_removed"] == 10
+    assert out[2]["text_clean"] == "z1 w1 w2 w3 w4"
+    assert out[3]["n_removed"] == 0 and out[3]["text_clean"] == rows[2][1]
+
+
+def test_remove_spans_unions_overlapping_spans(spark):
+    """A doc that is id_b in several pairs loses the UNION of its spans —
+    overlapping spans must not double-count removals."""
+    from database_extractor_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(9, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id bigint, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 9, 1, 2, 8), (2, 9, 1, 4, 5)],
+        "id_a bigint, id_b bigint, a_start int, b_start int, n_tokens int",
+    )
+    out = remove_spans(docs, spans).collect()[0]
+    # union of [2,10) and [4,9) = positions 2..9 -> 8 tokens removed
+    assert out["n_removed"] == 8
+    assert out["text_clean"] == "t1 t10"
+
+
+def test_exact_substring_apply_registry_consistency(spark):
+    """Registry smoke on sf0.001: token accounting adds up and at least
+    one document is actually cleaned (the corpus has planted near-dups)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["dedup_exact_substring_apply"](spark, SF_DIR).collect()
+    assert sum(r["n_removed"] for r in rows) > 0
+    for r in rows:
+        kept = len(r["text_clean"].split()) if r["text_clean"] else 0
+        assert kept == r["n_tokens_before"] - r["n_removed"]
