@@ -293,3 +293,63 @@ def test_exact_substring_apply_registry_consistency(spark):
     for r in rows:
         kept = len(r["text_clean"].split()) if r["text_clean"] else 0
         assert kept == r["n_tokens_before"] - r["n_removed"]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring vs brute-force DP reference (property)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _dp_spans(docs, min_tokens):
+    """O(n^2) dynamic-programming reference: maximal common token runs of
+    length >= min_tokens across every doc pair — the textbook definition
+    the distributed gram-index operator must reproduce (with the df cap
+    disabled and no hash collisions)."""
+    out = []
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = docs[ids[ai]], docs[ids[bi]]
+            L = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    if a[i - 1] == b[j - 1]:
+                        L[i][j] = L[i - 1][j - 1] + 1
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    l = L[i][j]
+                    if l < min_tokens:
+                        continue
+                    # maximal: not extendable to (i+1, j+1)
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        continue
+                    out.append((ids[ai], ids[bi], i - l + 1, j - l + 1, l))
+    return sorted(out)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=26),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_exact_substring_matches_dp_reference(spark, token_lists):
+    """Tie-heavy random corpora (5-token alphabet -> dense repeats,
+    multiple diagonals, overlapping runs): the gram-index operator's
+    maximal spans must equal the brute-force DP reference exactly."""
+    from database_extractor_spark.operators.dedup import exact_substring_spans
+
+    docs = {i + 1: toks for i, toks in enumerate(token_lists)}
+    rows = [(i, " ".join(toks)) for i, toks in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r)
+        for r in exact_substring_spans(
+            df, gram=3, min_tokens=4, df_cap=10**6
+        ).collect()
+    )
+    assert got == _dp_spans(docs, 4)
