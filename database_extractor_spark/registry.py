@@ -1494,16 +1494,20 @@ def sim_pq_fixed(spark, sf_dir):
     )
 
 
-def _ivf_kmeans_oracle(rounds: int = 2, dim: int = 64, nprobe: int = 4, k: int = 10) -> str:
-    """DuckDB oracle for sim_ivf_kmeans: replays the DETERMINISTIC Lloyd
-    training (frozen seed init, ``rounds`` assignment/mean iterations,
-    means rounded to 6 dp — see similarity.lloyd_rounds_cosine) as chained
-    CTEs — the pagerank/graph pattern of unrolling a driver loop — then
-    the trained-quantizer assignment, probe selection, and exact top-k."""
-    cos = (
-        "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
-        " * sqrt(list_dot_product(c.c, c.c)))"
-    )
+_LLOYD_COS = (
+    "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
+    " * sqrt(list_dot_product(c.c, c.c)))"
+)
+
+
+def _lloyd_cte_prefix(rounds: int = 2, dim: int = 64) -> str:
+    """Shared oracle prefix replaying similarity.lloyd_rounds_cosine as
+    chained CTEs (frozen seed init, ``rounds`` assignment/mean rounds,
+    6-dp mean rounding): defines ``e`` (double-cast embeddings) and
+    ``cent{rounds}`` (the trained centroids) for a consuming tail —
+    sim_ivf_kmeans appends probe+top-k, cluster_balanced_sample appends
+    assignment+per-cluster sampling."""
+    cos = _LLOYD_COS
     parts = [
         f"""
     with e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
@@ -1537,8 +1541,15 @@ def _ivf_kmeans_oracle(rounds: int = 2, dim: int = 64, nprobe: int = 4, k: int =
         from {prev} p left join cl{r} n using (sid)
     )"""
         )
+    return "".join(parts)
+
+
+def _ivf_kmeans_oracle(rounds: int = 2, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB oracle for sim_ivf_kmeans: the Lloyd training prefix, then
+    the trained-quantizer assignment, probe selection, and exact top-k."""
+    cos = _LLOYD_COS
     last = f"cent{rounds}"
-    parts.append(
+    return _lloyd_cte_prefix(rounds) + (
         f""",
     fa as (
         select e.vec_id, c.sid, {cos} as cs
@@ -1565,7 +1576,34 @@ def _ivf_kmeans_oracle(rounds: int = 2, dim: int = 64, nprobe: int = 4, k: int =
     where e.vec_id <> 0 and assign.list_id in (select sid from probes)
     order by cos desc, e.vec_id limit {k}"""
     )
-    return "".join(parts)
+
+
+def _cluster_balanced_oracle(rounds: int = 2, cap: int = 10) -> str:
+    """Oracle for cluster_balanced_sample: Lloyd prefix -> final
+    assignment -> deterministic md5-ranked top-``cap`` per cluster."""
+    cos = _LLOYD_COS
+    last = f"cent{rounds}"
+    return _lloyd_cte_prefix(rounds) + (
+        f""",
+    fa as (
+        select e.vec_id, c.sid, {cos} as cs
+        from e cross join {last} c
+    ),
+    assign as (
+        select vec_id, sid from fa
+        qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
+    ),
+    ranked as (
+        select cast(assign.sid as int) as cluster_id, d.doc_id, d.lang,
+               row_number() over (
+                   partition by assign.sid
+                   order by md5(cast(d.doc_id as varchar)), d.doc_id) as rk
+        from assign join documents d on assign.vec_id = d.doc_id
+    )
+    select cluster_id, doc_id, lang from ranked
+    where rk <= {cap}
+    order by cluster_id, doc_id"""
+    )
 
 
 #: trained quantizer state, keyed by fixture dir. Plain rounded floats —
@@ -1621,6 +1659,45 @@ def sim_ivf_kmeans(spark, sf_dir):
     )
     return S.ivf_fixed_topk(
         e, cents, q, k=10, nprobe=4, exclude_ids=[0], assigned=assigned
+    )
+
+
+@register("cluster_balanced_sample", _cluster_balanced_oracle())
+def cluster_balanced_sample(spark, sf_dir):
+    """Semantic corpus balancing (the cluster-balanced sampling step of
+    SemDeDup/DoReMi-style pipelines, public): cluster documents by
+    embedding with the SAME deterministic-Lloyd quantizer sim_ivf_kmeans
+    trains (shared trained-centroid and materialized-assignment caches —
+    one index serves both search and balancing, as in a real deployment),
+    then draw a deterministic md5-ranked quota of 10 docs per cluster —
+    a topic-balanced sample no single topic can dominate. Scale: the
+    assignment scan is the cached IVF index; the quota is one
+    cluster-partitioned window (parallel across clusters, never global).
+    Oracle replays Lloyd training (shared CTE prefix), assignment, and
+    the per-cluster rank."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    cents = _TRAINED_IVF_CACHE.get(sf_dir)
+    if cents is None:
+        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
+        _TRAINED_IVF_CACHE[sf_dir] = cents
+    assigned = _cached_ann_index(
+        "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
+    )
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = (
+        assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("__list").cast("int").alias("cluster_id"),
+        )
+        .join(docs, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select("cluster_id", "doc_id", "lang")
     )
 
 
@@ -7974,6 +8051,7 @@ _VERIFY_FIRST = [
     "quality_classifier_score",  # new: frozen-weight learned filter
     "sim_ivf_kmeans",            # rewritten: Lloyd-trained, full oracle
     "sim_pq_topk",               # rewritten: Lloyd-trained, full oracle
+    "cluster_balanced_sample",   # new: topic-balanced quota sampling
     "dsir_importance_resample",  # r8 change: AQE-chosen freq joins
     "dpp_partition_pruned_join", # r8 change: shared deterministic lake
     "python_datasource_sink_roundtrip",  # r8 change: staged-file sweep
@@ -8025,8 +8103,8 @@ _VERIFY_FIRST = [
     "sql_windowed_cte",
     "stat_funcs",
     "stratified_sample",
-    # r04 head (1; second slot ceded to the remediation entry):
-    "bucketed_join_colocated",
+    # (r04 head slots ceded to the two extra round-8 entries; the r04
+    # cohort rotates to r09 in full)
 ]
 
 

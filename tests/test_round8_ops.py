@@ -353,3 +353,20 @@ def test_exact_substring_matches_dp_reference(spark, token_lists):
         ).collect()
     )
     assert got == _dp_spans(docs, 4)
+
+
+def test_cluster_balanced_sample_quota_and_spread(spark):
+    """Every cluster contributes at most its quota, more than one cluster
+    is represented (the balance property), and repeat calls are
+    deterministic (md5 rank, no rand())."""
+    import collections
+
+    import __spark_entry__ as E
+
+    fn = E.queries()["cluster_balanced_sample"]
+    rows = fn(spark, SF_DIR).collect()
+    per = collections.Counter(r["cluster_id"] for r in rows)
+    assert max(per.values()) <= 10
+    assert len(per) > 1
+    again = fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
