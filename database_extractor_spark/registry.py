@@ -1701,6 +1701,86 @@ def cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def _semdedup_oracle(rounds: int = 2, tau: float = 0.35) -> str:
+    """Oracle for semdedup_prune: Lloyd prefix -> assignment -> within-
+    cluster pairwise cosine -> keep-first drop decisions."""
+    cos = _LLOYD_COS
+    last = f"cent{rounds}"
+    return _lloyd_cte_prefix(rounds) + (
+        f""",
+    fa as (
+        select e.vec_id, c.sid, {cos} as cs
+        from e cross join {last} c
+    ),
+    assign as (
+        select vec_id, sid from fa
+        qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
+    ),
+    av as (
+        select assign.vec_id, assign.sid, e.v
+        from assign join e using (vec_id)
+    ),
+    dropped as (
+        select distinct b.vec_id
+        from av a join av b on a.sid = b.sid and a.vec_id < b.vec_id
+        where list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {tau}
+    )
+    select av.vec_id, cast(av.sid as int) as cluster_id,
+           dropped.vec_id is null as kept
+    from av left join dropped using (vec_id)
+    order by av.vec_id"""
+    )
+
+
+@register("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    pruning within-cluster high-cosine pairs — cluster the corpus with
+    the shared deterministic-Lloyd embedding quantizer (same trained-
+    centroid + materialized-assignment caches as sim_ivf_kmeans /
+    cluster_balanced_sample), compare pairs ONLY inside each cluster,
+    and drop the higher-id member of every pair above the similarity
+    threshold (keep-first, the dedup_exact convention). The fixture's
+    embeddings are uniform-random (max pairwise cosine 0.51), so the
+    0.35 threshold exercises a real, non-degenerate drop set.
+
+    Scale posture is the paper's own argument: clustering bounds the
+    quadratic pair comparison to within-cluster buckets (an equi-join on
+    cluster id — never cartesian), and n_lists grows with the corpus to
+    hold cluster sizes roughly constant, so total cost tracks
+    sum(cluster_size^2) = n * avg_cluster_size. The cluster granularity
+    knob is exactly the df-cap/banding lever the other dedups use."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    cents = _TRAINED_IVF_CACHE.get(sf_dir)
+    if cents is None:
+        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
+        _TRAINED_IVF_CACHE[sf_dir] = cents
+    assigned = _cached_ann_index(
+        "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
+    )
+    av = assigned.select(
+        "vec_id", "embedding", F.col("__list").cast("int").alias("cluster_id")
+    )
+    a, b = av.alias("a"), av.alias("b")
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.35
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return av.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("__dropped").isNull().alias("kept"),
+    )
+
+
 def _pq_kmeans_oracle(
     rounds: int = 2, m: int = 8, sub: int = 8, rerank: int = 100, k: int = 10
 ) -> str:
@@ -8052,6 +8132,7 @@ _VERIFY_FIRST = [
     "sim_ivf_kmeans",            # rewritten: Lloyd-trained, full oracle
     "sim_pq_topk",               # rewritten: Lloyd-trained, full oracle
     "cluster_balanced_sample",   # new: topic-balanced quota sampling
+    "semdedup_prune",            # new: within-cluster semantic dedup
     "dsir_importance_resample",  # r8 change: AQE-chosen freq joins
     "dpp_partition_pruned_join", # r8 change: shared deterministic lake
     "python_datasource_sink_roundtrip",  # r8 change: staged-file sweep
@@ -8102,9 +8183,8 @@ _VERIFY_FIRST = [
     "sim_partitioned_topk",
     "sql_windowed_cte",
     "stat_funcs",
-    "stratified_sample",
-    # (r04 head slots ceded to the two extra round-8 entries; the r04
-    # cohort rotates to r09 in full)
+    # (stratified_sample and the r04 head ceded their slots to the three
+    # extra round-8 entries; they rotate to r09 with the r04 cohort)
 ]
 
 

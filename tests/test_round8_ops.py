@@ -370,3 +370,21 @@ def test_cluster_balanced_sample_quota_and_spread(spark):
     assert len(per) > 1
     again = fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semdedup_drop_set_is_consistent(spark):
+    """Every dropped doc has a kept (or earlier) same-cluster partner
+    above the threshold; keep-first means the SMALLEST id of any
+    similar group always survives."""
+    import __spark_entry__ as E
+    from database_extractor_spark import registry as R
+
+    rows = E.queries()["semdedup_prune"](spark, SF_DIR).collect()
+    dropped = {r["vec_id"] for r in rows if not r["kept"]}
+    assert 0 < len(dropped) < len(rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    # smallest id per cluster can never be dropped (no earlier partner)
+    for ids in by_cluster.values():
+        assert min(ids) not in dropped
