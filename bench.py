@@ -84,6 +84,9 @@ SECONDARY = [
     "udtf_tokenize_offsets",
     "quality_classifier_score",
     "sim_ivf_kmeans",
+    "dedup_exact_substring_apply",
+    "cluster_balanced_sample",
+    "semdedup_prune",
 ]
 
 

@@ -1717,15 +1717,15 @@ def _semdedup_oracle(rounds: int = 2, tau: float = 0.35) -> str:
         qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
     ),
     av as (
-        select assign.vec_id, assign.sid, e.v
+        select assign.vec_id, assign.sid,
+               list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v)))
+                   as vn
         from assign join e using (vec_id)
     ),
     dropped as (
         select distinct b.vec_id
         from av a join av b on a.sid = b.sid and a.vec_id < b.vec_id
-        where list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))) >= {tau}
+        where list_dot_product(a.vn, b.vn) >= {tau}
     )
     select av.vec_id, cast(av.sid as int) as cluster_id,
            dropped.vec_id is null as kept
@@ -1760,16 +1760,24 @@ def semdedup_prune(spark, sf_dir):
     assigned = _cached_ann_index(
         "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
     )
+    # normalize ONCE per row so each pair costs a single dot fold instead
+    # of dot + two norms (3x on the dominant stage); the oracle mirrors
+    # the normalize-then-dot formula exactly (a/|a| . b/|b| is a
+    # DIFFERENT IEEE sequence than (a.b)/(|a||b|) — both engines must
+    # pick the same one)
+    norm = S.l2_norm(F.col("embedding"))
     av = assigned.select(
-        "vec_id", "embedding", F.col("__list").cast("int").alias("cluster_id")
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias(
+            "__vn"
+        ),
+        F.col("__list").cast("int").alias("cluster_id"),
     )
     a, b = av.alias("a"), av.alias("b")
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(
-            S.cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.35
-        )
+        .filter(S.dot(F.col("a.__vn"), F.col("b.__vn")) >= 0.35)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
