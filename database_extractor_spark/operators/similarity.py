@@ -50,6 +50,32 @@ def _query_lit(query_vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
+def cosine_to_literal(
+    vec_col: Column, lit_vec: Sequence[float], vnorm: Column | None = None
+) -> Column:
+    """Cosine against a DRIVER-SIDE literal vector with the literal's norm
+    precomputed in Python — one dot fold per row instead of three
+    (Catalyst does not constant-fold higher-order aggregates, so
+    ``cosine(col, lit)`` re-folds the literal's norm per row). Pass
+    ``vnorm`` (a shared ``l2_norm(vec_col)`` column) to also amortize the
+    row norm across many literals (the IVF argmax case: 16 centroids ->
+    one row-norm fold instead of 16).
+
+    FP contract: bit-identical to :func:`cosine` — the Python left fold
+    over the literal equals the engine fold (same IEEE sequence), the
+    denominator keeps the ``|v| * |q|`` multiplication order, and the
+    zero-denominator guard still returns 0.0.
+    """
+    import math
+
+    qn = math.sqrt(_pydot(lit_vec, lit_vec))
+    vn = l2_norm(vec_col) if vnorm is None else vnorm
+    denom = vn * F.lit(qn)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(vec_col, _query_lit(lit_vec)) / denom
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -67,11 +93,13 @@ def brute_force_topk(
     shuffle, no cartesian. This is the correctness baseline the ANN paths
     are measured against (recall@k).
     """
-    q = _query_lit(query_vec)
     # zip_with silently truncates on length mismatch — score only rows whose
     # dimensionality matches the query instead of producing wrong numbers
     scored = df.filter(F.size(F.col(vec_col)) == len(query_vec)).select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos")
+        F.col(id_col),
+        F.round(
+            cosine_to_literal(F.col(vec_col), [float(v) for v in query_vec]), 6
+        ).alias("cos"),
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
@@ -236,14 +264,15 @@ def lloyd_rounds_cosine(
     dim = len(seeds[0][1])
     cents = [(int(s), [float(x) for x in v]) for s, v in seeds]
     for _ in range(rounds):
+        vnorm = F.col("__vnorm")
         structs = [
             F.struct(
-                (-cosine(F.col(vec_col), _query_lit(v))).alias("nc"),
+                (-cosine_to_literal(F.col(vec_col), v, vnorm)).alias("nc"),
                 F.lit(s).alias("sid"),
             )
             for s, v in cents
         ]
-        assigned = df.select(
+        assigned = df.withColumn("__vnorm", l2_norm(F.col(vec_col))).select(
             F.array_min(F.array(*structs))["sid"].alias("__list"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         )
@@ -275,14 +304,21 @@ def ivf_assign(
     once, persisted/laid out by ``list_col``, and served to every query,
     so repeat searches pay only the probe-pruned scan, not n_lists x dim
     multiply-adds per row per query."""
+    vnorm = F.col("__vnorm")
     structs = [
         F.struct(
-            (-cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec]))).alias("nc"),
+            (-cosine_to_literal(F.col(vec_col), [float(v) for v in vec], vnorm)).alias(
+                "nc"
+            ),
             F.lit(int(sid)).alias("sid"),
         )
         for sid, vec in seeds
     ]
-    return df.withColumn(list_col, F.array_min(F.array(*structs))["sid"])
+    return (
+        df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
+        .withColumn(list_col, F.array_min(F.array(*structs))["sid"])
+        .drop("__vnorm")
+    )
 
 
 def ivf_fixed_topk(
