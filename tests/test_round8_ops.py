@@ -388,3 +388,22 @@ def test_semdedup_drop_set_is_consistent(spark):
     # smallest id per cluster can never be dropped (no earlier partner)
     for ids in by_cluster.values():
         assert min(ids) not in dropped
+
+
+def test_trained_ann_serves_from_materialized_index(spark):
+    """After the first call, the trained IVF/PQ entries must serve from
+    the persisted index (InMemoryTableScan in the warm plan) — the
+    round-8 perf fix that took PQ search from 6.5 s to 0.7 s; a
+    regression here re-pays index construction per query."""
+    from database_extractor_spark import registry as R
+
+    for name in ["sim_ivf_kmeans", "sim_pq_topk", "cluster_balanced_sample",
+                 "semdedup_prune"]:
+        R.QUERIES[name](spark, SF_DIR)  # ensure caches are built
+        plan = (
+            R.QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan, f"{name} rebuilds its index per query"
