@@ -7436,13 +7436,31 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), f"dpp_lake_{digest}", "lake")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    # build in a private staging dir, then atomically rename into place:
+    # two sessions racing this function (bench alongside pytest) must not
+    # interleave writes under one directory — the loser of the rename
+    # keeps the winner's complete lake and discards its own copy
+    stage = os.path.join(tempfile.mkdtemp(prefix=f"dpp_stage_{digest}_"), "lake")
     (
         _tbl(spark, sf_dir, "lineitem")
         .withColumn("l_year", F.year("l_shipdate"))
         .write.partitionBy("l_year")
         .mode("overwrite")
-        .parquet(path)
+        .parquet(stage)
     )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        os.rename(stage, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    # drop the now-empty (or discarded) staging parent either way
+    import shutil
+
+    shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
     return path
 
 
