@@ -947,9 +947,42 @@ def remove_spans(
     aggregate's). Output: (id, n_tokens_before, n_removed, text_clean)
     with whitespace normalized to single spaces.
     """
+    from pyspark.sql import Window
+
     span_t = "array<struct<b_start:int,n_tokens:int>>"
-    agg = spans.groupBy(F.col("id_b").alias(id_col)).agg(
-        F.collect_list(F.struct("b_start", "n_tokens")).alias("__spans")
+    # merge overlapping/adjacent spans per doc into disjoint intervals
+    # BEFORE collecting (gaps-and-islands on running max end): a document
+    # duplicated against many partners accumulates heavily-overlapping
+    # spans, and both the collected array and the per-token exists() test
+    # below should pay for the union's size, not the raw pair count. The
+    # union of intervals is unchanged, so results are identical.
+    w = Window.partitionBy("id_b").orderBy("b_start")
+    running_end = F.max(F.col("b_start") + F.col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        spans.select("id_b", "b_start", "n_tokens")
+        .withColumn(
+            "__new",
+            F.when(
+                running_end.isNull() | (F.col("b_start") > running_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    merged = islands.groupBy("id_b", "__isl").agg(
+        F.min("b_start").alias("b_start"),
+        (
+            F.max(F.col("b_start") + F.col("n_tokens")) - F.min("b_start")
+        ).alias("n_tokens"),
+    )
+    agg = merged.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("b_start").cast("int").alias("b_start"),
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+            )
+        ).alias("__spans")
     )
     toks = tokens(F.trim(F.col(text_col)))
     ti = F.transform(
