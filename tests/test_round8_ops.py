@@ -407,3 +407,17 @@ def test_trained_ann_serves_from_materialized_index(spark):
             .toString()
         )
         assert "InMemoryTableScan" in plan, f"{name} rebuilds its index per query"
+
+
+def test_exact_substring_gram_exchange_is_reused(spark):
+    """The md5 gram-emission subtree feeds both the df-cap aggregate and
+    both self-join sides; AQE must materialize that exchange ONCE and
+    reuse it (ReusedExchange in the final adaptive plan) — without reuse
+    the most expensive stage (per-position md5 over every document) runs
+    four times."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dedup_exact_substring"](spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]
