@@ -8085,6 +8085,25 @@ def _qc_oracle() -> str:
     """
 
 
+def _qc_wsum(toks_col) -> "F.Column":
+    """Summed frozen integer weight of a token array — the classifier's
+    linear term, shared by the batch entry and the streaming gate (the
+    expression is stateless and narrow, so it is streamable as-is)."""
+    warr = F.array(*[F.lit(v) for v in _qc_weights()])
+
+    def weight_of(t):
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 64
+        ).cast("int")
+        return F.element_at(warr, bucket + 1).cast("long")
+
+    return F.aggregate(
+        F.transform(toks_col, weight_of),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 @register("quality_classifier_score", _qc_oracle())
 def quality_classifier_score(spark, sf_dir):
     """Learned-filter scoring (the fasttext-style linear classifier step
@@ -8100,24 +8119,11 @@ def quality_classifier_score(spark, sf_dir):
     (algebraically = score >= 0.5), immune to FP-boundary flips; only the
     reported score rounds a double (6 dp, exp drift ~1e-16). Weights are
     literals in both engines (_qc_weights), so the oracle is exact."""
-    w = _qc_weights()
-    warr = F.array(*[F.lit(v) for v in w])
     toks = T.tokens(F.lower(F.trim(F.col("text"))))
     docs = _tbl(spark, sf_dir, "documents").select(
         "doc_id", "lang", toks.alias("__toks")
     )
-
-    def weight_of(t):
-        bucket = (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 64
-        ).cast("int")
-        return F.element_at(warr, bucket + 1).cast("long")
-
-    wsum = F.aggregate(
-        F.transform(F.col("__toks"), weight_of),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    wsum = _qc_wsum(F.col("__toks"))
     n = F.size(F.col("__toks"))
     z = F.col("__wsum") / (1000.0 * n)
     return (
@@ -8130,6 +8136,57 @@ def quality_classifier_score(spark, sf_dir):
             (F.col("__wsum") >= 0).alias("quality_pass"),
         )
     )
+
+
+def _qc_gate_oracle() -> str:
+    w = _qc_weights()
+    wlit = "[" + ", ".join(str(v) for v in w) + "]"
+    return f"""
+    with docs as (
+        select doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') as t
+        from documents
+    ),
+    ws as (
+        select doc_id,
+               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
+                               as int) + 1]) as wsum
+        from (select doc_id, unnest(t) as token from docs)
+        group by doc_id
+    )
+    select d.lang, cast(count(*) as bigint) as n_total,
+           cast(sum(case when ws.wsum >= 0 then 1 else 0 end) as bigint)
+               as n_pass
+    from docs d join ws on d.doc_id = ws.doc_id
+    group by d.lang
+    order by d.lang
+    """
+
+
+@register("streaming_quality_gate", _qc_gate_oracle())
+def streaming_quality_gate(spark, sf_dir):
+    """The quality classifier as a STREAMING gate: documents arrive as a
+    file stream, each micro-batch is scored by the same frozen-weight
+    expression the batch entry uses (_qc_wsum — stateless, narrow, so
+    the plan is streamable unchanged), and a running per-language
+    total/pass count aggregates across batches (availableNow trigger).
+    The batch oracle proves the incremental aggregation converges to the
+    batch answer — the corpus-ingest shape where filtering happens ON
+    ARRIVAL rather than as a post-hoc scan. Keep decisions are the exact
+    integer weight-sum predicate, so there is no FP boundary to drift
+    between micro-batch and batch execution."""
+    from database_extractor_spark.streaming import run_available_now, stream_source
+
+    stream = stream_source(spark, os.path.join(sf_dir, "documents.parquet"))
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    scored = stream.select("lang", _qc_wsum(toks).alias("__wsum"))
+    agg = scored.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("__wsum") >= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    return run_available_now(spark, agg)
 
 
 # ==========================================================================
@@ -8159,6 +8216,7 @@ _VERIFY_FIRST = [
     "sim_pq_topk",               # rewritten: Lloyd-trained, full oracle
     "cluster_balanced_sample",   # new: topic-balanced quota sampling
     "semdedup_prune",            # new: within-cluster semantic dedup
+    "streaming_quality_gate",    # new: classifier as a streaming gate
     "dsir_importance_resample",  # r8 change: AQE-chosen freq joins
     "dpp_partition_pruned_join", # r8 change: shared deterministic lake
     "python_datasource_sink_roundtrip",  # r8 change: staged-file sweep
@@ -8208,9 +8266,9 @@ _VERIFY_FIRST = [
     "sim_bruteforce_topk",
     "sim_partitioned_topk",
     "sql_windowed_cte",
-    "stat_funcs",
-    # (stratified_sample and the r04 head ceded their slots to the three
-    # extra round-8 entries; they rotate to r09 with the r04 cohort)
+    # (stat_funcs, stratified_sample and the r04 head ceded their slots
+    # to the four extra round-8 entries; they rotate to r09 with the r04
+    # cohort)
 ]
 
 

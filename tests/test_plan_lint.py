@@ -25,6 +25,7 @@ EXECUTES_ON_BUILD = {
     "streaming_stateful_first_seen",
     "streaming_dedup",
     "streaming_incremental_sink",
+    "streaming_quality_gate",
     "upsert_day_overwrite",
     "schema_evolution_merge",
     "csv_source_roundtrip",

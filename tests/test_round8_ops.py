@@ -421,3 +421,22 @@ def test_exact_substring_gram_exchange_is_reused(spark):
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
+def test_streaming_quality_gate_converges_to_batch(spark):
+    """The streaming gate's per-language totals equal the batch
+    classifier's aggregation — incremental micro-batch execution
+    converges to the batch answer (keep decisions are integer-exact, so
+    no FP boundary can drift between the two)."""
+    import collections
+
+    import __spark_entry__ as E
+
+    batch = E.queries()["quality_classifier_score"](spark, SF_DIR).collect()
+    want_total = collections.Counter(r["lang"] for r in batch)
+    want_pass = collections.Counter(r["lang"] for r in batch if r["quality_pass"])
+    got = E.queries()["streaming_quality_gate"](spark, SF_DIR).collect()
+    assert {r["lang"]: r["n_total"] for r in got} == dict(want_total)
+    assert {r["lang"]: r["n_pass"] for r in got} == {
+        k: want_pass.get(k, 0) for k in want_total
+    }
