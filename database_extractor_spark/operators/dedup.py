@@ -843,6 +843,7 @@ def exact_substring_spans(
     gram: int = 5,
     min_tokens: int = 8,
     df_cap: int = 20,
+    occ_cap: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT duplicate token spans — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better", public)
@@ -856,10 +857,13 @@ def exact_substring_spans(
 
     1. every ``gram``-token window -> portable 60-bit md5 hash with its
        0-based position (text.rolling_hashes + posexplode);
-    2. hot-gram DOCUMENT-FREQUENCY cap (df <= ``df_cap``), the same 100 TB
-       mitigation as containment_pairs_capped — the inverted-index
-       self-join costs sum(df(g)^2) and boilerplate grams carry no span
-       information worth df_cap^2+ pairs;
+    2. hot-gram caps: DOCUMENT frequency (df <= ``df_cap``, the same
+       100 TB mitigation as containment_pairs_capped — the inverted-index
+       self-join costs sum(occ(g)^2) and boilerplate grams carry no span
+       information worth df_cap^2+ pairs) AND total occurrences
+       (<= ``occ_cap``, default 4x df_cap — df alone misses a gram
+       repeated k times inside each of 2 documents, which is df=2 but
+       k^2 hit rows);
     3. inverted-index self-join on the gram hash (equi-join, never
        cartesian), id_a < id_b;
     4. span merge: matched positions on the same DIAGONAL
@@ -886,11 +890,19 @@ def exact_substring_spans(
     )
     # document frequency per gram (a gram may repeat WITHIN a doc, so
     # distinct-doc count, unlike the shingle indexes where shingles() is
-    # already distinct-per-doc)
+    # already distinct-per-doc). df_cap alone does not bound the
+    # self-join: a gram repeated k times in each of two documents has
+    # df=2 but emits ~k^2 hit rows (ADVICE r8), so TOTAL occurrences are
+    # capped too — occ_cap (default 4x df_cap) bounds any gram's fan-out
+    # at occ_cap^2 regardless of within-document repetition. A gram over
+    # either cap is boilerplate/degenerate repetition whose span signal
+    # the surviving neighboring grams still carry.
+    if occ_cap is None:
+        occ_cap = 4 * df_cap
     kept = grams.join(
         grams.groupBy("g")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") <= df_cap)
+        .agg(F.countDistinct(id_col).alias("__df"), F.count("*").alias("__occ"))
+        .filter((F.col("__df") <= df_cap) & (F.col("__occ") <= occ_cap))
         .select("g"),
         "g",
     )

@@ -232,6 +232,22 @@ def partitioned_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def _canonical_mean(col, round_dp: int):
+    """Order-independent per-dimension mean for Lloyd updates: quantize
+    each value to an integer (floor(x*1e9 + 0.5) — exact in any engine),
+    sum the integers (exact, associative, so distributed reduction order
+    cannot matter), divide back and round. ADVICE r8: plain avg() left
+    oracle parity hanging on Spark's and DuckDB's float summation ORDERS
+    producing the same 6-dp rounding — a value within ~1e-13 of a rounding
+    boundary could flip a centroid literal and cascade through later
+    rounds. With integer sums both engines round the bit-identical double,
+    closing that failure mode. Quantization error (<=5e-10 per value) is
+    1e3 below the 6-dp centroid grid, far under anything that moves an
+    assignment."""
+    q = F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return F.round(F.sum(q) / F.count(F.lit(1)) / F.lit(1e9), round_dp)
+
+
 def lloyd_rounds_cosine(
     df: DataFrame,
     seeds: Sequence[tuple[int, Sequence[float]]],
@@ -252,9 +268,10 @@ def lloyd_rounds_cosine(
     ROUNDING each round's means to ``round_dp``, makes training a pure
     function of the data that a DuckDB oracle replays as chained CTEs —
     assignment is argmax cosine over centroid literals (smallest seed id
-    on ties), the update is the per-dimension mean. Rounding kills the
-    cross-engine summation-order FP drift (~1e-13) at a precision far
-    below anything that moves an assignment.
+    on ties), the update is the per-dimension mean — computed as an
+    integer-quantized sum (:func:`_canonical_mean`) so the reduction is
+    exact and order-independent in BOTH engines, not merely
+    rounded-after-drift (ADVICE r8).
 
     Scale: per round, ONE scan (argmax over n_lists literal centroids —
     narrow projection) + one n_lists-row aggregate; the collect is
@@ -280,7 +297,7 @@ def lloyd_rounds_cosine(
             assigned.groupBy("__list")
             .agg(
                 *[
-                    F.round(F.avg(F.col("__v")[d]), round_dp).alias(f"c{d}")
+                    _canonical_mean(F.col("__v")[d], round_dp).alias(f"c{d}")
                     for d in range(dim)
                 ]
             )
@@ -644,7 +661,7 @@ def lloyd_rounds_pq(
             ex.groupBy("j", "code")
             .agg(
                 *[
-                    F.round(F.avg(F.col("x")[d]), round_dp).alias(f"c{d}")
+                    _canonical_mean(F.col("x")[d], round_dp).alias(f"c{d}")
                     for d in range(sub)
                 ]
             )

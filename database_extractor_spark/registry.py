@@ -1503,7 +1503,9 @@ _LLOYD_COS = (
 def _lloyd_cte_prefix(rounds: int = 2, dim: int = 64) -> str:
     """Shared oracle prefix replaying similarity.lloyd_rounds_cosine as
     chained CTEs (frozen seed init, ``rounds`` assignment/mean rounds,
-    6-dp mean rounding): defines ``e`` (double-cast embeddings) and
+    integer-quantized order-independent means rounded to 6 dp — the
+    _canonical_mean lane, ADVICE r8): defines ``e`` (double-cast
+    embeddings) and
     ``cent{rounds}`` (the trained centroids) for a consuming tail —
     sim_ivf_kmeans appends probe+top-k, cluster_balanced_sample appends
     assignment+per-cluster sampling."""
@@ -1530,7 +1532,9 @@ def _lloyd_cte_prefix(rounds: int = 2, dim: int = 64) -> str:
         qualify row_number() over (partition by vec_id order by cs desc, sid) = 1
     ),
     cd{r} as (
-        select g.sid, i.i, round(avg(e.v[i.i]), 6) as cv
+        select g.sid, i.i,
+               round(sum(floor(e.v[i.i] * 1e9 + 0.5)::BIGINT)::BIGINT
+                     / count(*) / 1e9, 6) as cv
         from asg{r} g join e using (vec_id)
         cross join range(1, {dim + 1}) i(i)
         group by g.sid, i.i
@@ -1838,7 +1842,9 @@ def _pq_kmeans_oracle(
         qualify row_number() over (partition by vec_id, j order by d, code) = 1
     ),
     cd{r} as (
-        select g.j, g.code, i.i, round(avg(x.x[i.i]), 6) as cv
+        select g.j, g.code, i.i,
+               round(sum(floor(x.x[i.i] * 1e9 + 0.5)::BIGINT)::BIGINT
+                     / count(*) / 1e9, 6) as cv
         from asg{r} g
           join x on x.vec_id = g.vec_id and x.j = g.j
           cross join range(1, {sub + 1}) i(i)
@@ -7432,7 +7438,15 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     # it skips the write entirely.
     import hashlib
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    # key the shared lake on the fixture's CONTENT as well as its path
+    # (ADVICE r8): a regenerated /root/testdata gets a new size/mtime and
+    # therefore a fresh lake, instead of silently serving the stale layout
+    # and surfacing only as an opaque oracle mismatch
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"dpp_lake_{digest}", "lake")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
@@ -7883,7 +7897,7 @@ def mmr_diversified_topk(spark, sf_dir):
     kept as (
         select * from grams
         where g in (select g from grams group by g
-                    having count(distinct doc_id) <= 20)
+                    having count(distinct doc_id) <= 20 and count(*) <= 80)
     ),
     hits as (
         select a.doc_id as id_a, b.doc_id as id_b, a.pos as pos_a, b.pos as pos_b
@@ -7912,7 +7926,9 @@ def mmr_diversified_topk(spark, sf_dir):
 def dedup_exact_substring(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2022): every maximal cross-document
     run of >= 8 verbatim-shared tokens, via a rolling 5-gram md5 inverted
-    index (df <= 20 hot-gram cap) + diagonal gaps-and-islands span merge —
+    index (df <= 20 and total-occurrence <= 80 hot-gram caps — the second
+    bounds within-document repetition blowup) + diagonal gaps-and-islands
+    span merge —
     the duplicate-SPAN operator that set-overlap dedups (MinHash/Jaccard)
     structurally miss. See operators/dedup.py:exact_substring_spans for the
     100 TB shape (equi-join only, partitioned window, df-capped fan-out);

@@ -133,9 +133,18 @@ class JsonlSinkWriter(DataSourceWriter):
     a real connector's transaction handle in the commit message."""
 
     def __init__(self, options):
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
+        # one writer instance exists per WRITE JOB (Spark calls
+        # DataSource.writer() at job start and ships this instance to every
+        # task), so a job id minted here scopes all of this job's staged
+        # files: commit()'s orphan sweep matches only them, and two jobs
+        # racing the same directory can no longer delete each other's
+        # staged-but-uncommitted output (ADVICE r8)
+        self.job_id = _uuid.uuid4().hex[:16]
 
     def write(self, iterator):
         import json as _json
@@ -143,7 +152,9 @@ class JsonlSinkWriter(DataSourceWriter):
         import uuid as _uuid
 
         _os.makedirs(self.path, exist_ok=True)
-        tmp = _os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
+        tmp = _os.path.join(
+            self.path, f"_staged-{self.job_id}-{_uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         # a task that dies mid-write must not leak its staged file: only
         # files named in a returned commit message are visible to
@@ -172,11 +183,15 @@ class JsonlSinkWriter(DataSourceWriter):
                 d, base = _os.path.split(m.tmp_path)
                 _os.rename(m.tmp_path, _os.path.join(d, base.replace("_staged-", "part-", 1)))
         # sweep orphans from failed/speculative task attempts (killed
-        # between open() and the unlink above). Safe because the sink is
-        # single-writer per directory (Spark's own FileOutputCommitter
-        # assumes the same): every live staged file was either promoted
-        # above or belongs to a task attempt this job abandoned.
-        for orphan in _glob.glob(_os.path.join(self.path, "_staged-*.jsonl")):
+        # between open() and the unlink above). The glob is scoped to THIS
+        # job's id, so a concurrent job writing the same directory keeps
+        # its staged-but-uncommitted files (ADVICE r8: the unscoped sweep
+        # enforced single-writer by silent data loss); every live file
+        # matching this job's prefix was either promoted above or belongs
+        # to a task attempt this job abandoned.
+        for orphan in _glob.glob(
+            _os.path.join(self.path, f"_staged-{self.job_id}-*.jsonl")
+        ):
             try:
                 _os.remove(orphan)
             except OSError:
