@@ -1,0 +1,79 @@
+"""Arrow-native extension seam: ``DataFrame.mapInArrow``.
+
+Rounds 2-8 cover the Python extension surface with pandas_udf /
+applyInPandas / mapInPandas (Arrow-batched via pandas) and the Spark 4
+Python UDTF; this module adds the remaining face — raw ``mapInArrow``,
+where the user function receives ``pyarrow.RecordBatch`` objects with NO
+pandas materialization in between. That is the right seam for columnar
+numeric kernels (numpy/SIMD over the Arrow buffers) and for zero-copy
+interop with Arrow-native libraries: one fewer conversion than
+mapInPandas, and list columns stay packed (values + offsets) instead of
+exploding into per-row Python lists.
+
+Reference parity: the reference's extension point is "hand the extracted
+frame to user code" (database_extractor.py:~387 returns a DataFrame the
+caller post-processes); mapInArrow is that seam expressed on Spark's
+executor side, batch-streaming instead of driver-materialized.
+
+Scale: executors stream fixed-size Arrow batches (
+spark.sql.execution.arrow.maxRecordsPerBatch) through the Python worker;
+per-batch numpy work is O(batch), state never outlives a batch, and the
+operator composes with whatever partitioning the upstream plan chose —
+nothing here forces a shuffle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def normalize_head(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    head: int = 3,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-vector L2 norm + the first ``head`` L2-normalized components,
+    computed batch-at-a-time in numpy over the raw Arrow buffers.
+
+    Engine-portable arithmetic (the md5/integer-quantization discipline of
+    the rest of the repo, applied to floats): the squared norm is summed
+    over INTEGER-quantized components (floor(x*1e6 + 0.5) — every term and
+    every partial sum below 2^53, so the reduction is exact and
+    order-independent in numpy and in any SQL engine), and all rounding is
+    floor(v*10^dp + 0.5)/10^dp — identical expressions re-playable in
+    DuckDB, with no dependence on numpy's banker's rounding or summation
+    order.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    scale = float(10**dp)
+    out_schema = ", ".join(
+        [f"{id_col} bigint", "l2 double"] + [f"v{i} double" for i in range(head)]
+    )
+
+    def batches(it):
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(b.schema.get_field_index(id_col)).cast(pa.int64())
+            emb = b.column(b.schema.get_field_index(vec_col))
+            # flatten() honors the ListArray's offsets (slices included):
+            # one contiguous values buffer -> (n, dim) with zero Python
+            # per-row work
+            vals = np.asarray(emb.flatten(), dtype=np.float64)
+            dim = vals.size // n
+            x = vals.reshape(n, dim)
+            q = np.floor(x * 1e6 + 0.5)  # exact integers in doubles
+            l2 = np.sqrt((q * q).sum(axis=1)) / 1e6
+            cols = {
+                id_col: ids,
+                "l2": pa.array(np.floor(l2 * scale + 0.5) / scale),
+            }
+            for i in range(head):
+                cols[f"v{i}"] = pa.array(np.floor(x[:, i] / l2 * scale + 0.5) / scale)
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return df.mapInArrow(batches, out_schema)

@@ -45,6 +45,10 @@ EXECUTES_ON_BUILD = {
     # runs the custom Python writer on build; the returned frame is the
     # read-back aggregate (Arrow/Python stages live in the write job)
     "python_datasource_sink_roundtrip",
+    # compiles+materializes inside its conf window (bloom thresholds are
+    # cluster-sized); the injected-filter plan is asserted in
+    # tests/test_round9_ops.py::test_runtime_bloom_join_plan
+    "runtime_bloom_join",
 }
 
 #: entries allowed to contain Arrow-batched Python stages
@@ -52,9 +56,12 @@ ARROW_OK = {
     "pandas_ema",
     "multimodal_decode",
     "multimodal_resize",
+    "multimodal_audio_decode",
     # Spark 4 Python UDTF, Arrow-batched (ArrowEvalPythonUDTF); the
     # row-at-a-time BatchEvalPythonUDTF form would still fail the lint
     "udtf_tokenize_offsets",
+    # raw mapInArrow (round 9): RecordBatches straight into numpy
+    "arrow_batch_normalize",
 }
 
 #: entries allowed ONE BroadcastNestedLoopJoin whose build side is a 1-row
@@ -75,6 +82,8 @@ SCALAR_ATTACH_OK = {
     "tpch_q22_global_sales_opportunity",
     # DSIR's corpus stats (V, total, target-total) ride one 1-row attach
     "dsir_importance_resample",
+    # reuses text_unigram_logprob's plan, inheriting its corpus-total attach
+    "ccnet_perplexity_buckets",
 }
 
 
@@ -112,6 +121,9 @@ def test_local_checkpoint_usage_is_pinned():
         # entries feed in, and test_llm_ops lints the minhash candidate
         # join; the checkpointed interior is a bounded fixpoint loop
         ("operators/dedup.py", "connected_components"),
+        # must compile inside its conf window; pre-checkpoint plan linted
+        # by test_round9_ops.py::test_runtime_bloom_join_plan
+        ("registry.py", "runtime_bloom_join"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -217,6 +229,10 @@ def test_plan_has_no_scale_antipatterns(name, spark):
         f"{name}: global (unpartitioned) window in plan"
     )
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, (
-            f"{name}: unexpected Python stage in plan"
-        )
+        for node in (
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapInPandas",
+            "MapInArrow",
+        ):
+            assert node not in plan, f"{name}: unexpected Python stage {node} in plan"

@@ -131,3 +131,171 @@ def test_exact_substring_occ_cap_bounds_repeated_token_blowup(spark):
     # region, which the uncapped run does
     assert span_tokens(uncapped) > span_tokens(capped)
     assert all(r["n_tokens"] <= 2 * len(quote.split()) for r in capped)
+
+
+# ---------------------------------------------------------------------------
+# round-9 entries
+# ---------------------------------------------------------------------------
+
+def test_runtime_bloom_join_plan(spark):
+    """Inside the forced-threshold conf window, the compiled plan must
+    carry the runtime bloom filter: a bloom_filter_agg on the dim side
+    and a might_contain predicate pushed into the fact scan side of the
+    shuffle join."""
+    import database_extractor_spark.registry as R
+
+    plan = R._with_bloom_confs(
+        spark,
+        lambda: R._runtime_bloom_plan(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+    )
+    assert "bloom_filter_agg" in plan, f"no bloom filter built:\n{plan[:2000]}"
+    assert "might_contain" in plan, "bloom filter not applied to fact side"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # and the conf window must restore: the session default is cluster-sized
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+
+
+def test_khop_distances_are_minimal_and_deduped(spark):
+    """Each (entity, id) appears ONCE with its minimum hop distance, and
+    every claimed distance is consistent with the edge set computed
+    independently in Python."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["graph_khop_reachability"](spark, SF_DIR).collect()
+    seen = [(r["entity"], r["id"]) for r in rows]
+    assert len(seen) == len(set(seen)), "duplicate node rows"
+
+    edges = duckdb.sql(
+        f"""select distinct o.o_custkey, l.l_suppkey
+        from '{SF_DIR}/orders.parquet' o
+        join '{SF_DIR}/lineitem.parquet' l on l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    suppliers_of = {}
+    customers_of = {}
+    for c, s in edges:
+        suppliers_of.setdefault(c, set()).add(s)
+        customers_of.setdefault(s, set()).add(c)
+    h1 = suppliers_of.get(1, set())
+    h2 = {c for s in h1 for c in customers_of[s]} - {1}
+    h3 = {s for c in h2 for s in suppliers_of[c]} - h1
+    expect = (
+        {("customer", 1, 0)}
+        | {("supplier", s, 1) for s in h1}
+        | {("customer", c, 2) for c in h2}
+        | {("supplier", s, 3) for s in h3}
+    )
+    assert {(r["entity"], r["id"], r["dist"]) for r in rows} == expect
+
+
+def test_string_agg_ordered_is_shuffle_order_invariant(spark):
+    """The within-group ordered concatenation must be identical however
+    the input is partitioned — THE property unordered collect_list-based
+    concat lacks."""
+    import __spark_entry__ as E
+
+    base = {
+        r["user_id"]: (r["journey"], r["n_events"])
+        for r in E.queries()["string_agg_ordered"](spark, SF_DIR).collect()
+    }
+    # rebuild over a deliberately scrambled partitioning of the same data
+    import pyspark.sql.functions as F
+
+    from database_extractor_spark.sources import read_source
+    import os as _os
+
+    ev = read_source(spark, _os.path.join(SF_DIR, "events.parquet"))
+    ev.repartition(13, F.col("event_type")).createOrReplaceTempView("events")
+    again = {
+        r["user_id"]: (r["journey"], r["n_events"])
+        for r in spark.sql(
+            """
+            with firstn as (
+                select user_id, event_type, ts, event_id,
+                       row_number() over (partition by user_id
+                                          order by ts, event_id) as rn
+                from events
+            )
+            select user_id,
+                   listagg(event_type, '>')
+                       within group (order by ts, event_id) as journey,
+                   cast(count(*) as bigint) as n_events
+            from firstn where rn <= 20
+            group by user_id
+            """
+        ).collect()
+    }
+    assert base == again
+    assert all(n <= 20 for _, n in base.values())
+
+
+def test_arrow_normalize_matches_numpy_reference(spark):
+    """mapInArrow output must equal a straight numpy recomputation from
+    the parquet (independent of Arrow batch slicing), and normalized
+    heads must be consistent with l2: renormalizing them changes nothing."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    got = {
+        r["vec_id"]: (r["l2"], r["v0"], r["v1"], r["v2"])
+        for r in E.queries()["arrow_batch_normalize"](spark, SF_DIR).collect()
+    }
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    x = np.asarray(t.column("embedding").combine_chunks().flatten(), dtype=np.float64)
+    x = x.reshape(len(ids), -1)
+    q = np.floor(x * 1e6 + 0.5)
+    l2 = np.sqrt((q * q).sum(axis=1)) / 1e6
+    for i, vid in enumerate(ids):
+        el2 = float(np.floor(l2[i] * 1e6 + 0.5) / 1e6)
+        ev = tuple(float(np.floor(x[i, j] / l2[i] * 1e6 + 0.5) / 1e6) for j in range(3))
+        assert got[vid] == (el2, *ev), f"vec {vid}: {got[vid]} != {(el2, *ev)}"
+    assert abs(np.mean([v[0] for v in got.values()]) - 1.0) < 0.01  # unit-norm fixture
+
+
+def test_lateral_topk_decorrelates_to_hash_join(spark):
+    """Catalyst must compile the correlated LATERAL LIMIT subquery into a
+    partitioned rank + equi-join — NOT a per-outer-row nested loop."""
+    import __spark_entry__ as E
+
+    df = E.queries()["lateral_topk_per_key"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    rows = df.collect()
+    # every nation contributes at most 2 rows, ordered desc within nation
+    from collections import Counter
+
+    per = Counter(r["n_name"] for r in rows)
+    assert max(per.values()) <= 2
+
+
+def test_ccnet_buckets_are_balanced_within_language(spark):
+    """ntile(3) guarantees per-language tercile sizes differing by at
+    most one, and bucket assignment must follow the score ordering
+    (every head doc scores >= every tail doc of the same language)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["ccnet_perplexity_buckets"](spark, SF_DIR).collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_logprob"])
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, f"{lang}: unbalanced {sizes}"
+        if buckets.get("head") and buckets.get("tail"):
+            assert min(buckets["head"]) >= max(buckets["tail"]), lang
