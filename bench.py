@@ -87,6 +87,17 @@ SECONDARY = [
     "dedup_exact_substring_apply",
     "cluster_balanced_sample",
     "semdedup_prune",
+    # round-9 additions: perplexity bucketing, frontier BFS, ordered
+    # listagg, the raw-Arrow seam, bloom-filtered join, LATERAL top-k
+    "ccnet_perplexity_buckets",
+    "graph_khop_reachability",
+    "string_agg_ordered",
+    "arrow_batch_normalize",
+    "runtime_bloom_join",
+    "lateral_topk_per_key",
+    "url_domain_cap",
+    "cogroup_pandas_asof",
+    "pivot_multi_agg",
 ]
 
 

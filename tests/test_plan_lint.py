@@ -62,6 +62,8 @@ ARROW_OK = {
     "udtf_tokenize_offsets",
     # raw mapInArrow (round 9): RecordBatches straight into numpy
     "arrow_batch_normalize",
+    # cogrouped applyInPandas (round 9): FlatMapCoGroupsInPandas
+    "cogroup_pandas_asof",
 }
 
 #: entries allowed ONE BroadcastNestedLoopJoin whose build side is a 1-row
@@ -232,6 +234,7 @@ def test_plan_has_no_scale_antipatterns(name, spark):
         for node in (
             "ArrowEvalPython",
             "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
             "MapInPandas",
             "MapInArrow",
         ):

@@ -299,3 +299,82 @@ def test_ccnet_buckets_are_balanced_within_language(spark):
         assert max(sizes) - min(sizes) <= 1, f"{lang}: unbalanced {sizes}"
         if buckets.get("head") and buckets.get("tail"):
             assert min(buckets["head"]) >= max(buckets["tail"]), lang
+
+
+def test_url_domain_cap_enforces_per_host_quota(spark):
+    """No host may exceed 5 documents, parsed fields must round-trip the
+    synthesized URL structure, and the kept set must be the md5-rank
+    prefix (deterministic across runs)."""
+    from collections import Counter
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["url_domain_cap"](spark, SF_DIR).collect()
+    per_host = Counter(r["host"] for r in rows)
+    assert max(per_host.values()) <= 5
+    for r in rows:
+        assert r["host"].endswith(".example.com")
+        assert r["path"].endswith(f"/doc-{r['doc_id']}")
+        assert r["ref"] == f"r{r['doc_id'] % 7}"
+    again = E.queries()["url_domain_cap"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cogroup_asof_matches_window_computation(spark):
+    """The cogrouped-pandas merge_asof must agree with an independent
+    Python recomputation over the raw events, including NULL for
+    purchases with no prior signup."""
+    import bisect
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    got = {
+        r["event_id"]: r["micros_since_signup"]
+        for r in E.queries()["cogroup_pandas_asof"](spark, SF_DIR).collect()
+    }
+    ev = duckdb.sql(
+        f"""select user_id, event_id, epoch_us(ts) as us, event_type
+        from '{SF_DIR}/events.parquet'
+        where event_type in ('purchase', 'signup')"""
+    ).fetchall()
+    signups = {}
+    for u, _, us, t in ev:
+        if t == "signup":
+            signups.setdefault(u, []).append(us)
+    for s in signups.values():
+        s.sort()
+    n_checked = 0
+    for u, eid, us, t in ev:
+        if t != "purchase":
+            continue
+        s = signups.get(u, [])
+        i = bisect.bisect_right(s, us)
+        expect = (us - s[i - 1]) if i else None
+        assert got[eid] == expect, (eid, got[eid], expect)
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_pivot_multi_agg_column_crossproduct(spark):
+    """The listed-value multi-agg pivot must produce the value x agg
+    column cross-product with zero-filled absent combinations, matching
+    per-user recomputation from the raw events."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    df = E.queries()["pivot_multi_agg"](spark, SF_DIR)
+    assert df.columns == [
+        "user_id", "purchase_n", "purchase_millis", "error_n", "error_millis",
+    ]
+    got = {r["user_id"]: (r["purchase_n"], r["error_n"]) for r in df.collect()}
+    raw = dict(
+        duckdb.sql(
+            f"""select user_id, [count(*) filter (where event_type='purchase'),
+                                 count(*) filter (where event_type='error')]
+            from '{SF_DIR}/events.parquet' group by user_id"""
+        ).fetchall()
+    )
+    assert got == {u: tuple(v) for u, v in raw.items()}
