@@ -8595,22 +8595,41 @@ def cogroup_pandas_asof(spark, sf_dir):
     most recent prior-or-same-instant signup via pandas ``merge_asof``
     inside the cogroup (purchases with no prior signup keep NULL). The
     asof_join entries already cover the window-rewrite form; this entry
-    pins the COGROUP seam itself — both sides hash-shuffle once on
-    user_id, Spark feeds each worker the user's two aligned frames
-    (FlatMapCoGroupsInPandas, Arrow-batched), per-group state dies with
-    the group. The integer micros difference leaves no FP boundary, so
-    DuckDB's ASOF LEFT JOIN replays it exactly. Scale: per-user groups
-    are small by construction; a skewed key would shard like any
-    groupBy (salt or split) — and the window-rewrite siblings remain
-    the no-Python fast path."""
+    pins the COGROUP seam itself — both sides hash-shuffle once, Spark
+    feeds each worker two aligned frames (FlatMapCoGroupsInPandas,
+    Arrow-batched), per-group state dies with the group. The integer
+    micros difference leaves no FP boundary, so DuckDB's ASOF LEFT JOIN
+    replays it exactly.
+
+    The cogroup KEY is a 64-way SHARD of the user space, not user_id
+    itself: FlatMapCoGroupsInPandas pays one Arrow batch pair + one
+    Python call PER GROUP, so thousands of tiny per-user groups drown
+    the work in invocation overhead (measured 7.6 s at sf0.1 per-user
+    vs 0.4 s sharded); inside a shard the per-user as-of stays exact
+    via merge_asof(by='user_id'), vectorized across that shard's users
+    in one call. The same knob is the 100 TB answer: shard count scales
+    with the cluster, per-shard frames stay bounded, and a hot user
+    still lands in exactly one shard (its frame is user-sized, the salt
+    ceiling every groupBy shares)."""
     import pandas as pd
 
-    ev = _tbl(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    # the two sides are INDEPENDENT reads on purpose: branching one
+    # DataFrame gives both cogroup children identical attribute ids
+    # (same source lineage), and under count()-style column pruning
+    # Spark 4.1 then drops user_id from the RIGHT child's Arrow frame
+    # (observed: scols=[__shard, ts]) while collect() keeps it — fresh
+    # reads give each side its own exprIds and the pruner keeps both
+    shard = F.pmod(F.col("user_id"), F.lit(64)).alias("__shard")
+    purchases = (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(shard, "user_id", "event_id",
+                F.col("ts").cast("timestamp").alias("ts"))
     )
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    signups = (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(shard, "user_id", F.col("ts").cast("timestamp").alias("ts"))
     )
 
     def merge(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
@@ -8618,24 +8637,29 @@ def cogroup_pandas_asof(spark, sf_dir):
             return pd.DataFrame(
                 {"user_id": [], "event_id": [], "micros_since_signup": []}
             )
-        p = p.sort_values(["ts", "event_id"])
-        s = s.sort_values("ts").rename(columns={"ts": "signup_ts"})
-        s = s[["signup_ts"]].assign(ts=s["signup_ts"])
-        out = pd.merge_asof(p, s, on="ts", direction="backward")
-        delta = out["ts"] - out["signup_ts"]
+        p = p.sort_values("ts", kind="mergesort")
+        if s.empty:
+            micros = pd.array([None] * len(p), dtype="Int64")
+        else:
+            s2 = pd.DataFrame(
+                {"ts": s["ts"], "user_id": s["user_id"], "signup_ts": s["ts"]}
+            ).sort_values("ts", kind="mergesort")
+            out = pd.merge_asof(p, s2, on="ts", by="user_id", direction="backward")
+            micros = pd.array(
+                (out["ts"] - out["signup_ts"]) // pd.Timedelta(microseconds=1),
+                dtype="Int64",
+            )
         return pd.DataFrame(
             {
-                "user_id": out["user_id"],
-                "event_id": out["event_id"],
-                "micros_since_signup": pd.array(
-                    delta // pd.Timedelta(microseconds=1), dtype="Int64"
-                ),
+                "user_id": p["user_id"].to_numpy(),
+                "event_id": p["event_id"].to_numpy(),
+                "micros_since_signup": micros,
             }
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(signups.groupBy("user_id"))
+        purchases.groupBy("__shard")
+        .cogroup(signups.groupBy("__shard"))
         .applyInPandas(
             merge, "user_id bigint, event_id bigint, micros_since_signup bigint"
         )

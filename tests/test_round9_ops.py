@@ -330,10 +330,12 @@ def test_cogroup_asof_matches_window_computation(spark):
 
     import __spark_entry__ as E
 
-    got = {
-        r["event_id"]: r["micros_since_signup"]
-        for r in E.queries()["cogroup_pandas_asof"](spark, SF_DIR).collect()
-    }
+    df = E.queries()["cogroup_pandas_asof"](spark, SF_DIR)
+    # count() runs the aggressive column-pruning path that dropped the
+    # right child's user_id when both cogroup sides shared one read's
+    # lineage (the independent-reads fix in the entry); keep exercising it
+    assert df.count() > 0
+    got = {r["event_id"]: r["micros_since_signup"] for r in df.collect()}
     ev = duckdb.sql(
         f"""select user_id, event_id, epoch_us(ts) as us, event_type
         from '{SF_DIR}/events.parquet'
