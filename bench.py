@@ -98,6 +98,7 @@ SECONDARY = [
     "url_domain_cap",
     "cogroup_pandas_asof",
     "pivot_multi_agg",
+    "corpus_curation_funnel",
 ]
 
 

@@ -8747,6 +8747,120 @@ def lateral_topk_per_key(spark, sf_dir):
     return spark.sql(_LATERAL_TOPK_SQL)
 
 
+def _curation_funnel_oracle() -> str:
+    wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
+    return f"""
+    with docs as (
+        select doc_id, lang, source, lower(trim(text)) as norm
+        from documents
+    ),
+    ws as (
+        select doc_id,
+               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
+                               as int) + 1]) as wsum
+        from (select doc_id,
+                     unnest(string_split_regex(norm, '\\s+')) as token
+              from docs)
+        group by doc_id
+    ),
+    s1 as (
+        select d.doc_id, d.lang, d.source, md5(d.norm) as fp, ws.wsum
+        from docs d join ws using (doc_id)
+    ),
+    q as (select * from s1 where wsum >= 0),
+    dd as (
+        select * from q
+        qualify row_number() over (partition by fp order by doc_id) = 1
+    ),
+    c as (
+        select * from dd
+        qualify row_number() over (
+            partition by source order by md5(doc_id::VARCHAR), doc_id) <= 20
+    ),
+    r0 as (select lang, count(*) as n_raw from docs group by lang),
+    r1 as (select lang, count(*) as n_quality from q group by lang),
+    r2 as (select lang, count(*) as n_dedup from dd group by lang),
+    r3 as (select lang, count(*) as n_capped from c group by lang)
+    select r0.lang,
+           cast(n_raw as bigint) as n_raw,
+           cast(coalesce(n_quality, 0) as bigint) as n_quality,
+           cast(coalesce(n_dedup, 0) as bigint) as n_dedup,
+           cast(coalesce(n_capped, 0) as bigint) as n_capped
+    from r0
+      left join r1 using (lang)
+      left join r2 using (lang)
+      left join r3 using (lang)
+    order by r0.lang
+    """
+
+
+@register("corpus_curation_funnel", _curation_funnel_oracle())
+def corpus_curation_funnel(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy plan — the composition
+    story the per-operator entries build toward: raw documents ->
+    learned quality filter (the frozen-weight classifier's exact
+    integer decision, _qc_wsum >= 0) -> exact-dedup keep-first (md5
+    fingerprint of normalized text, min doc_id survives) -> per-SOURCE
+    document cap (md5-ranked <= 20, url_domain_cap's balance step) —
+    reported as a per-language funnel (n_raw/n_quality/n_dedup/
+    n_capped), the accounting a pipeline owner actually watches.
+    Spark-first: the stages chain as filters and two partitioned
+    windows (fingerprint, source) inside one plan, so Catalyst sees the
+    whole funnel — the token scan runs ONCE feeding the classifier, and
+    each stage's count is a tiny lang aggregate left-joined back
+    (absent langs 0-filled). Every decision is on the md5/integer lane,
+    so the chained-CTE oracle replays all three gates exactly. Scale:
+    no stage materializes; the windows shuffle on fingerprint/source —
+    natural dedup keys — and counts are map-side-combinable."""
+    docs = _tbl(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    s1 = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(norm).alias("fp"),
+        _qc_wsum(T.tokens(norm)).alias("wsum"),
+    )
+    q = s1.filter(F.col("wsum") >= 0)
+    dd = (
+        q.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    c = (
+        dd.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= 20)
+        .drop("__rk")
+    )
+    counts = lambda df, name: df.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias(name)
+    )
+    out = (
+        counts(docs, "n_raw")
+        .join(counts(q, "n_quality"), "lang", "left")
+        .join(counts(dd, "n_dedup"), "lang", "left")
+        .join(counts(c, "n_capped"), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_raw",
+        *[
+            F.coalesce(F.col(n), F.lit(0)).cast("bigint").alias(n)
+            for n in ("n_quality", "n_dedup", "n_capped")
+        ],
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -8774,6 +8888,7 @@ _VERIFY_FIRST = [
     "url_domain_cap",            # new: parse_url + per-domain cap
     "cogroup_pandas_asof",       # new: cogrouped applyInPandas face
     "pivot_multi_agg",           # new: multi-aggregate listed pivot
+    "corpus_curation_funnel",    # new: quality->dedup->cap as one plan
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -8821,10 +8936,9 @@ _VERIFY_FIRST = [
     "text_source_roundtrip",
     "text_tfidf",
     "text_token_stats",
-    "text_unigram_logprob",
-    # (token_count_bpe / upsert_day_overwrite / vocab_build ceded their
-    # slots to the three late round-9 entries; they rotate to r10 at the
-    # head of the r04-remnant + r05 cohort)
+    # (text_unigram_logprob / token_count_bpe / upsert_day_overwrite /
+    # vocab_build ceded their slots to the four late round-9 entries;
+    # they rotate to r10 at the head of the r04-remnant + r05 cohort)
 ]
 
 

@@ -380,3 +380,36 @@ def test_pivot_multi_agg_column_crossproduct(spark):
         ).fetchall()
     )
     assert got == {u: tuple(v) for u, v in raw.items()}
+
+
+def test_curation_funnel_is_monotonic_and_consistent(spark):
+    """Each stage can only shrink the corpus (n_raw >= n_quality >=
+    n_dedup >= n_capped per language), totals must cover every document,
+    and the quality stage must agree with the standalone classifier
+    entry's keep decisions."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["corpus_curation_funnel"](spark, SF_DIR).collect()
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_capped"] >= 0
+        ), dict(r.asDict())
+    n_docs = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_raw"] for r in rows) == n_docs
+
+    qc = E.queries()["quality_classifier_score"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    passes = Counter()
+    langs = {}
+    for q in qc:
+        langs.setdefault(q["lang"], 0)
+        if q["quality_pass"]:
+            passes[q["lang"]] += 1
+    assert {r["lang"]: r["n_quality"] for r in rows} == {
+        lang: passes.get(lang, 0) for lang in langs
+    }
