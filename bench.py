@@ -99,6 +99,7 @@ SECONDARY = [
     "cogroup_pandas_asof",
     "pivot_multi_agg",
     "corpus_curation_funnel",
+    "python_datasource_stream_sink",
 ]
 
 

@@ -8747,6 +8747,55 @@ def lateral_topk_per_key(spark, sf_dir):
     return spark.sql(_LATERAL_TOPK_SQL)
 
 
+@register("python_datasource_stream_sink", _qc_gate_oracle())
+def python_datasource_stream_sink(spark, sf_dir):
+    """The custom Python connector's STREAMING WRITE face
+    (``DataSourceStreamWriter``), completing the connector matrix —
+    batch read (r04), stream read (r06), batch write (r07), stream
+    write (r09). Documents stream in (availableNow), each is scored by
+    the frozen-weight classifier's exact integer decision, and the
+    narrow (doc_id, lang, pass) projection appends through
+    ``writeStream.format("jsonl_sink")`` — per batch, partitions STAGE
+    files and commit(batchId) promotes them under a batch-scoped name,
+    the per-batch transactionality a real streaming connector needs
+    (sources/custom.py:JsonlSinkStreamWriter). The returned frame
+    re-reads the sink and aggregates per language; the batch oracle
+    proves the stream-written corpus is exactly the batch answer.
+    Scale: the sink is partition-parallel per batch and append-only;
+    exactly-once comes from the checkpoint's batch ids + the
+    batch-scoped promote names."""
+    import tempfile
+
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+    from database_extractor_spark.streaming import stream_source
+
+    register_jsonl_sink(spark)
+    base = tempfile.mkdtemp(prefix="pyds_stream_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    stream = stream_source(spark, os.path.join(sf_dir, "documents.parquet"))
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    scored = stream.select(
+        "doc_id", "lang", (_qc_wsum(toks) >= 0).alias("pass")
+    )
+    q = (
+        scored.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.schema("doc_id bigint, lang string, pass boolean").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
 def _curation_funnel_oracle() -> str:
     wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
     return f"""
@@ -8889,6 +8938,7 @@ _VERIFY_FIRST = [
     "cogroup_pandas_asof",       # new: cogrouped applyInPandas face
     "pivot_multi_agg",           # new: multi-aggregate listed pivot
     "corpus_curation_funnel",    # new: quality->dedup->cap as one plan
+    "python_datasource_stream_sink",  # new: connector stream-write face
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -8935,10 +8985,10 @@ _VERIFY_FIRST = [
     "text_repetition",
     "text_source_roundtrip",
     "text_tfidf",
-    "text_token_stats",
-    # (text_unigram_logprob / token_count_bpe / upsert_day_overwrite /
-    # vocab_build ceded their slots to the four late round-9 entries;
-    # they rotate to r10 at the head of the r04-remnant + r05 cohort)
+    # (text_token_stats / text_unigram_logprob / token_count_bpe /
+    # upsert_day_overwrite / vocab_build ceded their slots to the five
+    # late round-9 entries; they rotate to r10 at the head of the
+    # r04-remnant + r05 cohort)
 ]
 
 

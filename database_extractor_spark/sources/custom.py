@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -124,6 +125,34 @@ class _JsonlCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _stage_partition(path: str, job_id: str, iterator) -> "_JsonlCommit":
+    """Shared task-side staging for the batch AND streaming writers:
+    write the partition to a job-scoped temp name; only the returned
+    commit message makes it visible. A task that dies mid-write must not
+    leak its staged file — only files named in a returned commit message
+    are seen by commit()/abort(), so unlink on ANY failure before
+    re-raising."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(path, exist_ok=True)
+    tmp = _os.path.join(path, f"_staged-{job_id}-{_uuid.uuid4().hex}.jsonl")
+    n = 0
+    try:
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+    except BaseException:
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return _JsonlCommit(tmp, n)
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Per-partition writer for the ``jsonl_sink`` format. Demonstrates
     the full two-phase commit protocol a real connector needs: each task
@@ -147,30 +176,7 @@ class JsonlSinkWriter(DataSourceWriter):
         self.job_id = _uuid.uuid4().hex[:16]
 
     def write(self, iterator):
-        import json as _json
-        import os as _os
-        import uuid as _uuid
-
-        _os.makedirs(self.path, exist_ok=True)
-        tmp = _os.path.join(
-            self.path, f"_staged-{self.job_id}-{_uuid.uuid4().hex}.jsonl"
-        )
-        n = 0
-        # a task that dies mid-write must not leak its staged file: only
-        # files named in a returned commit message are visible to
-        # commit()/abort(), so unlink on ANY failure before re-raising
-        try:
-            with open(tmp, "w") as f:
-                for row in iterator:
-                    f.write(_json.dumps(row.asDict()) + "\n")
-                    n += 1
-        except BaseException:
-            try:
-                _os.remove(tmp)
-            except OSError:
-                pass
-            raise
-        return _JsonlCommit(tmp, n)
+        return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages):
         import glob as _glob
@@ -205,12 +211,67 @@ class JsonlSinkWriter(DataSourceWriter):
                 _os.remove(m.tmp_path)
 
 
+class JsonlSinkStreamWriter(DataSourceStreamWriter):
+    """STREAMING face of the jsonl sink (must subclass
+    ``DataSourceStreamWriter`` — Spark's writer-init worker isinstance-
+    checks it, so sharing code with the batch writer goes through
+    ``_stage_partition``, not inheritance): one instance serves the
+    whole query, ``write`` stages each micro-batch's partitions exactly
+    like the batch writer, and ``commit(messages, batchId)`` promotes
+    them under a batch-scoped name (``part-b{batchId}-…``) — so a
+    crashed batch that re-runs overwrites nothing and leaves no stale
+    visibility, the per-batch transactionality a real streaming
+    connector needs. The orphan sweep is job-scoped like the batch
+    writer's; a concurrent writer's staged files survive commits here."""
+
+    def __init__(self, options):
+        import uuid as _uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+        self.job_id = _uuid.uuid4().hex[:16]
+
+    def write(self, iterator):
+        return _stage_partition(self.path, self.job_id, iterator)
+
+    def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
+        import glob as _glob
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                d, base = _os.path.split(m.tmp_path)
+                _os.rename(
+                    m.tmp_path,
+                    _os.path.join(
+                        d, base.replace("_staged-", f"part-b{batchId}-", 1)
+                    ),
+                )
+        for orphan in _glob.glob(
+            _os.path.join(self.path, f"_staged-{self.job_id}-*.jsonl")
+        ):
+            try:
+                _os.remove(orphan)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int):  # noqa: N803
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonl_sink").option("path", dir).save()`` —
     partition-parallel JSON-lines sink through the Spark 4 Python Data
     Source writer API (the reference's CSV-file sink generalized to the
     custom-connector seam; a REST/bespoke-protocol sink implements the
-    same three methods)."""
+    same three methods). ``writeStream.format("jsonl_sink")`` resolves
+    the streaming face below, completing the connector matrix (batch
+    read r04, stream read r06, batch write r07, stream write r09)."""
 
     @classmethod
     def name(cls) -> str:
@@ -218,6 +279,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlSinkStreamWriter(self.options)
 
 
 def register_jsonl_sink(spark) -> None:

@@ -49,6 +49,9 @@ EXECUTES_ON_BUILD = {
     # cluster-sized); the injected-filter plan is asserted in
     # tests/test_round9_ops.py::test_runtime_bloom_join_plan
     "runtime_bloom_join",
+    # runs its streaming write on build; the returned frame is the
+    # sink read-back aggregate (Python stages live in the write job)
+    "python_datasource_stream_sink",
 }
 
 #: entries allowed to contain Arrow-batched Python stages

@@ -382,6 +382,47 @@ def test_pivot_multi_agg_column_crossproduct(spark):
     assert got == {u: tuple(v) for u, v in raw.items()}
 
 
+def test_stream_sink_batch_scoped_commit_and_exactly_once(spark, tmp_path):
+    """The streaming writer must promote staged files under batch-scoped
+    names (part-b{batchId}-...), and a second availableNow run against
+    the same checkpoint must write NOTHING new (source offsets are
+    committed — exactly-once through the custom Python sink)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+    from database_extractor_spark.streaming import stream_source
+
+    register_jsonl_sink(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_source(spark, os.path.join(SF_DIR, "documents.parquet"))
+        q = (
+            stream.select("doc_id", "lang")
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    files = glob.glob(os.path.join(out, "*.jsonl"))
+    assert files, "stream sink wrote nothing"
+    assert all(os.path.basename(f).startswith("part-b") for f in files), files
+    n_lines = sum(1 for f in files for _ in open(f))
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    assert n_lines == n_docs
+
+    run()  # same checkpoint: no new data -> no new files, no new lines
+    files2 = glob.glob(os.path.join(out, "*.jsonl"))
+    assert sorted(files2) == sorted(files)
+    assert sum(1 for f in files2 for _ in open(f)) == n_docs
+
+
 def test_curation_funnel_is_monotonic_and_consistent(spark):
     """Each stage can only shrink the corpus (n_raw >= n_quality >=
     n_dedup >= n_capped per language), totals must cover every document,
