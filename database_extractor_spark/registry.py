@@ -8853,14 +8853,17 @@ def corpus_curation_funnel(spark, sf_dir):
     document cap (md5-ranked <= 20, url_domain_cap's balance step) —
     reported as a per-language funnel (n_raw/n_quality/n_dedup/
     n_capped), the accounting a pipeline owner actually watches.
-    Spark-first: the stages chain as filters and two partitioned
-    windows (fingerprint, source) inside one plan, so Catalyst sees the
-    whole funnel — the token scan runs ONCE feeding the classifier, and
-    each stage's count is a tiny lang aggregate left-joined back
-    (absent langs 0-filled). Every decision is on the md5/integer lane,
-    so the chained-CTE oracle replays all three gates exactly. Scale:
-    no stage materializes; the windows shuffle on fingerprint/source —
-    natural dedup keys — and counts are map-side-combinable."""
+    Spark-first, SINGLE-PASS: rather than filtering per stage and
+    left-joining four per-stage count aggregates (which makes Catalyst
+    recompute the tokenize+score scan once per branch), every row gets
+    STAGE FLAGS in one pass — q from the weight sum, the dedup-keep
+    flag from a row_number over (fp, q) (among quality survivors of a
+    fingerprint, exactly the oracle's partition-among-q semantics), the
+    cap flag from a row_number over (source, kept) — then ONE
+    conditional aggregate per language. One token scan, two partitioned
+    window shuffles on the natural keys (fingerprint, source), one
+    map-side-combinable aggregate. Every decision is on the md5/integer
+    lane, so the chained-CTE oracle replays all three gates exactly."""
     docs = _tbl(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.col("text")))
     s1 = docs.select(
@@ -8868,45 +8871,25 @@ def corpus_curation_funnel(spark, sf_dir):
         "lang",
         "source",
         F.md5(norm).alias("fp"),
-        _qc_wsum(T.tokens(norm)).alias("wsum"),
+        (_qc_wsum(T.tokens(norm)) >= 0).alias("q"),
     )
-    q = s1.filter(F.col("wsum") >= 0)
-    dd = (
-        q.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    # dedup keep-first among quality survivors: partitioning by (fp, q)
+    # ranks the q=true rows of a fingerprint among themselves (q=false
+    # rows rank in their own never-read partition)
+    rn = F.row_number().over(Window.partitionBy("fp", "q").orderBy("doc_id"))
+    flagged = s1.withColumn("kept", F.col("q") & (rn == 1))
+    rk = F.row_number().over(
+        Window.partitionBy("source", "kept").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
     )
-    c = (
-        dd.withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") <= 20)
-        .drop("__rk")
-    )
-    counts = lambda df, name: df.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias(name)
-    )
-    out = (
-        counts(docs, "n_raw")
-        .join(counts(q, "n_quality"), "lang", "left")
-        .join(counts(dd, "n_dedup"), "lang", "left")
-        .join(counts(c, "n_capped"), "lang", "left")
-    )
-    return out.select(
-        "lang",
-        "n_raw",
-        *[
-            F.coalesce(F.col(n), F.lit(0)).cast("bigint").alias(n)
-            for n in ("n_quality", "n_dedup", "n_capped")
-        ],
+    flagged = flagged.withColumn("capped", F.col("kept") & (rk <= 20))
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        cnt("q").alias("n_quality"),
+        cnt("kept").alias("n_dedup"),
+        cnt("capped").alias("n_capped"),
     )
 
 
