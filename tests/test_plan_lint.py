@@ -129,6 +129,9 @@ def test_local_checkpoint_usage_is_pinned():
         # must compile inside its conf window; pre-checkpoint plan linted
         # by test_round9_ops.py::test_runtime_bloom_join_plan
         ("registry.py", "runtime_bloom_join"),
+        # edge list materialized once before the hop joins; lazy twin
+        # linted by test_khop_prechk_plan below
+        ("registry.py", "_khop_plan"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -194,6 +197,16 @@ def test_pagerank_prechk_plan(spark):
     df = _pagerank_plan(spark, SF_DIR, materialize=False, iters=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "pagerank_event_graph[pre-checkpoint]")
+
+
+def test_khop_prechk_plan(spark):
+    """graph_khop_reachability's lazy twin (edge derivation + all three
+    hop joins, no checkpoint) must be free of the scale anti-patterns."""
+    from database_extractor_spark.registry import _khop_plan
+
+    df = _khop_plan(spark, SF_DIR, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "graph_khop_reachability[pre-checkpoint]")
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
