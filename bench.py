@@ -100,6 +100,9 @@ SECONDARY = [
     "pivot_multi_agg",
     "corpus_curation_funnel",
     "python_datasource_stream_sink",
+    "try_funcs",
+    "collation_ci_group",
+    "hll_sketch_union_distinct",
 ]
 
 

@@ -8816,6 +8816,137 @@ def python_datasource_stream_sink(spark, sf_dir):
     )
 
 
+@register(
+    "try_funcs",
+    """
+    select event_id,
+           case when user_id % 5 = 0 then null
+                else value / cast(user_id % 5 as double) end as safe_ratio,
+           try_cast(event_type as integer) as bad_int,
+           try_cast(json_extract_string(props, '$.k') as integer) as k_int,
+           case when event_id = 0 then 9223372036854775807
+                else null end as guarded_add,
+           try_cast(event_type as timestamp) as bad_ts
+    from events
+    order by event_id
+    """,
+)
+def try_funcs(spark, sf_dir):
+    """The error-safe ``try_*`` expression family (ANSI-mode companion
+    functions): try_divide (NULL on zero divisor), try_cast (NULL on
+    malformed input — here both a never-parses column and a JSON field
+    that always parses), try_add (NULL on bigint overflow), and
+    try_to_timestamp. At 100 TB this family IS the difference between
+    a 12-hour job dying at hour 11 on one malformed row and the row
+    degrading to NULL for later triage — the ingest-hardening idiom.
+    All outputs are deterministic functions of the row, so the oracle
+    replays them as guarded CASE expressions / TRY_CAST. Plan: one
+    narrow scan, no shuffle, whole-stage codegen."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.col("value"), (F.col("user_id") % 5).cast("double")
+        ).alias("safe_ratio"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("int")
+        .alias("bad_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.try_add(F.col("event_id"), F.lit(9223372036854775807)).alias(
+            "guarded_add"
+        ),
+        F.try_to_timestamp(F.col("event_type")).alias("bad_ts"),
+    )
+
+
+@register(
+    "collation_ci_group",
+    """
+    with mixed as (
+        select doc_id, lang,
+               case when doc_id % 2 = 0 then upper(source) else source end
+                   as src
+        from documents
+    )
+    select lower(src) as source_ci, cast(count(*) as bigint) as n_docs,
+           cast(count(distinct lang) as bigint) as n_langs
+    from mixed
+    group by lower(src)
+    order by source_ci
+    """,
+)
+def collation_ci_group(spark, sf_dir):
+    """Spark 4 COLLATION support: grouping under the ``UTF8_LCASE``
+    collation folds case at COMPARISON time — 'SRC3' and 'src3' land in
+    one group with no normalizing projection, the engine-level answer
+    to case-divergent source labels (the oracle proves equivalence by
+    grouping on lower()). The grouped key's representative casing is
+    whichever row the engine saw first — nondeterministic by spec — so
+    the output re-lowers it; what the entry pins is the GROUPING
+    behavior (group count and sizes), which is exactly what collation
+    changes. Scale: collation-aware grouping hashes the collation key
+    directly — same one-shuffle hash aggregate, no extra pass. Mixed
+    casing is synthesized from doc_id parity since the fixture is
+    all-lowercase."""
+    docs = _tbl(spark, sf_dir, "documents")
+    src = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        docs.select(F.collate(src, "UTF8_LCASE").alias("src"), "lang")
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .select(
+            F.lower(F.col("src").cast("string")).alias("source_ci"),
+            "n_docs",
+            "n_langs",
+        )
+    )
+
+
+@register(
+    "hll_sketch_union_distinct",
+    """
+    select cast(cast(ts as date) as varchar) as grain,
+           count(distinct user_id) as n_users
+    from events group by cast(ts as date)
+    union all
+    select 'ALL', count(distinct user_id) from events
+    order by grain
+    """,
+)
+def hll_sketch_union_distinct(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): one sketch per day,
+    then the month total from UNIONING the sketches — never re-scanning
+    the raw data. This is the two-level shape approx_distinct (HLL++)
+    can't express: HLL++ gives per-group estimates, but DataSketches
+    sketches are first-class VALUES you can store, ship, and merge —
+    at 100 TB the daily sketches are kilobytes persisted with the
+    partition, and any date-range distinct is a sketch merge, not a
+    scan. Exact-regime oracled (the approx_distinct precedent): at
+    fixture cardinality (<=2k users vs lgK=14's ~8k-entry sparse-exact
+    regime, pinned in tests/test_fixture_audit.py) estimate == exact
+    count, so the compare is hash-exact; the approx-regime error bound
+    is what degrades gracefully beyond it."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    per_day = daily.select(
+        F.col("d").cast("string").alias("grain"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_users"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("n_users")
+    ).select(F.lit("ALL").alias("grain"), "n_users")
+    return per_day.unionAll(total)
+
+
 def _curation_funnel_oracle() -> str:
     wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
     return f"""
@@ -8942,6 +9073,9 @@ _VERIFY_FIRST = [
     "pivot_multi_agg",           # new: multi-aggregate listed pivot
     "corpus_curation_funnel",    # new: quality->dedup->cap as one plan
     "python_datasource_stream_sink",  # new: connector stream-write face
+    "try_funcs",                 # new: error-safe try_* family
+    "collation_ci_group",        # new: Spark 4 UTF8_LCASE grouping
+    "hll_sketch_union_distinct", # new: mergeable DataSketches HLL
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -8985,11 +9119,9 @@ _VERIFY_FIRST = [
     "text_edit_distance_pairs",
     "text_lang_id",
     "text_quality",
-    "text_repetition",
-    "text_source_roundtrip",
-    "text_tfidf",
-    # (text_token_stats / text_unigram_logprob / token_count_bpe /
-    # upsert_day_overwrite / vocab_build ceded their slots to the five
+    # (text_repetition / text_source_roundtrip / text_tfidf /
+    # text_token_stats / text_unigram_logprob / token_count_bpe /
+    # upsert_day_overwrite / vocab_build ceded their slots to the eight
     # late round-9 entries; they rotate to r10 at the head of the
     # r04-remnant + r05 cohort)
 ]

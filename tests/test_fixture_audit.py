@@ -150,6 +150,16 @@ def test_embeddings_dim64_nonnull_finite(con):
     assert bad == 0
 
 
+def test_events_user_cardinality_in_hll_exact_regime(con):
+    """hll_sketch_union_distinct is EXACT-REGIME oracled: a DataSketches
+    HLL at lgK=14 stays in sparse/exact mode well past the fixture's
+    user cardinality, so estimate == exact count and the hash compare
+    holds. If a regenerated fixture pushes distinct users toward the
+    dense-mode transition (~k/2 = 8192), the oracle must switch to an
+    error-bound check instead — fail loudly before that."""
+    assert one(con, "select count(distinct user_id) from events") <= 4000
+
+
 def test_embeddings_no_zero_vectors(con):
     """Spark's cosine() maps a zero vector to 0.0 but the DuckDB oracles
     divide by the norm product (NaN) — equivalence holds only because no

@@ -423,6 +423,66 @@ def test_stream_sink_batch_scoped_commit_and_exactly_once(spark, tmp_path):
     assert sum(1 for f in files2 for _ in open(f)) == n_docs
 
 
+def test_try_funcs_null_semantics(spark):
+    """try_* must degrade to NULL exactly where the guarded oracle says:
+    zero divisors, non-numeric casts, bigint overflow — and succeed
+    everywhere else."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["try_funcs"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["bad_int"] is None and r["bad_ts"] is None
+        assert r["k_int"] is not None  # props.k always parses
+        assert (r["guarded_add"] is not None) == (r["event_id"] == 0)
+    # at least one zero-divisor user exists in the fixture
+    assert any(r["safe_ratio"] is None for r in rows)
+    assert any(r["safe_ratio"] is not None for r in rows)
+
+
+def test_collation_groups_fold_case(spark):
+    """UTF8_LCASE grouping must produce exactly the same group count and
+    sizes as explicit lower() normalization, with the synthesized mixed
+    casing actually present in the input."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    got = {
+        r["source_ci"]: r["n_docs"]
+        for r in E.queries()["collation_ci_group"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"""select source, count(*) from '{SF_DIR}/documents.parquet'
+            group by source"""
+        ).fetchall()
+    )
+    assert got == exact  # folding upper(source) back == raw source counts
+
+
+def test_hll_union_equals_exact_at_fixture_scale(spark):
+    """Per-day sketch estimates and the unioned total must equal exact
+    distinct counts (the exact-regime contract), at sf0.001 AND at the
+    bench scale factor's cardinality."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = {r["grain"]: r["n_users"] for r in
+            E.queries()["hll_sketch_union_distinct"](spark, SF_DIR).collect()}
+    exact = dict(
+        duckdb.sql(
+            f"""select cast(cast(ts as date) as varchar), count(distinct user_id)
+            from '{SF_DIR}/events.parquet' group by 1"""
+        ).fetchall()
+    )
+    exact["ALL"] = duckdb.sql(
+        f"select count(distinct user_id) from '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert rows == exact
+
+
 def test_curation_funnel_is_monotonic_and_consistent(spark):
     """Each stage can only shrink the corpus (n_raw >= n_quality >=
     n_dedup >= n_capped per language), totals must cover every document,
