@@ -103,6 +103,7 @@ SECONDARY = [
     "try_funcs",
     "collation_ci_group",
     "hll_sketch_union_distinct",
+    "observed_metrics_extract",
 ]
 
 

@@ -8947,6 +8947,56 @@ def hll_sketch_union_distinct(spark, sf_dir):
     return per_day.unionAll(total)
 
 
+@register(
+    "observed_metrics_extract",
+    """
+    select cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(floor(value * 1000.0) as bigint)) as bigint)
+               as value_millis,
+           cast(sum(case when event_type = 'error' then 1 else 0 end)
+               as bigint) as n_errors
+    from events
+    where ts >= timestamp '2024-01-02' and ts < timestamp '2024-01-03'
+    """,
+)
+def observed_metrics_extract(spark, sf_dir):
+    """In-flight metrics via ``DataFrame.observe`` (the Observation
+    API): a day-extract pass carries count / quantized value sum /
+    error count as OBSERVED METRICS — computed inside the same job,
+    on the same scan, at zero extra cost — and the entry returns them
+    as a 1-row frame. This is the reference's timed-execution logging
+    (O24, database_extractor.py's "returned table of size R x C in S s")
+    upgraded to the engine-native monitoring seam: at 100 TB you cannot
+    afford a second aggregate job just to know what a pipeline stage
+    did, so data-quality counters ride the extraction action itself
+    (the CollectMetrics operator in-plan). Exact integer metrics, so
+    the oracle recomputes them directly."""
+    from pyspark.sql import Observation
+
+    ev = _tbl(spark, sf_dir, "events").filter(
+        (F.col("ts").cast("timestamp") >= F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("ts").cast("timestamp") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    obs = Observation("extract_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("value_millis"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    # the action the metrics piggyback on — the extraction itself
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["value_millis"], m["n_errors"])],
+        "n_rows bigint, value_millis bigint, n_errors bigint",
+    )
+
+
 def _curation_funnel_oracle() -> str:
     wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
     return f"""
@@ -9076,6 +9126,7 @@ _VERIFY_FIRST = [
     "try_funcs",                 # new: error-safe try_* family
     "collation_ci_group",        # new: Spark 4 UTF8_LCASE grouping
     "hll_sketch_union_distinct", # new: mergeable DataSketches HLL
+    "observed_metrics_extract",  # new: observe() in-flight metrics
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -9118,12 +9169,11 @@ _VERIFY_FIRST = [
     "text_chunking",
     "text_edit_distance_pairs",
     "text_lang_id",
-    "text_quality",
-    # (text_repetition / text_source_roundtrip / text_tfidf /
-    # text_token_stats / text_unigram_logprob / token_count_bpe /
-    # upsert_day_overwrite / vocab_build ceded their slots to the eight
-    # late round-9 entries; they rotate to r10 at the head of the
-    # r04-remnant + r05 cohort)
+    # (text_quality / text_repetition / text_source_roundtrip /
+    # text_tfidf / text_token_stats / text_unigram_logprob /
+    # token_count_bpe / upsert_day_overwrite / vocab_build ceded their
+    # slots to the nine late round-9 entries; they rotate to r10 at the
+    # head of the r04-remnant + r05 cohort)
 ]
 
 

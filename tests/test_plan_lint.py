@@ -52,6 +52,9 @@ EXECUTES_ON_BUILD = {
     # runs its streaming write on build; the returned frame is the
     # sink read-back aggregate (Python stages live in the write job)
     "python_datasource_stream_sink",
+    # runs the observed extraction job on build; the returned frame is
+    # the 1-row collected-metrics literal
+    "observed_metrics_extract",
 }
 
 #: entries allowed to contain Arrow-batched Python stages

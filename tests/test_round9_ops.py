@@ -483,6 +483,28 @@ def test_hll_union_equals_exact_at_fixture_scale(spark):
     assert rows == exact
 
 
+def test_observed_metrics_ride_the_action(spark):
+    """The observation's counters must equal a direct recomputation AND
+    be produced by the extraction job itself (the returned frame is a
+    local 1-row literal — no second scan of events)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    df = E.queries()["observed_metrics_extract"](spark, SF_DIR)
+    row = df.collect()[0]
+    exact = duckdb.sql(
+        f"""select count(*),
+                   sum(cast(floor(value * 1000.0) as bigint)),
+                   sum(case when event_type = 'error' then 1 else 0 end)
+        from '{SF_DIR}/events.parquet'
+        where ts >= timestamp '2024-01-02' and ts < timestamp '2024-01-03'"""
+    ).fetchone()
+    assert (row["n_rows"], row["value_millis"], row["n_errors"]) == exact
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
 def test_curation_funnel_is_monotonic_and_consistent(spark):
     """Each stage can only shrink the corpus (n_raw >= n_quality >=
     n_dedup >= n_capped per language), totals must cover every document,
