@@ -2538,6 +2538,44 @@ def csv_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "xml_source_roundtrip",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(floor(value * 1000.0) as bigint)) as bigint)
+               as value_millis
+    from events group by event_type
+    """,
+)
+def xml_source_roundtrip(spark, sf_dir):
+    """XML source/sink parity — Spark 4's BUILT-IN xml format (the
+    spark-xml package folded into core), completing the file-format
+    matrix (parquet/csv/json/text/orc/jdbc/custom-python + xml; avro
+    stays out — it ships as an external module this container can't
+    add). Events round-trip through ``<row>`` elements with schema
+    re-inference, then aggregate: no rows lost, numerics re-infer
+    (value comes back double — the quantized sum proves values, not
+    just counts, survive). Scale: XML is a splittable-by-rowTag text
+    source; like csv/json it is an INGEST format — the first job
+    converts to parquet, nobody scans XML twice."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="xmlrt_"), "events_xml")
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "row")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "row").load(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("value_millis"),
+    )
+
+
+@register(
     "jdbc_source_roundtrip",
     "select event_type, count(*) as n from events group by event_type",
 )
@@ -9136,6 +9174,7 @@ _VERIFY_FIRST = [
     "collation_ci_group",        # new: Spark 4 UTF8_LCASE grouping
     "hll_sketch_union_distinct", # new: mergeable DataSketches HLL
     "observed_metrics_extract",  # new: observe() in-flight metrics
+    "xml_source_roundtrip",      # new: Spark 4 built-in xml format
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -9177,8 +9216,7 @@ _VERIFY_FIRST = [
     "text_bigram_logprob",
     "text_chunking",
     "text_edit_distance_pairs",
-    "text_lang_id",
-    # (text_quality / text_repetition / text_source_roundtrip /
+    # (text_lang_id / text_quality / text_repetition / text_source_roundtrip /
     # text_tfidf / text_token_stats / text_unigram_logprob /
     # token_count_bpe / upsert_day_overwrite / vocab_build ceded their
     # slots to the nine late round-9 entries; they rotate to r10 at the

@@ -30,6 +30,7 @@ EXECUTES_ON_BUILD = {
     "schema_evolution_merge",
     "csv_source_roundtrip",
     "json_source_roundtrip",
+    "xml_source_roundtrip",
     "jdbc_source_roundtrip",
     "text_source_roundtrip",
     "o13_sink_roundtrip",
