@@ -60,20 +60,39 @@ def normalize_head(
                 continue
             ids = b.column(b.schema.get_field_index(id_col)).cast(pa.int64())
             emb = b.column(b.schema.get_field_index(vec_col))
+            # the reshape below assumes a RECTANGULAR non-null list
+            # column; a ragged or null row would silently scramble every
+            # later row of the batch, so fail loudly instead
+            if emb.null_count:
+                raise ValueError(f"{vec_col} contains null vectors")
+            offs = np.asarray(emb.offsets)
+            lens = np.diff(offs)
+            if lens.min() != lens.max():
+                raise ValueError(
+                    f"{vec_col} is ragged (lengths {lens.min()}..{lens.max()})"
+                )
             # flatten() honors the ListArray's offsets (slices included):
             # one contiguous values buffer -> (n, dim) with zero Python
             # per-row work
             vals = np.asarray(emb.flatten(), dtype=np.float64)
-            dim = vals.size // n
-            x = vals.reshape(n, dim)
+            x = vals.reshape(n, int(lens[0]))
             q = np.floor(x * 1e6 + 0.5)  # exact integers in doubles
             l2 = np.sqrt((q * q).sum(axis=1)) / 1e6
+            # a zero (or all-below-quantization) vector has no direction:
+            # emit NULL for its norm/components rather than silent inf/NaN
+            # (the registry fixture forbids zero vectors — this guard is
+            # for other callers of the public operator)
+            zero = l2 == 0.0
+            mask = zero if zero.any() else None
+            safe = np.where(zero, 1.0, l2)
             cols = {
                 id_col: ids,
-                "l2": pa.array(np.floor(l2 * scale + 0.5) / scale),
+                "l2": pa.array(np.floor(l2 * scale + 0.5) / scale, mask=mask),
             }
             for i in range(head):
-                cols[f"v{i}"] = pa.array(np.floor(x[:, i] / l2 * scale + 0.5) / scale)
+                cols[f"v{i}"] = pa.array(
+                    np.floor(x[:, i] / safe * scale + 0.5) / scale, mask=mask
+                )
             yield pa.RecordBatch.from_pydict(cols)
 
     return df.mapInArrow(batches, out_schema)

@@ -8114,9 +8114,19 @@ def _qc_weights(n_buckets: int = 64) -> list[int]:
     ]
 
 
+def _qc_wsum_sql() -> str:
+    """The classifier's summed-weight SQL term — ONE definition shared by
+    every oracle that replays _qc_wsum (score entry, streaming gate,
+    curation funnel), so a weight/bucket/hash-width change cannot land in
+    one oracle and silently miss another."""
+    wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
+    return (
+        f"sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64"
+        " as int) + 1])"
+    )
+
+
 def _qc_oracle() -> str:
-    w = _qc_weights()
-    wlit = "[" + ", ".join(str(v) for v in w) + "]"
     return f"""
     with docs as (
         select doc_id, lang,
@@ -8125,8 +8135,7 @@ def _qc_oracle() -> str:
     ),
     ws as (
         select doc_id,
-               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
-                               as int) + 1]) as wsum,
+               {_qc_wsum_sql()} as wsum,
                count(*) as n
         from (select doc_id, unnest(t) as token from docs)
         group by doc_id
@@ -8193,8 +8202,6 @@ def quality_classifier_score(spark, sf_dir):
 
 
 def _qc_gate_oracle() -> str:
-    w = _qc_weights()
-    wlit = "[" + ", ".join(str(v) for v in w) + "]"
     return f"""
     with docs as (
         select doc_id, lang,
@@ -8203,8 +8210,7 @@ def _qc_gate_oracle() -> str:
     ),
     ws as (
         select doc_id,
-               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
-                               as int) + 1]) as wsum
+               {_qc_wsum_sql()} as wsum
         from (select doc_id, unnest(t) as token from docs)
         group by doc_id
     )
@@ -8280,32 +8286,48 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     unigram mean log-probability — the repo's perplexity proxy lane) and
     split each language into equal head/middle/tail terciles; pipelines
     then keep head+middle or sample by bucket. Spark-first: the score is
-    text_unigram_logprob's exact plan (reused), the split is one
+    text_unigram_logprob's plan with lang CARRIED THROUGH the score
+    aggregation (lang is functionally determined by doc_id, so grouping
+    on (doc_id, lang) is free — re-joining documents just to attach
+    lang would cost a second scan plus a doc_id join); the split is one
     lang-partitioned ntile(3) window over (score desc, doc_id) — a total
     order, so the tercile boundary is deterministic and the DuckDB
     replay is hash-identical. Scale: the window partitions by language
     (parallel across langs; within a language ntile is the same
     sort-shuffle any per-lang ranking costs); no new shuffles beyond the
     score's token aggregate."""
-    lp = text_unigram_logprob(spark, sf_dir)
-    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
-    t = F.ntile(3).over(w)
-    return (
-        docs.join(lp, "doc_id")
+    toks = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("__total"))
+    lp = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "lang",
-            "avg_logprob",
-            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
-            .alias("bucket"),
+            F.log(
+                F.col("c").cast("double") / F.col("__total").cast("double")
+            ).alias("lp"),
         )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    t = F.ntile(3).over(w)
+    return lp.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+        .alias("bucket"),
     )
 
 
-@register(
-    "graph_khop_reachability",
-    """
+_KHOP_ORACLE = """
     with e as (
         select distinct o.o_custkey as c, l.l_suppkey as s
         from orders o join lineitem l on l.l_orderkey = o.o_orderkey
@@ -8325,8 +8347,9 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         union all select 'supplier', s, 3 from h3
     )
     order by dist, entity, id
-    """,
-)
+    """
+
+
 def _khop_plan(spark, sf_dir, materialize: bool = True):
     """graph_khop_reachability's plan builder. ``materialize=True`` (the
     entry) derives the (customer, supplier) edge list ONCE and
@@ -8376,6 +8399,7 @@ def _khop_plan(spark, sf_dir, materialize: bool = True):
     )
 
 
+@register("graph_khop_reachability", _KHOP_ORACLE)
 def graph_khop_reachability(spark, sf_dir):
     """k-hop BFS reachability (k=3) over the bipartite customer-supplier
     graph (an edge when a customer's order contains a supplier's line):
@@ -8393,11 +8417,6 @@ def graph_khop_reachability(spark, sf_dir):
     distincts are the scale guard. The oracle replays hops as chained
     CTEs."""
     return _khop_plan(spark, sf_dir, materialize=True)
-
-
-# re-point the registered name at the materializing wrapper (the
-# decorator above bound the builder's docstring-bearing twin)
-QUERIES["graph_khop_reachability"] = graph_khop_reachability
 
 
 @register(
@@ -8842,7 +8861,12 @@ def python_datasource_stream_sink(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a False return means the drain TIMED OUT with the query still
+    # writing — reading the sink then would return a silent undercount,
+    # so fail loudly (the run_available_now contract)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("python_datasource_stream_sink: drain exceeded 120 s")
     back = spark.read.schema("doc_id bigint, lang string, pass boolean").json(
         os.path.join(out, "part-*.jsonl")
     )
@@ -9045,7 +9069,6 @@ def observed_metrics_extract(spark, sf_dir):
 
 
 def _curation_funnel_oracle() -> str:
-    wlit = "[" + ", ".join(str(v) for v in _qc_weights()) + "]"
     return f"""
     with docs as (
         select doc_id, lang, source, lower(trim(text)) as norm
@@ -9053,8 +9076,7 @@ def _curation_funnel_oracle() -> str:
     ),
     ws as (
         select doc_id,
-               sum({wlit}[cast(('0x' || substr(md5(token), 1, 8))::bigint % 64
-                               as int) + 1]) as wsum
+               {_qc_wsum_sql()} as wsum
         from (select doc_id,
                      unnest(string_split_regex(norm, '\\s+')) as token
               from docs)

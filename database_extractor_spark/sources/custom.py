@@ -153,6 +153,55 @@ def _stage_partition(path: str, job_id: str, iterator) -> "_JsonlCommit":
     return _JsonlCommit(tmp, n)
 
 
+def _mint_sink_state(options) -> tuple[str, str]:
+    """Validate sink options and mint the writer's job id. One writer
+    instance exists per write job / stream query (Spark constructs it at
+    job start and ships it to every task), so the id minted here scopes
+    all of that job's staged files: commit()'s orphan sweep matches only
+    them, and two jobs racing the same directory can no longer delete
+    each other's staged-but-uncommitted output (ADVICE r8)."""
+    import uuid as _uuid
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("jsonl_sink requires option 'path'")
+    return path, _uuid.uuid4().hex[:16]
+
+
+def _promote_and_sweep(path: str, job_id: str, messages, prefix: str) -> None:
+    """Driver-side commit shared by the batch and streaming writers:
+    rename every staged file named in a commit message to its visible
+    ``prefix`` form (on the BASENAME only — a directory component
+    containing "_staged-" must not be rewritten), then sweep orphans
+    from failed/speculative task attempts. The sweep glob is scoped to
+    THIS job's id, so a concurrent job writing the same directory keeps
+    its staged files (the r8 unscoped sweep enforced single-writer by
+    silent data loss); every live file matching this job's prefix was
+    either promoted above or belongs to an abandoned task attempt."""
+    import glob as _glob
+    import os as _os
+
+    for m in messages:
+        if m is not None:
+            d, base = _os.path.split(m.tmp_path)
+            _os.rename(
+                m.tmp_path, _os.path.join(d, base.replace("_staged-", prefix, 1))
+            )
+    for orphan in _glob.glob(_os.path.join(path, f"_staged-{job_id}-*.jsonl")):
+        try:
+            _os.remove(orphan)
+        except OSError:
+            pass
+
+
+def _remove_staged(messages) -> None:
+    import os as _os
+
+    for m in messages:
+        if m is not None and _os.path.exists(m.tmp_path):
+            _os.remove(m.tmp_path)
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Per-partition writer for the ``jsonl_sink`` format. Demonstrates
     the full two-phase commit protocol a real connector needs: each task
@@ -162,75 +211,48 @@ class JsonlSinkWriter(DataSourceWriter):
     a real connector's transaction handle in the commit message."""
 
     def __init__(self, options):
-        import uuid as _uuid
-
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("jsonl_sink requires option 'path'")
-        # one writer instance exists per WRITE JOB (Spark calls
-        # DataSource.writer() at job start and ships this instance to every
-        # task), so a job id minted here scopes all of this job's staged
-        # files: commit()'s orphan sweep matches only them, and two jobs
-        # racing the same directory can no longer delete each other's
-        # staged-but-uncommitted output (ADVICE r8)
-        self.job_id = _uuid.uuid4().hex[:16]
+        self.path, self.job_id = _mint_sink_state(options)
 
     def write(self, iterator):
         return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages):
-        import glob as _glob
-        import os as _os
-
-        for m in messages:
-            if m is not None:
-                # promote on the BASENAME only — a directory component
-                # containing "_staged-" must not be rewritten
-                d, base = _os.path.split(m.tmp_path)
-                _os.rename(m.tmp_path, _os.path.join(d, base.replace("_staged-", "part-", 1)))
-        # sweep orphans from failed/speculative task attempts (killed
-        # between open() and the unlink above). The glob is scoped to THIS
-        # job's id, so a concurrent job writing the same directory keeps
-        # its staged-but-uncommitted files (ADVICE r8: the unscoped sweep
-        # enforced single-writer by silent data loss); every live file
-        # matching this job's prefix was either promoted above or belongs
-        # to a task attempt this job abandoned.
-        for orphan in _glob.glob(
-            _os.path.join(self.path, f"_staged-{self.job_id}-*.jsonl")
-        ):
-            try:
-                _os.remove(orphan)
-            except OSError:
-                pass
+        _promote_and_sweep(self.path, self.job_id, messages, "part-")
 
     def abort(self, messages):
-        import os as _os
-
-        for m in messages:
-            if m is not None and _os.path.exists(m.tmp_path):
-                _os.remove(m.tmp_path)
+        _remove_staged(messages)
 
 
 class JsonlSinkStreamWriter(DataSourceStreamWriter):
     """STREAMING face of the jsonl sink (must subclass
     ``DataSourceStreamWriter`` — Spark's writer-init worker isinstance-
-    checks it, so sharing code with the batch writer goes through
-    ``_stage_partition``, not inheritance): one instance serves the
-    whole query, ``write`` stages each micro-batch's partitions exactly
-    like the batch writer, and ``commit(messages, batchId)`` promotes
-    them under a batch-scoped name (``part-b{batchId}-…``) — so a
-    crashed batch that re-runs overwrites nothing and leaves no stale
-    visibility, the per-batch transactionality a real streaming
-    connector needs. The orphan sweep is job-scoped like the batch
-    writer's; a concurrent writer's staged files survive commits here."""
+    checks it, so code is shared with the batch writer through the
+    module helpers, not inheritance): one instance serves the whole
+    query, ``write`` stages each micro-batch's partitions exactly like
+    the batch writer, and ``commit(messages, batchId)`` promotes them
+    under a batch-scoped name (``part-b{batchId}-…``).
+
+    REPLAY idempotence: Spark re-runs a batch whose commit raced a
+    driver crash (files promoted, offset log not yet written), and the
+    replay arrives from a NEW writer incarnation with fresh staging
+    names — so commit first clears any previously-promoted
+    ``part-b{batchId}-*`` files before promoting. A replayed batch
+    therefore REPLACES its earlier copy instead of duplicating it,
+    which is what makes exactly-once hold across the crash window.
+    Staged leftovers of a crashed predecessor (its job id died with it)
+    are not touched — they are invisible to readers (``part-*`` glob),
+    bounded by one batch, and a maintenance sweep's concern, the same
+    trade the job-scoped batch sweep makes for concurrent writers.
+
+    Consequence of batch-keyed names: a STREAMING sink directory is
+    coupled to ONE checkpoint lineage (batch ids are per-checkpoint, so
+    a fresh query appending to the same directory would treat the old
+    run's batch 0 as its own replay) — the same coupling Spark's own
+    FileStreamSink has via its metadata log. One directory, one
+    checkpoint; batch writers may still share the directory safely."""
 
     def __init__(self, options):
-        import uuid as _uuid
-
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("jsonl_sink requires option 'path'")
-        self.job_id = _uuid.uuid4().hex[:16]
+        self.path, self.job_id = _mint_sink_state(options)
 
     def write(self, iterator):
         return _stage_partition(self.path, self.job_id, iterator)
@@ -239,29 +261,17 @@ class JsonlSinkStreamWriter(DataSourceStreamWriter):
         import glob as _glob
         import os as _os
 
-        for m in messages:
-            if m is not None:
-                d, base = _os.path.split(m.tmp_path)
-                _os.rename(
-                    m.tmp_path,
-                    _os.path.join(
-                        d, base.replace("_staged-", f"part-b{batchId}-", 1)
-                    ),
-                )
-        for orphan in _glob.glob(
-            _os.path.join(self.path, f"_staged-{self.job_id}-*.jsonl")
+        for stale in _glob.glob(
+            _os.path.join(self.path, f"part-b{batchId}-*.jsonl")
         ):
             try:
-                _os.remove(orphan)
+                _os.remove(stale)
             except OSError:
                 pass
+        _promote_and_sweep(self.path, self.job_id, messages, f"part-b{batchId}-")
 
     def abort(self, messages, batchId: int):  # noqa: N803
-        import os as _os
-
-        for m in messages:
-            if m is not None and _os.path.exists(m.tmp_path):
-                _os.remove(m.tmp_path)
+        _remove_staged(messages)
 
 
 class JsonlSinkDataSource(DataSource):

@@ -407,7 +407,7 @@ def test_stream_sink_batch_scoped_commit_and_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     run()
     files = glob.glob(os.path.join(out, "*.jsonl"))
@@ -504,6 +504,64 @@ def test_observed_metrics_ride_the_action(spark):
     assert (row["n_rows"], row["value_millis"], row["n_errors"]) == exact
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
+def test_stream_sink_replayed_batch_replaces_not_duplicates(tmp_path):
+    """Crash-window replay: a batch whose commit landed but whose offset
+    log didn't is re-run by a NEW writer incarnation with fresh staging
+    names. commit(batchId) must REPLACE the earlier copy, not add a
+    second one (the exactly-once contract across the crash window)."""
+    import glob
+
+    from database_extractor_spark.sources.custom import JsonlSinkStreamWriter
+
+    out = str(tmp_path / "sink")
+
+    class Msg:
+        def __init__(self, p):
+            self.tmp_path = p
+
+    def stage(writer, content):
+        p = os.path.join(out, f"_staged-{writer.job_id}-t0.jsonl")
+        os.makedirs(out, exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+        return Msg(p)
+
+    old = JsonlSinkStreamWriter({"path": out})
+    old.commit([stage(old, '{"x": "old"}\n')], 7)
+    assert len(glob.glob(os.path.join(out, "part-b7-*.jsonl"))) == 1
+
+    replay = JsonlSinkStreamWriter({"path": out})
+    replay.commit([stage(replay, '{"x": "replay"}\n')], 7)
+    files = glob.glob(os.path.join(out, "part-b7-*.jsonl"))
+    assert len(files) == 1, "replayed batch duplicated instead of replacing"
+    assert open(files[0]).read() == '{"x": "replay"}\n'
+
+
+def test_arrow_normalize_guards_zero_and_ragged(spark):
+    """The public operator must NULL out zero vectors (not emit inf/NaN)
+    and refuse ragged list columns loudly."""
+    import pytest as _pytest
+
+    from database_extractor_spark.operators.arrow_ext import normalize_head
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in normalize_head(df, head=2).collect()}
+    assert rows[1]["l2"] == 5.0 and rows[1]["v0"] == 0.6
+    assert rows[2]["l2"] is None and rows[2]["v0"] is None
+
+    # raggedness is only detectable (and only harmful) WITHIN a batch —
+    # coalesce(1) forces both rows into one
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="ragged"):
+        normalize_head(ragged, head=1).collect()
 
 
 def test_curation_funnel_is_monotonic_and_consistent(spark):
