@@ -564,6 +564,28 @@ def test_arrow_normalize_guards_zero_and_ragged(spark):
         normalize_head(ragged, head=1).collect()
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["topk_per_group", "url_domain_cap", "lateral_topk_per_key", "cap_per_group"],
+)
+def test_rank_filters_get_window_group_limit(name, spark):
+    """Every rank-then-filter entry must compile with WindowGroupLimit —
+    Spark's partial per-group top-k BEFORE the window shuffle, the
+    optimization that keeps a k-per-group filter from shipping whole
+    groups across the wire at 100 TB. Losing it (e.g. by filtering on a
+    derived rank column Catalyst can't see through) would be a silent
+    scale regression."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, f"{name} lost WindowGroupLimit:\n{plan[:1500]}"
+
+
 def test_curation_funnel_is_monotonic_and_consistent(spark):
     """Each stage can only shrink the corpus (n_raw >= n_quality >=
     n_dedup >= n_capped per language), totals must cover every document,
