@@ -104,6 +104,7 @@ SECONDARY = [
     "collation_ci_group",
     "hll_sketch_union_distinct",
     "observed_metrics_extract",
+    "dedup_canonical_pick",
 ]
 
 

@@ -2919,6 +2919,59 @@ def dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs.select("id_a", "id_b"))
 
 
+def _canonical_pick_oracle() -> str:
+    """Oracle for dedup_canonical_pick: re-run the clustering oracle as a
+    derived table (the dedup_exact_substring_apply pattern — DuckDB
+    allows WITH RECURSIVE inside a FROM subquery), then pick each
+    cluster's survivor with the same window."""
+    return f"""
+    with cl as (select doc_id, cluster_id from ({ORACLE["dedup_clusters"]})),
+    j as (
+        select cl.doc_id, cl.cluster_id, d.n_chars
+        from cl join documents d using (doc_id)
+    )
+    select doc_id, cluster_id,
+           first_value(doc_id) over (
+               partition by cluster_id order by n_chars desc, doc_id
+           ) as canonical_id,
+           doc_id = first_value(doc_id) over (
+               partition by cluster_id order by n_chars desc, doc_id
+           ) as is_canonical
+    from j
+    order by cluster_id, doc_id
+    """
+
+
+@register("dedup_canonical_pick", _canonical_pick_oracle())
+def dedup_canonical_pick(spark, sf_dir):
+    """Survivorship — the decision step BETWEEN clustering and deletion
+    that every dedup pipeline needs: within each near-duplicate cluster
+    (dedup_clusters' components), elect the canonical document (longest
+    text, ties to the smallest doc_id — the 'keep the richest copy'
+    policy) and emit the doc -> canonical remap plus the keep flag.
+    Downstream, non-canonical rows are dropped and references remap to
+    canonical_id; the remap table is exactly what an incremental corpus
+    needs to redirect citations/links of deleted duplicates. Spark-
+    first: one join to attach the tie-break feature, one
+    cluster-partitioned first_value window — clusters are tiny by
+    construction, so the window shuffles on cluster_id and parallelizes
+    across clusters. The oracle replays clustering (recursive-CTE
+    closure) and the same election window."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canonical = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+    )
+
+
 @register(
     "streaming_join_static",
     """
@@ -9197,6 +9250,7 @@ _VERIFY_FIRST = [
     "hll_sketch_union_distinct", # new: mergeable DataSketches HLL
     "observed_metrics_extract",  # new: observe() in-flight metrics
     "xml_source_roundtrip",      # new: Spark 4 built-in xml format
+    "dedup_canonical_pick",      # new: per-cluster survivor election
     "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
     "sim_pq_topk",               # r9 change: canonical-mean Lloyd
     "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
@@ -9237,8 +9291,8 @@ _VERIFY_FIRST = [
     "split_train_val_test",
     "text_bigram_logprob",
     "text_chunking",
-    "text_edit_distance_pairs",
-    # (text_lang_id / text_quality / text_repetition / text_source_roundtrip /
+    # (text_edit_distance_pairs / text_lang_id / text_quality /
+    # text_repetition / text_source_roundtrip /
     # text_tfidf / text_token_stats / text_unigram_logprob /
     # token_count_bpe / upsert_day_overwrite / vocab_build ceded their
     # slots to the nine late round-9 entries; they rotate to r10 at the

@@ -564,6 +564,38 @@ def test_arrow_normalize_guards_zero_and_ragged(spark):
         normalize_head(ragged, head=1).collect()
 
 
+def test_canonical_pick_elects_longest_per_cluster(spark):
+    """Exactly one canonical per cluster; every member maps to it; the
+    canonical is a maximal-length member (ties to smallest doc_id)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["dedup_canonical_pick"](spark, SF_DIR).collect()
+    assert rows
+    n_chars = dict(
+        duckdb.sql(
+            f"select doc_id, n_chars from '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        canons = {r["canonical_id"] for r in members}
+        assert len(canons) == 1, f"cluster {cid}: multiple canonicals"
+        canon = canons.pop()
+        flags = [r for r in members if r["is_canonical"]]
+        assert len(flags) == 1 and flags[0]["doc_id"] == canon
+        best = max(n_chars[r["doc_id"]] for r in members)
+        assert n_chars[canon] == best
+        assert canon == min(
+            r["doc_id"] for r in members if n_chars[r["doc_id"]] == best
+        )
+
+
 @pytest.mark.parametrize(
     "name",
     ["topk_per_group", "url_domain_cap", "lateral_topk_per_key", "cap_per_group"],
