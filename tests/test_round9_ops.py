@@ -423,6 +423,45 @@ def test_stream_sink_batch_scoped_commit_and_exactly_once(spark, tmp_path):
     assert sum(1 for f in files2 for _ in open(f)) == n_docs
 
 
+def test_stream_sink_multi_batch_commit_names(spark, tmp_path):
+    """With maxFilesPerTrigger=1 over a multi-file source, the stream
+    writer must commit SEVERAL batches, each under its own batch-scoped
+    prefix, with no rows lost across batch boundaries."""
+    import glob
+    import re
+
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    src = str(tmp_path / "src")
+    (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "lang")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id bigint, lang string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream drain timed out"
+    files = glob.glob(os.path.join(out, "part-b*.jsonl"))
+    batches = {re.match(r"part-b(\d+)-", os.path.basename(f)).group(1) for f in files}
+    assert len(batches) >= 3, f"expected >=3 batches, saw {sorted(batches)}"
+    n_lines = sum(1 for f in files for _ in open(f))
+    n_docs = spark.read.parquet(src).count()
+    assert n_lines == n_docs
+
+
 def test_try_funcs_null_semantics(spark):
     """try_* must degrade to NULL exactly where the guarded oracle says:
     zero divisors, non-numeric casts, bigint overflow — and succeed
