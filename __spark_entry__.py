@@ -38,14 +38,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Only 2 entries are absent (sim_ivf_kmeans, sim_pq_topk — KMeans-
-    trained model state); they get the driver's weaker rows-only check
-    and are pinned by local tests against exact baselines, and their
-    fixture-frozen companions sim_ivf_fixed / sim_pq_fixed ARE fully
-    oracled. dedup_minhash_lsh / dedup_simhash graduated to full oracles
-    in round 7 (md5-lane portable hashing), sim_ann_lsh / approx_distinct
-    in round 6 (seeded-plane literals / exact-regime HLL)."""
+    """DuckDB-runnable ANSI SQL twin for EVERY registry entry: 233/233
+    full oracles, none omitted. The last holdouts graduated in round 8
+    (sim_ivf_kmeans / sim_pq_topk — deterministic-Lloyd training unrolled
+    into the oracle SQL via canonical quantized means), following
+    dedup_minhash_lsh / dedup_simhash in round 7 (md5-lane portable
+    hashing) and sim_ann_lsh / approx_distinct in round 6 (seeded-plane
+    literals / exact-regime HLL)."""
     from database_extractor_spark.registry import ORACLE
 
     return dict(ORACLE)

@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. The LAST stdout line is a compact summary:
 
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "headline_suite_total", "value": <total_sec>, "unit": "sec",
+   "sf": <sf>, "sf1_total": <sec>, "queries_in": "bench_detail.json"}
+
+The per-query maps (headline + secondary + sf1) are the PENULTIMATE
+line and are also written to bench_detail.json — keeping the final line
+under the driver's tail-capture window so it always parses.
 
 Each query is forced to full materialization through the noop sink (count()
 alone can let Catalyst prune the expensive columns). Timings are
@@ -105,6 +109,9 @@ SECONDARY = [
     "hll_sketch_union_distinct",
     "observed_metrics_extract",
     "dedup_canonical_pick",
+    # round-10 addition: the incremental streaming funnel (one
+    # availableNow drain + sink read-back per invocation)
+    "streaming_curation_funnel",
 ]
 
 
@@ -213,15 +220,33 @@ def main() -> None:
             sf1[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
+    # Full detail (secondary + sf1 maps, ~60 entries) goes to a sidecar
+    # file and a PENULTIMATE line; the contract summary is the VERY LAST
+    # line and stays compact (headline-only queries map) so a driver that
+    # truncates long output still parses it (VERDICT r9 item 2 — BENCH_r9
+    # recorded parsed=null because the one fat line got cut).
+    detail = {
         "queries": timings,
         "secondary": secondary,
         "sf1": sf1,
         "sf1_total": round(sum(sf1.values()), 3),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
         "sf": float(sf),
+        "sf1_total": detail["sf1_total"],
+        "queries_in": "bench_detail.json",
     }))
 
 

@@ -26,6 +26,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def vector_dim(emb, vec_col: str) -> int:
+    """Validated row width of an Arrow vector column (ADVICE r9):
+    list/large_list columns are checked for raggedness via their offsets;
+    fixed_size_list is rectangular by construction; anything else — or a
+    ragged list — raises a self-describing ValueError instead of the
+    opaque AttributeError/reshape failure a blind offsets access gave."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = emb.type
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lens = np.diff(np.asarray(emb.offsets))
+        if lens.min() != lens.max():
+            raise ValueError(
+                f"{vec_col} is ragged (lengths {lens.min()}..{lens.max()})"
+            )
+        return int(lens[0])
+    raise ValueError(
+        f"{vec_col} must be a list/large_list/fixed_size_list of "
+        f"float/double, got Arrow type {t}"
+    )
+
+
 def normalize_head(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -65,17 +90,12 @@ def normalize_head(
             # later row of the batch, so fail loudly instead
             if emb.null_count:
                 raise ValueError(f"{vec_col} contains null vectors")
-            offs = np.asarray(emb.offsets)
-            lens = np.diff(offs)
-            if lens.min() != lens.max():
-                raise ValueError(
-                    f"{vec_col} is ragged (lengths {lens.min()}..{lens.max()})"
-                )
+            dim = vector_dim(emb, vec_col)
             # flatten() honors the ListArray's offsets (slices included):
             # one contiguous values buffer -> (n, dim) with zero Python
             # per-row work
             vals = np.asarray(emb.flatten(), dtype=np.float64)
-            x = vals.reshape(n, int(lens[0]))
+            x = vals.reshape(n, dim)
             q = np.floor(x * 1e6 + 0.5)  # exact integers in doubles
             l2 = np.sqrt((q * q).sum(axis=1)) / 1e6
             # a zero (or all-below-quantization) vector has no direction:

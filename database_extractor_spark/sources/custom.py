@@ -136,13 +136,30 @@ def _stage_partition(path: str, job_id: str, iterator) -> "_JsonlCommit":
     import os as _os
     import uuid as _uuid
 
+    def _jsonable(v):
+        # The sink is a general connector face, not just the bigint/
+        # string/bool projections the registry feeds it: timestamp/date
+        # serialize as ISO-8601, Decimal as its exact string form, and
+        # binary as hex — all deterministic, so replay-idempotence (byte-
+        # equal files across micro-batch retries) still holds.
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        raise TypeError(f"jsonl_sink cannot serialize {type(v).__name__}")
+
     _os.makedirs(path, exist_ok=True)
     tmp = _os.path.join(path, f"_staged-{job_id}-{_uuid.uuid4().hex}.jsonl")
     n = 0
     try:
         with open(tmp, "w") as f:
             for row in iterator:
-                f.write(_json.dumps(row.asDict()) + "\n")
+                f.write(_json.dumps(row.asDict(), default=_jsonable) + "\n")
                 n += 1
     except BaseException:
         try:
@@ -212,12 +229,40 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def __init__(self, options):
         self.path, self.job_id = _mint_sink_state(options)
+        # ``replace_prefix``: commit REPLACES any visible files carrying
+        # this prefix instead of appending beside them — the batch-scoped
+        # transactionality a foreachBatch caller needs (it owns the batch
+        # id Spark will replay after a crash-before-offset-commit, so
+        # writing batch N with replace_prefix="part-bN-" makes the replay
+        # swap in an identical copy rather than duplicate rows). The
+        # prefix must stay inside the reader contract (part-*.jsonl glob)
+        # and must not collide with the staging namespace.
+        self.replace_prefix = options.get("replace_prefix")
+        if self.replace_prefix is not None:
+            p = self.replace_prefix
+            if not p.startswith("part-") or "/" in p or "_staged-" in p:
+                raise ValueError(
+                    "jsonl_sink replace_prefix must start with 'part-' and "
+                    f"contain no '/' or '_staged-': {p!r}"
+                )
 
     def write(self, iterator):
         return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages):
-        _promote_and_sweep(self.path, self.job_id, messages, "part-")
+        import glob as _glob
+        import os as _os
+
+        prefix = self.replace_prefix or "part-"
+        if self.replace_prefix is not None:
+            for stale in _glob.glob(
+                _os.path.join(self.path, f"{prefix}*.jsonl")
+            ):
+                try:
+                    _os.remove(stale)
+                except OSError:
+                    pass
+        _promote_and_sweep(self.path, self.job_id, messages, prefix)
 
     def abort(self, messages):
         _remove_staged(messages)

@@ -74,8 +74,7 @@ def test_events_ts_is_micros_ntz(con):
     """The batch/stream readers and every time oracle assume parquet
     TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads NTZ (cast to
     session-UTC timestamp), DuckDB reads naive micros — values align
-    ONLY under this physical type (round-5 re-encode; .claude verify
-    gotchas)."""
+    ONLY under this physical type (round-5 re-encode)."""
     schema = pq.read_schema(os.path.join(con.sf_dir, "events.parquet"))
     t = schema.field("ts").type
     assert str(t) == "timestamp[us]", f"events.ts drifted to {t}"
