@@ -38,8 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for EVERY registry entry: 233/233
-    full oracles, none omitted. The last holdouts graduated in round 8
+    """DuckDB-runnable ANSI SQL twin for EVERY registry entry — the two
+    dicts are kept key-identical (len(ORACLE) == len(QUERIES), asserted
+    in tests/test_round5_ops.py), none omitted. The last holdouts
+    graduated in round 8
     (sim_ivf_kmeans / sim_pq_topk — deterministic-Lloyd training unrolled
     into the oracle SQL via canonical quantized means), following
     dedup_minhash_lsh / dedup_simhash in round 7 (md5-lane portable

@@ -40,6 +40,12 @@ def vector_dim(emb, vec_col: str) -> int:
         return t.list_size
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lens = np.diff(np.asarray(emb.offsets))
+        if len(lens) == 0:
+            # empty batches are normal in mapInArrow — there is no row to
+            # take a width from; 0 lets callers emit an empty batch of the
+            # declared schema instead of tripping numpy's opaque
+            # "zero-size array to reduction operation" from lens.min()
+            return 0
         if lens.min() != lens.max():
             raise ValueError(
                 f"{vec_col} is ragged (lengths {lens.min()}..{lens.max()})"

@@ -8361,7 +8361,15 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     in int64) BEFORE summing, so the per-doc sum is order-independent
     and both engines divide and round the bit-identical double — a
     near-boundary score can no longer flip a tercile label on FP
-    summation order. Scale: the window partitions by language
+    summation order. Residual cross-engine assumption (documented per
+    ADVICE r10): the quantization itself evaluates ln() in each engine
+    (JVM Math.log vs DuckDB libm), so a 1-ulp ln divergence landing
+    within 1 ulp of a .5e-6 quantization boundary could still shift one
+    token's lpq by 1 — both libms are correctly-rounded-to-≤1ulp and no
+    fixture token sits on a boundary, so this is accepted; if an oracle
+    mismatch ever surfaces on another libm, derive the sort key from
+    integer-only quantities (compare c/total rationals via cross-
+    multiplication) instead. Scale: the window partitions by language
     (parallel across langs; within a language ntile is the same
     sort-shuffle any per-lang ranking costs); no new shuffles beyond the
     score's token aggregate."""
@@ -9270,8 +9278,10 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
       crash-before-offset-commit swaps in a byte-identical copy instead
       of duplicating rows or anti-joining against its own output.
 
-    Scale: at 100 TB corpus_fp is a bucketed 16-byte-key table the batch
-    anti-joins without reshuffling the corpus (dedup_incremental's note);
+    Scale: corpus_fp arrives MATERIALIZED (the caller localCheckpoints
+    it before start()), so no micro-batch re-runs the corpus scan; at
+    100 TB it is a bucketed 16-byte-key table the batch anti-joins
+    without reshuffling the corpus (dedup_incremental's note);
     the sink read-back is bounded by what the funnel EMITTED (quota-
     capped: <= cap x n_sources rows), not by the corpus."""
     import glob as _glob
@@ -9282,12 +9292,15 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
     keyed = T.with_fingerprint(gated, "text", "fp").select(
         "doc_id", "lang", "source", "fp"
     )
-    prev_files = [
-        f
-        for f in _glob.glob(os.path.join(out, "part-b*.jsonl"))
-        if int(_re.match(r"part-b(\d+)-", os.path.basename(f)).group(1))
-        < batch_id
-    ]
+    # only files matching the batch-scoped pattern participate; a foreign
+    # part-file (e.g. a default-prefix append whose 16-hex job id happens
+    # to start with 'b') is not ours to read back — skip it rather than
+    # crash on .group(1) of a failed match (VERDICT r10 item 6)
+    prev_files = []
+    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
+        m = _re.match(r"part-b(\d+)-", os.path.basename(f))
+        if m is not None and int(m.group(1)) < batch_id:
+            prev_files.append(f)
     if prev_files:
         prev = spark.read.schema(_FUNNEL_SINK_SCHEMA).json(prev_files)
     else:
@@ -9313,6 +9326,26 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
         .mode("append")
         .save()
     )
+
+
+def _funnel_corpus_fp(spark, sf_dir, materialize=True):
+    """The existing-corpus fingerprint set, materialized ONCE before the
+    stream starts (VERDICT r10 item 7): localCheckpoint(eager=True) runs
+    the scan+distinct immediately and replaces the lineage with the
+    computed rows, so every micro-batch's anti-join reads the cached set
+    instead of re-scanning the corpus — the posture the funnel docstring
+    promises. At 100 TB the analog is a precomputed bucketed fingerprint
+    table; in one session localCheckpoint is that table.
+
+    ``materialize=False`` returns the lazy twin so the plan lint can see
+    the pre-checkpoint subplan (tests/test_plan_lint.py convention)."""
+    fp = (
+        T.with_fingerprint(_tbl(spark, sf_dir, "documents"), "text", "fp")
+        .filter(F.col("doc_id") < 250)
+        .select("fp")
+        .distinct()
+    )
+    return fp.localCheckpoint(eager=True) if materialize else fp
 
 
 def _stream_funnel_oracle() -> str:
@@ -9376,12 +9409,7 @@ def streaming_curation_funnel(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_funnel_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     os.makedirs(out, exist_ok=True)
-    corpus_fp = (
-        T.with_fingerprint(_tbl(spark, sf_dir, "documents"), "text", "fp")
-        .filter(F.col("doc_id") < 250)
-        .select("fp")
-        .distinct()
-    )
+    corpus_fp = _funnel_corpus_fp(spark, sf_dir)
     stream = stream_source(
         spark, os.path.join(sf_dir, "documents.parquet")
     ).filter(F.col("doc_id") >= 250)

@@ -245,6 +245,18 @@ class JsonlSinkWriter(DataSourceWriter):
                     "jsonl_sink replace_prefix must start with 'part-' and "
                     f"contain no '/' or '_staged-': {p!r}"
                 )
+            # the stale-file sweep at commit time globs f"{prefix}*", so a
+            # prefix that is a proper prefix of ANOTHER batch's prefix
+            # ('part-b1' matching 'part-b10-…') would silently delete that
+            # batch's committed files. Requiring a trailing non-digit
+            # delimiter makes prefixes self-terminating: 'part-b1-' can
+            # never be a prefix of 'part-b10-'.
+            if p[-1].isdigit():
+                raise ValueError(
+                    "jsonl_sink replace_prefix must end with a non-digit "
+                    "delimiter (e.g. 'part-b1-' not 'part-b1') so the "
+                    f"replace sweep cannot match a sibling batch: {p!r}"
+                )
 
     def write(self, iterator):
         return _stage_partition(self.path, self.job_id, iterator)

@@ -136,6 +136,10 @@ def test_local_checkpoint_usage_is_pinned():
         # edge list materialized once before the hop joins; lazy twin
         # linted by test_khop_prechk_plan below
         ("registry.py", "_khop_plan"),
+        # corpus fingerprint set materialized once before the stream
+        # starts (VERDICT r10 item 7); lazy twin linted by
+        # test_funnel_corpus_fp_prechk_plan below
+        ("registry.py", "_funnel_corpus_fp"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -211,6 +215,17 @@ def test_khop_prechk_plan(spark):
     df = _khop_plan(spark, SF_DIR, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "graph_khop_reachability[pre-checkpoint]")
+
+
+def test_funnel_corpus_fp_prechk_plan(spark):
+    """streaming_curation_funnel's corpus-fingerprint subplan (the part
+    hidden behind the eager localCheckpoint) must itself be free of the
+    scale anti-patterns: one documents scan -> fingerprint -> distinct."""
+    from database_extractor_spark.registry import _funnel_corpus_fp
+
+    df = _funnel_corpus_fp(spark, SF_DIR, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "streaming_curation_funnel[corpus-fp]")
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))

@@ -57,8 +57,13 @@ def test_jsonl_sink_commit_spares_other_jobs_staged_files(tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_dpp_lake_path_tracks_fixture_content(spark, tmp_path):
-    """A regenerated fixture (same path, new mtime) must resolve to a NEW
-    lake directory instead of silently reusing the stale layout."""
+    """The lake cache is keyed on fixture CONTENT (size + parquet footer
+    hash, round 10), not mtime: a data change must resolve to a NEW lake
+    directory, while a bare mtime bump (tar/rsync -t restores, build
+    caches touching files) is identical content and must REUSE the
+    existing lake — that's the intended cache hit, not staleness."""
+    import pyarrow.parquet as pq
+
     from database_extractor_spark.registry import _dpp_fact_path
 
     fx = tmp_path / "sf"
@@ -67,9 +72,18 @@ def test_dpp_lake_path_tracks_fixture_content(spark, tmp_path):
 
     p1 = _dpp_fact_path(spark, str(fx))
     assert os.path.exists(os.path.join(p1, "_SUCCESS"))
-    # "regenerate" the fixture: bump mtime only
+
+    # mtime-only bump: same bytes => same fingerprint => SAME lake
     st = os.stat(fx / "lineitem.parquet")
     os.utime(fx / "lineitem.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    assert _dpp_fact_path(spark, str(fx)) == p1, (
+        "identical content must reuse the cached lake regardless of mtime"
+    )
+
+    # real regeneration: drop one row and rewrite — footer (row counts,
+    # stats, offsets) changes => NEW lake
+    tbl = pq.read_table(fx / "lineitem.parquet")
+    pq.write_table(tbl.slice(0, tbl.num_rows - 1), fx / "lineitem.parquet")
     p2 = _dpp_fact_path(spark, str(fx))
     assert p1 != p2, "content-fingerprinted lake must not reuse stale layout"
     for p in (p1, p2):
