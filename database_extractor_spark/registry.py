@@ -9442,68 +9442,69 @@ def streaming_curation_funnel(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-10 front (VERDICT r9 item 1): ONE new entry, ONE entry
-    # whose semantics changed this round, then the ENTIRE stale-signal
-    # backlog — the 11-entry r04 cohort and the full 37-entry r05 cohort.
-    # 1 + 1 + 11 + 37 = 50 = the driver's window, so after this round NO
-    # entry's most recent driver row predates r06. The r09-green entries
-    # touched by this round's low-ADVICE hardening keep their rows by
-    # design: dpp_partition_pruned_join (cache-key change only),
-    # arrow_batch_normalize (type-dispatch guard only), and the
-    # python_datasource_* sinks (serializer widening only) were all
-    # re-proven oracle-equal by the local sweep this round.
-    "streaming_curation_funnel",  # new: incremental funnel, foreachBatch
-    "ccnet_perplexity_buckets",   # r10 change: quantized-integer lane
-    # r04 cohort (11):
-    "text_edit_distance_pairs",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_source_roundtrip",
-    "text_tfidf",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "token_count_bpe",
-    "upsert_day_overwrite",
-    "vocab_build",
-    # r05 cohort (37):
-    "approx_distinct",
-    "approx_percentile_sketch",
-    "cap_per_group",
-    "cdc_merge_apply",
-    "cumulative_distinct_users",
-    "data_quality_checks",
-    "dedup_containment",
-    "embedding_dedup_clusters",
-    "embedding_quantize_int8",
-    "entropy_profile",
-    "equal_freq_binning",
-    "filtered_agg",
-    "gap_fill_linear",
-    "hard_negative_mining",
-    "mixture_weighted_sample",
-    "mode_agg",
-    "multimodal_resize",
-    "null_safe_join",
-    "pack_sequences",
-    "posexplode_tokens",
-    "profile_columns",
-    "psi_drift",
-    "robust_stats_mad",
-    "rolling_median",
-    "salted_agg",
-    "salted_join_agg",
-    "text_bm25",
-    "time_hierarchy_rollup",
-    "tpch_q3_shipping_priority",
-    "ts_derivative",
-    "ts_difference",
-    "ts_increase",
-    "ts_rate_per_window",
-    "weighted_sample_wor",
-    "window_frames",
-    "window_time_range_frame",
-    "zorder_key_layout",
+    # ---- round-11 front (VERDICT r10 item 5): the entries this round's
+    # hardening touched, then the ENTIRE 46-entry r06 cohort (the oldest
+    # remaining driver rows — the O1–O21 parity block, the asof joins,
+    # the early windows/TPC-H/sets, sim_ann_lsh, …), plus the first
+    # member of the 47-entry r07 cohort (next round rotates the rest).
+    # 3 + 46 + 1 = 50 = the driver's window, so after this round no
+    # entry's most recent driver row predates r07 except that cohort
+    # itself. ccnet_perplexity_buckets keeps its r10 row (docstring-only
+    # change this round).
+    "streaming_curation_funnel",  # r11: corpus_fp materialized once,
+    #                               foreign-part-file skip in read-back
+    "arrow_batch_normalize",      # r11: vector_dim empty-batch guard
+    "corpus_curation_funnel",     # bench-drift watch (VERDICT r10 perf
+    #                               note): fresh row + fresh timing
+    # r06 cohort (46):
+    "asof_join",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "crosslingual_pair_mining",
+    "datetime_funcs",
+    "embedding_pca_power_iteration",
+    "flagship_day_extract",
+    "o01_scan_project",
+    "o02_time_range_filter",
+    "o03_time_shift_hours",
+    "o03b_time_shift_zone",
+    "o04_row_predicate",
+    "o05_pivot_minute",
+    "o07_multi_sort",
+    "o08_downsample_1s_last",
+    "o08b_downsample_avg_minute",
+    "o09_drop_columns",
+    "o11_drop_allnull_rows",
+    "o12_guard_min_rows",
+    "o13_sink_roundtrip",
+    "o15_time_endpoints",
+    "o16_deltatime_algebra",
+    "o17_shift_string_time",
+    "o18_tz_offset_dst",
+    "o19_day_partition_counts",
+    "o20_datetime_list",
+    "o21_config_roundtrip",
+    "sentence_dedup",
+    "series_correlation",
+    "set_except_all",
+    "set_intersect_all",
+    "sim_ann_lsh",
+    "streaming_python_datasource",
+    "text_pii_scrub",
+    "time_weighted_avg",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "ts_integral",
+    "window_analytics",
+    "window_lag",
+    "window_rank",
+    "window_running_sum",
+    # r07 cohort, first member (46 more rotate in round 12):
+    "bpe_pair_counts",
 ]
 
 
