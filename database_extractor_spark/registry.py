@@ -9431,6 +9431,187 @@ def streaming_curation_funnel(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 11: BPE merge TRAINING (the full iterative loop, not just the
+# single-round statistic bpe_pair_counts computes)
+# ==========================================================================
+
+#: trained merge lists per fixture dir — plain (rank, left, right) string
+#: tuples (pure deterministic function of the data, valid across
+#: SparkSessions; the round-8 PQ-cache discipline)
+_TRAINED_BPE_CACHE: dict[str, list[tuple[int, str, str]]] = {}
+
+#: passes of non-overlapping left-to-right replace per merge application.
+#: One pass misses an occurrence whose leading delimiter was consumed by
+#: the immediately-preceding replacement; each pass merges at least every
+#: other remaining occurrence, so 4 passes close chains up to ~2^4
+#: boundary-sharing occurrences — far beyond any real word. The resulting
+#: semantics ("iterated greedy replace") is deterministic and replayed
+#: bit-identically by the oracle; it differs from canonical
+#: leftmost-greedy BPE only inside runs of >= 5 identical symbols.
+_BPE_REPLACE_PASSES = 4
+
+
+def _bpe_words(spark, sf_dir, materialize=True):
+    """Word-frequency table in spaced-symbol form (`` h e l l o ``), the
+    state BPE training iterates on. Aggregated ONCE per call from the
+    corpus and localCheckpoint'ed: every training round and the returned
+    result plan read the vocab-sized checkpoint instead of re-scanning
+    documents (the zipfian-small distinct-word set — the same scale move
+    as bpe_pair_counts, carried across all rounds). ``materialize=False``
+    returns the lazy twin for the plan lint."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+        .select(
+            # " a b c " — every symbol space-delimited on BOTH sides, so a
+            # merge is one string replace of " a b " with " ab "
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias(
+                "s"
+            ),
+            "wc",
+        )
+    )
+    return w.localCheckpoint(eager=True) if materialize else w
+
+
+def _bpe_adjacent_counts(w):
+    """Adjacent symbol-pair counts weighted by word frequency — the
+    statistic each merge round maximizes. Explode is over symbol
+    positions of DISTINCT words; one shuffle on the (a, b) aggregate."""
+    sym = F.split(F.trim(F.col("s")), " ")
+    return (
+        w.select(F.col("wc"), sym.alias("sym"))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.size("sym") - F.lit(1))))
+        .select(
+            F.element_at("sym", F.col("i")).alias("a"),
+            F.element_at("sym", F.col("i") + F.lit(1)).alias("b"),
+            "wc",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+    )
+
+
+def _bpe_apply_merge(w, a: str, b: str):
+    """Apply one merge (a, b) -> ab to the spaced-symbol table:
+    _BPE_REPLACE_PASSES rounds of non-overlapping replace (see the
+    constant's note on why one pass isn't enough). Narrow per-row string
+    ops, no shuffle."""
+    pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+    s = F.col("s")
+    for _ in range(_BPE_REPLACE_PASSES):
+        s = F.replace(s, pat, rep)
+    return w.select(s.alias("s"), "wc")
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """DuckDB replay of the full training loop, rounds unrolled as
+    chained CTEs (the pagerank/Lloyd discipline): per round, pair counts
+    from the current spaced vocab, argmax with the (count desc, a, b)
+    tiebreak, then the same 4-pass replace applied via a 1-row cross
+    join."""
+    parts = [
+        r"""
+    with w0 as (
+        select ' ' || regexp_replace(word, '(.)', '\1 ', 'g') as s, wc
+        from (
+            select word, count(*) as wc from (
+                select unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    as word
+                from documents
+            ) group by word
+        ) where len(word) >= 2
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , c{r} as (
+        select sym[i] as a, sym[i+1] as b,
+               cast(sum(wc) as bigint) as pair_count
+        from (select string_split(trim(s), ' ') as sym, wc from w{r - 1}),
+             unnest(range(1, len(sym))) as t(i)
+        group by a, b
+    )
+    , b{r} as (
+        select a, b, pair_count from c{r}
+        order by pair_count desc, a, b limit 1
+    )""")
+        if r < rounds:
+            rep = "s"
+            for _ in range(_BPE_REPLACE_PASSES):
+                rep = (
+                    f"replace({rep}, ' ' || a || ' ' || b || ' ',"
+                    f" ' ' || a || b || ' ')"
+                )
+            parts.append(f"""
+    , w{r} as (select {rep} as s, wc from w{r - 1}, b{r})""")
+    selects = " union all ".join(
+        f"select {r} as merge_rank, a as left_sym, b as right_sym,"
+        f" a || b as merged, pair_count from b{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    select * from ({selects}) order by merge_rank""")
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, distributed: three full merge rounds —
+    pair-count aggregate over the spaced-symbol vocab, argmax merge pick
+    (count desc, lexicographic tiebreak), merge applied to the vocab —
+    where bpe_pair_counts stops after the first round's statistic. The
+    iterative-algorithm discipline is Lloyd's (sim_ivf_kmeans): training
+    collects only bounded model state (ONE (a, b, count) row per round),
+    merges are cached per fixture as plain strings, and the RETURNED
+    plan recomputes each round's winning pair count lazily from the
+    checkpointed vocab, so the oracle checks the whole loop, not an
+    echoed literal. Scale: the corpus is scanned once into the
+    vocab-sized checkpoint (zipfian-small distinct words); each round is
+    one explode + one (a,b) aggregate over that table; merge application
+    is narrow string replace — at 100 TB the per-round cost is bounded
+    by |vocab|, not corpus tokens, exactly how production BPE trainers
+    stage it. Merge-application semantics (4-pass non-overlapping
+    replace, see _BPE_REPLACE_PASSES) is pinned cross-engine by the
+    oracle and against a pure-Python replay in
+    tests/test_round11_ops.py."""
+    merges = _TRAINED_BPE_CACHE.get(sf_dir)
+    w = _bpe_words(spark, sf_dir)
+    if merges is None:
+        merges, cur = [], w
+        for r in range(1, 4):
+            best = (
+                _bpe_adjacent_counts(cur)
+                .orderBy(F.desc("pair_count"), "a", "b")
+                .first()
+            )
+            merges.append((r, best["a"], best["b"]))
+            cur = _bpe_apply_merge(cur, best["a"], best["b"])
+        _TRAINED_BPE_CACHE[sf_dir] = merges
+    out, cur = None, w
+    for r, a, b in merges:
+        row = (
+            _bpe_adjacent_counts(cur)
+            .filter((F.col("a") == a) & (F.col("b") == b))
+            .select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        cur = _bpe_apply_merge(cur, a, b)
+    return out.orderBy("merge_rank")
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion
@@ -9442,15 +9623,16 @@ def streaming_curation_funnel(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-11 front (VERDICT r10 item 5): the entries this round's
-    # hardening touched, then the ENTIRE 46-entry r06 cohort (the oldest
-    # remaining driver rows — the O1–O21 parity block, the asof joins,
-    # the early windows/TPC-H/sets, sim_ann_lsh, …), plus the first
-    # member of the 47-entry r07 cohort (next round rotates the rest).
-    # 3 + 46 + 1 = 50 = the driver's window, so after this round no
-    # entry's most recent driver row predates r07 except that cohort
-    # itself. ccnet_perplexity_buckets keeps its r10 row (docstring-only
-    # change this round).
+    # ---- round-11 front (VERDICT r10 item 5): the round's ONE new
+    # entry, the entries this round's hardening touched, then the
+    # ENTIRE 46-entry r06 cohort (the oldest remaining driver rows —
+    # the O1–O21 parity block, the asof joins, the early
+    # windows/TPC-H/sets, sim_ann_lsh, …). 1 + 3 + 46 = 50 = the
+    # driver's window, so after this round no entry's most recent
+    # driver row predates r07; the 47-entry r07 cohort rotates in
+    # round 12. ccnet_perplexity_buckets keeps its r10 row
+    # (docstring-only change this round).
+    "bpe_train_merges",           # NEW r11: full BPE training loop
     "streaming_curation_funnel",  # r11: corpus_fp materialized once,
     #                               foreign-part-file skip in read-back
     "arrow_batch_normalize",      # r11: vector_dim empty-batch guard
@@ -9503,8 +9685,6 @@ _VERIFY_FIRST = [
     "window_lag",
     "window_rank",
     "window_running_sum",
-    # r07 cohort, first member (46 more rotate in round 12):
-    "bpe_pair_counts",
 ]
 
 

@@ -140,6 +140,9 @@ def test_local_checkpoint_usage_is_pinned():
         # starts (VERDICT r10 item 7); lazy twin linted by
         # test_funnel_corpus_fp_prechk_plan below
         ("registry.py", "_funnel_corpus_fp"),
+        # spaced-symbol vocab aggregated once per bpe_train_merges call;
+        # lazy twin linted by test_bpe_words_prechk_plan below
+        ("registry.py", "_bpe_words"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -215,6 +218,17 @@ def test_khop_prechk_plan(spark):
     df = _khop_plan(spark, SF_DIR, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "graph_khop_reachability[pre-checkpoint]")
+
+
+def test_bpe_words_prechk_plan(spark):
+    """bpe_train_merges' vocab subplan (hidden behind the eager
+    localCheckpoint): one documents scan -> token explode -> word
+    aggregate -> spaced-symbol projection, no anti-patterns."""
+    from database_extractor_spark.registry import _bpe_words
+
+    df = _bpe_words(spark, SF_DIR, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "bpe_train_merges[vocab]")
 
 
 def test_funnel_corpus_fp_prechk_plan(spark):

@@ -124,7 +124,92 @@ def test_replace_prefix_sweep_cannot_cross_batches(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# 4. vector_dim on an empty batch (ADVICE r10 low)
+# 4. bpe_train_merges: the trained loop matches a pure-Python replay
+# ---------------------------------------------------------------------------
+
+def _python_bpe_replay(word_counts, rounds=3, passes=4):
+    """Reference implementation of the entry's documented semantics:
+    spaced-symbol words, per-round weighted pair-count argmax with
+    (count desc, a, b) tiebreak, merge applied as `passes` rounds of
+    Python str.replace (left-to-right non-overlapping — the same
+    contract Spark's and DuckDB's replace() give)."""
+    vocab = {" " + " ".join(w) + " ": c for w, c in word_counts.items()
+             if len(w) >= 2}
+    out = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for s, c in vocab.items():
+            sym = s.split()
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + c
+                )
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, a, b, a + b, cnt))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        nv = {}
+        for s, c in vocab.items():
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+            nv[s] = nv.get(s, 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_train_merges_matches_python_replay(spark):
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    texts = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    ).column("text").to_pylist()
+    wc = Counter(
+        w for t in texts for w in _re.split(r"\s+", t.lower().strip()) if w
+    )
+    expected = _python_bpe_replay(wc)
+
+    R._TRAINED_BPE_CACHE.pop(SF_DIR, None)  # force a real training run
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in R.bpe_train_merges(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_apply_merge_closes_boundary_chains(spark):
+    """4-pass replace must fully merge alternating chains whose
+    occurrences share boundary spaces (one pass provably can't), and
+    must reproduce Python's replace semantics on odd same-symbol runs."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import _bpe_apply_merge
+
+    rows = [(" a b a b a b a b ", 1), (" a a a a a ", 1), (" x a b y ", 1)]
+    df = spark.createDataFrame(rows, "s string, wc int")
+    got = {
+        r.s for r in _bpe_apply_merge(
+            df, "a", "b").collect()
+    }
+    assert " ab ab ab ab " in got
+    assert " a a a a a " in got  # (a,b) merge leaves pure-a runs alone
+    assert " x ab y " in got
+
+    got_aa = {r.s for r in _bpe_apply_merge(df, "a", "a").collect()}
+    # same multipass result as 4x Python str.replace on the odd run
+    s = " a a a a a "
+    for _ in range(4):
+        s = s.replace(" a a ", " aa ")
+    assert s in got_aa
+
+
+# ---------------------------------------------------------------------------
+# 5. vector_dim on an empty batch (ADVICE r10 low)
 # ---------------------------------------------------------------------------
 
 def test_vector_dim_empty_list_column_returns_zero():
