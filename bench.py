@@ -112,6 +112,9 @@ SECONDARY = [
     # round-10 addition: the incremental streaming funnel (one
     # availableNow drain + sink read-back per invocation)
     "streaming_curation_funnel",
+    # round-11 addition: the BPE training loop (first invocation trains —
+    # three argmax jobs; repeats measure the cached-merge result plan)
+    "bpe_train_merges",
 ]
 
 
