@@ -9486,6 +9486,14 @@ def _bpe_adjacent_counts(w):
     sym = F.split(F.trim(F.col("s")), " ")
     return (
         w.select(F.col("wc"), sym.alias("sym"))
+        # a word fully fused by earlier merges has ONE symbol and no
+        # pairs. The filter is load-bearing, not cosmetic: Spark's
+        # sequence(1, size-1) with size=1 is sequence(1, 0) = the
+        # DESCENDING [1, 0] (not empty), and element_at(sym, 0) throws —
+        # DuckDB's end-exclusive range(1, 1) is empty, so without this
+        # guard the engines diverge the moment a whole word becomes one
+        # merge token (e.g. the word "in" after an (i, n) merge).
+        .filter(F.size("sym") >= 2)
         .withColumn("i", F.explode(F.sequence(F.lit(1), F.size("sym") - F.lit(1))))
         .select(
             F.element_at("sym", F.col("i")).alias("a"),

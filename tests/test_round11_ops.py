@@ -208,6 +208,26 @@ def test_bpe_apply_merge_closes_boundary_chains(spark):
     assert s in got_aa
 
 
+def test_bpe_counts_skip_fully_fused_words(spark):
+    """A word fully fused into one merge token contributes no pairs and
+    must not crash the next round: Spark's sequence(1, 0) is the
+    DESCENDING [1, 0], so without the size guard element_at(sym, 0)
+    throws — exactly the state the word 'in' reaches after an (i, n)
+    merge."""
+    from database_extractor_spark.registry import (
+        _bpe_adjacent_counts,
+        _bpe_apply_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(" i n ", 5), (" w i n ", 2)], "s string, wc int"
+    )
+    merged = _bpe_apply_merge(df, "i", "n")
+    rows = {(r.a, r.b): r.pair_count
+            for r in _bpe_adjacent_counts(merged).collect()}
+    assert rows == {("w", "in"): 2}
+
+
 # ---------------------------------------------------------------------------
 # 5. vector_dim on an empty batch (ADVICE r10 low)
 # ---------------------------------------------------------------------------
