@@ -208,6 +208,60 @@ def test_bpe_apply_merge_closes_boundary_chains(spark):
     assert s in got_aa
 
 
+def test_bpe_training_loop_matches_replay_on_adversarial_vocab(spark):
+    """Three full training rounds over a seeded random vocab heavy in
+    same-symbol runs and boundary-sharing chains (the shapes where
+    naive replace semantics diverge) must match the Python replay
+    exactly — counts, argmax picks, and the rewritten vocab state."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import (
+        _bpe_adjacent_counts,
+        _bpe_apply_merge,
+    )
+
+    rng = random.Random(11)
+    words = {}
+    for _ in range(200):
+        w = "".join(rng.choice("aab") for _ in range(rng.randint(2, 9)))
+        words[w] = words.get(w, 0) + rng.randint(1, 5)
+    expected = _python_bpe_replay(words)
+
+    df = spark.createDataFrame(
+        [(" " + " ".join(w) + " ", c) for w, c in words.items()],
+        "s string, wc int",
+    )
+    got = []
+    for r in range(1, 4):
+        best = (
+            _bpe_adjacent_counts(df)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .first()
+        )
+        got.append((r, best["a"], best["b"], best["a"] + best["b"],
+                    best["pair_count"]))
+        df = _bpe_apply_merge(df, best["a"], best["b"])
+    assert got == expected
+    # the final vocab state must match the replay's too (merge
+    # application, not just the argmax lane)
+    final_vocab = {}
+    for row in df.collect():
+        final_vocab[row.s] = final_vocab.get(row.s, 0) + row.wc
+    replay_vocab = {" " + " ".join(w) + " ": c for w, c in words.items()}
+    for _, a, b, _, _ in expected:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        nv = {}
+        for s, c in replay_vocab.items():
+            for _ in range(4):
+                s2 = s.replace(pat, rep)
+                s = s2
+            nv[s] = nv.get(s, 0) + c
+        replay_vocab = nv
+    assert final_vocab == replay_vocab
+
+
 def test_bpe_counts_skip_fully_fused_words(spark):
     """A word fully fused into one merge token contributes no pairs and
     must not crash the next round: Spark's sequence(1, 0) is the
