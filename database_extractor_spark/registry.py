@@ -7202,6 +7202,23 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_freqs(spark, sf_dir):
+    """Word-frequency table (word, wc) over lowercased whitespace tokens,
+    single-char words dropped — the shared input of the two BPE entries
+    (bpe_pair_counts and bpe_train_merges) and the exact Spark twin of
+    their oracles' word CTE. One definition so a tokenization change
+    cannot desynchronize the siblings."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+
+
 @register(
     "bpe_pair_counts",
     r"""
@@ -7229,13 +7246,7 @@ def bpe_pair_counts(spark, sf_dir):
     substr(word, i, 2) over a per-row index sequence — no Python, no
     shuffle until the final pair aggregate. Integer counts, engine-exact
     top-20 with lexicographic tiebreak."""
-    docs = _tbl(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
-        .filter(F.length("word") >= 2)
-    )
+    words = _word_freqs(spark, sf_dir)
     pairs = words.select(
         "wc",
         F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
@@ -9459,22 +9470,11 @@ def _bpe_words(spark, sf_dir, materialize=True):
     documents (the zipfian-small distinct-word set — the same scale move
     as bpe_pair_counts, carried across all rounds). ``materialize=False``
     returns the lazy twin for the plan lint."""
-    docs = _tbl(spark, sf_dir, "documents")
-    w = (
-        docs.select(
-            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
-        .filter(F.length("word") >= 2)
-        .select(
-            # " a b c " — every symbol space-delimited on BOTH sides, so a
-            # merge is one string replace of " a b " with " ab "
-            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias(
-                "s"
-            ),
-            "wc",
-        )
+    w = _word_freqs(spark, sf_dir).select(
+        # " a b c " — every symbol space-delimited on BOTH sides, so a
+        # merge is one string replace of " a b " with " ab "
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+        "wc",
     )
     return w.localCheckpoint(eager=True) if materialize else w
 
@@ -9598,9 +9598,21 @@ def bpe_train_merges(spark, sf_dir):
                 .orderBy(F.desc("pair_count"), "a", "b")
                 .first()
             )
+            if best is None:
+                # every multi-symbol word fused in fewer than 3 rounds —
+                # no pairs left to merge. Stop training; the result has
+                # one row per completed round, matching the oracle,
+                # whose later b{r} CTEs are simply empty.
+                break
             merges.append((r, best["a"], best["b"]))
             cur = _bpe_apply_merge(cur, best["a"], best["b"])
         _TRAINED_BPE_CACHE[sf_dir] = merges
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_rank int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint",
+        )
     out, cur = None, w
     for r, a, b in merges:
         row = (

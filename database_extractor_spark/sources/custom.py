@@ -262,18 +262,33 @@ class JsonlSinkWriter(DataSourceWriter):
         return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages):
-        import glob as _glob
         import os as _os
+        import re as _re
 
         prefix = self.replace_prefix or "part-"
         if self.replace_prefix is not None:
-            for stale in _glob.glob(
-                _os.path.join(self.path, f"{prefix}*.jsonl")
-            ):
-                try:
-                    _os.remove(stale)
-                except OSError:
-                    pass
+            # the sweep must only ever remove files THIS sink family
+            # committed under exactly this prefix. A bare glob of
+            # f"{prefix}*" gets that wrong twice: glob metacharacters in
+            # a validation-passing prefix ('part-[b1]-') are interpreted
+            # instead of matched literally, and a prefix that is a proper
+            # prefix of another valid prefix ('part-b1-' vs
+            # 'part-b1-x-') crosses the boundary. Matching the full
+            # committed-file shape — prefix + 16-hex job id + '-' +
+            # 32-hex task id + '.jsonl' — is structural: the hex job-id
+            # field can never continue a longer sibling prefix (any
+            # extension adds a non-hex char or a misplaced '-' within
+            # the 16-char window).
+            pat = _re.compile(
+                _re.escape(self.replace_prefix)
+                + r"[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z"
+            )
+            for name in _os.listdir(self.path):
+                if pat.match(name):
+                    try:
+                        _os.remove(_os.path.join(self.path, name))
+                    except OSError:
+                        pass
         _promote_and_sweep(self.path, self.job_id, messages, prefix)
 
     def abort(self, messages):

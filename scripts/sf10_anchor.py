@@ -65,12 +65,15 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, args.dir).write.format("noop").mode("overwrite").save()
         first = time.perf_counter() - t0
-        best = first
         if first < args.single_run_above:
+            # warm-up done (`first`), report min of the 2 timed runs only
+            best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, args.dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+        else:
+            best = first  # single (cold) run for expensive anchors
         res[name] = round(best, 3)
         print(f"# {name}: {res[name]} s (first {round(first, 3)})",
               file=sys.stderr)

@@ -97,6 +97,72 @@ def test_replace_prefix_rejects_digit_terminated_prefix(tmp_path):
         JsonlSinkWriter(bad)
 
 
+def test_replace_prefix_sweep_is_structural(spark, tmp_path):
+    """The commit-time sweep matches the full committed-file shape
+    (prefix + 16-hex job id + '-' + 32-hex task id + '.jsonl'), so (a)
+    glob metacharacters in a prefix are matched literally, not
+    interpreted, and (b) a prefix that properly extends another valid
+    prefix is out of reach of the shorter one's sweep."""
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    job, task = "0" * 16, "1" * 32
+    survivors = [
+        f"part-b-{job}-{task}.jsonl",       # would die to glob 'part-[b1]-*'
+        f"part-b1-x-{job}-{task}.jsonl",    # longer valid sibling prefix
+        "part-b1-not-a-committed-file.jsonl",  # reader-visible foreign file
+    ]
+    victim = f"part-b1-{job}-{task}.jsonl"
+    for name in survivors + [victim]:
+        with open(os.path.join(out, name), "w") as f:
+            f.write(json.dumps({"doc_id": 0}) + "\n")
+
+    (
+        spark.range(1).selectExpr("id as doc_id")
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .option("replace_prefix", "part-b1-")
+        .mode("append")
+        .save()
+    )
+    for name in survivors:
+        assert os.path.exists(os.path.join(out, name)), name
+    assert not os.path.exists(os.path.join(out, victim)), (
+        "the prefix's own committed file must be replaced"
+    )
+    assert glob.glob(os.path.join(out, "part-b1-*.jsonl"))
+
+
+def test_bpe_training_stops_when_no_pairs_remain(spark, tmp_path):
+    """A corpus whose only multi-char word fuses in round 1 must yield a
+    one-row result (training stops), not crash round 2's argmax — and
+    must match the oracle's empty-later-CTE shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    fx = tmp_path / "sf"
+    fx.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": ["ab ab ab", "ab c d"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [8, 6],
+        }),
+        fx / "documents.parquet",
+    )
+    R._TRAINED_BPE_CACHE.pop(str(fx), None)
+    rows = R.bpe_train_merges(spark, str(fx)).collect()
+    assert [(r.merge_rank, r.merged, r.pair_count) for r in rows] == [
+        (1, "ab", 4)
+    ]
+
+
 def test_replace_prefix_sweep_cannot_cross_batches(spark, tmp_path):
     """Committing batch 1 with its (valid) 'part-b1-' prefix must leave
     batch 10's committed files alone — the regression the validation
