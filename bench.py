@@ -113,7 +113,9 @@ SECONDARY = [
     # availableNow drain + sink read-back per invocation)
     "streaming_curation_funnel",
     # round-11 addition: the BPE training loop (first invocation trains —
-    # three argmax jobs; repeats measure the cached-merge result plan)
+    # three argmax jobs; repeats measure the cached-merge result plan:
+    # since r12 the checkpointed vocab is cached per (session, fixture)
+    # too, so warm runs no longer re-aggregate the corpus)
     "bpe_train_merges",
 ]
 

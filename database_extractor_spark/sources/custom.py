@@ -219,6 +219,32 @@ def _remove_staged(messages) -> None:
             _os.remove(m.tmp_path)
 
 
+def _sweep_committed_prefix(path: str, prefix: str) -> None:
+    """Remove files THIS sink family committed under exactly ``prefix``.
+
+    A bare glob of ``f"{prefix}*"`` gets that wrong twice: glob
+    metacharacters in a validation-passing prefix (``part-[b1]-``) are
+    interpreted instead of matched literally, and a prefix that is a
+    proper prefix of another valid prefix (``part-b1-`` vs
+    ``part-b1-x-``) crosses the boundary. Matching the full
+    committed-file shape — prefix + 16-hex job id + '-' + 32-hex task id
+    + '.jsonl' — is structural: the hex job-id field can never continue
+    a longer sibling prefix (any extension adds a non-hex char or a
+    misplaced '-' within the 16-char window). Shared by the batch
+    writer's replace_prefix sweep and the streaming writer's replay
+    sweep so both faces honor the same boundary (ADVICE r11)."""
+    import os as _os
+    import re as _re
+
+    pat = _re.compile(_re.escape(prefix) + r"[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
+    for name in _os.listdir(path):
+        if pat.match(name):
+            try:
+                _os.remove(_os.path.join(path, name))
+            except OSError:
+                pass
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Per-partition writer for the ``jsonl_sink`` format. Demonstrates
     the full two-phase commit protocol a real connector needs: each task
@@ -262,33 +288,9 @@ class JsonlSinkWriter(DataSourceWriter):
         return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages):
-        import os as _os
-        import re as _re
-
         prefix = self.replace_prefix or "part-"
         if self.replace_prefix is not None:
-            # the sweep must only ever remove files THIS sink family
-            # committed under exactly this prefix. A bare glob of
-            # f"{prefix}*" gets that wrong twice: glob metacharacters in
-            # a validation-passing prefix ('part-[b1]-') are interpreted
-            # instead of matched literally, and a prefix that is a proper
-            # prefix of another valid prefix ('part-b1-' vs
-            # 'part-b1-x-') crosses the boundary. Matching the full
-            # committed-file shape — prefix + 16-hex job id + '-' +
-            # 32-hex task id + '.jsonl' — is structural: the hex job-id
-            # field can never continue a longer sibling prefix (any
-            # extension adds a non-hex char or a misplaced '-' within
-            # the 16-char window).
-            pat = _re.compile(
-                _re.escape(self.replace_prefix)
-                + r"[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z"
-            )
-            for name in _os.listdir(self.path):
-                if pat.match(name):
-                    try:
-                        _os.remove(_os.path.join(self.path, name))
-                    except OSError:
-                        pass
+            _sweep_committed_prefix(self.path, self.replace_prefix)
         _promote_and_sweep(self.path, self.job_id, messages, prefix)
 
     def abort(self, messages):
@@ -330,16 +332,10 @@ class JsonlSinkStreamWriter(DataSourceStreamWriter):
         return _stage_partition(self.path, self.job_id, iterator)
 
     def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
-        import glob as _glob
-        import os as _os
-
-        for stale in _glob.glob(
-            _os.path.join(self.path, f"part-b{batchId}-*.jsonl")
-        ):
-            try:
-                _os.remove(stale)
-            except OSError:
-                pass
+        # replay sweep uses the same structural committed-file shape as
+        # the batch writer's replace_prefix sweep — a bare glob could
+        # cross into a longer sibling prefix's files (ADVICE r11)
+        _sweep_committed_prefix(self.path, f"part-b{batchId}-")
         _promote_and_sweep(self.path, self.job_id, messages, f"part-b{batchId}-")
 
     def abort(self, messages, batchId: int):  # noqa: N803

@@ -575,7 +575,15 @@ def test_stream_sink_replayed_batch_replaces_not_duplicates(tmp_path):
             self.tmp_path = p
 
     def stage(writer, content):
-        p = os.path.join(out, f"_staged-{writer.job_id}-t0.jsonl")
+        # mirror the real staging shape (_stage_partition: 32-hex task
+        # uuid) — the replay sweep matches only the full committed-file
+        # structure, so a fake with a non-hex task suffix would be
+        # (correctly) ignored by it
+        import uuid
+
+        p = os.path.join(
+            out, f"_staged-{writer.job_id}-{uuid.uuid4().hex}.jsonl"
+        )
         os.makedirs(out, exist_ok=True)
         with open(p, "w") as f:
             f.write(content)
