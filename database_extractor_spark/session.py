@@ -18,12 +18,47 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Named skew-handling conf profiles — the MEASURED playbook promoted to
+#: configuration (BASELINE.md "Round-11: measured skew handling";
+#: VERDICT r11 item 3). On the 15M-row/20%-hot-key fixture
+#: (scripts/skew_bench.py):
+#:
+#: - ``"aqe-tuned"`` — the measured WINNER (1.86x vs the straggler plan,
+#:   beating hand-salting's 1.73x with zero query rewrite): lower the
+#:   AQE skew-split threshold to the hot-partition scale so NARROW-ROW
+#:   skew splits too. The defaults (256m threshold) never fire on a
+#:   3M-row/~90MB hot partition — row skew that fits under the byte
+#:   threshold is exactly the 100TB failure mode. The 8m/4m values match
+#:   the measured table; at cluster scale set them to ~(hot partition
+#:   bytes)/4 the same way.
+#: - ``"aqe-default"`` — Spark's shipped skew-join settings, pinned
+#:   explicitly (the A/B reference point; measured 0.88x, i.e. noise —
+#:   the defaults don't fire on narrow-row skew).
+#:
+#: NOT a profile: salting aggregates (measured 0.53x — map-side partial
+#: aggregation already compresses hot keys; see the playbook's rule 1).
+#: Query-side salting for AQE-less joins lives in
+#: operators/relational.py::salted_join, not in session conf.
+SKEW_PROFILES: dict[str, dict[str, str]] = {
+    "aqe-tuned": {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    },
+    "aqe-default": {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    },
+}
+
 
 def get_spark(
     app_name: str = "database-extractor-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    skew_profile: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's default tuning.
 
@@ -31,7 +66,19 @@ def get_spark(
     shuffle partitions sized to cores rather than Spark's default 200 —
     at cluster scale callers pass their own master/conf and AQE coalescing
     corrects partition counts at runtime.
+
+    ``skew_profile``: a SKEW_PROFILES name ("aqe-tuned" / "aqe-default")
+    applying the measured skew playbook's confs; layered UNDER
+    ``extra_conf`` so callers can still override individual keys.
     """
+    if skew_profile is not None:
+        profile = SKEW_PROFILES.get(skew_profile)
+        if profile is None:
+            raise ValueError(
+                f"unknown skew_profile {skew_profile!r}; "
+                f"expected one of {sorted(SKEW_PROFILES)}"
+            )
+        extra_conf = {**profile, **(extra_conf or {})}
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
