@@ -8333,22 +8333,140 @@ def streaming_quality_gate(spark, sf_dir):
 # correlated top-k
 # ==========================================================================
 
-@register(
-    "ccnet_perplexity_buckets",
-    r"""
+#: Frozen 257-entry fixed-point log table: _LN_MICRO_TABLE[i] =
+#: round(1e6 * ln(1 + i/256)) for i = 0..256 (entry 256 = round(1e6*ln 2)
+#: = 693147, the per-octave step). Committed CONSTANTS (the _qc_weights
+#: discipline) — neither engine evaluates a transcendental at runtime,
+#: so there is NO libm in the ccnet lane at all (VERDICT r11 item 4).
+_LN_MICRO_TABLE = (
+    0, 3899, 7782, 11651, 15504, 19343, 23167, 26977, 30772, 34552,
+    38319, 42071, 45810, 49534, 53245, 56941, 60625, 64294, 67951,
+    71594, 75223, 78840, 82444, 86034, 89612, 93177, 96730, 100269,
+    103797, 107312, 110814, 114305, 117783, 121249, 124703, 128146,
+    131576, 134995, 138402, 141798, 145182, 148555, 151916, 155266,
+    158605, 161933, 165250, 168555, 171850, 175134, 178408, 181670,
+    184922, 188164, 191395, 194615, 197826, 201026, 204216, 207395,
+    210565, 213724, 216874, 220014, 223144, 226264, 229374, 232475,
+    235566, 238648, 241720, 244783, 247836, 250880, 253915, 256941,
+    259958, 262965, 265964, 268953, 271934, 274905, 277868, 280823,
+    283768, 286705, 289633, 292553, 295464, 298367, 301261, 304147,
+    307025, 309894, 312756, 315609, 318454, 321291, 324119, 326940,
+    329753, 332558, 335356, 338145, 340927, 343701, 346467, 349225,
+    351976, 354720, 357456, 360184, 362905, 365619, 368326, 371025,
+    373716, 376401, 379078, 381749, 384412, 387068, 389717, 392359,
+    394994, 397622, 400243, 402858, 405465, 408066, 410660, 413247,
+    415828, 418402, 420969, 423530, 426084, 428632, 431173, 433708,
+    436237, 438759, 441275, 443784, 446287, 448784, 451275, 453759,
+    456237, 458710, 461176, 463636, 466090, 468538, 470980, 473416,
+    475846, 478270, 480689, 483101, 485508, 487909, 490304, 492693,
+    495077, 497455, 499828, 502195, 504556, 506912, 509262, 511607,
+    513946, 516279, 518608, 520931, 523248, 525560, 527867, 530169,
+    532465, 534756, 537041, 539322, 541597, 543867, 546132, 548392,
+    550647, 552897, 555142, 557381, 559616, 561845, 564070, 566290,
+    568505, 570715, 572920, 575120, 577315, 579506, 581692, 583873,
+    586049, 588221, 590387, 592550, 594707, 596860, 599008, 601152,
+    603291, 605425, 607555, 609681, 611802, 613918, 616030, 618137,
+    620240, 622339, 624433, 626523, 628609, 630690, 632767, 634839,
+    636907, 638971, 641031, 643087, 645138, 647185, 649228, 651267,
+    653301, 655332, 657358, 659380, 661398, 663413, 665423, 667429,
+    669431, 671429, 673423, 675413, 677399, 679381, 681359, 683334,
+    685304, 687271, 689233, 691192, 693147,
+)
+
+
+def _lnq_micro(df, mcol: str, out: str):
+    """Attach ``out`` = integer fixed-point 1e6·ln(mcol) for a positive
+    bigint column, computed WITHOUT any transcendental function:
+
+    - octave: k = floor(log2 m) via length(bin(m)) - 1 (pure string/int);
+    - mantissa: r = m / 2^k ∈ [1, 2) — EXACT in double (division by a
+      power of two only rescales the exponent; m < 2^53), then
+      z = floor(r·2^24), also exact, splits into an 8-bit table index
+      and a 16-bit interpolation fraction;
+    - lnq = k·693147 + T[idx] + (T[idx+1] − T[idx])·frac div 65536 over
+      the frozen _LN_MICRO_TABLE — all integer ops.
+
+    Every step is either integer arithmetic or an IEEE-exact double op
+    (scale by 2^k, floor), so JVM and any SQL engine produce the SAME
+    integer bit-for-bit — the property the previous floor(ln·1e6) lane
+    could not guarantee across libms. Accuracy vs true 1e6·ln(m):
+    within ~10 (1e-5 nats) — measured max 9.4 over m ≤ 5000 plus spot
+    checks to 2^52; plenty for quality bucketing, and the value is the
+    SPEC, not an approximation of one."""
+    tab = F.array(*[F.lit(int(v)).cast("bigint") for v in _LN_MICRO_TABLE])
+    staged = (
+        df.withColumn("__lk", (F.length(F.bin(mcol)) - F.lit(1)).cast("int"))
+        .withColumn(
+            "__lz",
+            F.floor(
+                F.col(mcol).cast("double")
+                / F.expr("cast(shiftleft(cast(1 as bigint), __lk) as double)")
+                * F.lit(16777216.0)
+            ).cast("bigint"),
+        )
+        .withColumn("__lidx", F.expr("cast(shiftright(__lz, 16) as int) - 256"))
+        .withColumn("__lfrac", F.col("__lz") % F.lit(65536))
+        .withColumn("__ltab", tab)
+    )
+    lnq = (
+        F.col("__lk").cast("bigint") * F.lit(693147)
+        + F.element_at("__ltab", F.col("__lidx") + F.lit(1))
+        + F.expr(
+            "((element_at(__ltab, __lidx + 2) - element_at(__ltab, __lidx + 1))"
+            " * __lfrac) div 65536"
+        )
+    )
+    return staged.withColumn(out, lnq).drop(
+        "__lk", "__lz", "__lidx", "__lfrac", "__ltab"
+    )
+
+
+def _lnq_lane_sql(src: str, mcol: str, keep: str) -> str:
+    """DuckDB replay of _lnq_micro (same staged shape; `//` is DuckDB's
+    integer floor division, matching Spark's `div` on the nonnegative
+    operands here). Module-level so tests can rebuild the lane (e.g. the
+    scrambled-summation-order replay) without duplicating it."""
+    tab = "[" + ",".join(str(v) for v in _LN_MICRO_TABLE) + "]"
+    return f"""(
+        select {keep},
+               (cast(lk as bigint) * 693147
+                + lntab[lidx + 1]
+                + ((lntab[lidx + 2] - lntab[lidx + 1]) * lfrac) // 65536)
+                   as lnq
+        from (
+            select {keep}, lk,
+                   cast((lz >> 16) as int) - 256 as lidx,
+                   lz % 65536 as lfrac, lntab
+            from (
+                select {keep}, length(bin({mcol})) - 1 as lk,
+                       cast(floor(cast({mcol} as double)
+                            / cast(((1::bigint) << (length(bin({mcol})) - 1))
+                                   as double)
+                            * 16777216.0) as bigint) as lz,
+                       {tab} as lntab
+                from {src}
+            )
+        )
+    )"""
+
+
+def _ccnet_oracle() -> str:
+    lane = _lnq_lane_sql
+    return rf"""
     with toks as (
-        select doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) as token
         from documents
     ),
     freq as (select token, count(*) as c from toks group by 1),
     total as (select count(*) as total from toks),
+    lq_c as {lane("freq", "c", "token")},
+    lq_t as {lane("total", "total", "total")},
     lp as (
         select t.doc_id,
-               round(cast(sum(cast(floor(
-                          ln(cast(f.c as double) / total.total) * 1000000.0
-                          + 0.5) as bigint)) as double) / 1000000.0
+               round(cast(sum(lc.lnq - lt.lnq) as double) / 1000000.0
                      / count(*), 4) as avg_logprob
-        from toks t join freq f on t.token = f.token cross join total
+        from toks t join lq_c lc on t.token = lc.token cross join lq_t lt
         group by t.doc_id
     )
     select d.doc_id, d.lang, lp.avg_logprob,
@@ -8358,8 +8476,10 @@ def streaming_quality_gate(spark, sf_dir):
            end as bucket
     from documents d join lp using (doc_id)
     order by d.doc_id
-    """,
-)
+    """
+
+
+@register("ccnet_perplexity_buckets", _ccnet_oracle())
 def ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet-style quality bucketing (Wenzek et al. 2020, public): rank
     every document within its LANGUAGE by an LM score (here the corpus-
@@ -8373,46 +8493,38 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     lang-partitioned ntile(3) window over (score desc, doc_id) — a total
     order, so the tercile boundary is deterministic and the DuckDB
     replay is hash-identical. Because the score is the SORT KEY of that
-    window, it uses the _canonical_mean discipline (ADVICE r9), not
-    text_unigram_logprob's drift-then-round lane: each token's ln is
-    quantized to an integer (floor(lp*1e6 + 0.5) — |sum| ≲ 1.5e9, exact
-    in int64) BEFORE summing, so the per-doc sum is order-independent
-    and both engines divide and round the bit-identical double — a
-    near-boundary score can no longer flip a tercile label on FP
-    summation order. Residual cross-engine assumption (documented per
-    ADVICE r10): the quantization itself evaluates ln() in each engine
-    (JVM Math.log vs DuckDB libm), so a 1-ulp ln divergence landing
-    within 1 ulp of a .5e-6 quantization boundary could still shift one
-    token's lpq by 1 — both libms are correctly-rounded-to-≤1ulp and no
-    fixture token sits on a boundary, so this is accepted; if an oracle
-    mismatch ever surfaces on another libm, derive the sort key from
-    integer-only quantities (compare c/total rationals via cross-
-    multiplication) instead. Scale: the window partitions by language
-    (parallel across langs; within a language ntile is the same
-    sort-shuffle any per-lang ranking costs); no new shuffles beyond the
-    score's token aggregate."""
+    window, it uses the _canonical_mean discipline (ADVICE r9) taken to
+    its endpoint (VERDICT r11 item 4): each token's log-probability is
+    the INTEGER fixed-point lane of _lnq_micro — lnq(c) − lnq(total),
+    where lnq is bit-length + frozen-table interpolation, pure integer
+    and IEEE-exact ops only, NO libm call in either engine — so the
+    per-doc sum is an exact int64, order-independent, and both engines
+    divide and round the bit-identical double. The former lane's
+    residual assumption (JVM Math.log ≡ DuckDB ln to 1 ulp at a .5e-6
+    quantization boundary) is gone: there is nothing transcendental
+    left to diverge. Scale: lnq costs a handful of integer ops on the
+    FREQ table (|vocab| rows) and the 1-row total, not per token; the
+    window partitions by language (parallel across langs; within a
+    language ntile is the same sort-shuffle any per-lang ranking
+    costs); no new shuffles beyond the score's token aggregate."""
     toks = _tbl(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
     )
-    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("__total"))
+    freq = _lnq_micro(
+        toks.groupBy("token").agg(F.count("*").alias("c")), "c", "__clnq"
+    )
+    total = _lnq_micro(
+        toks.agg(F.count("*").alias("__total")), "__total", "__tlnq"
+    )
     lp = (
         toks.join(F.broadcast(freq), "token")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "lang",
-            F.floor(
-                F.log(
-                    F.col("c").cast("double") / F.col("__total").cast("double")
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("lpq"),
+            (F.col("__clnq") - F.col("__tlnq")).alias("lpq"),
         )
         .groupBy("doc_id", "lang")
         .agg(

@@ -282,9 +282,12 @@ def test_ccnet_score_is_order_independent_integer_lane(spark):
         f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}')"
     )
     # reversed-order integer summation — same result iff the lane is
-    # genuinely order-independent
+    # genuinely order-independent. Replays the r12 integer fixed-point
+    # log lane (no libm at all) via the registry's own lane builder.
+    from database_extractor_spark.registry import _lnq_lane_sql
+
     ref = con.execute(
-        r"""
+        rf"""
         with toks as (
             select doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\s+')) as token
@@ -292,11 +295,11 @@ def test_ccnet_score_is_order_independent_integer_lane(spark):
         ),
         freq as (select token, count(*) as c from toks group by 1),
         total as (select count(*) as total from toks),
+        lq_c as {_lnq_lane_sql("freq", "c", "token")},
+        lq_t as {_lnq_lane_sql("total", "total", "total")},
         per_tok as (
-            select t.doc_id,
-                   cast(floor(ln(cast(f.c as double) / total.total)
-                              * 1000000.0 + 0.5) as bigint) as lpq
-            from toks t join freq f on t.token = f.token cross join total
+            select t.doc_id, lc.lnq - lt.lnq as lpq
+            from toks t join lq_c lc on t.token = lc.token cross join lq_t lt
             order by lpq desc
         )
         select doc_id,
