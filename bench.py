@@ -120,6 +120,9 @@ SECONDARY = [
     # round-12 addition: batched BPE training (16 merges in 4 driver
     # round-trips; same vocab checkpoint + cached-merge discipline)
     "bpe_train_merges_batched",
+    # round-12 addition: batch-vs-corpus near-dup anti-join (the
+    # incremental MinHash flow; corpus never self-paired)
+    "dedup_incremental_minhash",
 ]
 
 

@@ -187,6 +187,49 @@ def with_minhash(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    num_hashes: int = 64,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Explode signatures to the (id, band, bucket) table LSH joins on:
+    each of ``bands`` bands of ``num_hashes/bands`` signature rows hashes
+    (md5, portable — DuckDB replays it verbatim) to a 60-bit bucket key,
+    an 8-byte shuffle key instead of the slice itself. This IS the
+    persisted state an incremental near-dup corpus keeps (see
+    :func:`incremental_minhash_dedup`); ``keep_cols`` are carried
+    through for callers that tag rows (e.g. corpus-vs-batch)."""
+    rpb = num_hashes // bands
+
+    def band_bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col(sig_col), b * rpb + 1, rpb), lambda v: v.cast("string")
+            ),
+        )
+        return portable_hash60(joined)
+
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, *keep_cols, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -207,34 +250,7 @@ def lsh_candidate_pairs(
     dropped — at that size the docs are duplicates of each other anyway
     and are better handled by the exact-dedup pass that precedes this.
     """
-    rpb = num_hashes // bands
-
-    def band_bucket(b: int) -> Column:
-        # md5 of the comma-joined band slice -> 60-bit int: portable
-        # (DuckDB replays it verbatim), and an 8-byte shuffle key instead
-        # of the slice itself
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col(sig_col), b * rpb + 1, rpb), lambda v: v.cast("string")
-            ),
-        )
-        return portable_hash60(joined)
-
-    banded = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = lsh_band_buckets(df, id_col, sig_col, bands, num_hashes)
 
     # cap pathological buckets (see docstring)
     sized = banded.withColumn(
@@ -325,6 +341,90 @@ def minhash_dedup(
     from database_extractor_spark.operators.relational import anti_join
 
     return anti_join(df, losers, on=id_col)
+
+
+def incremental_minhash_dedup(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    threshold: float = 0.7,
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — the production crawl sibling of the
+    exact-fingerprint anti-join: decide which NEW (batch) documents to
+    keep given a persisted corpus of MinHash signatures, without ever
+    re-pairing the corpus against itself.
+
+    Rule (the ``exact_groups=False`` pairwise rule of
+    :func:`minhash_dedup`): a batch doc is dropped iff it shares a band
+    bucket with — and estimates Jaccard >= ``threshold`` against — any
+    CORPUS doc, or any batch doc of smaller id. Corpus docs always
+    outrank batch docs regardless of id (they were there first).
+
+    Shapes at 100 TB: the corpus ships only its signature table
+    (``num_hashes`` x 8-byte lanes per doc; the band-bucket explosion of
+    it is exactly :func:`lsh_band_buckets` — the table a deployment
+    PERSISTS, bucketed on (band, bucket), so each daily batch equi-joins
+    its own tiny bucket table against it with no corpus reshuffle and no
+    corpus self-join). Candidate generation is batch-vs-all, never
+    all-pairs; within-bucket fan-out is capped at ``max_bucket`` counted
+    over corpus + batch TOGETHER — the running per-bucket count a real
+    deployment stores beside the bucket table. Verification joins
+    signatures for candidate pairs only.
+
+    Equivalence contract (tested): processing a corpus as batch 1 (empty
+    corpus) and a second batch against it yields exactly the survivors
+    of one full-corpus pairwise-rule run, provided no bucket crosses the
+    ``max_bucket`` boundary between the two runs (bucket caps are
+    evaluated as-of processing time, like any incremental statistic).
+
+    Returns the distinct surviving ``id_col`` values of ``batch_sigs``.
+    """
+    tagged = (
+        corpus_sigs.select(F.col(id_col), F.col(sig_col))
+        .withColumn("__new", F.lit(False))
+        .unionByName(
+            batch_sigs.select(F.col(id_col), F.col(sig_col)).withColumn(
+                "__new", F.lit(True)
+            )
+        )
+    )
+    bb = lsh_band_buckets(
+        tagged, id_col, sig_col, bands, num_hashes, keep_cols=("__new",)
+    )
+    sized = (
+        bb.withColumn("__bsize", F.count("*").over(__bucket_window()))
+        .filter(F.col("__bsize") <= max_bucket)
+        .drop("__bsize")
+    )
+    new_side = sized.filter(F.col("__new"))
+    cand = (
+        sized.alias("a")
+        .join(new_side.alias("b"), on=["band", "bucket"], how="inner")
+        .filter(
+            (~F.col("a.__new"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    dropped = (
+        estimate_jaccard(cand, tagged, id_col=id_col, sig_col=sig_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    from database_extractor_spark.operators.relational import anti_join
+
+    return anti_join(
+        batch_sigs.select(id_col).distinct(), dropped, on=id_col
+    )
 
 
 # --------------------------------------------------------------------------

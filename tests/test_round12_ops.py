@@ -206,6 +206,44 @@ def test_bpe_batched_defers_footprint_conflicts(spark, tmp_path):
     assert got == [(1, 1, "x", "y", "xy", 5), (2, 2, "xy", "z", "xyz", 5)]
 
 
+def test_incremental_minhash_equals_full_pairwise_run(spark):
+    """VERDICT r11 item 6's 'done' condition: processing the corpus as
+    batch 1 (against an empty corpus) and the new docs as batch 2
+    (against the corpus signature table) must reproduce EXACTLY the
+    survivors of one full-corpus pairwise-rule MinHash dedup
+    (minhash_dedup exact_groups=False)."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import dedup as D
+    from database_extractor_spark.registry import _tbl
+
+    docs = _tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    sigs = D.with_minhash(docs).persist()
+    try:
+        corpus = sigs.filter(F.col("doc_id") < 250)
+        batch = sigs.filter(F.col("doc_id") >= 250)
+        phase1 = {
+            r["doc_id"]
+            for r in D.incremental_minhash_dedup(corpus.limit(0), corpus).collect()
+        }
+        phase2 = {
+            r["doc_id"]
+            for r in D.incremental_minhash_dedup(corpus, batch).collect()
+        }
+        full = {
+            r["doc_id"]
+            for r in D.minhash_dedup(docs, exact_groups=False).select(
+                "doc_id"
+            ).collect()
+        }
+    finally:
+        sigs.unpersist(blocking=False)
+    assert phase1 | phase2 == full
+    assert phase1 and phase2  # both phases really kept something
+    # and the phases partition cleanly at the corpus/batch boundary
+    assert all(i < 250 for i in phase1) and all(i >= 250 for i in phase2)
+
+
 def test_ccnet_plan_contains_no_log_call(spark):
     """VERDICT r11 item 4's 'done' condition, plan-pinned: the ccnet
     scoring plan must contain NO logarithm evaluation — the former
