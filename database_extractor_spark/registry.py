@@ -1656,30 +1656,87 @@ def _cluster_balanced_oracle(rounds: int = 2, cap: int = 10) -> str:
     )
 
 
-#: trained quantizer state, keyed by fixture dir. Plain rounded floats —
-#: a pure deterministic function of the data (frozen init, fixed rounds),
-#: so entries are safe to reuse across SparkSessions, unlike the cached
-#: DataFrame the pre-round-8 ml.KMeans index held.
+#: trained quantizer state, keyed by fixture CONTENT fingerprint (memory
+#: layer over the on-disk JSON artifact — see _trained_model). Plain
+#: rounded floats — a pure deterministic function of the data (frozen
+#: init, fixed rounds), so entries are safe to reuse across
+#: SparkSessions, unlike the cached DataFrame the pre-round-8 ml.KMeans
+#: index held.
 _TRAINED_IVF_CACHE: dict[str, list] = {}
 _TRAINED_PQ_CACHE: dict[str, list] = {}
 
-#: materialized index halves (IVF assignment / PQ codes), persisted per
-#: (kind, fixture dir). An ANN index is persisted state queried many
-#: times; without this every query re-pays n_lists x dim (IVF) or
-#: m x k x sub (PQ) multiply-adds PER ROW just to rebuild the index —
-#: measured 6.5 s vs 0.6 s per PQ search at sf0.1. A cached DataFrame is
-#: bound to the session that built it, so lookups session-check and
-#: rebuild on mismatch (the r4 lesson, test-pinned).
+#: materialized index halves (IVF assignment / PQ codes) — memory layer
+#: (per session) over the shared on-disk parquet artifact. An ANN index
+#: is persisted state queried many times; without the artifact every
+#: query re-pays n_lists x dim (IVF) or m x k x sub (PQ) multiply-adds
+#: PER ROW just to rebuild the index — measured 6.5 s vs 0.6 s per PQ
+#: search at sf0.1. A cached DataFrame is bound to the session that
+#: built it, so lookups session-check and re-READ (not re-build) on
+#: mismatch (the r4 lesson, test-pinned; disk reuse since r12 —
+#: VERDICT r11 item 7).
 _ANN_INDEX_CACHE: dict = {}
 
 
+def _trained_model(kind: str, sf_dir: str, mem_cache: dict, train) -> list:
+    """Trained model state (IVF centroids / PQ codebooks) with the full
+    deployment lifecycle (VERDICT r11 item 7): train ONCE per fixture
+    CONTENT, persist to a shared JSON artifact (atomic tmp+rename, the
+    DPP-lake discipline), and let every later session — bench, pytest,
+    driver, each a cold process — load the artifact instead of
+    retraining. JSON round-trips doubles exactly (repr shortest-form),
+    so loaded state is bit-identical to trained state; keyed by content
+    fingerprint so a regenerated fixture retrains instead of serving
+    stale centroids."""
+    import json
+
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
+    hit = mem_cache.get(fp)
+    if hit is not None:
+        return hit
+    path = os.path.join(tempfile.gettempdir(), f"ann_model_{kind}_{fp}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            model = json.load(f)
+    else:
+        model = train()
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(model, f)
+        os.replace(tmp, path)
+    mem_cache[fp] = model
+    return model
+
+
 def _cached_ann_index(kind: str, sf_dir: str, spark: SparkSession, build):
-    key = (kind, sf_dir)
+    """Materialized index half with the same persist-to-disk lifecycle
+    as _trained_model: built ONCE per fixture content and written to a
+    shared parquet artifact; any session (including a cold one) READS
+    the artifact instead of recomputing the assignment/encode scan.
+    Atomic staging-dir rename: two racing sessions cannot interleave
+    writes — the loser keeps the winner's complete artifact."""
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
+    key = (kind, fp)
     cached = _ANN_INDEX_CACHE.get(key)
-    if cached is None or cached.sparkSession is not spark:
-        cached = build().persist()
-        _ANN_INDEX_CACHE[key] = cached
-    return cached
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    path = os.path.join(tempfile.gettempdir(), f"ann_index_{kind}_{fp}", "data")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        stage = os.path.join(
+            tempfile.mkdtemp(prefix=f"ann_stage_{kind}_{fp}_"), "data"
+        )
+        build().write.mode("overwrite").parquet(stage)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            import shutil
+
+            shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+    df = spark.read.parquet(path).persist()
+    _ANN_INDEX_CACHE[key] = df
+    return df
 
 
 @register("sim_ivf_kmeans", _ivf_kmeans_oracle())
@@ -1700,10 +1757,12 @@ def sim_ivf_kmeans(spark, sf_dir):
     in tests/test_llm_ops.py."""
     e = _tbl(spark, sf_dir, "embeddings")
     q, _ = _fixture_query_vec(sf_dir)
-    cents = _TRAINED_IVF_CACHE.get(sf_dir)
-    if cents is None:
-        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
-        _TRAINED_IVF_CACHE[sf_dir] = cents
+    cents = _trained_model(
+        "ivf",
+        sf_dir,
+        _TRAINED_IVF_CACHE,
+        lambda: S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2),
+    )
     assigned = _cached_ann_index(
         "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
     )
@@ -1726,10 +1785,12 @@ def cluster_balanced_sample(spark, sf_dir):
     Oracle replays Lloyd training (shared CTE prefix), assignment, and
     the per-cluster rank."""
     e = _tbl(spark, sf_dir, "embeddings")
-    cents = _TRAINED_IVF_CACHE.get(sf_dir)
-    if cents is None:
-        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
-        _TRAINED_IVF_CACHE[sf_dir] = cents
+    cents = _trained_model(
+        "ivf",
+        sf_dir,
+        _TRAINED_IVF_CACHE,
+        lambda: S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2),
+    )
     assigned = _cached_ann_index(
         "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
     )
@@ -1803,10 +1864,12 @@ def semdedup_prune(spark, sf_dir):
     sum(cluster_size^2) = n * avg_cluster_size. The cluster granularity
     knob is exactly the df-cap/banding lever the other dedups use."""
     e = _tbl(spark, sf_dir, "embeddings")
-    cents = _TRAINED_IVF_CACHE.get(sf_dir)
-    if cents is None:
-        cents = S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2)
-        _TRAINED_IVF_CACHE[sf_dir] = cents
+    cents = _trained_model(
+        "ivf",
+        sf_dir,
+        _TRAINED_IVF_CACHE,
+        lambda: S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2),
+    )
     assigned = _cached_ann_index(
         "ivf", sf_dir, spark, lambda: S.ivf_assign(e, cents)
     )
@@ -1963,10 +2026,12 @@ def sim_pq_topk(spark, sf_dir):
     near-dup retrieval and exact-L2 recall pinned in tests/test_llm_ops.py."""
     e = _tbl(spark, sf_dir, "embeddings")
     q, _ = _fixture_query_vec(sf_dir)
-    books = _TRAINED_PQ_CACHE.get(sf_dir)
-    if books is None:
-        books = S.lloyd_rounds_pq(e, _fixture_seed_vecs(sf_dir), m=8, rounds=2)
-        _TRAINED_PQ_CACHE[sf_dir] = books
+    books = _trained_model(
+        "pq",
+        sf_dir,
+        _TRAINED_PQ_CACHE,
+        lambda: S.lloyd_rounds_pq(e, _fixture_seed_vecs(sf_dir), m=8, rounds=2),
+    )
     encoded = _cached_ann_index(
         "pq", sf_dir, spark, lambda: S.pq_encode(e, books, m=8)
     )

@@ -244,6 +244,61 @@ def test_incremental_minhash_equals_full_pairwise_run(spark):
     assert all(i < 250 for i in phase1) and all(i >= 250 for i in phase2)
 
 
+def test_fresh_session_reuses_on_disk_ann_index(spark):
+    """VERDICT r11 item 7's 'done' condition: after one session trains
+    and persists the IVF/PQ model + index artifacts, a FRESH session
+    (new SparkSession, empty in-memory caches) must serve the entries by
+    LOADING the artifacts — any call into a trainer or index builder is
+    a failure — and produce identical results."""
+    import database_extractor_spark.registry as R
+    from database_extractor_spark.operators import similarity as S
+
+    r1 = {
+        n: [tuple(r) for r in R.QUERIES[n](spark, SF_DIR).collect()]
+        for n in ("sim_ivf_kmeans", "sim_pq_topk")
+    }
+    # artifacts must now exist on disk
+    import tempfile
+
+    fp = R._parquet_fingerprint(SF_DIR, "embeddings")
+    for art in (f"ann_model_ivf_{fp}.json", f"ann_model_pq_{fp}.json"):
+        assert os.path.exists(os.path.join(tempfile.gettempdir(), art)), art
+    for kind in ("ivf", "pq"):
+        assert os.path.exists(
+            os.path.join(
+                tempfile.gettempdir(), f"ann_index_{kind}_{fp}", "data", "_SUCCESS"
+            )
+        )
+
+    R._TRAINED_IVF_CACHE.clear()
+    R._TRAINED_PQ_CACHE.clear()
+    R._ANN_INDEX_CACHE.clear()
+
+    def boom(name):
+        def _raise(*a, **k):
+            raise AssertionError(f"{name} retrained in a fresh session")
+
+        return _raise
+
+    saved = {
+        n: getattr(S, n)
+        for n in ("lloyd_rounds_cosine", "lloyd_rounds_pq", "ivf_assign", "pq_encode")
+    }
+    fresh = spark.newSession()
+    try:
+        for n in saved:
+            setattr(S, n, boom(n))
+        r2 = {
+            n: [tuple(r) for r in R.QUERIES[n](fresh, SF_DIR).collect()]
+            for n in ("sim_ivf_kmeans", "sim_pq_topk")
+        }
+    finally:
+        for n, fn in saved.items():
+            setattr(S, n, fn)
+        R._ANN_INDEX_CACHE.clear()  # drop frames bound to the throwaway session
+    assert r1 == r2
+
+
 def test_ccnet_plan_contains_no_log_call(spark):
     """VERDICT r11 item 4's 'done' condition, plan-pinned: the ccnet
     scoring plan must contain NO logarithm evaluation — the former
