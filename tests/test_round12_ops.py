@@ -299,6 +299,62 @@ def test_fresh_session_reuses_on_disk_ann_index(spark):
     assert r1 == r2
 
 
+def test_funnel_ledger_replaces_part_file_rereads(spark, tmp_path):
+    """VERDICT r11 item 9: the funnel's cross-batch state now lives in a
+    running ledger; committed part files are only a restart fallback.
+    Proof: after batches 0 and 1 commit, HIDE batch 0's part files —
+    batch 2 must still honor batch 0's dedup set and quota usage (state
+    served from the ledger, no per-batch re-read of all prior files)."""
+    import glob
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import database_extractor_spark.registry as R
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    docs = R._tbl(spark, SF_DIR, "documents").filter(F.col("doc_id") >= 250)
+    corpus = R._funnel_corpus_fp(spark, SF_DIR)
+
+    b0 = docs.filter("doc_id < 300")
+    b1 = docs.filter("doc_id >= 300 and doc_id < 350")
+    # batch 2 re-sends batch 0's docs plus some fresh ones: the resend
+    # must be suppressed by batch 0's fingerprints
+    b2 = b0.unionByName(docs.filter("doc_id >= 350 and doc_id < 400"))
+
+    R._stream_funnel_batch(spark, b0, 0, corpus, out)
+    R._stream_funnel_batch(spark, b1, 1, corpus, out)
+    emitted01 = {
+        json.loads(line)["fp"]
+        for f in glob.glob(os.path.join(out, "part-b*.jsonl"))
+        for line in open(f)
+        if line.strip()
+    }
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    for f in glob.glob(os.path.join(out, "part-b0-*.jsonl")):
+        shutil.move(f, hidden)
+
+    R._stream_funnel_batch(spark, b2, 2, corpus, out)
+    b2_rows = [
+        json.loads(line)
+        for f in glob.glob(os.path.join(out, "part-b2-*.jsonl"))
+        for line in open(f)
+        if line.strip()
+    ]
+    assert b2_rows, "batch 2 emitted nothing"
+    # no fingerprint emitted by batches 0/1 re-entered via batch 2
+    assert not ({r["fp"] for r in b2_rows} & emitted01)
+    # every batch-0 doc resent in batch 2 was suppressed by LEDGER state
+    b0_ids = {r[0] for r in b0.select("doc_id").collect()}
+    assert not ({r["doc_id"] for r in b2_rows} & b0_ids)
+    R._FUNNEL_LEDGER.pop(out, None)
+
+
 def test_ccnet_plan_contains_no_log_call(spark):
     """VERDICT r11 item 4's 'done' condition, plan-pinned: the ccnet
     scoring plan must contain NO logarithm evaluation — the former
