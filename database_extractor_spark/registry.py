@@ -7649,14 +7649,26 @@ def _parquet_fingerprint(sf_dir: str, table: str) -> str:
     different key, so stale trained state (DPP lake layout, BPE merges,
     IVF/PQ codebooks) can never be served against new data (ADVICE
     r8/r9/r11)."""
+    import glob as _glob
     import hashlib
 
     src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
-    st = os.stat(src)
-    with open(src, "rb") as f:
-        f.seek(max(0, st.st_size - 65536))
-        tail = f.read(65536)
-    return hashlib.md5(f"{src}|{st.st_size}|".encode() + tail).hexdigest()[:16]
+    # a scaled fixture's table is a multi-part DIRECTORY (.sf1/.sf10 via
+    # make_scaled_fixture); fold every part's (name, size, footer) into
+    # one digest, sorted for determinism — still only 64 KiB per part
+    parts = (
+        sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    h = hashlib.md5(src.encode())
+    for p in parts:
+        st = os.stat(p)
+        with open(p, "rb") as f:
+            f.seek(max(0, st.st_size - 65536))
+            tail = f.read(65536)
+        h.update(f"|{os.path.basename(p)}|{st.st_size}|".encode() + tail)
+    return h.hexdigest()[:16]
 
 
 def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
@@ -10135,68 +10147,68 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-11 front (VERDICT r10 item 5): the round's ONE new
-    # entry, the entries this round's hardening touched, then the
-    # ENTIRE 46-entry r06 cohort (the oldest remaining driver rows —
-    # the O1–O21 parity block, the asof joins, the early
-    # windows/TPC-H/sets, sim_ann_lsh, …). 1 + 3 + 46 = 50 = the
-    # driver's window, so after this round no entry's most recent
-    # driver row predates r07; the 47-entry r07 cohort rotates in
-    # round 12. ccnet_perplexity_buckets keeps its r10 row
-    # (docstring-only change this round).
-    "bpe_train_merges",           # NEW r11: full BPE training loop
-    "streaming_curation_funnel",  # r11: corpus_fp materialized once,
-    #                               foreign-part-file skip in read-back
-    "arrow_batch_normalize",      # r11: vector_dim empty-batch guard
-    "corpus_curation_funnel",     # bench-drift watch (VERDICT r10 perf
-    #                               note): fresh row + fresh timing
-    # r06 cohort (46):
-    "asof_join",
-    "asof_join_forward",
-    "asof_join_tolerance",
-    "crosslingual_pair_mining",
-    "datetime_funcs",
-    "embedding_pca_power_iteration",
-    "flagship_day_extract",
-    "o01_scan_project",
-    "o02_time_range_filter",
-    "o03_time_shift_hours",
-    "o03b_time_shift_zone",
-    "o04_row_predicate",
-    "o05_pivot_minute",
-    "o07_multi_sort",
-    "o08_downsample_1s_last",
-    "o08b_downsample_avg_minute",
-    "o09_drop_columns",
-    "o11_drop_allnull_rows",
-    "o12_guard_min_rows",
-    "o13_sink_roundtrip",
-    "o15_time_endpoints",
-    "o16_deltatime_algebra",
-    "o17_shift_string_time",
-    "o18_tz_offset_dst",
-    "o19_day_partition_counts",
-    "o20_datetime_list",
-    "o21_config_roundtrip",
-    "sentence_dedup",
-    "series_correlation",
-    "set_except_all",
-    "set_intersect_all",
-    "sim_ann_lsh",
-    "streaming_python_datasource",
-    "text_pii_scrub",
-    "time_weighted_avg",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_customers",
-    "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "ts_integral",
-    "window_analytics",
-    "window_lag",
-    "window_rank",
-    "window_running_sum",
+    # ---- round-12 front (VERDICT r11 item 8): the two NEW entries,
+    # the five entries whose behavior this round changed (integer-log
+    # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
+    # artifacts), then 43 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 7 + 43 = 50 = the driver's window; the 4
+    # deferred r07 entries (bpe_pair_counts, csv/json_source_roundtrip,
+    # ffill_resample — all cheap, stable, and pytest-covered) plus this
+    # round's lower-risk touched entries (semdedup_prune,
+    # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
+    # changes, re-verified by the local 236/236 full sweep) front-load
+    # round 13.
+    "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
+    "bpe_train_merges_batched",  # NEW r12: batched BPE training
+    "dedup_incremental_minhash",  # NEW r12: batch-vs-corpus near-dup
+    "streaming_curation_funnel",  # r12: running-ledger state rewrite
+    "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
+    "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
+    "sim_pq_topk",  # r12: disk-persisted model + index artifacts
+    # r07 cohort (43 of 47):
+    "dedup_containment_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "graph_triangle_count",
+    "jdbc_source_roundtrip",
+    "mmr_diversified_topk",
+    "multimodal_frame_sample",
+    "orc_source_roundtrip",
+    "pagerank_event_graph",
+    "pit_join_scd2",
+    "session_windows",
+    "sim_ivf_fixed",
+    "sim_pq_fixed",
+    "skyline_pareto_frontier",
+    "sliding_window_counts",
+    "sql_recursive_spine",
+    "streaming_dedup",
+    "streaming_event_counts",
+    "streaming_hopping_counts",
+    "streaming_incremental_sink",
+    "streaming_join_static",
+    "streaming_merge_upsert",
+    "streaming_session_windows",
+    "streaming_stateful_first_seen",
+    "streaming_stream_stream_join",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "ts_outlier_zscore",
+    "variant_semi_structured",
+    "window_ntile_percentiles",
 ]
 
 

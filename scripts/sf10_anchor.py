@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--dir", default="/root/repo/.sf10")
     ap.add_argument("--single-run-above", type=float, default=120.0)
     ap.add_argument(
+        "--anchors",
+        default=None,
+        help="comma-separated entry names to time instead of the default "
+        "five (round-12: semdedup_prune,dedup_exact_substring_apply)",
+    )
+    ap.add_argument(
         "--shuffle-partitions",
         type=int,
         default=128,
@@ -59,8 +65,9 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    anchors = args.anchors.split(",") if args.anchors else ANCHORS
     res: dict[str, float] = {}
-    for name in ANCHORS:
+    for name in anchors:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, args.dir).write.format("noop").mode("overwrite").save()
