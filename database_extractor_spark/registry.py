@@ -1458,6 +1458,195 @@ def sim_ivf_fixed(spark, sf_dir):
     )
 
 
+#: the frozen recall-eval query set (vec_id 0 plus the first seven
+#: non-seed corpus ids): a SAMPLED query panel, the standard way ANN
+#: index quality is measured — exact top-k is affordable for a panel,
+#: never for every query
+_RECALL_QUERY_IDS = [0, 17, 18, 19, 20, 21, 22, 23]
+
+_RECALL_ORACLE = f"""
+    with e as (
+        select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
+        from embeddings
+    ),
+    q as (
+        select vec_id as qid, v as qv from e
+        where vec_id in ({", ".join(str(i) for i in _RECALL_QUERY_IDS)})
+    ),
+    s as (
+        select vec_id as sid, v as sv from e
+        where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    exact as (
+        select q.qid, e.vec_id
+        from e join q on e.vec_id <> q.qid
+        qualify row_number() over (partition by q.qid order by
+            round(list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            e.vec_id) <= 10
+    ),
+    a as (
+        select e.vec_id, s.sid,
+               list_dot_product(e.v, s.sv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(s.sv, s.sv))) as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a
+        qualify row_number() over (partition by vec_id order by c desc, sid) = 1
+    ),
+    probes as (
+        select q.qid, s.sid from s cross join q
+        qualify row_number() over (partition by q.qid order by
+            list_dot_product(s.sv, q.qv)
+              / (sqrt(list_dot_product(s.sv, s.sv))
+                 * sqrt(list_dot_product(q.qv, q.qv))) desc,
+            s.sid) <= 4
+    ),
+    ann as (
+        select p.qid, e.vec_id
+        from e
+          join assign on e.vec_id = assign.vec_id
+          join probes p on assign.list_id = p.sid
+          join q on q.qid = p.qid
+        where e.vec_id <> p.qid
+        qualify row_number() over (partition by p.qid order by
+            round(list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            e.vec_id) <= 10
+    )
+    select x.qid as query_id,
+           cast(sum(case when n.vec_id is not null then 1 else 0 end) as bigint)
+               as hits,
+           round(sum(case when n.vec_id is not null then 1 else 0 end) / 10.0, 6)
+               as recall_at_10
+    from exact x left join ann n on x.qid = n.qid and x.vec_id = n.vec_id
+    group by x.qid order by query_id
+"""
+
+
+_RECALL_QVEC_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _fixture_recall_queries(sf_dir: str) -> list[tuple[int, list[float]]]:
+    """(vec_id, embedding) of the frozen recall-eval query panel, read
+    driver-side via pyarrow and cached per sf_dir (an 8-row parameter
+    lookup, same pattern as _fixture_seed_vecs)."""
+    if sf_dir not in _RECALL_QVEC_CACHE:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", _RECALL_QUERY_IDS)],
+        ).to_pylist()
+        rows.sort(key=lambda r: r["vec_id"])
+        _RECALL_QVEC_CACHE[sf_dir] = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+        ]
+    return _RECALL_QVEC_CACHE[sf_dir]
+
+
+@register("sim_recall_eval", _RECALL_ORACLE)
+def sim_recall_eval(spark, sf_dir):
+    """ANN index QUALITY EVAL: recall@10 of the frozen-seed IVF (nprobe=4,
+    sim_ivf_fixed's quantizer) against exact brute-force cosine top-10,
+    over the frozen 8-query panel — the measurement loop every production
+    vector index ships with (recall/QPS curves are measured on a sampled
+    query panel exactly like this; exact search is affordable for a
+    panel, never per live query). One plan computes both sides: the
+    exact arm EXPLODES a literal (qid, cosine) struct array over a
+    single corpus scan — the panel vectors are plan literals, so there
+    is NO join at all (the row's norm is folded once and shared across
+    all 8 queries, see cosine_to_literal); the ANN arm reuses the
+    materializable IVF assignment (argmax over 16 seed literals, a
+    scan+project) pruned by a broadcast 32-row (query, probe) table —
+    scored rows ~= N * nprobe / n_lists per query. Recall is a
+    10-row-per-query left join. At 100 TB the exact arm stays ONE full
+    scan for the whole panel (corpus never shuffled) and the ANN arm
+    scans only probed lists — this is the eval you run once per index
+    build, not per query. Both ranked arms round cosines to 6 dp before
+    ranking with a vec_id tiebreak, the discipline that keeps the
+    DuckDB replay hash-identical (see sim_ivf_fixed)."""
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+
+    # exact arm: one corpus scan, the panel as plan literals — per row,
+    # one shared norm fold + 8 dot folds, exploded to (qid, cos) rows
+    ex_structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.round(
+                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
+            ).alias("c"),
+        )
+        for qid, qv in panel
+    ]
+    exact = (
+        e.withColumn("__vn", S.l2_norm(F.col("v")))
+        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    # ANN arm: IVF assignment (scan+project) pruned to each query's 4
+    # nearest lists via a broadcast (qid, sid) probe table; both joins
+    # are equi-joins (BroadcastHashJoin), never nested-loop
+    q = e.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    seeds = _fixture_seed_vecs(sf_dir)
+    probe_rows = []
+    for qid, qv in _fixture_recall_queries(sf_dir):
+        ranked = sorted(
+            ((S._pycos(qv, vec), int(sid)) for sid, vec in seeds),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe_rows.extend((qid, sid) for _, sid in ranked[:4])
+    probe_df = spark.createDataFrame(probe_rows, "qid int, sid int")
+
+    ann = (
+        S.ivf_assign(e, seeds, vec_col="v")
+        .join(F.broadcast(probe_df), F.col("__list") == F.col("sid"))
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("ann_id"), F.lit(1).alias("hit"))
+    )
+
+    return (
+        exact.join(
+            ann,
+            (exact["qid"] == ann["qid"]) & (exact["vec_id"] == ann["ann_id"]),
+            "left",
+        )
+        .groupBy(exact["qid"])
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "hits",
+            F.round(F.col("hits") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _pq_fixed_oracle(m: int = 8, sub: int = 8, rerank: int = 100) -> str:
     """DuckDB oracle for sim_pq_fixed: replays encode (argmin over the 16
     sampled codewords per subspace, dot-identity distances), the ADC
@@ -9835,12 +10024,11 @@ def _bpe_apply_merge(w, a: str, b: str):
     return w.select(s.alias("s"), "wc")
 
 
-def _bpe_train_oracle(rounds: int = 3) -> str:
-    """DuckDB replay of the full training loop, rounds unrolled as
-    chained CTEs (the pagerank/Lloyd discipline): per round, pair counts
-    from the current spaced vocab, argmax with the (count desc, a, b)
-    tiebreak, then the same 4-pass replace applied via a 1-row cross
-    join."""
+def _bpe_train_ctes(rounds: int = 3) -> str:
+    """The training-loop CTE chain (w0, then per round c{r} pair counts,
+    b{r} argmax, w{r<rounds} merged vocab) — shared by the train oracle
+    (which selects the merges) and the encode oracle (which applies
+    them to the corpus)."""
     parts = [
         r"""
     with w0 as (
@@ -9876,14 +10064,100 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
                 )
             parts.append(f"""
     , w{r} as (select {rep} as s, wc from w{r - 1}, b{r})""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """DuckDB replay of the full training loop, rounds unrolled as
+    chained CTEs (the pagerank/Lloyd discipline): per round, pair counts
+    from the current spaced vocab, argmax with the (count desc, a, b)
+    tiebreak, then the same 4-pass replace applied via a 1-row cross
+    join."""
     selects = " union all ".join(
         f"select {r} as merge_rank, a as left_sym, b as right_sym,"
         f" a || b as merged, pair_count from b{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append(f"""
-    select * from ({selects}) order by merge_rank""")
-    return "".join(parts)
+    return (
+        _bpe_train_ctes(rounds)
+        + f"""
+    select * from ({selects}) order by merge_rank"""
+    )
+
+
+def _bpe_encode_oracle(rounds: int = 3) -> str:
+    """DuckDB replay of train-then-ENCODE: the training CTE chain yields
+    merges b1..b{rounds}; encoding folds them (in rank order, same
+    4-pass non-overlapping replace) over the DISTINCT-word table via a
+    list_reduce lambda, then joins token counts back to per-(doc, word)
+    frequencies — the vocab-encode-then-join shape the engine uses."""
+    p = "' ' || split_part(x,'|',1) || ' ' || split_part(x,'|',2) || ' '"
+    q = "' ' || split_part(x,'|',1) || split_part(x,'|',2) || ' '"
+    rep = "acc"
+    for _ in range(_BPE_REPLACE_PASSES):
+        rep = f"replace({rep}, {p}, {q})"
+    merge_union = " union all ".join(
+        f"select {r} as rk, a, b from b{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        _bpe_train_ctes(rounds)
+        + f"""
+    , m as ({merge_union})
+    , dw as (
+        select doc_id, word, cast(count(*) as bigint) as n from (
+            select doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) as word
+            from documents
+        ) where word <> '' group by doc_id, word
+    )
+    , vw as (
+        select word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') as s
+        from (select distinct word from dw)
+    )
+    , enc as (
+        select word,
+               list_reduce(
+                 list_prepend(s, (select coalesce(
+                     list(a || '|' || b order by rk), []::varchar[]) from m)),
+                 (acc, x) -> {rep}) as s
+        from vw
+    )
+    select dw.doc_id,
+           cast(sum(dw.n) as bigint) as n_words,
+           cast(sum(dw.n * len(string_split(trim(enc.s), ' '))) as bigint)
+               as n_tokens
+    from dw join enc using (word)
+    group by dw.doc_id order by dw.doc_id"""
+    )
+
+
+def _bpe_trained_merges(spark, sf_dir, w, rounds: int = 3):
+    """Run (or fetch from the per-content-fingerprint cache) the canonical
+    one-merge-per-round BPE training loop over the checkpointed spaced
+    vocab ``w``; returns the ordered merge list [(rank, a, b), ...].
+    Shared by bpe_train_merges (which re-derives each merge's count for
+    the oracle check) and bpe_encode_tokens (which applies the trained
+    merges to encode the corpus)."""
+    fp = _parquet_fingerprint(sf_dir, "documents")
+    merges = _TRAINED_BPE_CACHE.get(fp)
+    if merges is None:
+        merges, cur = [], w
+        for r in range(1, rounds + 1):
+            best = (
+                _bpe_adjacent_counts(cur)
+                .orderBy(F.desc("pair_count"), "a", "b")
+                .first()
+            )
+            if best is None:
+                # every multi-symbol word fused in fewer than `rounds`
+                # rounds — no pairs left to merge. Stop training; the
+                # result has one row per completed round, matching the
+                # oracle, whose later b{r} CTEs are simply empty.
+                break
+            merges.append((r, best["a"], best["b"]))
+            cur = _bpe_apply_merge(cur, best["a"], best["b"])
+        _TRAINED_BPE_CACHE[fp] = merges
+    return merges
 
 
 @register("bpe_train_merges", _bpe_train_oracle())
@@ -9906,26 +10180,8 @@ def bpe_train_merges(spark, sf_dir):
     replace, see _BPE_REPLACE_PASSES) is pinned cross-engine by the
     oracle and against a pure-Python replay in
     tests/test_round11_ops.py."""
-    fp = _parquet_fingerprint(sf_dir, "documents")
-    merges = _TRAINED_BPE_CACHE.get(fp)
     w = _bpe_words(spark, sf_dir)
-    if merges is None:
-        merges, cur = [], w
-        for r in range(1, 4):
-            best = (
-                _bpe_adjacent_counts(cur)
-                .orderBy(F.desc("pair_count"), "a", "b")
-                .first()
-            )
-            if best is None:
-                # every multi-symbol word fused in fewer than 3 rounds —
-                # no pairs left to merge. Stop training; the result has
-                # one row per completed round, matching the oracle,
-                # whose later b{r} CTEs are simply empty.
-                break
-            merges.append((r, best["a"], best["b"]))
-            cur = _bpe_apply_merge(cur, best["a"], best["b"])
-        _TRAINED_BPE_CACHE[fp] = merges
+    merges = _bpe_trained_merges(spark, sf_dir, w)
     if not merges:
         return spark.createDataFrame(
             [],
@@ -9948,6 +10204,55 @@ def bpe_train_merges(spark, sf_dir):
         out = row if out is None else out.unionByName(row)
         cur = _bpe_apply_merge(cur, a, b)
     return out.orderBy("merge_rank")
+
+
+@register("bpe_encode_tokens", _bpe_encode_oracle())
+def bpe_encode_tokens(spark, sf_dir):
+    """BPE ENCODE — the serving half of the tokenizer loop (train is
+    bpe_train_merges; this entry applies the trained merges to count
+    tokens per document, the statistic every training-data pipeline
+    budgets by). The scale move is encode-the-VOCAB-not-the-corpus:
+    the trained merges (3, from the shared per-content-fingerprint
+    cache) fold over the DISTINCT-word table as narrow 4-pass string
+    replaces (zipfian-small — merge work is bounded by |vocab|, not
+    corpus tokens), and per-document token counts come from ONE
+    equi-join of per-(doc, word) frequencies to that encoded vocab plus
+    a sum — at 100 TB the corpus is touched twice (tokenize, join),
+    never string-rewritten row by row. Unlike training's vocab
+    (len>=2 words), encoding covers every nonempty word: single-char
+    words are single tokens. The oracle replays training AND encoding
+    (merges folded via list_reduce in rank order), so a drift in either
+    half breaks the hash."""
+    w = _bpe_words(spark, sf_dir)
+    merges = _bpe_trained_merges(spark, sf_dir, w)
+    docs = _tbl(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word"),
+    ).filter(F.col("word") != "")
+    dw = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "s", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+        )
+    )
+    s = F.col("s")
+    for _, a, b in merges:
+        pat, repl = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        for _ in range(_BPE_REPLACE_PASSES):
+            s = F.replace(s, pat, repl)
+    enc = vocab.select("word", F.size(F.split(F.trim(s), " ")).alias("tok"))
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("tok")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ==========================================================================
@@ -10147,17 +10452,19 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the two NEW entries,
+    # ---- round-12 front (VERDICT r11 item 8): the four NEW entries,
     # the five entries whose behavior this round changed (integer-log
     # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 43 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 7 + 43 = 50 = the driver's window; the 4
-    # deferred r07 entries (bpe_pair_counts, csv/json_source_roundtrip,
-    # ffill_resample — all cheap, stable, and pytest-covered) plus this
-    # round's lower-risk touched entries (semdedup_prune,
-    # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
-    # changes, re-verified by the local 236/236 full sweep) front-load
-    # round 13.
+    # artifacts), then 41 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 9 + 41 = 50 = the driver's window; the 6
+    # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc
+    # source roundtrips, ffill_resample — all cheap, stable, and
+    # pytest-covered) plus this round's lower-risk touched entries
+    # (semdedup_prune, cluster_balanced_sample, dedup_minhash_pairs —
+    # shared-helper changes, re-verified by the local full sweep)
+    # front-load round 13.
+    "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
+    "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
     "dedup_incremental_minhash",  # NEW r12: batch-vs-corpus near-dup
@@ -10170,10 +10477,8 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "graph_triangle_count",
-    "jdbc_source_roundtrip",
     "mmr_diversified_topk",
     "multimodal_frame_sample",
-    "orc_source_roundtrip",
     "pagerank_event_graph",
     "pit_join_scd2",
     "session_windows",

@@ -366,3 +366,146 @@ def test_ccnet_plan_contains_no_log_call(spark):
     df = E.queries()["ccnet_perplexity_buckets"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"\bLOG\(|\bln\(", plan, re.IGNORECASE), plan[:2000]
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark/DuckDB ROUND (BigDecimal HALF_UP, away from zero) — Python's
+    round() is half-even, which would diverge on exact .5 boundaries."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def test_bpe_encode_tokens_matches_python_replay(spark):
+    """Train-then-encode replay: Python trains the 3 merges (same
+    argmax/tiebreak/4-pass-replace contract as the round-11 replay),
+    encodes EVERY nonempty word (single-char words = 1 token, unlike the
+    len>=2 training vocab), and sums per doc."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    tbl = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    wc = Counter(
+        w
+        for r in tbl
+        for w in _re.split(r"\s+", (r["text"] or "").lower().strip())
+        if w
+    )
+
+    # train (the entry's documented semantics, len>=2 vocab)
+    vocab = {
+        " " + " ".join(w) + " ": c for w, c in wc.items() if len(w) >= 2
+    }
+    merges = []
+    for _ in range(3):
+        counts: dict[tuple[str, str], int] = {}
+        for s, c in vocab.items():
+            sym = s.split()
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (a, b), _cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b))
+        nv: dict[str, int] = {}
+        for s, c in vocab.items():
+            for _ in range(4):
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+            nv[s] = nv.get(s, 0) + c
+        vocab = nv
+
+    # encode every nonempty word with the trained merges
+    def tok(word: str) -> int:
+        s = " " + " ".join(word) + " "
+        for a, b in merges:
+            for _ in range(4):
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    expected: dict[int, tuple[int, int]] = {}
+    for r in tbl:
+        words = [w for w in _re.split(r"\s+", (r["text"] or "").lower().strip()) if w]
+        if not words:
+            continue
+        expected[r["doc_id"]] = (len(words), sum(tok(w) for w in words))
+
+    # force a real training run (cache is keyed by content fingerprint)
+    R._TRAINED_BPE_CACHE.pop(R._parquet_fingerprint(SF_DIR, "documents"), None)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in R.bpe_encode_tokens(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_sim_recall_eval_matches_python_replay(spark):
+    """Full independent replay of the recall eval: exact top-10 and the
+    frozen-seed IVF(nprobe=4) top-10 per panel query in pure Python
+    (same 6-dp round-then-rank, vec_id tiebreak), hits intersected."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark import registry as R
+
+    rows = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        return 0.0 if den == 0 else d / den
+
+    seeds = {sid: vecs[sid] for sid in range(1, 17)}
+    assign = {
+        vid: min(
+            ((-cos(v, sv), sid) for sid, sv in seeds.items())
+        )[1]
+        for vid, v in vecs.items()
+    }
+    expected = {}
+    for qid in R._RECALL_QUERY_IDS:
+        qv = vecs[qid]
+        ranked = sorted(
+            ((-_round6_half_up(cos(v, qv)), vid) for vid, v in vecs.items() if vid != qid)
+        )
+        exact = {vid for _, vid in ranked[:10]}
+        probes = {sid for _, sid in sorted((-cos(sv, qv), sid) for sid, sv in seeds.items())[:4]}
+        cand = sorted(
+            (-_round6_half_up(cos(v, qv)), vid)
+            for vid, v in vecs.items()
+            if vid != qid and assign[vid] in probes
+        )
+        ann = {vid for _, vid in cand[:10]}
+        hits = len(exact & ann)
+        expected[qid] = (hits, _round6_half_up(hits / 10.0))
+
+    got = {
+        r.query_id: (r.hits, r.recall_at_10)
+        for r in R.sim_recall_eval(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # the panel is useful only if the eval can DETECT imperfection and
+    # the index is useful only if recall is high — sanity-bound both
+    vals = [h for h, _ in got.values()]
+    assert all(0 <= h <= 10 for h in vals)
+    assert sum(vals) >= 40  # mean recall at least 0.5 on the fixture
