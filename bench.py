@@ -123,6 +123,12 @@ SECONDARY = [
     # round-12 addition: batch-vs-corpus near-dup anti-join (the
     # incremental MinHash flow; corpus never self-paired)
     "dedup_incremental_minhash",
+    # round-12 additions: the IVF recall@10 eval panel (exact arm = one
+    # literal-panel scan, ANN arm = probe-pruned scan) and trained-merge
+    # BPE encoding (vocab encode + one equi-join; trains on first call,
+    # warm runs measure the encode plan)
+    "sim_recall_eval",
+    "bpe_encode_tokens",
 ]
 
 

@@ -352,11 +352,17 @@ def incremental_minhash_dedup(
     bands: int = 16,
     num_hashes: int = 64,
     max_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup — the production crawl sibling of the
     exact-fingerprint anti-join: decide which NEW (batch) documents to
     keep given a persisted corpus of MinHash signatures, without ever
     re-pairing the corpus against itself.
+
+    ``materialize=False`` returns the fully LAZY plan (no persist, no
+    job at call time) — the twin the plan lint inspects, since the
+    default path hides the candidate/verify joins behind the eager
+    dropped-set materialization.
 
     Rule (the ``exact_groups=False`` pairwise rule of
     :func:`minhash_dedup`): a batch doc is dropped iff it shares a band
@@ -381,8 +387,18 @@ def incremental_minhash_dedup(
     ``max_bucket`` boundary between the two runs (bucket caps are
     evaluated as-of processing time, like any incremental statistic).
 
+    NOTE: this function TRIGGERS A SPARK JOB at call time (the dropped
+    set is materialized off the persisted signature union so the cache
+    can be released — the :func:`minhash_dedup` discipline); the
+    returned survivor frame itself is lazy.
+
     Returns the distinct surviving ``id_col`` values of ``batch_sigs``.
     """
+    # the signature union feeds three consumers (banding + the two
+    # estimate joins) — persist so upstream signature computation (the
+    # shingle/64-lane hash stage, when callers pass raw with_minhash
+    # output) runs once; the dropped set is tiny relative to the batch,
+    # so it is materialized eagerly and the cache released
     tagged = (
         corpus_sigs.select(F.col(id_col), F.col(sig_col))
         .withColumn("__new", F.lit(False))
@@ -392,34 +408,43 @@ def incremental_minhash_dedup(
             )
         )
     )
-    bb = lsh_band_buckets(
-        tagged, id_col, sig_col, bands, num_hashes, keep_cols=("__new",)
-    )
-    sized = (
-        bb.withColumn("__bsize", F.count("*").over(__bucket_window()))
-        .filter(F.col("__bsize") <= max_bucket)
-        .drop("__bsize")
-    )
-    new_side = sized.filter(F.col("__new"))
-    cand = (
-        sized.alias("a")
-        .join(new_side.alias("b"), on=["band", "bucket"], how="inner")
-        .filter(
-            (~F.col("a.__new"))
-            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if materialize:
+        tagged = tagged.persist()
+    try:
+        bb = lsh_band_buckets(
+            tagged, id_col, sig_col, bands, num_hashes, keep_cols=("__new",)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        sized = (
+            bb.withColumn("__bsize", F.count("*").over(__bucket_window()))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
         )
-        .distinct()
-    )
-    dropped = (
-        estimate_jaccard(cand, tagged, id_col=id_col, sig_col=sig_col)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+        new_side = sized.filter(F.col("__new"))
+        cand = (
+            sized.alias("a")
+            .join(new_side.alias("b"), on=["band", "bucket"], how="inner")
+            .filter(
+                (~F.col("a.__new"))
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        dropped = (
+            estimate_jaccard(cand, tagged, id_col=id_col, sig_col=sig_col)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        if materialize:
+            dropped = dropped.persist()
+            dropped.count()  # materialize off the signature cache
+    finally:
+        if materialize:
+            tagged.unpersist(blocking=False)
     from database_extractor_spark.operators.relational import anti_join
 
     return anti_join(

@@ -1533,9 +1533,13 @@ _RECALL_QVEC_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 def _fixture_recall_queries(sf_dir: str) -> list[tuple[int, list[float]]]:
     """(vec_id, embedding) of the frozen recall-eval query panel, read
-    driver-side via pyarrow and cached per sf_dir (an 8-row parameter
-    lookup, same pattern as _fixture_seed_vecs)."""
-    if sf_dir not in _RECALL_QVEC_CACHE:
+    driver-side via pyarrow and cached per fixture CONTENT fingerprint
+    (an 8-row parameter lookup, same pattern as _fixture_seed_vecs but
+    content-keyed — the panel vectors become plan LITERALS, so a
+    fixture regenerated in place must invalidate them, the r11-ADVICE
+    staleness class)."""
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
+    if fp not in _RECALL_QVEC_CACHE:
         import pyarrow.parquet as pq
 
         rows = pq.read_table(
@@ -1544,10 +1548,10 @@ def _fixture_recall_queries(sf_dir: str) -> list[tuple[int, list[float]]]:
             filters=[("vec_id", "in", _RECALL_QUERY_IDS)],
         ).to_pylist()
         rows.sort(key=lambda r: r["vec_id"])
-        _RECALL_QVEC_CACHE[sf_dir] = [
+        _RECALL_QVEC_CACHE[fp] = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
         ]
-    return _RECALL_QVEC_CACHE[sf_dir]
+    return _RECALL_QVEC_CACHE[fp]
 
 
 @register("sim_recall_eval", _RECALL_ORACLE)
@@ -1865,6 +1869,18 @@ _TRAINED_PQ_CACHE: dict[str, list] = {}
 #: VERDICT r11 item 7).
 _ANN_INDEX_CACHE: dict = {}
 
+#: training-recipe version token baked into every on-disk ANN artifact
+#: name. The artifacts are keyed by fixture CONTENT fingerprint, which
+#: catches data changes but not CODE changes — without this token, a
+#: later round that alters a hyperparameter (Lloyd rounds, PQ m/sub,
+#: seed set, mean rounding) would silently keep serving the previous
+#: recipe's trained state from a warm /tmp across process restarts,
+#: diverging from the updated unrolled-CTE oracle. BUMP THIS STRING
+#: whenever the training recipe changes. Current recipe: spherical
+#: KMeans seeds vec_id 1-16, 2 Lloyd rounds, 6-dp mean rounding; PQ
+#: m=8 subspaces x 8 dims, 16 codewords, per-subspace Lloyd.
+_ANN_RECIPE = "r12-lloyd2-seed16-6dp-pq8x8"
+
 
 def _trained_model(kind: str, sf_dir: str, mem_cache: dict, train) -> list:
     """Trained model state (IVF centroids / PQ codebooks) with the full
@@ -1882,7 +1898,9 @@ def _trained_model(kind: str, sf_dir: str, mem_cache: dict, train) -> list:
     hit = mem_cache.get(fp)
     if hit is not None:
         return hit
-    path = os.path.join(tempfile.gettempdir(), f"ann_model_{kind}_{fp}.json")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ann_model_{kind}_{_ANN_RECIPE}_{fp}.json"
+    )
     if os.path.exists(path):
         with open(path) as f:
             model = json.load(f)
@@ -1908,11 +1926,14 @@ def _cached_ann_index(kind: str, sf_dir: str, spark: SparkSession, build):
     cached = _ANN_INDEX_CACHE.get(key)
     if cached is not None and cached.sparkSession is spark:
         return cached
-    path = os.path.join(tempfile.gettempdir(), f"ann_index_{kind}_{fp}", "data")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ann_index_{kind}_{_ANN_RECIPE}_{fp}", "data"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        stage = os.path.join(
-            tempfile.mkdtemp(prefix=f"ann_stage_{kind}_{fp}_"), "data"
-        )
+        import shutil
+
+        stage_parent = tempfile.mkdtemp(prefix=f"ann_stage_{kind}_{fp}_")
+        stage = os.path.join(stage_parent, "data")
         build().write.mode("overwrite").parquet(stage)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -1920,9 +1941,9 @@ def _cached_ann_index(kind: str, sf_dir: str, spark: SparkSession, build):
         except OSError:
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 raise
-            import shutil
-
-            shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+        # the (now empty or, for the losing racer, still-populated)
+        # staging parent must not accumulate in the shared temp dir
+        shutil.rmtree(stage_parent, ignore_errors=True)
     df = spark.read.parquet(path).persist()
     _ANN_INDEX_CACHE[key] = df
     return df
@@ -10090,9 +10111,14 @@ def _bpe_encode_oracle(rounds: int = 3) -> str:
     merges b1..b{rounds}; encoding folds them (in rank order, same
     4-pass non-overlapping replace) over the DISTINCT-word table via a
     list_reduce lambda, then joins token counts back to per-(doc, word)
-    frequencies — the vocab-encode-then-join shape the engine uses."""
-    p = "' ' || split_part(x,'|',1) || ' ' || split_part(x,'|',2) || ' '"
-    q = "' ' || split_part(x,'|',1) || split_part(x,'|',2) || ' '"
+    frequencies — the vocab-encode-then-join shape the engine uses.
+    Merge pairs are packed as 'a b' (space-delimited): a space is the
+    ONE character a symbol can never contain (symbols grow by
+    concatenating whitespace-split tokens), where '|' or any other
+    text character could legitimately appear inside a trained symbol
+    and mis-split."""
+    p = "' ' || split_part(x,' ',1) || ' ' || split_part(x,' ',2) || ' '"
+    q = "' ' || split_part(x,' ',1) || split_part(x,' ',2) || ' '"
     rep = "acc"
     for _ in range(_BPE_REPLACE_PASSES):
         rep = f"replace({rep}, {p}, {q})"
@@ -10118,7 +10144,7 @@ def _bpe_encode_oracle(rounds: int = 3) -> str:
         select word,
                list_reduce(
                  list_prepend(s, (select coalesce(
-                     list(a || '|' || b order by rk), []::varchar[]) from m)),
+                     list(a || ' ' || b order by rk), []::varchar[]) from m)),
                  (acc, x) -> {rep}) as s
         from vw
     )
@@ -10131,16 +10157,22 @@ def _bpe_encode_oracle(rounds: int = 3) -> str:
     )
 
 
-def _bpe_trained_merges(spark, sf_dir, w, rounds: int = 3):
+def _bpe_trained_merges(spark, sf_dir, w=None, rounds: int = 3):
     """Run (or fetch from the per-content-fingerprint cache) the canonical
     one-merge-per-round BPE training loop over the checkpointed spaced
-    vocab ``w``; returns the ordered merge list [(rank, a, b), ...].
+    vocab; returns the ordered merge list [(rank, a, b), ...]. ``w`` is
+    the vocab if the caller already built one — on a cache HIT it is
+    never touched, and when omitted it is built lazily only on a miss
+    (bpe_encode_tokens does not need the training vocab at all once
+    merges are cached, so it must not pay the eager checkpoint).
     Shared by bpe_train_merges (which re-derives each merge's count for
     the oracle check) and bpe_encode_tokens (which applies the trained
     merges to encode the corpus)."""
     fp = _parquet_fingerprint(sf_dir, "documents")
     merges = _TRAINED_BPE_CACHE.get(fp)
     if merges is None:
+        if w is None:
+            w = _bpe_words(spark, sf_dir)
         merges, cur = [], w
         for r in range(1, rounds + 1):
             best = (
@@ -10223,8 +10255,7 @@ def bpe_encode_tokens(spark, sf_dir):
     words are single tokens. The oracle replays training AND encoding
     (merges folded via list_reduce in rank order), so a drift in either
     half breaks the hash."""
-    w = _bpe_words(spark, sf_dir)
-    merges = _bpe_trained_merges(spark, sf_dir, w)
+    merges = _bpe_trained_merges(spark, sf_dir)
     docs = _tbl(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -10290,8 +10321,8 @@ def _bpe_batched_oracle(
     CTEs. The variable-size merge batch is applied with a list_reduce
     lambda (fold the 4-pass replace over the round's accepted merges in
     rank order) — the set-based twin of the driver's replace chain."""
-    p = "' ' || split_part(x,'|',1) || ' ' || split_part(x,'|',2) || ' '"
-    q = "' ' || split_part(x,'|',1) || split_part(x,'|',2) || ' '"
+    p = "' ' || split_part(x,' ',1) || ' ' || split_part(x,' ',2) || ' '"
+    q = "' ' || split_part(x,' ',1) || split_part(x,' ',2) || ' '"
     rep = "acc"
     for _ in range(_BPE_REPLACE_PASSES):
         rep = f"replace({rep}, {p}, {q})"
@@ -10338,7 +10369,7 @@ def _bpe_batched_oracle(
     , w{r} as (
         select list_reduce(
                  list_prepend(s, (select coalesce(
-                     list(a || '|' || b order by ark),
+                     list(a || ' ' || b order by ark),
                      []::varchar[]) from acc{r})),
                  (acc, x) -> {rep}) as s, wc
         from w{r - 1}
@@ -10472,7 +10503,7 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (43 of 47):
+    # r07 cohort (41 of 47):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -65,7 +65,14 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    anchors = args.anchors.split(",") if args.anchors else ANCHORS
+    anchors = (
+        [a.strip() for a in args.anchors.split(",") if a.strip()]
+        if args.anchors
+        else ANCHORS
+    )
+    unknown = [a for a in anchors if a not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown anchors (check before timing): {unknown}")
     res: dict[str, float] = {}
     for name in anchors:
         fn = QUERIES[name]

@@ -56,6 +56,11 @@ EXECUTES_ON_BUILD = {
     # runs the observed extraction job on build; the returned frame is
     # the 1-row collected-metrics literal
     "observed_metrics_extract",
+    # materializes its dropped set on build (signature cache released
+    # before returning, the minhash_dedup discipline); the full lazy
+    # candidate/verify plan is linted in
+    # test_incremental_minhash_lazy_plan below
+    "dedup_incremental_minhash",
 }
 
 #: entries allowed to contain Arrow-batched Python stages
@@ -240,6 +245,27 @@ def test_funnel_corpus_fp_prechk_plan(spark):
     df = _funnel_corpus_fp(spark, SF_DIR, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "streaming_curation_funnel[corpus-fp]")
+
+
+def test_incremental_minhash_lazy_plan(spark):
+    """dedup_incremental_minhash's candidate/verify plan (hidden behind
+    the eager dropped-set materialization in the registry entry) must be
+    free of the scale anti-patterns: band-bucket equi-joins and the
+    agreeing-lane verify join only."""
+    from database_extractor_spark.operators import dedup as D
+
+    sigs = D.with_minhash(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    df = D.incremental_minhash_dedup(
+        sigs.filter("doc_id < 250"),
+        sigs.filter("doc_id >= 250"),
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "dedup_incremental_minhash[lazy]")
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
