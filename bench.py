@@ -129,6 +129,10 @@ SECONDARY = [
     # warm runs measure the encode plan)
     "sim_recall_eval",
     "bpe_encode_tokens",
+    # round-12 addition: LSH precision/recall calibration (exact-jaccard
+    # ground-truth arm is the cost driver; same inverted-index shape as
+    # dedup_containment)
+    "dedup_lsh_quality_eval",
 ]
 
 

@@ -1249,6 +1249,86 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).select("doc_id")
 
 
+_LSH_QUALITY_ORACLE = _minhash_dup_ctes() + """,
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+        group by 1, 2
+    ),
+    truth as (
+        select id_a, id_b from common
+          join sizes s1 on id_a = s1.doc_id
+          join sizes s2 on id_b = s2.doc_id
+        where round(c / (s1.n + s2.n - c), 4) >= 0.7
+    ),
+    m as (
+        select cast((select count(*) from truth) as bigint) as n_true,
+               cast((select count(*) from dup) as bigint) as n_pred,
+               cast((select count(*) from truth t
+                     join dup d on t.id_a = d.id_a and t.id_b = d.id_b)
+                    as bigint) as n_hit
+    )
+    select n_true, n_pred, n_hit,
+           round(n_hit / greatest(n_pred, 1), 6) as lsh_precision,
+           round(n_hit / greatest(n_true, 1), 6) as lsh_recall
+    from m
+"""
+
+
+@register("dedup_lsh_quality_eval", _LSH_QUALITY_ORACLE)
+def dedup_lsh_quality_eval(spark, sf_dir):
+    """Dedup-index QUALITY EVAL — the MinHash sibling of sim_recall_eval:
+    precision/recall of the production LSH pipeline (64-lane signatures,
+    16 band buckets, max_bucket cap, agreeing-lane estimate >= 0.7)
+    against EXACT shingle-set Jaccard >= 0.7 ground truth over the same
+    3-token shingle universe. This is the calibration loop every
+    near-dup deployment runs before trusting banding parameters: exact
+    Jaccard is affordable on an eval slice (here the whole fixture;
+    in production a sampled shard), never on the full corpus. Plan:
+    ground truth via the inverted-index equi-join
+    (ngram_jaccard_pairs — shuffle on shingle hash, never cartesian),
+    prediction via the banded bucket equi-join + signature verify, then
+    ONE full-outer join of the two pair sets aggregated to a single
+    (n_true, n_pred, n_hit, precision, recall) row — no scalar-attach
+    nested loops, no collect. NULL-text docs are coalesced to '' so
+    both arms see the minhash universe (a ''-doc pairs exactly with
+    other ''-docs in either arm)."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    sigs = D.with_minhash(docs)
+    pred = (
+        D.estimate_jaccard(D.lsh_candidate_pairs(sigs), sigs)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    j = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("bigint").alias("n_true"),
+        F.sum(F.coalesce("p", F.lit(0))).cast("bigint").alias("n_pred"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+        ).alias("lsh_precision"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("lsh_recall"),
+    )
+
+
 def _incremental_minhash_oracle(cut: int = 250) -> str:
     """Pairwise-rule replay over the shared dup CTEs: a batch doc
     (id >= cut) is dropped iff it appears as id_b of a verified dup pair
@@ -10495,6 +10575,7 @@ _VERIFY_FIRST = [
     # shared-helper changes, re-verified by the local full sweep)
     # front-load round 13.
     "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
+    "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
     "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
@@ -10503,13 +10584,13 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (41 of 47):
+    # r07 cohort (40 of 47; multimodal_frame_sample deferred with the
+    # roundtrips — fake-decoder entry, pytest-covered):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "graph_triangle_count",
     "mmr_diversified_topk",
-    "multimodal_frame_sample",
     "pagerank_event_graph",
     "pit_join_scd2",
     "session_windows",

@@ -509,3 +509,27 @@ def test_sim_recall_eval_matches_python_replay(spark):
     vals = [h for h, _ in got.values()]
     assert all(0 <= h <= 10 for h in vals)
     assert sum(vals) >= 40  # mean recall at least 0.5 on the fixture
+
+
+def test_lsh_quality_eval_counts_are_consistent(spark):
+    """The eval's three counters must be internally consistent and agree
+    with the standalone arms it composes (truth = ngram_jaccard_pairs at
+    0.7 over the coalesced corpus; hits bounded by both arms)."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark import registry as R
+    from database_extractor_spark.operators import dedup as D
+
+    row = R.dedup_lsh_quality_eval(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0 <= r.n_hit <= min(r.n_true, r.n_pred)
+    assert r.lsh_precision == round(r.n_hit / max(r.n_pred, 1), 6)
+    assert r.lsh_recall == round(r.n_hit / max(r.n_true, 1), 6)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    assert r.n_true == D.ngram_jaccard_pairs(docs, threshold=0.7).count()
+    # the banding parameters were chosen to be GOOD at 0.7 — if the eval
+    # can't see that, the eval is wrong
+    assert r.lsh_recall >= 0.9
