@@ -133,6 +133,10 @@ SECONDARY = [
     # ground-truth arm is the cost driver; same inverted-index shape as
     # dedup_containment)
     "dedup_lsh_quality_eval",
+    # round-12 addition: the streaming near-dup gate (one availableNow
+    # drain: corpus signatures + batch signatures + incremental LSH join
+    # + sink read-back per invocation)
+    "streaming_minhash_dedup",
 ]
 
 

@@ -1364,6 +1364,135 @@ def dedup_incremental_minhash(spark, sf_dir):
     return D.incremental_minhash_dedup(corpus, batch).select("doc_id")
 
 
+#: running emitted-ids ledger per streaming-minhash sink directory —
+#: the _FUNNEL_LEDGER discipline applied to the near-dup gate:
+#: {out: {batch_id: [doc_id, ...]}}, entries voided on replay, rebuilt
+#: from committed part files on a fresh incarnation
+_MINHASH_STREAM_LEDGER: dict[str, dict[int, list]] = {}
+
+
+def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
+    """One micro-batch of the STREAMING near-dup gate — module-level so a
+    restart test can drive it directly with a chosen batch id.
+
+    The batch's MinHash signatures are checked (incremental_minhash_dedup
+    — band-bucket equi-joins, corpus never self-paired) against the
+    persisted corpus signatures UNION the signatures of every id EARLIER
+    batches emitted; survivors land through the jsonl connector's
+    batch-scoped REPLACE commit (exactly-once across replay, the
+    _stream_funnel_batch discipline: the ledger voids entries for
+    ids >= batch_id before recomputing, and a fresh incarnation rebuilds
+    prior ids from committed files only).
+
+    Prior-batch signatures are RE-DERIVED from the source parquet by a
+    pushdown id filter instead of being stored in the ledger — the
+    ledger holds only emitted ids (8 bytes each, quota-free but bounded
+    by what the stream emitted), while signatures (64 lanes x 8 bytes
+    per doc) stay columnar. At 100 TB a deployment swaps both for the
+    bucketed signature table dedup_incremental_minhash documents; the
+    joins are identical."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    ledger = _MINHASH_STREAM_LEDGER.setdefault(out, {})
+    while len(_MINHASH_STREAM_LEDGER) > 32:
+        oldest = next(k for k in _MINHASH_STREAM_LEDGER if k != out)
+        del _MINHASH_STREAM_LEDGER[oldest]
+    for bid in [b for b in ledger if b >= batch_id]:
+        del ledger[bid]
+    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
+    by_bid: dict[int, list] = {}
+    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
+        m = committed.match(os.path.basename(f))
+        if m is not None:
+            by_bid.setdefault(int(m.group(1)), []).append(f)
+    for bid, files in by_bid.items():
+        # only bids this incarnation has not seen: re-reading a bid the
+        # live ledger already holds would DOUBLE its ids
+        if bid < batch_id and bid not in ledger:
+            ids: list[int] = []
+            for f in sorted(files):
+                with open(f) as fh:
+                    ids.extend(
+                        int(_json.loads(line)["doc_id"])
+                        for line in fh
+                        if line.strip()
+                    )
+            ledger[bid] = ids
+    prior_ids = sorted(
+        {i for bid, ids in ledger.items() if bid < batch_id for i in ids}
+    )
+    seen_sigs = corpus_sigs
+    if prior_ids:
+        prior = spark.read.parquet(src_path).filter(
+            F.col("doc_id").isin(prior_ids)
+        )
+        seen_sigs = corpus_sigs.unionByName(
+            D.with_minhash(prior.select("doc_id", "text"))
+        )
+    batch_sigs = D.with_minhash(batch.select("doc_id", "text"))
+    survivors = D.incremental_minhash_dedup(seen_sigs, batch_sigs)
+    emitted = sorted(int(r["doc_id"]) for r in survivors.collect())
+    ledger[batch_id] = emitted
+    (
+        spark.createDataFrame([(i,) for i in emitted], "doc_id bigint")
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .option("replace_prefix", f"part-b{batch_id}-")
+        .mode("append")
+        .save()
+    )
+
+
+@register("streaming_minhash_dedup", _incremental_minhash_oracle())
+def streaming_minhash_dedup(spark, sf_dir):
+    """dedup_incremental_minhash's STREAMING form — the near-dup gate a
+    live crawl runs, completing the pair (streaming_curation_funnel
+    gates on EXACT fingerprints; this gates on banded MinHash): new
+    documents (ids >= 250) stream in; each micro-batch's signatures
+    anti-join the persisted corpus signature table plus the re-derived
+    signatures of everything earlier batches emitted, and surviving ids
+    land through the connector's batch-scoped REPLACE commit. Under
+    availableNow over the single-file fixture the stream is ONE batch,
+    so the DuckDB oracle is the incremental pairwise replay
+    (_incremental_minhash_oracle); the multi-batch precedence and
+    replay-idempotence are pinned by tests/test_round12_ops.py."""
+    import tempfile
+
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+    from database_extractor_spark.streaming import stream_source
+
+    register_jsonl_sink(spark)
+    base = tempfile.mkdtemp(prefix="stream_minhash_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    corpus_sigs = D.with_minhash(
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+    stream = stream_source(spark, src_path).filter(F.col("doc_id") >= 250)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: _stream_minhash_batch(
+                spark, b, bid, corpus_sigs, src_path, out
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_minhash_dedup: drain exceeded 180 s")
+    back = spark.read.schema("doc_id bigint").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    return back.select("doc_id").orderBy("doc_id")
+
+
 def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
     """DuckDB oracle for dedup_simhash: replays the 60-bit md5 token hash,
     the per-bit +1/-1 votes, the packed simhash, the 15-bit pigeonhole
@@ -10576,6 +10705,7 @@ _VERIFY_FIRST = [
     # front-load round 13.
     "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
     "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
+    "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate
     "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
@@ -10584,8 +10714,9 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (40 of 47; multimodal_frame_sample deferred with the
-    # roundtrips — fake-decoder entry, pytest-covered):
+    # r07 cohort (39 of 47; multimodal_frame_sample and
+    # skyline_pareto_frontier deferred with the roundtrips — both
+    # pytest-covered and untouched since r07):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -10596,7 +10727,6 @@ _VERIFY_FIRST = [
     "session_windows",
     "sim_ivf_fixed",
     "sim_pq_fixed",
-    "skyline_pareto_frontier",
     "sliding_window_counts",
     "sql_recursive_spine",
     "streaming_dedup",

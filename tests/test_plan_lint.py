@@ -61,6 +61,9 @@ EXECUTES_ON_BUILD = {
     # candidate/verify plan is linted in
     # test_incremental_minhash_lazy_plan below
     "dedup_incremental_minhash",
+    # runs its availableNow stream on build; the per-batch joins are the
+    # incremental_minhash_dedup plan linted above
+    "streaming_minhash_dedup",
 }
 
 #: entries allowed to contain Arrow-batched Python stages

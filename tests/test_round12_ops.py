@@ -533,3 +533,63 @@ def test_lsh_quality_eval_counts_are_consistent(spark):
     # the banding parameters were chosen to be GOOD at 0.7 — if the eval
     # can't see that, the eval is wrong
     assert r.lsh_recall >= 0.9
+
+
+def test_streaming_minhash_batch_precedence_and_replay(spark, tmp_path):
+    """Multi-batch semantics of the streaming near-dup gate: (1) an
+    earlier batch's emitted doc outranks a later batch's LOWER-id
+    near-dup (arrival order wins, corpus-side precedence — unlike a
+    single-run pairwise dedup where the smaller id would win); (2) a
+    replayed batch REPLACES its earlier contribution instead of
+    anti-joining against its own output."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark import registry as R
+    from database_extractor_spark.operators import dedup as D
+    from database_extractor_spark.sources.custom import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out")
+    import os as _os
+
+    _os.makedirs(out, exist_ok=True)
+    src = str(tmp_path / "docs.parquet")
+    # 300 and 260 are near-identical (share all shingles); 400 is unique
+    rows = [
+        (300, "alpha beta gamma delta epsilon zeta eta theta"),
+        (260, "alpha beta gamma delta epsilon zeta eta theta"),
+        (400, "completely different words in this one entirely"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs = spark.read.parquet(src)
+    corpus_sigs = D.with_minhash(
+        docs.filter("doc_id < 0").select("doc_id", "text")
+    )  # empty corpus
+
+    def emitted_ids():
+        files = sorted((tmp_path / "out").glob("part-b*.jsonl"))
+        ids = []
+        for f in files:
+            with open(f) as fh:
+                ids.extend(json.loads(ln)["doc_id"] for ln in fh if ln.strip())
+        return sorted(ids)
+
+    # batch 0 carries 300; batch 1 carries 260 (lower id, arrives later)
+    b0 = docs.filter(F.col("doc_id") == 300)
+    b1 = docs.filter(F.col("doc_id").isin([260, 400]))
+    R._stream_minhash_batch(spark, b0, 0, corpus_sigs, src, out)
+    R._stream_minhash_batch(spark, b1, 1, corpus_sigs, src, out)
+    # 300 was there first -> 260 drops despite being the smaller id
+    assert emitted_ids() == [300, 400]
+
+    # replay batch 1 from a FRESH incarnation (ledger wiped): must
+    # rebuild prior state from committed files, void its own earlier
+    # output, and land an identical copy
+    R._MINHASH_STREAM_LEDGER.pop(out, None)
+    R._stream_minhash_batch(spark, b1, 1, corpus_sigs, src, out)
+    assert emitted_ids() == [300, 400]
+    R._MINHASH_STREAM_LEDGER.pop(out, None)
