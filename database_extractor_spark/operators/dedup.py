@@ -440,8 +440,17 @@ def incremental_minhash_dedup(
             .distinct()
         )
         if materialize:
-            dropped = dropped.persist()
-            dropped.count()  # materialize off the signature cache
+            # the dropped set is collected-tiny by design: rebuild it as
+            # a literal frame so the signature cache can be released
+            # WITHOUT leaking a persisted DataFrame per call — a long
+            # stream calls this once per micro-batch
+            # (_stream_minhash_batch), and persisted handles buried in
+            # returned plans would accumulate for the session's life
+            dtype = dict(tagged.dtypes)[id_col]
+            rows = [(r[0],) for r in dropped.collect()]
+            dropped = tagged.sparkSession.createDataFrame(
+                rows, f"{id_col} {dtype}"
+            )
     finally:
         if materialize:
             tagged.unpersist(blocking=False)

@@ -67,10 +67,14 @@ _QVEC_CACHE: dict[str, tuple[list[float], int]] = {}
 
 def _fixture_query_vec(sf_dir: str) -> tuple[list[float], int]:
     """(embedding, label) of the fixture's vec_id=0 query vector, read
-    driver-side via pyarrow and cached per sf_dir — a one-row parameter
-    lookup should not cost a Spark job per sim_* invocation (the operator
-    API itself takes a literal vector; see similarity.brute_force_topk)."""
-    if sf_dir not in _QVEC_CACHE:
+    driver-side via pyarrow and cached per fixture CONTENT fingerprint —
+    a one-row parameter lookup should not cost a Spark job per sim_*
+    invocation (the operator API itself takes a literal vector; see
+    similarity.brute_force_topk). Content-keyed since r12: the vector
+    becomes a plan literal, so a fixture regenerated in place must
+    invalidate it (the r11-ADVICE staleness class)."""
+    key = _parquet_fingerprint(sf_dir, "embeddings")
+    if key not in _QVEC_CACHE:
         import pyarrow.parquet as pq
 
         row = pq.read_table(
@@ -78,8 +82,8 @@ def _fixture_query_vec(sf_dir: str) -> tuple[list[float], int]:
             columns=["vec_id", "embedding", "label"],
             filters=[("vec_id", "=", 0)],
         ).to_pylist()[0]
-        _QVEC_CACHE[sf_dir] = ([float(x) for x in row["embedding"]], int(row["label"]))
-    return _QVEC_CACHE[sf_dir]
+        _QVEC_CACHE[key] = ([float(x) for x in row["embedding"]], int(row["label"]))
+    return _QVEC_CACHE[key]
 
 
 # ==========================================================================
@@ -1307,11 +1311,23 @@ def dedup_lsh_quality_eval(spark, sf_dir):
     j = truth.withColumn("t", F.lit(1)).join(
         pred.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full"
     )
+    # outer coalesce: on a dup-free corpus the outer join is EMPTY and
+    # sum-over-zero-rows is NULL, where the oracle's scalar count(*)
+    # subqueries give 0 — the hash must agree on the boundary too
     agg = j.agg(
-        F.sum(F.coalesce("t", F.lit(0))).cast("bigint").alias("n_true"),
-        F.sum(F.coalesce("p", F.lit(0))).cast("bigint").alias("n_pred"),
-        F.sum(
-            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        F.coalesce(F.sum(F.coalesce("t", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("p", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_pred"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("t").isNotNull() & F.col("p").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_hit"),
@@ -1371,6 +1387,45 @@ def dedup_incremental_minhash(spark, sf_dir):
 _MINHASH_STREAM_LEDGER: dict[str, dict[int, list]] = {}
 
 
+def _ledger_rebuild(store: dict, out: str, batch_id: int, parse_file) -> dict:
+    """The shared running-ledger replay discipline for per-sink-directory
+    cross-batch state (used by BOTH streaming gates — the curation
+    funnel's row ledger and the minhash gate's id ledger): evict oldest
+    directories past 32 (committed files rebuild an evicted ledger on
+    demand), VOID entries for ids >= batch_id (a replayed batch must not
+    anti-join against its own earlier output), then rebuild missing
+    EARLIER bids from committed part files — only names matching the
+    full committed shape (batch prefix + 16-hex job id + 32-hex task id,
+    the sink's structural sweep pattern) participate; a foreign part
+    file is not ours to read back (ADVICE r11). Files are driver-local
+    and state-bounded, so they are parsed directly via ``parse_file(path)
+    -> list`` — no Spark job per read-back. Returns the ledger dict for
+    ``out``. One definition so a change to the commit-name shape or the
+    replay semantics cannot desynchronize the two gates."""
+    import glob as _glob
+    import re as _re
+
+    ledger = store.setdefault(out, {})
+    while len(store) > 32:
+        oldest = next(k for k in store if k != out)
+        del store[oldest]
+    for bid in [b for b in ledger if b >= batch_id]:
+        del ledger[bid]
+    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
+    by_bid: dict[int, list] = {}
+    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
+        m = committed.match(os.path.basename(f))
+        if m is not None:
+            by_bid.setdefault(int(m.group(1)), []).append(f)
+    for bid, files in by_bid.items():
+        if bid < batch_id and bid not in ledger:
+            entries: list = []
+            for f in sorted(files):
+                entries.extend(parse_file(f))
+            ledger[bid] = entries
+    return ledger
+
+
 def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
     """One micro-batch of the STREAMING near-dup gate — module-level so a
     restart test can drive it directly with a chosen batch id.
@@ -1391,35 +1446,15 @@ def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
     per doc) stay columnar. At 100 TB a deployment swaps both for the
     bucketed signature table dedup_incremental_minhash documents; the
     joins are identical."""
-    import glob as _glob
     import json as _json
-    import re as _re
 
-    ledger = _MINHASH_STREAM_LEDGER.setdefault(out, {})
-    while len(_MINHASH_STREAM_LEDGER) > 32:
-        oldest = next(k for k in _MINHASH_STREAM_LEDGER if k != out)
-        del _MINHASH_STREAM_LEDGER[oldest]
-    for bid in [b for b in ledger if b >= batch_id]:
-        del ledger[bid]
-    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
-    by_bid: dict[int, list] = {}
-    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
-        m = committed.match(os.path.basename(f))
-        if m is not None:
-            by_bid.setdefault(int(m.group(1)), []).append(f)
-    for bid, files in by_bid.items():
-        # only bids this incarnation has not seen: re-reading a bid the
-        # live ledger already holds would DOUBLE its ids
-        if bid < batch_id and bid not in ledger:
-            ids: list[int] = []
-            for f in sorted(files):
-                with open(f) as fh:
-                    ids.extend(
-                        int(_json.loads(line)["doc_id"])
-                        for line in fh
-                        if line.strip()
-                    )
-            ledger[bid] = ids
+    def _parse_ids(path: str) -> list[int]:
+        with open(path) as fh:
+            return [
+                int(_json.loads(line)["doc_id"]) for line in fh if line.strip()
+            ]
+
+    ledger = _ledger_rebuild(_MINHASH_STREAM_LEDGER, out, batch_id, _parse_ids)
     prior_ids = sorted(
         {i for bid, ids in ledger.items() if bid < batch_id for i in ids}
     )
@@ -1468,11 +1503,14 @@ def streaming_minhash_dedup(spark, sf_dir):
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     os.makedirs(out, exist_ok=True)
     src_path = os.path.join(sf_dir, "documents.parquet")
+    # materialize the corpus signature table ONCE before start() — the
+    # per-batch closure must not re-run the corpus shingle/64-lane scan
+    # every micro-batch (the _funnel_corpus_fp discipline, VERDICT r10)
     corpus_sigs = D.with_minhash(
         _tbl(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 250)
         .select("doc_id", "text")
-    )
+    ).localCheckpoint(eager=True)
     stream = stream_source(spark, src_path).filter(F.col("doc_id") >= 250)
     q = (
         stream.writeStream.foreachBatch(
@@ -1600,9 +1638,12 @@ _FIXED_SEED_IDS = list(range(1, 17))
 
 def _fixture_seed_vecs(sf_dir: str) -> list[tuple[int, list[float]]]:
     """(vec_id, embedding) of the frozen quantizer seeds, read driver-side
-    via pyarrow and cached per sf_dir (a 16-row parameter lookup, same
-    pattern as _fixture_query_vec)."""
-    if sf_dir not in _SEED_VEC_CACHE:
+    via pyarrow and cached per fixture CONTENT fingerprint (a 16-row
+    parameter lookup, same pattern as _fixture_query_vec; content-keyed
+    since r12 — the seeds become centroid literals in assignment plans,
+    so an in-place fixture regeneration must invalidate them)."""
+    key = _parquet_fingerprint(sf_dir, "embeddings")
+    if key not in _SEED_VEC_CACHE:
         import pyarrow.parquet as pq
 
         rows = pq.read_table(
@@ -1611,10 +1652,10 @@ def _fixture_seed_vecs(sf_dir: str) -> list[tuple[int, list[float]]]:
             filters=[("vec_id", "in", _FIXED_SEED_IDS)],
         ).to_pylist()
         rows.sort(key=lambda r: r["vec_id"])
-        _SEED_VEC_CACHE[sf_dir] = [
+        _SEED_VEC_CACHE[key] = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
         ]
-    return _SEED_VEC_CACHE[sf_dir]
+    return _SEED_VEC_CACHE[key]
 
 
 _IVF_FIXED_ORACLE = f"""
@@ -9979,39 +10020,15 @@ def _stream_funnel_batch(spark, batch, batch_id, corpus_fp, out, cap=20):
     would swap the ledger for a bucketed fingerprint store, same joins.
     Per-batch read-back cost is O(new batches) instead of the prior
     O(all prior batches) re-read (VERDICT r11 item 9)."""
-    import glob as _glob
     import json as _json
-    import re as _re
 
-    ledger = _FUNNEL_LEDGER.setdefault(out, {})
-    # bound the cache across many sink directories (each bench/pytest
-    # invocation mints a fresh tmpdir): evict oldest-inserted dirs —
-    # safe, the committed files rebuild an evicted ledger on demand
-    while len(_FUNNEL_LEDGER) > 32:
-        oldest = next(k for k in _FUNNEL_LEDGER if k != out)
-        del _FUNNEL_LEDGER[oldest]
-    for bid in [b for b in ledger if b >= batch_id]:
-        del ledger[bid]  # replay voids this batch's earlier contribution
-    # disk fallback: only files matching the FULL committed shape (batch
-    # prefix + 16-hex job id + 32-hex task id, the sink's structural
-    # sweep pattern) participate; a foreign part-file is not ours to
-    # read back (ADVICE r11). Files are driver-local and quota-bounded,
-    # so they are parsed directly — no Spark job per read-back.
-    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
-    by_bid: dict[int, list] = {}
-    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
-        m = committed.match(os.path.basename(f))
-        if m is not None:
-            by_bid.setdefault(int(m.group(1)), []).append(f)
-    for bid, files in by_bid.items():
-        if bid < batch_id and bid not in ledger:
-            rows = []
-            for f in sorted(files):
-                with open(f) as fh:
-                    rows.extend(
-                        _json.loads(line) for line in fh if line.strip()
-                    )
-            ledger[bid] = rows
+    def _parse_rows(path: str) -> list[dict]:
+        with open(path) as fh:
+            return [_json.loads(line) for line in fh if line.strip()]
+
+    # evict/void/rebuild via the shared ledger discipline (see
+    # _ledger_rebuild — one definition for both streaming gates)
+    ledger = _ledger_rebuild(_FUNNEL_LEDGER, out, batch_id, _parse_rows)
     field_names = [s.split()[0] for s in _FUNNEL_SINK_SCHEMA.split(",")]
     prev_rows = [
         tuple(r[n] for n in field_names)
@@ -10692,17 +10709,17 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the four NEW entries,
+    # ---- round-12 front (VERDICT r11 item 8): the six NEW entries,
     # the five entries whose behavior this round changed (integer-log
     # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 41 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 9 + 41 = 50 = the driver's window; the 6
-    # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc
-    # source roundtrips, ffill_resample — all cheap, stable, and
-    # pytest-covered) plus this round's lower-risk touched entries
-    # (semdedup_prune, cluster_balanced_sample, dedup_minhash_pairs —
-    # shared-helper changes, re-verified by the local full sweep)
-    # front-load round 13.
+    # artifacts), then 39 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 11 + 39 = 50 = the driver's window; the 8
+    # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc source
+    # roundtrips, ffill_resample, multimodal_frame_sample,
+    # skyline_pareto_frontier — all cheap, stable, and pytest-covered)
+    # plus this round's lower-risk touched entries (semdedup_prune,
+    # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
+    # changes, re-verified by the local full sweep) front-load round 13.
     "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
     "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
     "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate

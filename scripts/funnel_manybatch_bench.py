@@ -53,11 +53,16 @@ def main() -> None:
         spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
         .filter(F.col("doc_id") >= 250)
     )
-    # one parquet file per micro-batch, deterministic round-robin split
+    # EXACTLY one parquet file per micro-batch: a hash repartition on
+    # doc_id % n collides distinct values into shared partitions (a
+    # first cut produced 15 skewed files for --batches 20), so write
+    # each round-robin slice as its own single-file append — n tiny
+    # writes, deterministic and evenly sized
     n = args.batches
-    docs.withColumn("__b", F.col("doc_id") % n).repartition(n, "__b").drop(
-        "__b"
-    ).write.mode("overwrite").parquet(src_dir)
+    for b in range(n):
+        docs.filter(F.col("doc_id") % n == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
 
     corpus_fp = R._funnel_corpus_fp(spark, args.sf_dir)
     schema = spark.read.parquet(src_dir).schema

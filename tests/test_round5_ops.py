@@ -398,19 +398,21 @@ def test_trained_pq_cache_is_session_independent(spark):
     (no retraining jobs)."""
     from database_extractor_spark import registry as R
 
-    R._TRAINED_PQ_CACHE.pop(SF_DIR, None)
+    # keyed by fixture CONTENT fingerprint since r12 (0cb8a98)
+    key = R._parquet_fingerprint(SF_DIR, "embeddings")
+    R._TRAINED_PQ_CACHE.pop(key, None)
     try:
         out = R.QUERIES["sim_pq_topk"](spark, SF_DIR)
         assert out.count() == 10
-        books = R._TRAINED_PQ_CACHE[SF_DIR]
+        books = R._TRAINED_PQ_CACHE[key]
         assert all(
             isinstance(sid, int) and all(isinstance(x, float) for x in vec)
             for sid, vec in books
         ), "cache must hold plain floats, not session-bound objects"
         R.QUERIES["sim_pq_topk"](spark, SF_DIR)
-        assert R._TRAINED_PQ_CACHE[SF_DIR] is books  # reused, not retrained
+        assert R._TRAINED_PQ_CACHE[key] is books  # reused, not retrained
     finally:
-        R._TRAINED_PQ_CACHE.pop(SF_DIR, None)
+        R._TRAINED_PQ_CACHE.pop(key, None)
 
 
 def test_weighted_sample_wor_plan_is_takeordered(spark):

@@ -219,7 +219,8 @@ def test_ann_index_cache_rebuilds_on_session_mismatch(spark):
     from database_extractor_spark import registry as R
 
     stale = types.SimpleNamespace(sparkSession=object())
-    key = ("pq", SF_DIR)
+    # keyed by (kind, fixture CONTENT fingerprint) since r12 (0cb8a98)
+    key = ("pq", R._parquet_fingerprint(SF_DIR, "embeddings"))
     old = R._ANN_INDEX_CACHE.get(key)
     R._ANN_INDEX_CACHE[key] = stale
     try:
