@@ -151,6 +151,10 @@ def test_local_checkpoint_usage_is_pinned():
         # spaced-symbol vocab aggregated once per bpe_train_merges call;
         # lazy twin linted by test_bpe_words_prechk_plan below
         ("registry.py", "_bpe_words"),
+        # corpus signature table materialized once before the stream
+        # starts (the _funnel_corpus_fp discipline); lazy twin linted by
+        # test_streaming_minhash_corpus_prechk_plan below
+        ("registry.py", "streaming_minhash_dedup"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -248,6 +252,24 @@ def test_funnel_corpus_fp_prechk_plan(spark):
     df = _funnel_corpus_fp(spark, SF_DIR, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "streaming_curation_funnel[corpus-fp]")
+
+
+def test_streaming_minhash_corpus_prechk_plan(spark):
+    """streaming_minhash_dedup's corpus signature subplan (hidden behind
+    the eager localCheckpoint taken before start()) must itself be free
+    of the scale anti-patterns: one documents scan -> shingle explode ->
+    64-lane min aggregate."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import dedup as D
+
+    df = D.with_minhash(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "streaming_minhash_dedup[corpus-sigs]")
 
 
 def test_incremental_minhash_lazy_plan(spark):
