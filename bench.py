@@ -137,6 +137,9 @@ SECONDARY = [
     # drain: corpus signatures + batch signatures + incremental LSH join
     # + sink read-back per invocation)
     "streaming_minhash_dedup",
+    # round-12 addition: PQ ADC recall eval (encode scan + two
+    # literal-panel scans + windows; the compressed-index quality loop)
+    "sim_pq_recall_eval",
 ]
 
 

@@ -1901,6 +1901,207 @@ def sim_recall_eval(spark, sf_dir):
     )
 
 
+def _pq_recall_oracle(m: int = 8, sub: int = 8, rerank: int = 100) -> str:
+    """DuckDB replay of the PQ recall eval: the _pq_fixed_oracle encode /
+    ADC / shortlist / re-rank machinery generalized with a query (qid)
+    dimension over the frozen 8-query panel, then recall@10 against the
+    exact squared-L2 top-10 — the ADC sum keeps the explicit
+    subspace-order 8-join shape (SQL sum() has no ordering guarantee;
+    IEEE addition order must match the engine's j=0..m-1 fold)."""
+    qids = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
+    code_cols = ",\n               ".join(
+        f"max(case when j = {j} then c end) as c{j}" for j in range(m)
+    )
+    adc_joins = "\n      ".join(
+        f"join t t{j} on t{j}.qid = q.qid and t{j}.j = {j} and t{j}.c = cs.c{j}"
+        for j in range(m)
+    )
+    adc_sum = " + ".join(f"t{j}.d" for j in range(m))
+    return f"""
+    with s as (
+        select vec_id - 1 as c, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
+    q as (
+        select vec_id as qid, v as qv from e where vec_id in ({qids})
+    ),
+    cw as (
+        select s.c, j.j, list_slice(s.sv, j.j * {sub} + 1, j.j * {sub} + {sub}) as cw
+        from s cross join (select unnest(range({m})) as j) j
+    ),
+    d as (
+        select e.vec_id, cw.j, cw.c,
+               list_dot_product(list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}),
+                                list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}))
+               - 2.0 * list_dot_product(
+                   list_slice(e.v, cw.j * {sub} + 1, cw.j * {sub} + {sub}), cw.cw)
+               + list_dot_product(cw.cw, cw.cw) as d2
+        from e cross join cw
+    ),
+    codes as (
+        select vec_id, j, c from d
+        qualify row_number() over (partition by vec_id, j order by d2, c) = 1
+    ),
+    cs as (
+        select vec_id,
+               {code_cols}
+        from codes group by vec_id
+    ),
+    t as (
+        select q.qid, cw.j, cw.c,
+               list_dot_product(list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}),
+                                list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}))
+               - 2.0 * list_dot_product(
+                   list_slice(q.qv, cw.j * {sub} + 1, cw.j * {sub} + {sub}), cw.cw)
+               + list_dot_product(cw.cw, cw.cw) as d
+        from cw cross join q
+    ),
+    approx as (
+        select q.qid, cs.vec_id, round({adc_sum}, 6) as ad
+        from cs cross join q
+      {adc_joins}
+    ),
+    short as (
+        select qid, vec_id from approx
+        where vec_id <> qid
+        qualify row_number() over (partition by qid order by ad, vec_id)
+                <= {rerank}
+    ),
+    ex as (
+        select q.qid, e.vec_id,
+               round(list_dot_product(e.v, e.v)
+                     - 2.0 * list_dot_product(e.v, q.qv)
+                     + list_dot_product(q.qv, q.qv), 6) as d
+        from e cross join q
+        where e.vec_id <> q.qid
+    ),
+    exact as (
+        select qid, vec_id from ex
+        qualify row_number() over (partition by qid order by d, vec_id) <= 10
+    ),
+    ann as (
+        select sh.qid, sh.vec_id
+        from short sh join ex on ex.qid = sh.qid and ex.vec_id = sh.vec_id
+        qualify row_number() over (partition by sh.qid order by ex.d, sh.vec_id)
+                <= 10
+    )
+    select x.qid as query_id,
+           cast(sum(case when n.vec_id is not null then 1 else 0 end) as bigint)
+               as hits,
+           round(sum(case when n.vec_id is not null then 1 else 0 end) / 10.0, 6)
+               as recall_at_10
+    from exact x left join ann n on x.qid = n.qid and x.vec_id = n.vec_id
+    group by x.qid order by query_id
+"""
+
+
+@register("sim_pq_recall_eval", _pq_recall_oracle())
+def sim_pq_recall_eval(spark, sf_dir):
+    """PQ index QUALITY EVAL — the compressed-index member of the eval
+    trilogy (sim_recall_eval measures IVF, dedup_lsh_quality_eval the
+    MinHash bands): recall@10 of the fixed-codebook two-stage search
+    (8x8 ADC lookup sum -> top-100 shortlist -> exact re-rank) against
+    exact squared-L2 top-10, over the frozen 8-query panel. This is the
+    number that justifies serving a ~64x-compressed index: with
+    rerank=100 the shortlist must merely CONTAIN the true top-10. One
+    plan, no per-query jobs: the corpus is PQ-encoded once
+    (scan+project over codeword literals); each query's 8x16 ADC table
+    is driver-side floats folded with the engine-identical IEEE
+    sequence, and both the approx and exact arms explode literal
+    per-query structs over single scans — two scans total at any corpus
+    size, then windows and equi-joins. Rounding/tiebreak discipline as
+    sim_pq_fixed (round 6 dp, then (dist, vec_id))."""
+    m, sub, rerank = 8, 8, 100
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    seeds = _fixture_seed_vecs(sf_dir)
+
+    # exact arm: one scan, per-row |v|^2 folded once and shared across
+    # the panel's 8 distance literals
+    ex_structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.round(
+                F.col("__dxx")
+                - F.lit(2.0) * S.dot(F.col("v"), S._query_lit(qv))
+                + F.lit(S._pydot(qv, qv)),
+                6,
+            ).alias("d"),
+        )
+        for qid, qv in panel
+    ]
+    dists = (
+        e.withColumn("__dxx", S.dot(F.col("v"), F.col("v")))
+        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qd"))
+        .select("vec_id", F.col("qd.qid").alias("qid"), F.col("qd.d").alias("d"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    rank_d = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact = (
+        dists.withColumn("rn", F.row_number().over(rank_d))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    # ADC arm: encode once, then per-query driver-side lookup tables
+    # (engine-identical IEEE fold, see pq_fixed_topk's contract)
+    enc = S.pq_encode(e, seeds, m, vec_col="v")
+    books = S.pq_codebooks(seeds, m)
+    adc_structs = []
+    for qid, qv in panel:
+        total = None
+        for j in range(m):
+            qj = qv[j * sub:(j + 1) * sub]
+            table = [
+                S._pydot(qj, qj) - 2.0 * S._pydot(qj, cw) + S._pydot(cw, cw)
+                for cw in books[j]
+            ]
+            lookup = F.element_at(
+                F.array(*[F.lit(dv) for dv in table]), F.col(f"__code{j}") + 1
+            )
+            total = lookup if total is None else total + lookup
+        adc_structs.append(
+            F.struct(F.lit(int(qid)).alias("qid"), F.round(total, 6).alias("ad"))
+        )
+    short = (
+        enc.select("vec_id", F.explode(F.array(*adc_structs)).alias("qa"))
+        .select("vec_id", F.col("qa.qid").alias("qid"), F.col("qa.ad").alias("ad"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("ad", "vec_id")),
+        )
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        short.join(dists, ["qid", "vec_id"])
+        .withColumn("rn", F.row_number().over(rank_d))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("ann_id"), F.lit(1).alias("hit"))
+    )
+
+    return (
+        exact.join(
+            ann,
+            (exact["qid"] == ann["qid"]) & (exact["vec_id"] == ann["ann_id"]),
+            "left",
+        )
+        .groupBy(exact["qid"])
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "hits",
+            F.round(F.col("hits") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _pq_fixed_oracle(m: int = 8, sub: int = 8, rerank: int = 100) -> str:
     """DuckDB oracle for sim_pq_fixed: replays encode (argmin over the 16
     sampled codewords per subspace, dot-identity distances), the ADC
@@ -10709,20 +10910,22 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the six NEW entries,
+    # ---- round-12 front (VERDICT r11 item 8): the seven NEW entries,
     # the five entries whose behavior this round changed (integer-log
     # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 39 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 11 + 39 = 50 = the driver's window; the 8
+    # artifacts), then 38 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 12 + 38 = 50 = the driver's window; the 9
     # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc source
     # roundtrips, ffill_resample, multimodal_frame_sample,
-    # skyline_pareto_frontier — all cheap, stable, and pytest-covered)
+    # skyline_pareto_frontier, sliding_window_counts — all cheap,
+    # stable, and pytest-covered)
     # plus this round's lower-risk touched entries (semdedup_prune,
     # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
     # changes, re-verified by the local full sweep) front-load round 13.
     "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
     "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
     "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate
+    "sim_pq_recall_eval",  # NEW r12: PQ ADC recall@10 eval
     "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
@@ -10731,9 +10934,9 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (39 of 47; multimodal_frame_sample and
-    # skyline_pareto_frontier deferred with the roundtrips — both
-    # pytest-covered and untouched since r07):
+    # r07 cohort (38 of 47; multimodal_frame_sample,
+    # skyline_pareto_frontier, and sliding_window_counts deferred with
+    # the roundtrips — all pytest-covered and untouched since r07):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -10744,7 +10947,6 @@ _VERIFY_FIRST = [
     "session_windows",
     "sim_ivf_fixed",
     "sim_pq_fixed",
-    "sliding_window_counts",
     "sql_recursive_spine",
     "streaming_dedup",
     "streaming_event_counts",
