@@ -140,6 +140,9 @@ SECONDARY = [
     # round-12 addition: PQ ADC recall eval (encode scan + two
     # literal-panel scans + windows; the compressed-index quality loop)
     "sim_pq_recall_eval",
+    # round-12 addition: seasonal-baseline anomalies (broadcast profile
+    # + TakeOrdered; no fact-table window)
+    "ts_seasonal_anomaly",
 ]
 
 

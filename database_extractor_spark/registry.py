@@ -6705,6 +6705,63 @@ def ts_outlier_zscore(spark, sf_dir):
     )
 
 
+@register(
+    "ts_seasonal_anomaly",
+    """
+    with prof as (
+        select event_type, extract(hour from ts) as hh,
+               cast(sum(cast(value as decimal(18,4))) as double) / count(*)
+                   as baseline
+        from events group by 1, 2
+    )
+    select e.event_id, e.event_type,
+           round(e.value - p.baseline, 6) as residual
+    from events e
+      join prof p on e.event_type = p.event_type
+                 and extract(hour from e.ts) = p.hh
+    order by round(abs(e.value - p.baseline), 6) desc, e.event_id
+    limit 50
+    """,
+)
+def ts_seasonal_anomaly(spark, sf_dir):
+    """SEASONAL-BASELINE anomaly detection — the complement of
+    ts_outlier_zscore's trailing window: a metric that is normal for
+    3 am but wild for noon only shows against a seasonality profile,
+    the first model every metrics platform fits. Profile = per
+    (event_type, hour-of-day) mean (decimal-exact sum / count, the
+    engine's cross-engine-exact mean discipline), residual = value -
+    baseline, output = top-50 by |residual| (rounded 6 dp before
+    ranking, event_id tiebreak — the hash-stable rank discipline).
+    Scale: the profile is a <= |types| x 24-row aggregate (map-side
+    partial combine collapses it early) BROADCAST back onto one events
+    scan, then TakeOrdered(50) — two scans, no wide shuffle, no window
+    over the fact table; at 100 TB the profile stays KB-sized however
+    the events grow."""
+    e = _tbl(spark, sf_dir, "events")
+    prof = e.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("baseline")
+    )
+    resid = F.col("value") - F.col("baseline")
+    return (
+        e.withColumn("hh", F.hour("ts"))
+        .join(F.broadcast(prof), ["event_type", "hh"])
+        .select(
+            "event_id",
+            "event_type",
+            F.round(resid, 6).alias("residual"),
+            F.round(F.abs(resid), 6).alias("__rank"),
+        )
+        .orderBy(F.desc("__rank"), "event_id")
+        .limit(50)
+        .drop("__rank")
+    )
+
+
 def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
     """Triangle-count plan builder, shared by the registry entry
     (``materialize=True``: one eager localCheckpoint on the supported
@@ -10910,15 +10967,15 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the seven NEW entries,
+    # ---- round-12 front (VERDICT r11 item 8): the eight NEW entries,
     # the five entries whose behavior this round changed (integer-log
     # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 38 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 12 + 38 = 50 = the driver's window; the 9
+    # artifacts), then 37 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 13 + 37 = 50 = the driver's window; the 10
     # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc source
     # roundtrips, ffill_resample, multimodal_frame_sample,
-    # skyline_pareto_frontier, sliding_window_counts — all cheap,
-    # stable, and pytest-covered)
+    # skyline_pareto_frontier, sliding_window_counts, session_windows —
+    # all cheap, stable, and pytest-covered)
     # plus this round's lower-risk touched entries (semdedup_prune,
     # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
     # changes, re-verified by the local full sweep) front-load round 13.
@@ -10926,6 +10983,7 @@ _VERIFY_FIRST = [
     "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
     "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate
     "sim_pq_recall_eval",  # NEW r12: PQ ADC recall@10 eval
+    "ts_seasonal_anomaly",  # NEW r12: seasonal-baseline residual top-k
     "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
@@ -10934,9 +10992,10 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (38 of 47; multimodal_frame_sample,
-    # skyline_pareto_frontier, and sliding_window_counts deferred with
-    # the roundtrips — all pytest-covered and untouched since r07):
+    # r07 cohort (37 of 47; multimodal_frame_sample,
+    # skyline_pareto_frontier, sliding_window_counts, and
+    # session_windows deferred with the roundtrips — all pytest-covered
+    # and untouched since r07):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -10944,7 +11003,6 @@ _VERIFY_FIRST = [
     "mmr_diversified_topk",
     "pagerank_event_graph",
     "pit_join_scd2",
-    "session_windows",
     "sim_ivf_fixed",
     "sim_pq_fixed",
     "sql_recursive_spine",

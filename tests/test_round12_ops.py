@@ -688,3 +688,17 @@ def test_pq_recall_eval_matches_python_replay(spark):
     # degenerate here and a rerank regression would be invisible)
     total_hits = sum(h for h, _ in got.values())
     assert 40 <= total_hits < 80
+
+
+def test_seasonal_anomaly_plan_broadcasts_profile(spark):
+    """ts_seasonal_anomaly's scale posture: the (event_type, hour)
+    profile must come back as a BROADCAST hash join onto the events
+    scan (never a shuffle of the fact side), and the top-50 must plan
+    as TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ts_seasonal_anomaly"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
