@@ -3000,6 +3000,45 @@ def sliding_window_counts(spark, sf_dir):
 
 
 @register(
+    "sliding_distinct_users",
+    """
+    with expanded as (
+        select date_trunc('minute', ts) as w0, event_type, user_id from events
+        union all
+        select date_trunc('minute', ts) - interval 1 minute, event_type, user_id
+        from events
+    )
+    select w0 as window_start, event_type,
+           cast(count(distinct user_id) as bigint) as n_users
+    from expanded group by 1, 2
+    """,
+)
+def sliding_distinct_users(spark, sf_dir):
+    """DISTINCT-count over hopping windows — the active-users primitive
+    (DAU/WAU at product scale, here 2 min window / 1 min slide): unlike
+    sliding_window_counts' plain count, a user active five times in a
+    window counts once, so the aggregate needs dedup-within-window
+    state. Plan: window() expands each event into its window/slide = 2
+    hops, then count(distinct user_id) per (window_start, event_type) —
+    Spark plans this as the standard two-phase distinct expansion
+    (partial dedup map-side before the count shuffle). Scale: state is
+    bounded by distinct users per window x live windows; at 100 TB swap
+    exact distinct for the mergeable HLL sketch entry
+    (hll_sketch_union_distinct) when 2% error is acceptable — this
+    entry is the exact reference the sketch is calibrated against."""
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 minutes", "1 minute")
+            .getField("start")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
     "session_windows",
     """
     with d as (
@@ -10967,15 +11006,15 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the eight NEW entries,
+    # ---- round-12 front (VERDICT r11 item 8): the nine NEW entries,
     # the five entries whose behavior this round changed (integer-log
     # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 37 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 13 + 37 = 50 = the driver's window; the 10
+    # artifacts), then 36 of the 47-entry r07 cohort (the oldest
+    # remaining driver rows). 14 + 36 = 50 = the driver's window; the 11
     # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc source
     # roundtrips, ffill_resample, multimodal_frame_sample,
-    # skyline_pareto_frontier, sliding_window_counts, session_windows —
-    # all cheap, stable, and pytest-covered)
+    # skyline_pareto_frontier, sliding_window_counts, session_windows,
+    # pit_join_scd2 — all cheap, stable, and pytest-covered)
     # plus this round's lower-risk touched entries (semdedup_prune,
     # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
     # changes, re-verified by the local full sweep) front-load round 13.
@@ -10984,6 +11023,7 @@ _VERIFY_FIRST = [
     "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate
     "sim_pq_recall_eval",  # NEW r12: PQ ADC recall@10 eval
     "ts_seasonal_anomaly",  # NEW r12: seasonal-baseline residual top-k
+    "sliding_distinct_users",  # NEW r12: hopping-window distinct counts
     "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
     "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
     "bpe_train_merges_batched",  # NEW r12: batched BPE training
@@ -10992,17 +11032,16 @@ _VERIFY_FIRST = [
     "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
     "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
     "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (37 of 47; multimodal_frame_sample,
-    # skyline_pareto_frontier, sliding_window_counts, and
-    # session_windows deferred with the roundtrips — all pytest-covered
-    # and untouched since r07):
+    # r07 cohort (36 of 47; multimodal_frame_sample,
+    # skyline_pareto_frontier, sliding_window_counts, session_windows,
+    # and pit_join_scd2 deferred with the roundtrips — all
+    # pytest-covered and untouched since r07):
     "dedup_containment_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "graph_triangle_count",
     "mmr_diversified_topk",
     "pagerank_event_graph",
-    "pit_join_scd2",
     "sim_ivf_fixed",
     "sim_pq_fixed",
     "sql_recursive_spine",
