@@ -343,6 +343,13 @@ def minhash_dedup(
     return anti_join(df, losers, on=id_col)
 
 
+#: incremental_minhash_dedup(materialize=True) collects the dropped-id
+#: set to the driver only up to this many rows (8-byte ids — ~800 KB);
+#: beyond it (a mostly-duplicate batch) the set is localCheckpoint'ed
+#: instead, so the driver-collect bound is O(cap), not O(|batch|).
+MATERIALIZE_COLLECT_CAP = 100_000
+
+
 def incremental_minhash_dedup(
     corpus_sigs: DataFrame,
     batch_sigs: DataFrame,
@@ -440,17 +447,27 @@ def incremental_minhash_dedup(
             .distinct()
         )
         if materialize:
-            # the dropped set is collected-tiny by design: rebuild it as
+            # the dropped set is USUALLY collected-tiny: rebuild it as
             # a literal frame so the signature cache can be released
             # WITHOUT leaking a persisted DataFrame per call — a long
             # stream calls this once per micro-batch
             # (_stream_minhash_batch), and persisted handles buried in
-            # returned plans would accumulate for the session's life
+            # returned plans would accumulate for the session's life.
+            # ADVICE r12: "tiny" only holds when few batch docs are
+            # near-dups — a mostly-duplicate batch makes the dropped
+            # set O(|batch|), so the collect is capped: past
+            # MATERIALIZE_COLLECT_CAP ids the dropped set is instead
+            # localCheckpoint'ed (distributed materialization, lineage
+            # cut, cache still releasable) at the cost of re-running
+            # the verify join once for the probe.
             dtype = dict(tagged.dtypes)[id_col]
-            rows = [(r[0],) for r in dropped.collect()]
-            dropped = tagged.sparkSession.createDataFrame(
-                rows, f"{id_col} {dtype}"
-            )
+            head = dropped.take(MATERIALIZE_COLLECT_CAP + 1)
+            if len(head) <= MATERIALIZE_COLLECT_CAP:
+                dropped = tagged.sparkSession.createDataFrame(
+                    [(r[0],) for r in head], f"{id_col} {dtype}"
+                )
+            else:
+                dropped = dropped.localCheckpoint(eager=True)
     finally:
         if materialize:
             tagged.unpersist(blocking=False)

@@ -1387,6 +1387,24 @@ def dedup_incremental_minhash(spark, sf_dir):
 _MINHASH_STREAM_LEDGER: dict[str, dict[int, list]] = {}
 
 
+def _stream_tmpdir(prefix: str) -> str:
+    """mkdtemp for a streaming entry's sink+checkpoint base, registered
+    for removal at interpreter exit (ADVICE r12: both streaming gates
+    are in the bench rotation, and a per-invocation mkdtemp that nobody
+    removes accumulates one sink+state directory per benchmark
+    repetition in /tmp). Cleanup must be deferred — the entry RETURNS a
+    lazy DataFrame over the committed jsonl files, so the directory has
+    to outlive the caller's action on that frame; atexit is the
+    earliest point the files are provably no longer readable."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 def _ledger_rebuild(store: dict, out: str, batch_id: int, parse_file) -> dict:
     """The shared running-ledger replay discipline for per-sink-directory
     cross-batch state (used by BOTH streaming gates — the curation
@@ -1426,6 +1444,23 @@ def _ledger_rebuild(store: dict, out: str, batch_id: int, parse_file) -> dict:
     return ledger
 
 
+def _prior_emitted_docs(spark, src_path: str, prior_ids: list[int]):
+    """Select the source rows for ids EARLIER stream batches emitted —
+    as a broadcast LEFT-SEMI join against a DataFrame of the ids
+    (VERDICT r12 item 3), never ``isin(prior_ids)``: an IN-list is an
+    expression whose size grows with everything the stream has ever
+    emitted (unbounded driver-side plan growth, per-row linear
+    evaluation), while the semi-join ships the ids as broadcast ROWS —
+    constant plan shape, hash-probe evaluation, and the build side
+    stays eligible for AQE bloom pushdown into the parquet scan."""
+    prior_df = spark.createDataFrame(
+        [(int(i),) for i in prior_ids], "doc_id bigint"
+    )
+    return spark.read.parquet(src_path).join(
+        F.broadcast(prior_df), "doc_id", "left_semi"
+    )
+
+
 def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
     """One micro-batch of the STREAMING near-dup gate — module-level so a
     restart test can drive it directly with a chosen batch id.
@@ -1439,13 +1474,20 @@ def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
     ids >= batch_id before recomputing, and a fresh incarnation rebuilds
     prior ids from committed files only).
 
-    Prior-batch signatures are RE-DERIVED from the source parquet by a
-    pushdown id filter instead of being stored in the ledger — the
-    ledger holds only emitted ids (8 bytes each, quota-free but bounded
-    by what the stream emitted), while signatures (64 lanes x 8 bytes
-    per doc) stay columnar. At 100 TB a deployment swaps both for the
-    bucketed signature table dedup_incremental_minhash documents; the
-    joins are identical."""
+    Prior-batch signatures are RE-DERIVED from the source parquet
+    instead of being stored in the ledger — the ledger holds only
+    emitted ids (8 bytes each, quota-free but bounded by what the
+    stream emitted), while signatures (64 lanes x 8 bytes per doc)
+    stay columnar. The id selection is a broadcast LEFT-SEMI join
+    against a DataFrame of the prior ids (VERDICT r12 item 3), not a
+    ``isin(prior_ids)`` literal: an IN-list is an expression that
+    grows with every id the stream has ever emitted — unbounded plan
+    size and per-row evaluation over the stream's life — while the
+    semi-join ships the same ids as broadcast ROWS (BHJ probe is a
+    hash lookup, and AQE can still turn the build side into a bloom
+    pushdown). At 100 TB a deployment swaps both for the bucketed
+    signature table dedup_incremental_minhash documents; the joins
+    are identical."""
     import json as _json
 
     def _parse_ids(path: str) -> list[int]:
@@ -1460,9 +1502,7 @@ def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
     )
     seen_sigs = corpus_sigs
     if prior_ids:
-        prior = spark.read.parquet(src_path).filter(
-            F.col("doc_id").isin(prior_ids)
-        )
+        prior = _prior_emitted_docs(spark, src_path, prior_ids)
         seen_sigs = corpus_sigs.unionByName(
             D.with_minhash(prior.select("doc_id", "text"))
         )
@@ -1493,13 +1533,11 @@ def streaming_minhash_dedup(spark, sf_dir):
     so the DuckDB oracle is the incremental pairwise replay
     (_incremental_minhash_oracle); the multi-batch precedence and
     replay-idempotence are pinned by tests/test_round12_ops.py."""
-    import tempfile
-
     from database_extractor_spark.sources.custom import register_jsonl_sink
     from database_extractor_spark.streaming import stream_source
 
     register_jsonl_sink(spark)
-    base = tempfile.mkdtemp(prefix="stream_minhash_")
+    base = _stream_tmpdir("stream_minhash_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     os.makedirs(out, exist_ok=True)
     src_path = os.path.join(sf_dir, "documents.parquet")
@@ -2385,16 +2423,20 @@ def _cached_ann_index(kind: str, sf_dir: str, spark: SparkSession, build):
 
         stage_parent = tempfile.mkdtemp(prefix=f"ann_stage_{kind}_{fp}_")
         stage = os.path.join(stage_parent, "data")
-        build().write.mode("overwrite").parquet(stage)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
-            os.rename(stage, path)
-        except OSError:
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
-        # the (now empty or, for the losing racer, still-populated)
-        # staging parent must not accumulate in the shared temp dir
-        shutil.rmtree(stage_parent, ignore_errors=True)
+            build().write.mode("overwrite").parquet(stage)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            try:
+                os.rename(stage, path)
+            except OSError:
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
+        finally:
+            # the staging parent (now empty; still-populated for the
+            # losing racer OR when the write/rename raised — ADVICE
+            # r12: the re-raise path must not leak staged parquet into
+            # the shared temp dir) is removed on every exit path
+            shutil.rmtree(stage_parent, ignore_errors=True)
     df = spark.read.parquet(path).persist()
     _ANN_INDEX_CACHE[key] = df
     return df
@@ -10454,13 +10496,11 @@ def streaming_curation_funnel(spark, sf_dir):
     oracle is the batch replay of gate -> anti-join -> keep-first ->
     md5-ranked cap; the multi-batch/restart semantics (growing corpus,
     running quota) are pinned by tests/test_round10_ops.py."""
-    import tempfile
-
     from database_extractor_spark.sources.custom import register_jsonl_sink
     from database_extractor_spark.streaming import stream_source
 
     register_jsonl_sink(spark)
-    base = tempfile.mkdtemp(prefix="stream_funnel_")
+    base = _stream_tmpdir("stream_funnel_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     os.makedirs(out, exist_ok=True)
     corpus_fp = _funnel_corpus_fp(spark, sf_dir)
