@@ -42,7 +42,12 @@ def main() -> None:
     spark = create_spark_client()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    queries = E.queries()
+    queries = dict(E.queries())
+    # bench-local pseudo-queries (e.g. dedup_minhash_pairs — the LSH
+    # pair stage benched apart from clustering) are measurable too
+    import bench as B
+
+    queries.setdefault("dedup_minhash_pairs", B._dedup_minhash_pairs)
     results = {}
     for name in names:
         fn = queries[name]
