@@ -12,7 +12,17 @@ reports per-batch wall times. Flat (or declining, as quotas fill) batch
 times are the linearity proof; a quadratic read-back would show
 monotonically growing times.
 
+Round 13 (VERDICT r12 item 6): --gate minhash drives the streaming
+NEAR-DUP gate (_stream_minhash_batch) through the same harness, so both
+streaming entries carry a scaled many-batch anchor. The minhash gate's
+per-batch work includes re-deriving prior-emitted signatures via the
+broadcast semi-join — expected to grow GENTLY with cumulative emitted
+count (the docstring's documented bound; a 100 TB deployment swaps to
+the persisted bucketed signature table), while the ledger read-back
+stays O(new batches) like the funnel's.
+
 Run: python scripts/funnel_manybatch_bench.py [--sf-dir D] [--batches N]
+     [--gate funnel|minhash]
 Prints one JSON line: {"batch_secs": [...], "first3": s, "last3": s,
 "emitted": n}.
 """
@@ -33,6 +43,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--gate", choices=["funnel", "minhash"], default="funnel")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -64,7 +75,16 @@ def main() -> None:
             "append"
         ).parquet(src_dir)
 
-    corpus_fp = R._funnel_corpus_fp(spark, args.sf_dir)
+    if args.gate == "funnel":
+        state = R._funnel_corpus_fp(spark, args.sf_dir)
+    else:
+        from database_extractor_spark.operators import dedup as D
+
+        state = D.with_minhash(
+            spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 250)
+            .select("doc_id", "text")
+        ).localCheckpoint(eager=True)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -76,7 +96,10 @@ def main() -> None:
 
     def run_batch(b, bid):
         t0 = time.perf_counter()
-        R._stream_funnel_batch(spark, b, bid, corpus_fp, out)
+        if args.gate == "funnel":
+            R._stream_funnel_batch(spark, b, bid, state, out)
+        else:
+            R._stream_minhash_batch(spark, b, bid, state, src_dir, out)
         batch_secs.append(round(time.perf_counter() - t0, 3))
 
     q = (
@@ -89,7 +112,10 @@ def main() -> None:
         q.stop()
         raise TimeoutError("many-batch drain exceeded 600 s")
 
-    back = spark.read.schema(R._FUNNEL_SINK_SCHEMA).json(
+    sink_schema = (
+        R._FUNNEL_SINK_SCHEMA if args.gate == "funnel" else "doc_id bigint"
+    )
+    back = spark.read.schema(sink_schema).json(
         os.path.join(out, "part-*.jsonl")
     )
     emitted = back.count()
@@ -107,6 +133,7 @@ def main() -> None:
         flush=True,
     )
     R._FUNNEL_LEDGER.pop(out, None)
+    R._MINHASH_STREAM_LEDGER.pop(out, None)
     shutil.rmtree(base, ignore_errors=True)
 
 

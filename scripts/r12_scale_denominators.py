@@ -37,7 +37,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dirs", default=",".join(DIRS))
     ap.add_argument("--shuffle-partitions", type=int, default=128)
-    ap.add_argument("--scaled-lists", type=int, default=160)
+    # default None -> the API sizing rule similarity.auto_n_lists(N)
+    # (round 13: the rule IS the deployment default; 160 at the 500k-row
+    # sf10 corpus reproduces the measured r12 point via the API)
+    ap.add_argument("--scaled-lists", type=int, default=None)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -77,6 +80,9 @@ def main() -> None:
         # frozen-seed init widened to `scaled_lists` corpus vectors (the
         # same fixed-rule sampled quantizer, more of it), 2 Lloyd rounds
         n = args.scaled_lists
+        if n is None:
+            n = S.auto_n_lists(e.count())
+        out["auto_n_lists"] = n
         import pyarrow.parquet as pq
 
         seed_rows = pq.read_table(
