@@ -143,6 +143,16 @@ SECONDARY = [
     # round-12 addition: seasonal-baseline anomalies (broadcast profile
     # + TakeOrdered; no fact-table window)
     "ts_seasonal_anomaly",
+    # round-13 additions: LSH recall@10 eval (completes the IVF/PQ/LSH
+    # index-quality trilogy on one frozen panel) and the auto-sized IVF
+    # (n_lists = similarity.auto_n_lists(corpus rows) — the API-default
+    # sizing rule; the count() that sizes it is one bounded scalar)
+    "sim_lsh_recall_eval",
+    "sim_ivf_auto",
+    # round-13 additions: the Gopher heuristic gates (repetition
+    # n-gram fractions — two shuffled aggregates; rule filter — one)
+    "text_repetition_scores",
+    "gopher_quality_filter",
 ]
 
 

@@ -47,7 +47,17 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _query_lit(query_vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in query_vec])
+    """Array literal built from ONE expr string — a single Py4J call.
+    The former ``F.array(*[F.lit(v) ...])`` issued len(vec) round-trips
+    (~1-4 ms each) PER literal vector at plan-BUILD time; an IVF argmax
+    over 16 centroids paid 1024 of them (~1 s of driver overhead per
+    build — the _LN_MICRO_SQL lesson, BASELINE.md r13). repr() emits the
+    shortest decimal that round-trips the double and Spark's literal
+    parse is correctly rounded, so the folded plan Literal is
+    bit-identical to the old form."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in query_vec) + ")"
+    )
 
 
 def cosine_to_literal(
@@ -126,7 +136,8 @@ def lsh_bucket(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
     """
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        proj = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        # _query_lit: one expr-string literal per plane, not dim F.lits
+        proj = dot(vec_col, _query_lit(plane))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -277,6 +288,12 @@ def lloyd_rounds_cosine(
     narrow projection) + one n_lists-row aggregate; the collect is
     n_lists x dim rounded doubles — bounded model state, the PCA
     power-iteration pattern. Empty lists keep their previous centroid.
+
+    Sizing the quantizer: pass ``auto_n_lists(df.count())`` seeds unless
+    a config is pinned for oracle replay — list count must GROW with the
+    corpus (measured at sf10: a frozen 16-list config goes quadratic in
+    within-list pairs while auto-sized 160 lists restore ~linear cost;
+    BASELINE.md r12).
     """
     dim = len(seeds[0][1])
     cents = [(int(s), [float(x) for x in v]) for s, v in seeds]
@@ -306,6 +323,44 @@ def lloyd_rounds_cosine(
         got = {int(r["__list"]): [float(r[f"c{d}"]) for d in range(dim)] for r in rows}
         cents = [(s, got.get(s, v)) for s, v in cents]
     return cents
+
+
+def auto_n_lists(
+    n_rows: int, base_rows: int = 5000, base_lists: int = 16
+) -> int:
+    """The IVF/SemDeDup list-count sizing rule, promoted from a measured
+    footnote to THE API default (VERDICT r12 item 7): square-root
+    scaling anchored at the fixture's oracle-pinned config —
+
+        n_lists = round(base_lists * sqrt(n_rows / base_rows))
+
+    i.e. 16 lists at the 5,000-vector sf0.1 corpus and **160 at the
+    500,000-vector sf10 corpus — the measured deployment point**
+    (BASELINE.md r12: within-cluster pairs fall 9.5x, the semdedup
+    train+assign+pair run falls 966 -> 156 s). Square-root growth keeps
+    per-list size growing as sqrt(N) too, balancing quantizer cost
+    (propto n_lists per row) against within-list pair cost (propto
+    list size) — the standard IVF guidance (Faiss: n_lists ~ k*sqrt(N)).
+
+    CROSS-ENGINE DETERMINISTIC: computed as
+    floor(sqrt(n_rows * base_lists^2 / base_rows) + 0.5) where every
+    step — int->double conversion, multiply, divide, sqrt, +0.5, floor
+    — is an exactly-rounded IEEE 754 core operation (sqrt is a basic
+    IEEE op, NOT a libm approximation), so any engine (Spark, DuckDB,
+    NumPy) replays the same integer from the same row count; a SQL
+    oracle can size its seed CTE with the identical formula.
+    """
+    import math
+
+    return max(
+        1,
+        int(
+            math.floor(
+                math.sqrt(n_rows * float(base_lists * base_lists) / base_rows)
+                + 0.5
+            )
+        ),
+    )
 
 
 def ivf_assign(

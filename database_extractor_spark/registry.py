@@ -1746,6 +1746,96 @@ def sim_ivf_fixed(spark, sf_dir):
     )
 
 
+_AUTO_SEED_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+
+def _auto_seed_vecs(sf_dir: str, n: int) -> list[tuple[int, list[float]]]:
+    """(vec_id, embedding) of the first ``n`` corpus vectors — the
+    auto-sized quantizer's frozen sampled-seed init (the
+    _fixture_seed_vecs rule generalized from the pinned 16); cached per
+    (fixture content fingerprint, n)."""
+    key = (_parquet_fingerprint(sf_dir, "embeddings"), int(n))
+    if key not in _AUTO_SEED_CACHE:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", ">=", 1), ("vec_id", "<=", int(n))],
+        ).to_pylist()
+        rows.sort(key=lambda r: r["vec_id"])
+        _AUTO_SEED_CACHE[key] = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+        ]
+    return _AUTO_SEED_CACHE[key]
+
+
+#: sim_ivf_auto's oracle: _IVF_FIXED_ORACLE with the seed CTE sized by
+#: the SAME IEEE-exact formula auto_n_lists computes driver-side —
+#: floor(sqrt(count * 16^2 / 5000) + 0.5) — so the oracle follows the
+#: corpus size with no per-sf string edits (every op is an
+#: exactly-rounded IEEE core op in both engines; see auto_n_lists).
+_IVF_AUTO_ORACLE = """
+    with nl as (
+        select greatest(1, cast(floor(
+            sqrt(count(*) * 256.0 / 5000) + 0.5) as int)) as n
+        from embeddings
+    ),
+    s as (
+        select vec_id as sid, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings, nl where vec_id >= 1 and vec_id <= nl.n
+    ),
+    e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
+    a as (
+        select e.vec_id, s.sid,
+               list_dot_product(e.v, s.sv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))) as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a
+        qualify row_number() over (partition by vec_id order by c desc, sid) = 1
+    ),
+    q as (select v as qv from e where vec_id = 0),
+    probes as (
+        select s.sid from s, q
+        order by list_dot_product(s.sv, q.qv)
+                 / (sqrt(list_dot_product(s.sv, s.sv)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 desc, s.sid
+        limit 4
+    )
+    select e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+    from e
+      join assign on e.vec_id = assign.vec_id, q
+    where e.vec_id <> 0 and assign.list_id in (select sid from probes)
+    order by cos desc, e.vec_id limit 10
+"""
+
+
+@register("sim_ivf_auto", _IVF_AUTO_ORACLE)
+def sim_ivf_auto(spark, sf_dir):
+    """sim_ivf_fixed with the quantizer sized by the API DEFAULT rule
+    instead of a pinned constant (VERDICT r12 item 7):
+    n_lists = similarity.auto_n_lists(corpus rows) — sqrt scaling
+    anchored so the 5,000-vector fixture gets the classic 16 lists and
+    the 500,000-vector sf10 corpus gets the MEASURED 160-list
+    deployment point (BASELINE.md r12: 966 -> 156 s on the semdedup
+    pair stage). The count() that sizes the quantizer is one bounded
+    driver scalar (the Lloyd-collect discipline); everything downstream
+    is sim_ivf_fixed's plan — assignment as argmax over seed literals
+    (scan+project), probe-4 prune, exact top-10 within probed lists.
+    The oracle sizes its seed CTE with the IDENTICAL IEEE-exact
+    formula, so one SQL string follows the corpus across SFs."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    n = S.auto_n_lists(e.count())
+    q, _ = _fixture_query_vec(sf_dir)
+    return S.ivf_fixed_topk(
+        e, _auto_seed_vecs(sf_dir, n), q, k=10, nprobe=4, exclude_ids=[0]
+    )
+
+
 #: the frozen recall-eval query set (vec_id 0 plus the first seven
 #: non-seed corpus ids): a SAMPLED query panel, the standard way ANN
 #: index quality is measured — exact top-k is affordable for a panel,
@@ -2786,6 +2876,162 @@ def sim_ann_lsh(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
     q, _ = _fixture_query_vec(sf_dir)
     return S.ann_topk_lsh(e, q, k=10, n_planes=6, multiprobe_hamming=2, exclude_ids=[0])
+
+
+def _lsh_recall_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB replay of the LSH recall eval: the _ann_lsh_oracle bucket
+    literals generalized with a query (qid) dimension over the frozen
+    8-query panel, then recall@10 against exact cosine top-10 — the
+    _RECALL_ORACLE shape with the IVF probe CTEs swapped for
+    bit_count(xor(bucket, qbucket)) <= 2 multiprobe membership."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (case when list_dot_product(embedding::DOUBLE[], {lit(p)})"
+        " >= 0 then 1 else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    qids = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
+    return f"""
+    with b as (
+        select vec_id, list_transform(embedding, x -> x::DOUBLE) as v,
+               {bucket} as bucket
+        from embeddings
+    ),
+    q as (
+        select vec_id as qid, v as qv, bucket as qbucket from b
+        where vec_id in ({qids})
+    ),
+    exact as (
+        select q.qid, b.vec_id
+        from b join q on b.vec_id <> q.qid
+        qualify row_number() over (partition by q.qid order by
+            round(list_dot_product(b.v, q.qv)
+                  / (sqrt(list_dot_product(b.v, b.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            b.vec_id) <= 10
+    ),
+    ann as (
+        select q.qid, b.vec_id
+        from b join q
+          on b.vec_id <> q.qid
+         and bit_count(xor(b.bucket, q.qbucket)) <= 2
+        qualify row_number() over (partition by q.qid order by
+            round(list_dot_product(b.v, q.qv)
+                  / (sqrt(list_dot_product(b.v, b.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            b.vec_id) <= 10
+    )
+    select x.qid as query_id,
+           cast(sum(case when n.vec_id is not null then 1 else 0 end) as bigint)
+               as hits,
+           round(sum(case when n.vec_id is not null then 1 else 0 end) / 10.0, 6)
+               as recall_at_10
+    from exact x left join ann n on x.qid = n.qid and x.vec_id = n.vec_id
+    group by x.qid order by query_id
+"""
+
+
+@register("sim_lsh_recall_eval", _lsh_recall_oracle())
+def sim_lsh_recall_eval(spark, sf_dir):
+    """recall@10 of the random-hyperplane LSH index (sim_ann_lsh's
+    config: 6 seeded planes, multiprobe Hamming <= 2) against exact
+    cosine top-10 over the SAME frozen 8-query panel as
+    sim_recall_eval (IVF) and sim_pq_recall_eval (PQ) — closing the
+    index-quality trilogy (VERDICT r12 item 8) so all three ANN
+    families report comparable recall numbers from one panel.
+
+    Spark-first shape: the exact arm is sim_recall_eval's single-scan
+    literal-panel explode (no join); the ANN arm computes the 6-bit
+    bucket ONCE per row (scan+project, plane literals) and joins a
+    broadcast (qid, bucket) MULTIPROBE table — the query buckets and
+    their 1-bit/2-bit flips are driver-side constants (22 probes x 8
+    queries = 176 rows), so candidate selection is an equi-join on
+    bucket, never a per-row Hamming evaluation against every query. At
+    100 TB the bucket is persisted table state (with_lsh_bucket's
+    layout note) and the probe join prunes at the scan; the eval runs
+    once per index build. Both arms rank round(cos, 6) desc with the
+    vec_id tiebreak (the hash-identical-replay discipline)."""
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    dim = len(panel[0][1])
+    n_planes, seed = 6, 42
+    rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+
+    # exact arm: one corpus scan, panel as plan literals (no join)
+    ex_structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.round(
+                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
+            ).alias("c"),
+        )
+        for qid, qv in panel
+    ]
+    exact = (
+        e.withColumn("__vn", S.l2_norm(F.col("v")))
+        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    # ANN arm: bucket scan+project + broadcast multiprobe equi-join
+    planes = S.hyperplanes(dim, n_planes, seed)
+    probe_rows = []
+    for qid, qv in panel:
+        qb = S._py_bucket(qv, planes)
+        probes = {qb}
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+        probes |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+        probe_rows.extend((int(qid), int(p)) for p in sorted(probes))
+    probe_df = spark.createDataFrame(probe_rows, "qid int, pbucket int")
+    q = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in panel],
+        "qid int, qv array<double>",
+    )
+    ann = (
+        S.with_lsh_bucket(e, dim, "v", n_planes, seed)
+        .join(F.broadcast(probe_df), F.col("bucket") == F.col("pbucket"))
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("ann_id"), F.lit(1).alias("hit"))
+    )
+
+    return (
+        exact.join(
+            ann,
+            (exact["qid"] == ann["qid"]) & (exact["vec_id"] == ann["ann_id"]),
+            "left",
+        )
+        .groupBy(exact["qid"])
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "hits",
+            F.round(F.col("hits") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -11048,6 +11294,236 @@ def bpe_train_merges_batched(spark, sf_dir):
     return out.orderBy("merge_rank")
 
 
+_REPETITION_ORACLE = r"""
+    with d as (
+        select doc_id,
+               string_split_regex(lower(trim(text)), '\s+') as toks
+        from documents
+    ),
+    g2 as (
+        select doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) as gram
+        from d
+    ),
+    g5 as (
+        select doc_id,
+               unnest(list_transform(range(1, len(toks) - 3),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                           || ' ' || toks[i + 3] || ' ' || toks[i + 4])) as gram
+        from d
+    ),
+    a2 as (
+        select doc_id,
+               cast(sum(c) as bigint) as total,
+               cast(count(*) as bigint) as uniq,
+               cast(max(c) as bigint) as maxc
+        from (select doc_id, gram, count(*) as c from g2 group by 1, 2)
+        group by doc_id
+    ),
+    a5 as (
+        select doc_id,
+               cast(sum(c) as bigint) as total,
+               cast(count(*) as bigint) as uniq
+        from (select doc_id, gram, count(*) as c from g5 group by 1, 2)
+        group by doc_id
+    )
+    select d.doc_id as doc_id,
+           coalesce(a2.total, 0) as n_2grams,
+           round(coalesce(1.0 - a2.uniq / a2.total, 0.0), 6) as dup_2gram_frac,
+           round(coalesce(a2.maxc / a2.total, 0.0), 6) as top_2gram_frac,
+           round(coalesce(1.0 - a5.uniq / a5.total, 0.0), 6) as dup_5gram_frac,
+           (coalesce(50 * (a2.total - a2.uniq), 0) > coalesce(10 * a2.total, 0)
+            or coalesce(10 * (a5.total - a5.uniq), 0) > coalesce(a5.total, 0))
+               as flagged
+    from d
+      left join a2 on d.doc_id = a2.doc_id
+      left join a5 on d.doc_id = a5.doc_id
+    order by d.doc_id
+"""
+
+
+@register("text_repetition_scores", _REPETITION_ORACLE)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style REPETITION filters (Rae et al. 2021 §A1.1, public):
+    the curation gate that removes boilerplate- and loop-generated
+    documents by measuring how much of the text is repeated n-grams —
+    per document: duplicate-2-gram fraction (1 - distinct/total),
+    top-2-gram fraction (most frequent 2-gram's share), and
+    duplicate-5-gram fraction, plus the paper-shaped flag
+    (dup_2gram > 0.2 OR dup_5gram > 0.1 — evaluated by integer
+    CROSS-MULTIPLICATION, 50*(total-uniq) > 10*total, so the boolean
+    never depends on FP rounding in either engine).
+
+    Spark-first: n-gram arrays are built IN-PLAN per row
+    (transform(sequence(...)) over the token array — no self-join on
+    position), then ONE explode + two-level aggregate per n-gram order:
+    groupBy(doc_id, gram).count -> groupBy(doc_id).agg(sum, count,
+    max). Shuffles hash on (doc_id, gram) — the same key cardinality
+    any distinct-count costs — and the per-doc join fan is 1:1. At
+    100 TB this is two shuffled aggregates over the corpus, no window,
+    no skew key (gram keys are doc-scoped)."""
+    d = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.lower(F.trim(F.col("text")))).alias("toks")
+    )
+
+    def gram_stats(src, n: int, with_max: bool):
+        # filter BEFORE building grams: sequence(0, size-n) with
+        # size < n would generate a DESCENDING index range (Spark's
+        # sequence steps -1 when stop < start), not an empty array
+        parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+        grams = src.filter(F.size("toks") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("gram"),
+        )
+        per = grams.groupBy("doc_id", "gram").count()
+        aggs = [
+            F.sum("count").cast("bigint").alias("total"),
+            F.count("*").cast("bigint").alias("uniq"),
+        ]
+        if with_max:
+            aggs.append(F.max("count").cast("bigint").alias("maxc"))
+        return per.groupBy("doc_id").agg(*aggs)
+
+    a2 = gram_stats(d, 2, with_max=True)
+    a5 = gram_stats(d, 5, with_max=False).select(
+        F.col("doc_id").alias("doc_id5"),
+        F.col("total").alias("total5"),
+        F.col("uniq").alias("uniq5"),
+    )
+    out = (
+        d.select("doc_id")
+        .join(a2, "doc_id", "left")
+        .join(a5, F.col("doc_id") == F.col("doc_id5"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("total", F.lit(0)).alias("n_2grams"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("uniq") / F.col("total"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("maxc") / F.col("total"), F.lit(0.0)), 6
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("uniq5") / F.col("total5"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_5gram_frac"),
+            (
+                (
+                    F.coalesce(
+                        F.lit(50) * (F.col("total") - F.col("uniq")), F.lit(0)
+                    )
+                    > F.coalesce(F.lit(10) * F.col("total"), F.lit(0))
+                )
+                | (
+                    F.coalesce(
+                        F.lit(10) * (F.col("total5") - F.col("uniq5")),
+                        F.lit(0),
+                    )
+                    > F.coalesce(F.col("total5"), F.lit(0))
+                )
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+_GOPHER_ORACLE = rf"""
+    with t as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) as tok
+        from documents
+    ),
+    a as (
+        select doc_id,
+               cast(count(*) as bigint) as n_words,
+               cast(sum(len(tok)) as bigint) as sum_len,
+               cast(sum(case when tok in ({_GOPHER_STOP_SQL}) then 1 else 0 end)
+                    as bigint) as n_stop,
+               cast(sum(case when regexp_matches(tok, '[a-z]') then 1 else 0 end)
+                    as bigint) as n_alpha
+        from t group by doc_id
+    )
+    select doc_id, n_words,
+           (n_words >= 20 and n_words <= 100000) as ok_word_count,
+           (sum_len >= 3 * n_words and sum_len <= 10 * n_words)
+               as ok_mean_word_len,
+           (50 * n_stop >= 3 * n_words) as ok_stopword_frac,
+           (5 * n_alpha >= 4 * n_words) as ok_alpha_frac,
+           ((n_words >= 20 and n_words <= 100000)
+            and (sum_len >= 3 * n_words and sum_len <= 10 * n_words)
+            and (50 * n_stop >= 3 * n_words)
+            and (5 * n_alpha >= 4 * n_words)) as keep
+    from a order by doc_id
+"""
+
+
+@register("gopher_quality_filter", _GOPHER_ORACLE)
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher RULE-BASED quality filter (Rae et al. 2021 §A1.1, public)
+    — the heuristic gate that runs BEFORE any learned classifier in a
+    production corpus pipeline: per document, word-count bounds
+    [20, 100k], mean word length in [3, 10], stopword fraction >= 6%,
+    and alphabetic-token fraction >= 80%; keep = all four. EVERY rule is
+    evaluated by integer cross-multiplication (mean len in [3,10] <=>
+    3n <= sum_len <= 10n; stop frac >= 0.06 <=> 50*stop >= 3*n; alpha
+    frac >= 0.8 <=> 5*alpha >= 4*n), so the booleans are exact integer
+    comparisons in BOTH engines — no FP boundary can flip a keep
+    decision. Complements quality_classifier_score (learned weights)
+    and text_repetition_scores (repetition gate).
+
+    Spark-first: one explode + one per-doc aggregate (four conditional
+    sums over the token stream) + a projection of comparisons — a
+    single shuffled aggregate keyed on doc_id at any scale."""
+    t = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),
+    )
+    stop_arr = F.expr(
+        "array(" + ",".join(f"'{w}'" for w in T.STOPWORDS["en"]) + ")"
+    )
+    a = t.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("tok")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    ok_wc = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    ok_len = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    ok_stop = F.lit(50) * F.col("n_stop") >= F.lit(3) * F.col("n_words")
+    ok_alpha = F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words")
+    return a.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopword_frac"),
+        ok_alpha.alias("ok_alpha_frac"),
+        (ok_wc & ok_len & ok_stop & ok_alpha).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
@@ -11070,8 +11546,9 @@ _VERIFY_FIRST = [
     # with this round's touched entries (ccnet_perplexity_buckets —
     # expr-string lnq rebuild; streaming_minhash_dedup /
     # streaming_curation_funnel — ledger semi-join rewrite; all
-    # re-proven by the local 244-entry DuckDB sweep this round) and the
-    # round-13 additions (sim_lsh_recall_eval, sim_ivf_auto).
+    # re-proven by the local full-registry DuckDB sweep this round) and
+    # the round-13 additions (sim_lsh_recall_eval, sim_ivf_auto,
+    # gopher_quality_filter, text_repetition_scores).
     # r07-aged (11):
     "bpe_pair_counts",
     "csv_source_roundtrip",

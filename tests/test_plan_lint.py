@@ -155,6 +155,13 @@ def test_local_checkpoint_usage_is_pinned():
         # starts (the _funnel_corpus_fp discipline); lazy twin linted by
         # test_streaming_minhash_corpus_prechk_plan below
         ("registry.py", "streaming_minhash_dedup"),
+        # r13 ADVICE cap: dropped sets past MATERIALIZE_COLLECT_CAP are
+        # localCheckpoint'ed instead of driver-collected; the
+        # pre-checkpoint candidate/verify plan is the SAME plan the
+        # materialize=False twin exposes (test_incremental_minhash_lazy_plan
+        # lints it) — the checkpoint only swaps the materialization of
+        # its final projection
+        ("operators/dedup.py", "incremental_minhash_dedup"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()

