@@ -326,7 +326,7 @@ def lloyd_rounds_cosine(
 
 
 def auto_n_lists(
-    n_rows: int, base_rows: int = 5000, base_lists: int = 16
+    n_rows: int, base_rows: int = 2000, base_lists: int = 16
 ) -> int:
     """The IVF/SemDeDup list-count sizing rule, promoted from a measured
     footnote to THE API default (VERDICT r12 item 7): square-root
@@ -334,8 +334,9 @@ def auto_n_lists(
 
         n_lists = round(base_lists * sqrt(n_rows / base_rows))
 
-    i.e. 16 lists at the 5,000-vector sf0.1 corpus and **160 at the
-    500,000-vector sf10 corpus — the measured deployment point**
+    i.e. 16 lists at the 2,000-vector sf0.1 embeddings corpus and
+    **160 at the 200,000-vector sf10 corpus — the measured deployment
+    point**
     (BASELINE.md r12: within-cluster pairs fall 9.5x, the semdedup
     train+assign+pair run falls 966 -> 156 s). Square-root growth keeps
     per-list size growing as sqrt(N) too, balancing quantizer cost

@@ -1772,13 +1772,13 @@ def _auto_seed_vecs(sf_dir: str, n: int) -> list[tuple[int, list[float]]]:
 
 #: sim_ivf_auto's oracle: _IVF_FIXED_ORACLE with the seed CTE sized by
 #: the SAME IEEE-exact formula auto_n_lists computes driver-side —
-#: floor(sqrt(count * 16^2 / 5000) + 0.5) — so the oracle follows the
+#: floor(sqrt(count * 16^2 / 2000) + 0.5) — so the oracle follows the
 #: corpus size with no per-sf string edits (every op is an
 #: exactly-rounded IEEE core op in both engines; see auto_n_lists).
 _IVF_AUTO_ORACLE = """
     with nl as (
         select greatest(1, cast(floor(
-            sqrt(count(*) * 256.0 / 5000) + 0.5) as int)) as n
+            sqrt(count(*) * 256.0 / 2000) + 0.5) as int)) as n
         from embeddings
     ),
     s as (
@@ -1819,9 +1819,9 @@ def sim_ivf_auto(spark, sf_dir):
     """sim_ivf_fixed with the quantizer sized by the API DEFAULT rule
     instead of a pinned constant (VERDICT r12 item 7):
     n_lists = similarity.auto_n_lists(corpus rows) — sqrt scaling
-    anchored so the 5,000-vector fixture gets the classic 16 lists and
-    the 500,000-vector sf10 corpus gets the MEASURED 160-list
-    deployment point (BASELINE.md r12: 966 -> 156 s on the semdedup
+    anchored so the 2,000-vector sf0.1 embeddings corpus gets the
+    entry-pinned 16 lists and the 200,000-vector sf10 corpus gets the
+    MEASURED 160-list deployment point (BASELINE.md r12: 966 -> 156 s on the semdedup
     pair stage). The count() that sizes the quantizer is one bounded
     driver scalar (the Lloyd-collect discipline); everything downstream
     is sim_ivf_fixed's plan — assignment as argmax over seed literals

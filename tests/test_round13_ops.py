@@ -139,21 +139,22 @@ def test_lnq_micro_is_single_projection(spark):
 
 def test_auto_n_lists_rule_and_cross_engine_replay(spark):
     """The sizing rule must hit both measured anchor points exactly (16
-    lists at 5,000 rows; 160 at 500,000 — the sf10 deployment point)
+    lists at 2,000 rows — the sf0.1 embeddings corpus; 160 at 200,000
+    — the sf10 deployment point)
     and be replayable by DuckDB's floor/sqrt on the identical formula
     for every corpus size the fixtures use."""
     import duckdb
 
     from database_extractor_spark.operators import similarity as S
 
-    assert S.auto_n_lists(5000) == 16
-    assert S.auto_n_lists(500_000) == 160
+    assert S.auto_n_lists(2000) == 16
+    assert S.auto_n_lists(200_000) == 160
     assert S.auto_n_lists(0) == 1  # floor guard
     con = duckdb.connect()
     for n in [1, 7, 500, 5000, 50_000, 500_000, 1_234_567]:
         sql_n = con.execute(
             "select greatest(1, cast(floor("
-            f"sqrt({n} * 256.0 / 5000) + 0.5) as int))"
+            f"sqrt({n} * 256.0 / 2000) + 0.5) as int))"
         ).fetchone()[0]
         assert sql_n == S.auto_n_lists(n), (n, sql_n, S.auto_n_lists(n))
 
