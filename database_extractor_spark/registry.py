@@ -11525,6 +11525,120 @@ def gopher_quality_filter(spark, sf_dir):
 
 
 # ==========================================================================
+# Training-export sharding (round 13)
+# ==========================================================================
+# The last mile of a corpus pipeline: after dedup/curation, the surviving
+# documents are exported as N balanced shards in a DETERMINISTIC
+# pseudo-random order a dataloader can stream. A naive global
+# ORDER BY rand() is both non-reproducible and a full global sort; the
+# standard engine move is hash-sharding (shard = md5(doc_id) % N — the
+# split_train_val_test discipline, so a document never changes shard as
+# the corpus grows) plus a WITHIN-shard sort on an independent slice of
+# the same digest. No global ordering structure exists anywhere in the
+# plan: each shard sorts independently, which is exactly what a
+# 1000-executor export wants (shard count scales with corpus bytes, e.g.
+# ceil(bytes / 1 GiB); 16 is the oracle-pinned fixture config).
+
+_N_EXPORT_SHARDS = 16
+
+_SHARD_SQL = (
+    "('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint"
+    f" % {_N_EXPORT_SHARDS}"
+)
+
+
+def _shard_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_EXPORT_SHARDS
+    ).alias("shard_id")
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    with s as (
+        select doc_id, n_chars, {_SHARD_SQL} as shard_id
+        from documents
+    )
+    select shard_id,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as n_chars_total,
+           min(doc_id) as min_doc_id,
+           max(doc_id) as max_doc_id
+    from s group by shard_id order by shard_id
+    """,
+)
+def corpus_shard_manifest(spark, sf_dir):
+    """Shard MANIFEST for a training-data export: per shard, document
+    count, total characters, and the doc-id range — the sidecar file a
+    dataloader reads to plan an epoch (and the balance check that md5
+    hash-sharding actually yields ~uniform shards, no skewed shard to
+    straggle the export). One hash aggregate on a key that is uniform by
+    construction; N_shards rows out regardless of corpus size."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars", _shard_col())
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "corpus_export_order",
+    f"""
+    with s as (
+        select doc_id,
+               {_SHARD_SQL} as shard_id,
+               substr(md5(cast(doc_id as varchar)), 9, 16) as ord_key
+        from documents
+    )
+    select doc_id, shard_id,
+           cast(row_number() over (
+               partition by shard_id order by ord_key, doc_id
+           ) as bigint) as pos_in_shard
+    from s order by shard_id, pos_in_shard
+    """,
+)
+def corpus_export_order(spark, sf_dir):
+    """Deterministic pseudo-random EPOCH ORDER: each document gets
+    (shard_id, pos_in_shard), where the position orders by an
+    independent slice of the md5 digest (hex chars 9-24 — disjoint from
+    the 1-8 slice that picked the shard, so shard and order are
+    independent fingerprint bits). Reading shards in id order and each
+    shard in pos order replays the identical global permutation on every
+    engine and every run — reproducible training, no rand().
+
+    Spark-first: the ONLY ordering structure is a window PARTITIONED BY
+    shard_id — there is no global sort or single-task window anywhere;
+    at 100 TB each shard ranks independently on its own executor set and
+    the per-shard sort is the per-file sort the export writer needs
+    anyway."""
+    docs = _tbl(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        _shard_col(),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 16).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("ord_key", "doc_id")
+    return (
+        s.select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("shard_id", "pos_in_shard")
+    )
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion

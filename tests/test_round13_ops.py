@@ -309,3 +309,76 @@ def test_text_repetition_scores_python_replay(spark, tmp_path):
         assert g["flagged"] == exp_flag, (doc_id, g)
     assert got[1]["flagged"] is True and got[2]["flagged"] is False
     assert got[3]["dup_5gram_frac"] == 0.0
+
+
+def test_corpus_shard_manifest_matches_md5_replay(spark, tmp_path):
+    """Shard assignment is a pure function of doc_id (md5 hex 1-8 mod
+    N): the manifest's per-shard counts/char-sums must equal a python
+    hashlib replay, and every document must land in exactly one shard."""
+    import hashlib
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _N_EXPORT_SHARDS
+
+    docs = [(i, "w " * (i % 7 + 1), (i % 7 + 1) * 2) for i in range(200)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    exp = defaultdict(lambda: [0, 0])
+    for i, _, nc in docs:
+        s = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _N_EXPORT_SHARDS
+        exp[s][0] += 1
+        exp[s][1] += nc
+
+    got = QUERIES["corpus_shard_manifest"](spark, sf).collect()
+    assert sum(r["n_docs"] for r in got) == len(docs)
+    for r in got:
+        assert [r["n_docs"], r["n_chars_total"]] == exp[r["shard_id"]]
+        assert r["min_doc_id"] <= r["max_doc_id"]
+
+
+def test_corpus_export_order_is_deterministic_partitioned_permutation(
+    spark, tmp_path
+):
+    """The epoch order must (a) rank by the independent md5 hex 9-24
+    slice within each shard, exactly as a python replay does, (b) cover
+    every doc exactly once with dense 1..k positions per shard, and
+    (c) contain NO unpartitioned window — the plan's only window is
+    keyed on shard_id."""
+    import hashlib
+
+    from database_extractor_spark.registry import QUERIES, _N_EXPORT_SHARDS
+
+    sf = str(tmp_path)
+    ids = list(range(300))
+    spark.createDataFrame(
+        [(i, "t", 1) for i in ids], "doc_id bigint, text string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    df = QUERIES["corpus_export_order"](spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(shard_id" in plan, plan
+
+    got = df.collect()
+    assert sorted(r["doc_id"] for r in got) == ids
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows in by_shard.items():
+        assert [r["pos_in_shard"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        def key(r):
+            h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+            assert (
+                int(h[:8], 16) % _N_EXPORT_SHARDS == shard
+            )
+            return (h[8:24], r["doc_id"])
+        assert rows == sorted(rows, key=key)
+    # the permutation is not the identity order (pseudo-random shuffle)
+    first_shard = by_shard[min(by_shard)]
+    assert [r["doc_id"] for r in first_shard] != sorted(
+        r["doc_id"] for r in first_shard
+    )
