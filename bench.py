@@ -153,6 +153,10 @@ SECONDARY = [
     # n-gram fractions — two shuffled aggregates; rule filter — one)
     "text_repetition_scores",
     "gopher_quality_filter",
+    # round-13 additions: training-export sharding (manifest = one hash
+    # aggregate, 16 rows out; epoch order = one shard-partitioned window)
+    "corpus_shard_manifest",
+    "corpus_export_order",
 ]
 
 
