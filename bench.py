@@ -157,6 +157,9 @@ SECONDARY = [
     # aggregate, 16 rows out; epoch order = one shard-partitioned window)
     "corpus_shard_manifest",
     "corpus_export_order",
+    # round-13 addition: Tukey-fence length gate (one exact-percentile
+    # scalar attach + a projection)
+    "length_outlier_filter",
 ]
 
 

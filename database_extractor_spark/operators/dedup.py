@@ -66,6 +66,14 @@ def exact_dedup(
 MINHASH_PRIME = (1 << 31) - 1
 
 
+def _lit_long_array(vals) -> Column:
+    """array<bigint> literal from ONE expr string — a single Py4J call
+    instead of one per element (similarity._query_lit's discipline for
+    the integer lane; ``L`` suffixes pin BIGINT exactly like
+    ``F.lit(python_int)`` does)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def minhash_lane_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
     """Seeded (a, b) pairs for the universal hash family
     ``lane_h(x) = (a_h * x + b_h) mod MINHASH_PRIME`` — driver-side
@@ -126,15 +134,20 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """
     params = minhash_lane_params(num_hashes)
     p = F.lit(MINHASH_PRIME)
+    # one expr string per lane table, NOT per-element F.lit Columns —
+    # 2x num_hashes Py4J round-trips per plan build otherwise (the
+    # _query_lit lesson, BASELINE.md r13)
+    a_arr = _lit_long_array(a for a, _ in params)
+    b_arr = _lit_long_array(b for _, b in params)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
             F.transform(
                 shingle_col,
                 lambda s: (
-                    F.element_at(F.array(*[F.lit(a) for a, _ in params]), h + 1)
+                    F.element_at(a_arr, h + 1)
                     * (portable_hash32(s) % p)
-                    + F.element_at(F.array(*[F.lit(b) for _, b in params]), h + 1)
+                    + F.element_at(b_arr, h + 1)
                 )
                 % p,
             )

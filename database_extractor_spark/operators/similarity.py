@@ -470,7 +470,7 @@ def pq_encode(
             F.struct(
                 (
                     dxx
-                    - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
+                    - F.lit(2.0) * dot(xj, _query_lit(cw))
                     + F.lit(_pydot(cw, cw))
                 ).alias("d"),
                 F.lit(c).alias("c"),
@@ -528,7 +528,7 @@ def pq_fixed_topk(
             for cw in codebooks[j]
         ]
         lookup = F.element_at(
-            F.array(*[F.lit(d) for d in table]), F.col(f"__code{j}") + 1
+            _query_lit(table), F.col(f"__code{j}") + 1
         )
         total = lookup if total is None else total + lookup
     scored = encoded.withColumn("approx_dist", F.round(total, 6))
@@ -696,7 +696,7 @@ def lloyd_rounds_pq(
                 F.struct(
                     (
                         dxx
-                        - F.lit(2.0) * dot(xj, F.array(*[F.lit(v) for v in cw]))
+                        - F.lit(2.0) * dot(xj, _query_lit(cw))
                         + F.lit(_pydot(cw, cw))
                     ).alias("d"),
                     F.lit(c).alias("c"),

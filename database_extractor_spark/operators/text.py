@@ -29,6 +29,15 @@ STOPWORDS = {
 _WS = r"\s+"
 
 
+def _lit_str_array(words) -> Column:
+    """array<string> literal from ONE expr string — a single Py4J call
+    instead of one per word (the _query_lit discipline; callers pass
+    alphabetic stopword lists, asserted here so quoting stays trivial)."""
+    ws = list(words)
+    assert all(w.isalpha() for w in ws), ws
+    return F.expr("array(" + ",".join(f"'{w}'" for w in ws) + ")")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization -> array<string>. The BPE-ish variant below
     (``subword_token_count``) approximates subword counts with a regex."""
@@ -74,7 +83,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") 
     n_chars = F.greatest(F.length(txt), F.lit(1))
     toks = tokens(F.lower(txt))
     n_toks = F.greatest(F.size(toks), F.lit(1))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    stop_arr = _lit_str_array(STOPWORDS[lang])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     punct = F.length(F.regexp_replace(txt, r"[^!-/:-@\[-`{-~]", ""))
     alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
@@ -102,7 +111,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
     toks = tokens(F.lower(F.col(text_col)))
     scores = []
     for lang, words in sorted(STOPWORDS.items()):
-        arr = F.array(*[F.lit(w) for w in words])
+        arr = _lit_str_array(words)
         scores.append(
             F.struct(
                 F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),

@@ -101,6 +101,8 @@ SCALAR_ATTACH_OK = {
     "dsir_importance_resample",
     # reuses text_unigram_logprob's plan, inheriting its corpus-total attach
     "ccnet_perplexity_buckets",
+    # Tukey-fence quartiles ride one 1-row percentile aggregate
+    "length_outlier_filter",
 }
 
 

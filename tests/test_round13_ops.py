@@ -382,3 +382,28 @@ def test_corpus_export_order_is_deterministic_partitioned_permutation(
     assert [r["doc_id"] for r in first_shard] != sorted(
         r["doc_id"] for r in first_shard
     )
+
+
+def test_length_outlier_filter_matches_numpy_percentile_band(spark, tmp_path):
+    """The band must use the p*(n-1) linear-interpolation percentile
+    convention (numpy's default) exactly, and the flag must flip
+    precisely at the band edges — both tails flagged, the body kept."""
+    import numpy as np
+
+    from database_extractor_spark.registry import QUERIES
+
+    lengths = [3, 10, 12, 14, 15, 16, 18, 20, 22, 25, 30, 500]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "t", n) for i, n in enumerate(lengths)],
+        "doc_id bigint, text string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    lo, hi = np.percentile(np.array(lengths, dtype=float), [2, 98])
+    got = {r["doc_id"]: r for r in QUERIES["length_outlier_filter"](spark, sf).collect()}
+    for i, n in enumerate(lengths):
+        assert got[i]["is_outlier"] == bool(n < lo or n > hi), (i, n, lo, hi)
+    # both tails flag on this shape: the truncated fragment AND the blob
+    assert got[0]["is_outlier"] is True
+    assert got[len(lengths) - 1]["is_outlier"] is True
+    assert sum(r["is_outlier"] for r in got.values()) == 2
