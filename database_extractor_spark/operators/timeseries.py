@@ -521,3 +521,54 @@ def interpolate_linear(
         .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
     )
     return g.withColumn(value_col, filled).select(*key_cols, ts_col, value_col)
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per key —
+    the gaps-and-islands interval union behind availability/coverage/
+    session-overlap queries (and the same island trick
+    dedup.exact-substring uses to merge hit spans, dedup.py:1130ff, here
+    promoted to a first-class relational operator over arbitrary
+    numeric/timestamp interval columns).
+
+    Two intervals on the same key merge iff ``next.start <= running_max(
+    end)`` — touching endpoints merge ("[1,3] + [3,5] -> [1,5]"); a
+    strictly positive gap starts a new island. Output: one row per merged
+    island with ``key_cols + (start_col, end_col)`` = (min start,
+    max end).
+
+    Scale: ONE hash exchange on ``key_cols`` feeds two chained window
+    passes (running-max-end lookback, then running break-sum) and the
+    island groupBy reuses the same partitioning — no self-join, no
+    range-join fan-out (the naive `a.start <= b.end AND b.start <= a.end`
+    self-join is quadratic per key). Keys are independent, so skew is
+    bounded by the hottest key's row count, not the table.
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__brk", brk)
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(*key_cols, "__isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .drop("__isl")
+    )

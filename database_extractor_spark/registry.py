@@ -11710,6 +11710,355 @@ def length_outlier_filter(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 13 (cont.): bitmap exact-distinct, interval coalescing, corpus
+# collocation/diversity/fertility analytics
+# ==========================================================================
+
+
+@register(
+    "bitmap_exact_distinct",
+    """
+    select event_type, cast(ts as date) as day,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events
+    group by event_type, cast(ts as date)
+    order by event_type, day
+    """,
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct users per (event_type, day) via bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the scale-native exact-distinct lane between the two
+    existing ones: COUNT(DISTINCT) (exact, but Aggregate-Expand doubles
+    the shuffled rows and keeps every distinct id in the hash map) and
+    the HLL sketch (hll_sketch_union_distinct — mergeable but approximate).
+    Bitmaps give BOTH: ids fold into fixed 4 KB bitmaps (32768 id bits
+    per bucket) during the MAP-SIDE partial aggregate, so the exchange
+    carries at most one bitmap per (group, bucket) per mapper instead of
+    the raw id stream, merges are bitwise-OR (associative — AQE can
+    two-stage it freely), and popcount-sum at the end is exact. At 100 TB
+    this is the exact-DAU plan: shuffle bytes scale with id-space/32768
+    per group, not with event rows. Dense bounded ids (user_id here) are
+    the sweet spot; a sparse 64-bit id domain pays one bucket per 32768-id
+    SPAN and would first dictionary-encode ids (a dim join) or fall back
+    to the HLL lane."""
+    ev = _tbl(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("user_id"),
+        )
+        .groupBy(
+            "event_type",
+            "day",
+            F.expr("bitmap_bucket_number(user_id)").alias("__bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("__bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type", "day")
+        .agg(
+            F.sum(F.expr("bitmap_count(__bm)"))
+            .cast("bigint")
+            .alias("n_users")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "interval_coalesce",
+    """
+    with iv as (
+        select user_id, epoch_us(ts) as st, epoch_us(ts) + 300000000 as en
+        from events
+    ),
+    m as (
+        select user_id, st, en,
+               max(en) over (partition by user_id order by st, en
+                             rows between unbounded preceding
+                             and 1 preceding) as pm
+        from iv
+    ),
+    isl as (
+        select user_id, st, en,
+               sum(case when pm is null or st > pm then 1 else 0 end)
+                   over (partition by user_id order by st, en
+                         rows between unbounded preceding
+                         and current row) as g
+        from m
+    ),
+    per as (
+        select user_id, g, min(st) as s, max(en) as e
+        from isl group by user_id, g
+    )
+    select user_id,
+           cast(count(*) as bigint) as n_intervals,
+           cast(sum(e - s) as bigint) as covered_micros
+    from per group by user_id order by user_id
+    """,
+)
+def interval_coalesce(spark, sf_dir):
+    """Interval-union coverage per user — expand each event to a 5-minute
+    activity interval ``[ts, ts+300s)`` in integer microseconds, merge
+    overlapping-or-touching intervals per user (gaps-and-islands, the
+    first-class :func:`operators.timeseries.coalesce_intervals`), and
+    report merged-interval count + total covered time. The relational op
+    behind availability/SLA coverage, ad-break stitching, and
+    active-time billing; session_windows answers "how many sessions",
+    this answers "how much WALL TIME was covered" with exact integer
+    arithmetic.
+
+    Scale: one hash exchange on user_id; both window passes and the
+    island groupBy reuse that partitioning (no self-join — the naive
+    overlap self-join is quadratic per key). The final per-user rollup
+    is a second tiny aggregate on the same key."""
+    from database_extractor_spark.operators.timeseries import (
+        _epoch_us,
+        coalesce_intervals,
+    )
+
+    iv = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", _epoch_us("ts").alias("st"))
+        .withColumn("en", F.col("st") + F.lit(300_000_000))
+    )
+    merged = coalesce_intervals(iv, ["user_id"], "st", "en")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(F.col("en") - F.col("st"))
+            .cast("bigint")
+            .alias("covered_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ngram_pmi_collocations",
+    r"""
+    with toks as (
+        select string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    bg as (
+        select u.w1 as w1, u.w2 as w2
+        from (
+            select unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                           for i in range(1, len(ws))]) as u
+            from toks where len(ws) >= 2
+        )
+    ),
+    bc as (select w1, w2, cast(count(*) as bigint) as c_xy
+           from bg group by w1, w2),
+    uc as (select w, cast(count(*) as bigint) as c
+           from (select unnest(ws) as w from toks) group by w)
+    select b.w1, b.w2, b.c_xy, ux.c as c_x, uy.c as c_y,
+           cast(b.c_xy * 1000000000 // (ux.c * uy.c) as bigint) as score_q
+    from bc b
+    join uc ux on b.w1 = ux.w
+    join uc uy on b.w2 = uy.w
+    where b.c_xy >= 5
+    order by score_q desc, b.w1, b.w2
+    limit 20
+    """,
+)
+def ngram_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information — the
+    corpus-analytics pass that surfaces multi-word units ("new york",
+    "machine learning") worth atomizing before tokenizer training.
+    Ranking is EXACT: PMI = ln(c_xy * N_uni^2 / (N_bg * c_x * c_y)) is
+    monotone in the rational c_xy/(c_x*c_y) (corpus totals are
+    rank-constant), so the score is the scaled integer quotient
+    ``c_xy * 1e9 div (c_x * c_y)`` — bigint division truncates toward
+    zero identically in Spark (`div`) and DuckDB (`//`) on positive
+    operands, no libm in the ordering. (Headroom: c_xy * 1e9 needs
+    c_xy < 9.2e9 before bigint overflow — fine until ~10^10 occurrences
+    of one bigram; past that, swap the scale constant down or the score
+    to DECIMAL(38,0).)
+
+    Scale: bigram/unigram counts are map-side-combined groupBys over one
+    tokenize pass; the score join hits the BIGRAM table (bounded by
+    vocab^2, zipf-small in practice) with two broadcast-able unigram
+    lookups (bounded by vocab), and min-support c_xy >= 5 prunes the
+    long tail before the joins. TakeOrdered(20) — no global sort."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        T.tokens(F.lower(F.trim(F.col("text")))).alias("ws")
+    )
+    n = F.size("ws")
+    bg = (
+        toks.filter(n >= 2)
+        .withColumn("w1s", F.slice("ws", 1, n - 1))
+        .withColumn("w2s", F.slice("ws", 2, n - 1))
+        .select(F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
+        .select(F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    uc = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        bc.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(uc.withColumnRenamed("c", "c_x")), bc.w1 == uc.w)
+        .drop("w")
+        .join(
+            F.broadcast(
+                uc.withColumnRenamed("c", "c_y").withColumnRenamed(
+                    "w", "w_"
+                )
+            ),
+            F.col("w2") == F.col("w_"),
+        )
+        .drop("w_")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("c_xy * 1000000000L div (c_x * c_y)")
+            .cast("bigint")
+            .alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "ngram_diversity_profile",
+    r"""
+    with toks as (
+        select lang, string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    tri as (
+        select lang,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) as tg
+        from toks where len(ws) >= 3
+    )
+    select lang,
+           cast(count(*) as bigint) as n_trigrams,
+           cast(count(distinct tg) as bigint) as n_distinct,
+           cast(count(distinct tg) * 1000000 // count(*) as bigint)
+               as diversity_q
+    from tri group by lang order by lang
+    """,
+)
+def ngram_diversity_profile(spark, sf_dir):
+    """Distinct-n diversity per language slice — distinct trigrams over
+    total trigrams (micro-scaled exact integer ratio), the standard
+    repetitiveness/mode-collapse gauge for a corpus slice before it
+    enters a training mix (low distinct-3 = boilerplate or synthetic
+    loops; the text_repetition entries flag single DOCUMENTS, this
+    profiles the SLICE). Trigrams come from one transform(sequence(...))
+    over the token array — no self-join, no UDF; the per-lang
+    count-distinct is one Expand aggregate whose key space is bounded by
+    observed trigram diversity itself."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", T.tokens(F.lower(F.trim(F.col("text")))).alias("ws")
+    )
+    tri = toks.filter(F.size("ws") >= 3).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), i -> "
+                "concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
+                " ' ', element_at(ws, i + 2)))"
+            )
+        ).alias("tg"),
+    )
+    return (
+        tri.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.countDistinct("tg").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "lang",
+            "n_trigrams",
+            "n_distinct",
+            F.expr("n_distinct * 1000000L div n_trigrams")
+            .cast("bigint")
+            .alias("diversity_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_oracle() -> str:
+    """Per-lang rollup over the full train-then-encode replay — the BPE
+    encode oracle (train CTEs + vocab encode + per-doc join) runs as a
+    parenthesized subquery; DuckDB allows a WITH chain inside FROM (...)."""
+    return f"""
+    select d.lang,
+           cast(sum(e.n_words) as bigint) as n_words,
+           cast(sum(e.n_tokens) as bigint) as n_tokens,
+           cast(sum(d.n_chars) as bigint) as n_chars,
+           cast(cast(sum(e.n_tokens) as bigint) * 1000000
+                // cast(sum(e.n_words) as bigint) as bigint) as fertility_q,
+           cast(cast(sum(e.n_tokens) as bigint) * 1000000
+                // cast(sum(d.n_chars) as bigint) as bigint) as density_q
+    from ({_bpe_encode_oracle()}) e
+    join documents d using (doc_id)
+    group by d.lang order by d.lang
+    """
+
+
+@register("tokenizer_fertility_eval", _fertility_oracle())
+def tokenizer_fertility_eval(spark, sf_dir):
+    """Tokenizer FERTILITY per language — tokens-per-word and
+    tokens-per-char (micro-scaled exact integer ratios) of the trained
+    BPE tokenizer, per lang slice. The eval that catches a tokenizer
+    starving a language (high fertility = more tokens per word = less
+    effective context and higher training cost for that slice); run it
+    before committing a vocab, re-run per corpus snapshot. Builds on
+    bpe_encode_tokens' vocab-encode-then-join plan (merges from the
+    per-content-fingerprint cache — no retraining) plus one broadcast-
+    sized join to (doc_id, lang, n_chars) and a per-lang rollup; the
+    oracle replays training AND encoding AND the rollup, so drift in any
+    stage breaks the hash."""
+    enc = bpe_encode_tokens(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return (
+        enc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000L div n_words")
+            .cast("bigint")
+            .alias("fertility_q"),
+            F.expr("n_tokens * 1000000L div n_chars")
+            .cast("bigint")
+            .alias("density_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ==========================================================================
 # Driver-visible ordering
 # ==========================================================================
 # The driver verifies the FIRST N entries of queries() in dict-insertion

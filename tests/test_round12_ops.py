@@ -261,12 +261,19 @@ def test_fresh_session_reuses_on_disk_ann_index(spark):
     import tempfile
 
     fp = R._parquet_fingerprint(SF_DIR, "embeddings")
-    for art in (f"ann_model_ivf_{fp}.json", f"ann_model_pq_{fp}.json"):
+    rcp = R._ANN_RECIPE  # artifact names carry the recipe tag (r13)
+    for art in (
+        f"ann_model_ivf_{rcp}_{fp}.json",
+        f"ann_model_pq_{rcp}_{fp}.json",
+    ):
         assert os.path.exists(os.path.join(tempfile.gettempdir(), art)), art
     for kind in ("ivf", "pq"):
         assert os.path.exists(
             os.path.join(
-                tempfile.gettempdir(), f"ann_index_{kind}_{fp}", "data", "_SUCCESS"
+                tempfile.gettempdir(),
+                f"ann_index_{kind}_{rcp}_{fp}",
+                "data",
+                "_SUCCESS",
             )
         )
 

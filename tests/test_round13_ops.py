@@ -407,3 +407,209 @@ def test_length_outlier_filter_matches_numpy_percentile_band(spark, tmp_path):
     assert got[0]["is_outlier"] is True
     assert got[len(lengths) - 1]["is_outlier"] is True
     assert sum(r["is_outlier"] for r in got.values()) == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-13 (cont.): bitmap exact-distinct, interval coalescing, corpus
+# collocation/diversity/fertility analytics
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_exact_distinct_matches_count_distinct_without_expand(spark):
+    """The bitmap lane must be EXACT (equal to the COUNT(DISTINCT)
+    plan on the same fixture) while its physical plan carries the bitmap
+    aggregates and — the point of the lane — NO Expand node (the
+    distinct-aggregate rewrite that doubles shuffled rows)."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = QUERIES["bitmap_exact_distinct"](spark, SF_DIR)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the count side renders as the JVM static-invoke, camelCased
+    assert "bitmap_construct_agg" in plan and "bitmapCount" in plan
+    assert "Expand" not in plan, plan
+    naive = (
+        _tbl(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("event_type", "day")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in naive.collect()
+    ]
+
+
+def test_coalesce_intervals_merges_touching_keeps_gaps(spark):
+    """Hand-built islands: touching endpoints merge ([1,3]+[3,5] ->
+    [1,5]), strict gaps stay separate, containment collapses, and keys
+    are independent."""
+    from database_extractor_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    rows = [
+        ("a", 1, 3), ("a", 3, 5),        # touch -> [1, 5]
+        ("a", 7, 9), ("a", 8, 8),        # contained -> [7, 9]
+        ("a", 20, 21),                   # isolated
+        ("b", 1, 10), ("b", 2, 3),       # containment, other key
+    ]
+    df = spark.createDataFrame(rows, "k string, st bigint, en bigint")
+    got = sorted(
+        tuple(r) for r in coalesce_intervals(df, ["k"], "st", "en").collect()
+    )
+    assert got == [
+        ("a", 1, 5), ("a", 7, 9), ("a", 20, 21), ("b", 1, 10)
+    ]
+
+
+def test_interval_coalesce_covered_time_python_replay(spark):
+    """covered_micros for one user must equal a pure-python interval
+    union over that user's event timestamps at the fixture itself."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered_micros"])
+        for r in QUERIES["interval_coalesce"](spark, SF_DIR).collect()
+    }
+    uid = min(got)
+    ts = sorted(
+        int(r[0].timestamp() * 1_000_000)
+        for r in _tbl(spark, SF_DIR, "events")
+        .filter(F.col("user_id") == uid)
+        .select(F.col("ts").cast("timestamp"))
+        .collect()
+    )
+    merged = []
+    for st in ts:
+        en = st + 300_000_000
+        if merged and st <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], en)
+        else:
+            merged.append([st, en])
+    assert got[uid] == (
+        len(merged),
+        sum(e - s for s, e in merged),
+    )
+
+
+def test_ngram_pmi_python_replay(spark, tmp_path):
+    """PMI top-k on a crafted corpus: an always-adjacent pair must
+    outscore a frequent-but-independent pair; scores replay exactly in
+    integer arithmetic."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    # "x y" always adjacent (high PMI); "the" everywhere (low PMI)
+    docs = [
+        (i, "x y the w%d the x y the" % (i % 3)) for i in range(10)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    got = [tuple(r) for r in QUERIES["ngram_pmi_collocations"](spark, sf).collect()]
+
+    uni, bi = Counter(), Counter()
+    for _, text in docs:
+        toks = text.lower().strip().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    exp = [
+        (
+            w1,
+            w2,
+            c,
+            uni[w1],
+            uni[w2],
+            c * 1_000_000_000 // (uni[w1] * uni[w2]),
+        )
+        for (w1, w2), c in bi.items()
+        if c >= 5
+    ]
+    exp.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == exp[:20]
+    # the collocation ranks above the independent high-frequency pair
+    top_pairs = [(r[0], r[1]) for r in got]
+    assert top_pairs.index(("x", "y")) < top_pairs.index(("the", "x"))
+
+
+def test_ngram_diversity_python_replay(spark, tmp_path):
+    """distinct-trigram ratio per lang replayed in pure python: a
+    looping slice scores far below an all-distinct slice."""
+    from database_extractor_spark.registry import QUERIES
+
+    docs = [
+        (1, "a b " * 30, "loop"),
+        (2, "a b " * 30, "loop"),
+        (3, " ".join(f"w{i}" for i in range(40)), "fresh"),
+        (4, "a b", "tiny"),  # < 3 tokens: slice absent from output
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["lang"]: (r["n_trigrams"], r["n_distinct"], r["diversity_q"])
+        for r in QUERIES["ngram_diversity_profile"](spark, sf).collect()
+    }
+    exp = {}
+    for _, text, lang in docs:
+        toks = text.lower().strip().split()
+        tris = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if not tris:
+            continue
+        t, d = exp.get(lang, (0, set()))
+        exp[lang] = (t + len(tris), (d | set(tris)) if d else set(tris))
+    exp = {
+        lang: (t, len(d), len(d) * 1_000_000 // t)
+        for lang, (t, d) in exp.items()
+    }
+    assert got == exp
+    assert "tiny" not in got
+    assert got["loop"][2] < got["fresh"][2]
+
+
+def test_tokenizer_fertility_rolls_up_bpe_encode(spark):
+    """The per-lang fertility rollup must equal a python aggregation of
+    the already-proven bpe_encode_tokens output joined to doc langs —
+    pinning the rollup stage independently of the encode stage."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in QUERIES["bpe_encode_tokens"](spark, SF_DIR).collect()
+    }
+    meta = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in _tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc_id, (w, t) in enc.items():
+        lang, nc = meta[doc_id]
+        agg[lang][0] += w
+        agg[lang][1] += t
+        agg[lang][2] += nc
+    exp = [
+        (
+            lang,
+            w,
+            t,
+            nc,
+            t * 1_000_000 // w,
+            t * 1_000_000 // nc,
+        )
+        for lang, (w, t, nc) in sorted(agg.items())
+    ]
+    got = [
+        tuple(r)
+        for r in QUERIES["tokenizer_fertility_eval"](spark, SF_DIR).collect()
+    ]
+    assert got == exp
