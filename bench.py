@@ -160,6 +160,21 @@ SECONDARY = [
     # round-13 addition: Tukey-fence length gate (one exact-percentile
     # scalar attach + a projection)
     "length_outlier_filter",
+    # round-13 additions: bitmap exact-distinct (two chained aggregates,
+    # no Expand), interval union (one user-keyed exchange + two windows),
+    # PMI collocations (two counts + broadcast lookups + TakeOrdered),
+    # trigram diversity (one explode + count-distinct aggregate), and
+    # tokenizer fertility (cached-merge encode plan + per-lang rollup)
+    "bitmap_exact_distinct",
+    "interval_coalesce",
+    "ngram_pmi_collocations",
+    "ngram_diversity_profile",
+    "tokenizer_fertility_eval",
+    # round-13 additions: SimHash quality eval (exact-jaccard truth arm
+    # is the cost driver, same shape as the LSH eval) and the slice JSD
+    # matrix (two corpus aggregates, then vocab x slices^2 work)
+    "simhash_quality_eval",
+    "corpus_slice_jsd",
 ]
 
 

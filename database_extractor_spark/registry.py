@@ -12058,6 +12058,225 @@ def tokenizer_fertility_eval(spark, sf_dir):
     )
 
 
+_SIMHASH_QUALITY_ORACLE = _minhash_dup_ctes() + f""",
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+        group by 1, 2
+    ),
+    truth as (
+        select id_a, id_b from common
+          join sizes s1 on id_a = s1.doc_id
+          join sizes s2 on id_b = s2.doc_id
+        where round(c / (s1.n + s2.n - c), 4) >= 0.7
+    ),
+    pred as (select id_a, id_b from ({_simhash_oracle()})),
+    m as (
+        select cast((select count(*) from truth) as bigint) as n_true,
+               cast((select count(*) from pred) as bigint) as n_pred,
+               cast((select count(*) from truth t
+                     join pred p on t.id_a = p.id_a and t.id_b = p.id_b)
+                    as bigint) as n_hit
+    )
+    select n_true, n_pred, n_hit,
+           round(n_hit / greatest(n_pred, 1), 6) as simhash_precision,
+           round(n_hit / greatest(n_true, 1), 6) as simhash_recall
+    from m
+"""
+
+
+@register("simhash_quality_eval", _SIMHASH_QUALITY_ORACLE)
+def simhash_quality_eval(spark, sf_dir):
+    """SimHash-index QUALITY EVAL — the SimHash sibling of
+    dedup_lsh_quality_eval, against the SAME exact shingle-Jaccard >= 0.7
+    ground truth, so the two cheap index families (banded MinHash vs
+    hamming-banded SimHash) report comparable precision/recall and a
+    deployment can pick per corpus. SimHash hashes unigram tokens into
+    one 60-bit sketch (constant per-doc state vs MinHash's 64 lanes —
+    8x smaller signature table), so its agreement notion differs from
+    the shingle-set truth by construction; THIS entry is the measurement
+    of that gap, not a bug workaround. Plan shape: both arms are
+    inverted-index / band-bucket equi-joins (never cartesian), merged by
+    ONE full-outer join aggregated to a single metrics row."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    pred = D.simhash_near_pairs(docs, max_hamming=6).select("id_a", "id_b")
+    j = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    agg = j.agg(
+        F.coalesce(F.sum(F.coalesce("t", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("p", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_pred"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("t").isNotNull() & F.col("p").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+        ).alias("simhash_precision"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("simhash_recall"),
+    )
+
+
+@register(
+    "corpus_slice_jsd",
+    r"""
+    with tok as (
+        select source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) as word
+        from documents
+    ),
+    cnt as (select source, word, cast(count(*) as bigint) as n
+            from tok group by 1, 2),
+    tot as (select source, cast(sum(n) as bigint) as t
+            from cnt group by 1),
+    dist as (
+        select c.source, word,
+               cast(n as double) / cast(t as double) as p
+        from cnt c join tot using (source)
+    ),
+    sh as (
+        select a.source as s1, b.source as s2, a.p as pa, b.p as pb
+        from dist a join dist b
+          on a.word = b.word and a.source < b.source
+    ),
+    agg as (
+        select s1, s2,
+               cast(count(*) as bigint) as n_shared,
+               cast(sum(cast(0.5 * (pa * ln((2.0 * pa) / (pa + pb))
+                                    + pb * ln((2.0 * pb) / (pa + pb)))
+                             as decimal(18,12))) as double) as tshared,
+               cast(sum(cast(pa as decimal(18,12))) as double) as pm,
+               cast(sum(cast(pb as decimal(18,12))) as double) as qm
+        from sh group by s1, s2
+    ),
+    pairs as (
+        select a.source as s1, b.source as s2
+        from tot a join tot b on a.source < b.source
+    )
+    select p.s1, p.s2,
+           coalesce(agg.n_shared, 0) as n_shared,
+           round(coalesce(tshared, 0.0)
+                 + 0.5 * ((1 - coalesce(pm, 0.0)) * ln(2.0)
+                          + (1 - coalesce(qm, 0.0)) * ln(2.0)),
+                 6) as jsd
+    from pairs p left join agg on p.s1 = agg.s1 and p.s2 = agg.s2
+    order by p.s1, p.s2
+    """,
+)
+def corpus_slice_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every pair of corpus SOURCES — the slice-similarity
+    matrix behind training-mixture design (which domains are
+    near-duplicates of each other distribution-wise, which add genuinely
+    new text; the DoReMi/DSIR-adjacent statistic at slice granularity
+    where dsir_importance_resample works per document). Split into
+    shared-vocabulary terms (inner join on word) plus the one-sided
+    closed form: a word present only in p has m = p/2, so its JSD
+    contribution is exactly p*ln(2)/2 — one-sided mass = 1 - sum(shared
+    p), no full-outer vocab join needed. Fully-disjoint pairs (no shared
+    words — the MOST divergent, exactly the pairs the mixture designer
+    must see) are restored by a left join from the complete pair
+    universe, landing at exactly ln 2. Per-term doubles run the
+    identical IEEE sequence on both engines (the entropy_profile
+    discipline), term sums are decimal-exact, final round 6.
+
+    Scale: two map-side-combinable aggregates over the corpus produce a
+    |slices| x |vocab| distribution table; everything after is bounded
+    by vocab x slices^2, never by corpus rows. The slice LIST (not the
+    vocab) is collected to build the pair frame — a bounded model-state
+    collect (slices are domains/languages, dozens not millions), the
+    Lloyd-centroid discipline; an inequality self-join would be a
+    lint-barred nested loop for the same rows."""
+    docs = _tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("word"),
+    )
+    cnt = tok.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("t"))
+    dist = cnt.join(F.broadcast(tot), "source").select(
+        "source",
+        "word",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
+    )
+    a = dist.select(
+        F.col("source").alias("s1"),
+        F.col("word").alias("w1"),
+        F.col("p").alias("pa"),
+    )
+    b = dist.select(
+        F.col("source").alias("s2"),
+        F.col("word").alias("w2"),
+        F.col("p").alias("pb"),
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    term = (
+        F.lit(0.5)
+        * (
+            pa * F.log((F.lit(2.0) * pa) / (pa + pb))
+            + pb * F.log((F.lit(2.0) * pb) / (pa + pb))
+        )
+    ).cast("decimal(18,12)")
+    sh = a.join(b, (F.col("w1") == F.col("w2")) & (F.col("s1") < F.col("s2")))
+    agg = sh.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("n_shared"),
+        F.sum(term).cast("double").alias("tshared"),
+        F.sum(pa.cast("decimal(18,12)")).cast("double").alias("pm"),
+        F.sum(pb.cast("decimal(18,12)")).cast("double").alias("qm"),
+    )
+    # bounded model-state collect: the SLICE list (domains/languages —
+    # dozens by construction), never the vocab; builds the complete pair
+    # universe so fully-disjoint pairs surface at exactly ln 2 instead
+    # of vanishing from the shared-word inner join
+    srcs = sorted(r[0] for r in tot.select("source").collect())
+    pairs = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(srcs) for y in srcs[i + 1:]],
+        "s1 string, s2 string",
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        pairs.join(F.broadcast(agg), ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("tshared", F.lit(0.0))
+                + F.lit(0.5)
+                * (
+                    (F.lit(1.0) - F.coalesce("pm", F.lit(0.0))) * ln2
+                    + (F.lit(1.0) - F.coalesce("qm", F.lit(0.0))) * ln2
+                ),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

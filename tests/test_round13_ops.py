@@ -613,3 +613,95 @@ def test_tokenizer_fertility_rolls_up_bpe_encode(spark):
         for r in QUERIES["tokenizer_fertility_eval"](spark, SF_DIR).collect()
     ]
     assert got == exp
+
+
+def test_simhash_quality_eval_metrics_consistency(spark):
+    """The metrics row must be internally consistent AND agree with the
+    two arm operators run directly: n_true = exact-Jaccard pair count,
+    n_pred = SimHash pair count, n_hit <= min of both, ratios replay."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import dedup as D
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    row = QUERIES["simhash_quality_eval"](spark, SF_DIR).collect()[0]
+    docs = _tbl(spark, SF_DIR, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.7)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    pred = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(docs, max_hamming=6)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert row["n_true"] == len(truth)
+    assert row["n_pred"] == len(pred)
+    assert row["n_hit"] == len(truth & pred)
+    assert row["simhash_precision"] == round(
+        row["n_hit"] / max(row["n_pred"], 1), 6
+    )
+    assert row["simhash_recall"] == round(
+        row["n_hit"] / max(row["n_true"], 1), 6
+    )
+
+
+def test_corpus_slice_jsd_python_replay(spark, tmp_path):
+    """JSD pinned on crafted slices: identical distributions score ~0,
+    disjoint vocabularies score exactly ln 2, and a mixed pair replays
+    the shared-term + one-sided-mass decomposition in pure python."""
+    import math
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    docs = [
+        (1, "a b c a b c", "s1"),
+        (2, "a b c a b c", "s2"),      # identical to s1
+        (3, "x y z x y z", "s3"),      # disjoint from s1/s2
+        (4, "a b x y", "s4"),          # half-shared with everyone
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        (r["s1"], r["s2"]): (r["n_shared"], r["jsd"])
+        for r in QUERIES["corpus_slice_jsd"](spark, sf).collect()
+    }
+    assert len(got) == 6  # 4 choose 2
+
+    dists = {}
+    for _, text, src in docs:
+        c = Counter(text.lower().strip().split())
+        t = sum(c.values())
+        d = dists.setdefault(src, Counter())
+        for w, n in c.items():
+            d[w] += n
+    dists = {
+        s: {w: n / sum(c.values()) for w, n in c.items()}
+        for s, c in dists.items()
+    }
+    for (s1, s2), (n_shared, jsd) in got.items():
+        p, q = dists[s1], dists[s2]
+        shared = set(p) & set(q)
+        assert n_shared == len(shared)
+        ts = sum(
+            0.5
+            * (
+                p[w] * math.log((2.0 * p[w]) / (p[w] + q[w]))
+                + q[w] * math.log((2.0 * q[w]) / (p[w] + q[w]))
+            )
+            for w in shared
+        )
+        pm, qm = sum(p[w] for w in shared), sum(q[w] for w in shared)
+        exp = ts + 0.5 * ((1 - pm) * math.log(2.0) + (1 - qm) * math.log(2.0))
+        assert abs(jsd - exp) < 2e-6, (s1, s2, jsd, exp)
+    assert got[("s1", "s2")][1] == 0.0            # identical slices
+    assert got[("s1", "s3")][1] == round(math.log(2.0), 6)  # disjoint
+    assert 0.0 < got[("s1", "s4")][1] < math.log(2.0)
