@@ -175,6 +175,11 @@ SECONDARY = [
     # matrix (two corpus aggregates, then vocab x slices^2 work)
     "simhash_quality_eval",
     "corpus_slice_jsd",
+    # round-13 additions: journey trigram mining (one keyed window +
+    # TakeOrdered) and the tau=2 mixture planner (one aggregate + 1-row
+    # attach)
+    "event_path_trigrams",
+    "mixture_epoch_plan",
 ]
 
 

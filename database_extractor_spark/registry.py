@@ -12277,6 +12277,124 @@ def corpus_slice_jsd(spark, sf_dir):
     )
 
 
+@register(
+    "event_path_trigrams",
+    """
+    with p as (
+        select user_id, event_type as e1,
+               lead(event_type, 1) over w as e2,
+               lead(event_type, 2) over w as e3
+        from events
+        window w as (partition by user_id order by ts, event_id)
+    )
+    select e1, e2, e3, cast(count(*) as bigint) as n_paths
+    from p where e2 is not null and e3 is not null
+    group by e1, e2, e3
+    order by n_paths desc, e1, e2, e3
+    limit 20
+    """,
+)
+def event_path_trigrams(spark, sf_dir):
+    """Free-path journey mining — the top-20 event-type TRIGRAMS across
+    user journeys (funnel_conversion checks ONE fixed stage sequence;
+    this surfaces which 3-step paths actually dominate, the exploration
+    pass that tells you which funnels to define). One user-partitioned
+    window pass (two leads share the frame sort), a map-side-combinable
+    count over the at-most-|event_types|^3 path space, and
+    TakeOrdered(20) — no global sort, no self-joins (the naive
+    formulation is two self-joins on consecutive-rank conditions).
+    Deterministic: (ts, event_id) totally orders each journey, count
+    ties break lexicographically."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        p.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "mixture_epoch_plan",
+    """
+    with c as (
+        select lang,
+               cast(sum(cast(len(string_split_regex(trim(text), '\\s+'))
+                             as bigint)) as bigint) as n_tokens
+        from documents group by lang
+    ),
+    s as (
+        select lang, n_tokens,
+               cast(floor(sqrt(cast(n_tokens as double)) * 1000000)
+                    as bigint) as sq
+        from c
+    ),
+    t as (select cast(sum(sq) as bigint) as tot_sq,
+                 cast(sum(n_tokens) as bigint) as tot_tokens from s)
+    select lang, n_tokens,
+           sq * 1000000 // tot_sq as share_q,
+           ((tot_tokens * (sq * 1000000 // tot_sq)) // 1000000)
+               * 1000000 // n_tokens as epochs_q
+    from s cross join t
+    order by lang
+    """,
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Temperature-mixture PLANNER — the arithmetic a training run does
+    before sampling: per-language token counts -> tau=2 temperature
+    shares (share ∝ tokens^(1/2), the multilingual-rebalance exponent)
+    -> micro-epochs per language to fill a budget of one corpus pass
+    (epochs_q > 1e6 = that slice repeats / upsamples, < 1e6 =
+    downsamples; mixture_weighted_sample then EXECUTES such a plan with
+    md5 buckets). EXACT cross-engine: tokens^(1/2) is sqrt — a correctly
+    rounded IEEE core op (no libm pow) — immediately floor-quantized to
+    integer micros, so the share normalization and the epoch ratio are
+    pure bigint division, identical truncation both engines.
+
+    Scale: one map-side-combinable aggregate over the corpus, a 1-row
+    global attach (the whitelisted broadcast scalar), and a
+    |langs|-row projection. Headroom: sq holds sqrt(tokens)*1e6 —
+    bigint-safe past 10^24 corpus tokens; sq*1e6 needs sum(sq) <
+    9.2e12, i.e. ~8.5e13 corpus tokens per slice set, after which the
+    scale constant drops a digit."""
+    docs = _tbl(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(T.tokens(F.trim(F.col("text")))).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    s = c.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000))
+        .cast("bigint"),
+    )
+    t = s.agg(
+        F.sum("sq").cast("bigint").alias("tot_sq"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    share_q = F.expr("sq * 1000000L div tot_sq")
+    return (
+        j.select(
+            "lang",
+            "n_tokens",
+            share_q.alias("share_q"),
+            F.expr(
+                "((tot_tokens * (sq * 1000000L div tot_sq)) div 1000000L)"
+                " * 1000000L div n_tokens"
+            ).alias("epochs_q"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

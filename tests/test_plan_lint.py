@@ -103,6 +103,9 @@ SCALAR_ATTACH_OK = {
     "ccnet_perplexity_buckets",
     # Tukey-fence quartiles ride one 1-row percentile aggregate
     "length_outlier_filter",
+    # mixture normalizers (total sqrt-mass + total tokens) ride one
+    # 1-row attach over the |langs|-row share table
+    "mixture_epoch_plan",
 }
 
 

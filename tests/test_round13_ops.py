@@ -705,3 +705,70 @@ def test_corpus_slice_jsd_python_replay(spark, tmp_path):
     assert got[("s1", "s2")][1] == 0.0            # identical slices
     assert got[("s1", "s3")][1] == round(math.log(2.0), 6)  # disjoint
     assert 0.0 < got[("s1", "s4")][1] < math.log(2.0)
+
+
+def test_event_path_trigrams_python_replay(spark):
+    """Top-20 journey trigrams must equal a pure-python replay over the
+    fixture: per-user (ts, event_id)-ordered event streams, sliding
+    3-windows, global counts, count-desc + lexicographic tiebreak."""
+    from collections import Counter, defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = [
+        tuple(r)
+        for r in QUERIES["event_path_trigrams"](spark, SF_DIR).collect()
+    ]
+    rows = (
+        _tbl(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    c = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            c[(types[i], types[i + 1], types[i + 2])] += 1
+    exp = sorted(
+        ((e1, e2, e3, n) for (e1, e2, e3), n in c.items()),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:20]
+    assert got == exp
+
+
+def test_mixture_epoch_plan_python_replay_and_properties(spark):
+    """Integer replay of the tau=2 planner + its two defining
+    properties: shares sum to ~1e6 (within per-lang truncation) and
+    epochs_q is anti-monotone in slice size (temperature flattening
+    upsamples small slices)."""
+    import math
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+    from pyspark.sql import functions as F
+    from database_extractor_spark.operators import text as T
+
+    got = {
+        r["lang"]: (r["n_tokens"], r["share_q"], r["epochs_q"])
+        for r in QUERIES["mixture_epoch_plan"](spark, SF_DIR).collect()
+    }
+    toks = {
+        r["lang"]: r["n"]
+        for r in _tbl(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(T.tokens(F.trim(F.col("text"))))).alias("n"))
+        .collect()
+    }
+    sq = {k: math.floor(math.sqrt(float(n)) * 1_000_000) for k, n in toks.items()}
+    tot_sq, tot_tokens = sum(sq.values()), sum(toks.values())
+    for lang, n in toks.items():
+        share_q = sq[lang] * 1_000_000 // tot_sq
+        epochs_q = ((tot_tokens * share_q) // 1_000_000) * 1_000_000 // n
+        assert got[lang] == (n, share_q, epochs_q), lang
+    assert 1_000_000 - len(toks) <= sum(v[1] for v in got.values()) <= 1_000_000
+    ordered = sorted(got.values())  # by n_tokens asc
+    epochs = [e for _, _, e in ordered]
+    assert epochs == sorted(epochs, reverse=True)  # small slices upsample
