@@ -180,6 +180,11 @@ SECONDARY = [
     # attach)
     "event_path_trigrams",
     "mixture_epoch_plan",
+    # round-13 additions: the banding calibration curve (same truth-arm
+    # cost as the single-point eval, 5 thresholds in one pass) and RFM
+    # quartile segmentation (one aggregate + 1-row percentile attach)
+    "dedup_threshold_sweep",
+    "user_rfm_segments",
 ]
 
 

@@ -12395,6 +12395,240 @@ def mixture_epoch_plan(spark, sf_dir):
     )
 
 
+_SWEEP_ORACLE = _minhash_dup_ctes() + """,
+    est as (
+        select id_a, id_b,
+               round(len([i for i in range(1, 65)
+                          if sa.sig[i] = sb.sig[i]]) / 64.0, 4) as est_jaccard
+        from pairs
+          join sig sa on id_a = sa.doc_id
+          join sig sb on id_b = sb.doc_id
+    ),
+    estk as (select * from est where est_jaccard >= 0.5),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+        group by 1, 2
+    ),
+    truth as (
+        select id_a, id_b, round(c / (s1.n + s2.n - c), 4) as jaccard
+        from common
+          join sizes s1 on id_a = s1.doc_id
+          join sizes s2 on id_b = s2.doc_id
+        where round(c / (s1.n + s2.n - c), 4) >= 0.5
+    ),
+    fo as (
+        select t.jaccard, e.est_jaccard
+        from truth t full outer join estk e
+          on t.id_a = e.id_a and t.id_b = e.id_b
+    ),
+    thr as (select unnest([0.5, 0.6, 0.7, 0.8, 0.9]) as threshold),
+    m as (
+        select threshold,
+               cast(sum(case when jaccard >= threshold
+                             then 1 else 0 end) as bigint) as n_true,
+               cast(sum(case when est_jaccard >= threshold
+                             then 1 else 0 end) as bigint) as n_pred,
+               cast(sum(case when jaccard >= threshold
+                              and est_jaccard >= threshold
+                             then 1 else 0 end) as bigint) as n_hit
+        from fo cross join thr group by threshold
+    )
+    select threshold, n_true, n_pred, n_hit,
+           round(n_hit / greatest(n_pred, 1), 6) as sweep_precision,
+           round(n_hit / greatest(n_true, 1), 6) as sweep_recall
+    from m order by threshold
+"""
+
+
+@register("dedup_threshold_sweep", _SWEEP_ORACLE)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Banding calibration CURVE — dedup_lsh_quality_eval generalized
+    from one operating point to the precision/recall sweep over
+    thresholds 0.5..0.9, in ONE pass: both pair sets are built once
+    (exact-Jaccard truth >= 0.5, banded-candidate estimate >= 0.5),
+    full-outer-joined once, and the five thresholds ride an
+    explode(array(...)) generator over that joined set — five metric
+    rows for the cost of one eval. This is the plot a deployment reads
+    to pick its threshold: recall collapses below the S-curve knee the
+    16-band/4-row banding is tuned for, precision climbs above it —
+    re-running the whole eval per candidate threshold (the naive loop)
+    re-pays the dominant exact-truth arm each time.
+
+    Scale: identical join shapes to dedup_lsh_quality_eval (inverted
+    index + band buckets, never cartesian); the threshold explode
+    multiplies only the joined PAIR set (x5), not the corpus."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    sigs = D.with_minhash(docs)
+    pred = (
+        D.estimate_jaccard(D.lsh_candidate_pairs(sigs), sigs)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    fo = truth.join(pred, ["id_a", "id_b"], "full").select(
+        "jaccard", "est_jaccard"
+    )
+    sw = fo.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold"),
+        "jaccard",
+        "est_jaccard",
+    )
+    hit_true = F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+    hit_pred = F.when(
+        F.col("est_jaccard") >= F.col("threshold"), 1
+    ).otherwise(0)
+    m = sw.groupBy("threshold").agg(
+        F.sum(hit_true).cast("bigint").alias("n_true"),
+        F.sum(hit_pred).cast("bigint").alias("n_pred"),
+        F.sum(
+            F.when(
+                (F.col("jaccard") >= F.col("threshold"))
+                & (F.col("est_jaccard") >= F.col("threshold")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return m.select(
+        "threshold",
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+        ).alias("sweep_precision"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("sweep_recall"),
+    ).orderBy("threshold")
+
+
+@register(
+    "user_rfm_segments",
+    """
+    with base as (
+        select user_id,
+               max(epoch_us(ts)) as last_seen_us,
+               cast(count(*) as bigint) as n_events,
+               cast(sum(cast(case when event_type = 'purchase'
+                                  then value else 0.0 end
+                             as decimal(18,4))) as double) as monetary
+        from events group by user_id
+    ),
+    q as (
+        select quantile_cont(last_seen_us, 0.25) as r1,
+               quantile_cont(last_seen_us, 0.50) as r2,
+               quantile_cont(last_seen_us, 0.75) as r3,
+               quantile_cont(cast(n_events as double), 0.25) as f1,
+               quantile_cont(cast(n_events as double), 0.50) as f2,
+               quantile_cont(cast(n_events as double), 0.75) as f3,
+               quantile_cont(monetary, 0.25) as m1,
+               quantile_cont(monetary, 0.50) as m2,
+               quantile_cont(monetary, 0.75) as m3
+        from base
+    )
+    select user_id, last_seen_us, n_events, monetary,
+           cast(1 + (case when last_seen_us > r1 then 1 else 0 end)
+                  + (case when last_seen_us > r2 then 1 else 0 end)
+                  + (case when last_seen_us > r3 then 1 else 0 end)
+                as integer) as r_score,
+           cast(1 + (case when cast(n_events as double) > f1 then 1 else 0 end)
+                  + (case when cast(n_events as double) > f2 then 1 else 0 end)
+                  + (case when cast(n_events as double) > f3 then 1 else 0 end)
+                as integer) as f_score,
+           cast(1 + (case when monetary > m1 then 1 else 0 end)
+                  + (case when monetary > m2 then 1 else 0 end)
+                  + (case when monetary > m3 then 1 else 0 end)
+                as integer) as m_score
+    from base cross join q
+    order by user_id
+    """,
+)
+def user_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency (last activity), frequency (event
+    count), monetary (exact purchase-value sum) per user, each scored
+    1-4 against the corpus quartiles: the classic user-value grid
+    (4=best quartile on every axis). Quartile scoring uses the
+    lint-clean global-binning shape (equal_freq_binning /
+    length_outlier_filter): ONE 1-row exact-percentile aggregate
+    broadcast-attached in-plan — not a global ntile window, which would
+    funnel every user through one task. Spark `percentile` and DuckDB
+    `quantile_cont` share the p*(n-1) interpolation convention on
+    identical doubles, monetary is the decimal-exact money sum
+    (relational.exact_sum), and strict `>` bucket edges make every
+    score replay bit-identically.
+
+    Scale: one map-side-combinable aggregate over events, one 1-row
+    attach, one projection — no per-user state beyond the aggregate."""
+    from database_extractor_spark.operators.relational import exact_sum
+    from database_extractor_spark.operators.timeseries import _epoch_us
+
+    ev = _tbl(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max(_epoch_us("ts")).alias("last_seen_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+        exact_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0)),
+            "monetary",
+        ),
+    )
+    q = base.agg(
+        F.expr("percentile(last_seen_us, 0.25)").alias("r1"),
+        F.expr("percentile(last_seen_us, 0.50)").alias("r2"),
+        F.expr("percentile(last_seen_us, 0.75)").alias("r3"),
+        F.expr("percentile(cast(n_events as double), 0.25)").alias("f1"),
+        F.expr("percentile(cast(n_events as double), 0.50)").alias("f2"),
+        F.expr("percentile(cast(n_events as double), 0.75)").alias("f3"),
+        F.expr("percentile(monetary, 0.25)").alias("m1"),
+        F.expr("percentile(monetary, 0.50)").alias("m2"),
+        F.expr("percentile(monetary, 0.75)").alias("m3"),
+    )
+
+    def score(col, e1, e2, e3):
+        c = F.col(col)
+        return (
+            F.lit(1)
+            + F.when(c > F.col(e1), 1).otherwise(0)
+            + F.when(c > F.col(e2), 1).otherwise(0)
+            + F.when(c > F.col(e3), 1).otherwise(0)
+        ).cast("int")
+
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            "last_seen_us",
+            "n_events",
+            "monetary",
+            score("last_seen_us", "r1", "r2", "r3").alias("r_score"),
+            (
+                F.lit(1)
+                + F.when(
+                    F.col("n_events").cast("double") > F.col("f1"), 1
+                ).otherwise(0)
+                + F.when(
+                    F.col("n_events").cast("double") > F.col("f2"), 1
+                ).otherwise(0)
+                + F.when(
+                    F.col("n_events").cast("double") > F.col("f3"), 1
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("f_score"),
+            score("monetary", "m1", "m2", "m3").alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -106,6 +106,9 @@ SCALAR_ATTACH_OK = {
     # mixture normalizers (total sqrt-mass + total tokens) ride one
     # 1-row attach over the |langs|-row share table
     "mixture_epoch_plan",
+    # RFM quartile edges (9 exact percentiles) ride one 1-row attach
+    # over the per-user aggregate
+    "user_rfm_segments",
 }
 
 

@@ -772,3 +772,84 @@ def test_mixture_epoch_plan_python_replay_and_properties(spark):
     ordered = sorted(got.values())  # by n_tokens asc
     epochs = [e for _, _, e in ordered]
     assert epochs == sorted(epochs, reverse=True)  # small slices upsample
+
+
+def test_dedup_threshold_sweep_is_monotone_and_anchored(spark):
+    """The sweep must (a) agree with the single-point LSH quality eval
+    at threshold 0.7, and (b) be monotone: raising the threshold can
+    only shrink n_true, n_pred, and n_hit."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = {
+        r["threshold"]: r.asDict()
+        for r in QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [0.5, 0.6, 0.7, 0.8, 0.9]
+    anchor = QUERIES["dedup_lsh_quality_eval"](spark, SF_DIR).collect()[0]
+    at07 = rows[0.7]
+    assert (at07["n_true"], at07["n_pred"], at07["n_hit"]) == (
+        anchor["n_true"],
+        anchor["n_pred"],
+        anchor["n_hit"],
+    )
+    assert at07["sweep_precision"] == anchor["lsh_precision"]
+    assert at07["sweep_recall"] == anchor["lsh_recall"]
+    for lo, hi in zip([0.5, 0.6, 0.7, 0.8], [0.6, 0.7, 0.8, 0.9]):
+        for k in ("n_true", "n_pred", "n_hit"):
+            assert rows[hi][k] <= rows[lo][k], (k, lo, hi)
+    assert rows[0.5]["n_true"] > 0  # the curve measured something
+
+
+def test_user_rfm_segments_python_replay(spark):
+    """Scores replay in pure python: per-user aggregates + numpy-free
+    linear-interpolated quartiles (the p*(n-1) convention) + strict->
+    bucket edges."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["user_id"]: r.asDict()
+        for r in QUERIES["user_rfm_segments"](spark, SF_DIR).collect()
+    }
+    rows = (
+        _tbl(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) as us",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, Decimal(0)])
+    for r in rows:
+        a = agg[r["user_id"]]
+        a[0] = max(a[0], r["us"])
+        a[1] += 1
+        if r["event_type"] == "purchase":
+            a[2] += Decimal(str(round(r["value"], 4)))
+
+    def quart(vals):
+        s = sorted(vals)
+        out = []
+        for p in (0.25, 0.5, 0.75):
+            idx = p * (len(s) - 1)
+            lo, frac = int(idx // 1), idx % 1
+            hi = min(lo + 1, len(s) - 1)
+            out.append(s[lo] + (s[hi] - s[lo]) * frac)
+        return out
+
+    rq = quart([float(a[0]) for a in agg.values()])
+    fq = quart([float(a[1]) for a in agg.values()])
+    mq = quart([float(a[2]) for a in agg.values()])
+    for uid, (last, n, mon) in agg.items():
+        g = got[uid]
+        assert g["last_seen_us"] == last and g["n_events"] == n
+        assert abs(g["monetary"] - float(mon)) < 1e-9
+        assert g["r_score"] == 1 + sum(float(last) > e for e in rq)
+        assert g["f_score"] == 1 + sum(float(n) > e for e in fq)
+        assert g["m_score"] == 1 + sum(float(mon) > e for e in mq)
+    scores = {(g["r_score"], g["f_score"], g["m_score"]) for g in got.values()}
+    assert len(scores) > 1  # the grid actually separates users
