@@ -34,12 +34,22 @@ def con():
 
 
 def _cell(v):
+    import datetime
+
     if v is None:
         return "␀"
     if isinstance(v, float) and math.isnan(v):
         return "␀"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        # mirror the driver comparator: a DATE equals the midnight
+        # TIMESTAMP on the other engine (Spark to_date vs a pandas-read
+        # DuckDB date arriving as datetime64) — same rule as
+        # scripts/full_registry_sweep.py::norm_cell
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, float):
         return repr(v)
     return str(v)
