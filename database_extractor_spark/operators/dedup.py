@@ -1123,34 +1123,30 @@ def remove_spans(
     aggregate's). Output: (id, n_tokens_before, n_removed, text_clean)
     with whitespace normalized to single spaces.
     """
-    from pyspark.sql import Window
-
     span_t = "array<struct<b_start:int,n_tokens:int>>"
     # merge overlapping/adjacent spans per doc into disjoint intervals
-    # BEFORE collecting (gaps-and-islands on running max end): a document
-    # duplicated against many partners accumulates heavily-overlapping
-    # spans, and both the collected array and the per-token exists() test
-    # below should pay for the union's size, not the raw pair count. The
-    # union of intervals is unchanged, so results are identical.
-    w = Window.partitionBy("id_b").orderBy("b_start")
-    running_end = F.max(F.col("b_start") + F.col("n_tokens")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    # BEFORE collecting (the first-class gaps-and-islands operator,
+    # timeseries.coalesce_intervals — review r13 replaced the inlined
+    # twin of that block): a document duplicated against many partners
+    # accumulates heavily-overlapping spans, and both the collected
+    # array and the per-token exists() test below should pay for the
+    # union's size, not the raw pair count. The union of intervals is
+    # unchanged, so results are identical. (Half-open spans: end =
+    # b_start + n_tokens, so touching spans merge — same as the
+    # operator's merge-on-touch rule.)
+    from database_extractor_spark.operators.timeseries import (
+        coalesce_intervals,
     )
-    islands = (
-        spans.select("id_b", "b_start", "n_tokens")
-        .withColumn(
-            "__new",
-            F.when(
-                running_end.isNull() | (F.col("b_start") > running_end), 1
-            ).otherwise(0),
-        )
-        .withColumn("__isl", F.sum("__new").over(w))
+
+    iv = spans.select(
+        "id_b",
+        F.col("b_start").alias("__s"),
+        (F.col("b_start") + F.col("n_tokens")).alias("__e"),
     )
-    merged = islands.groupBy("id_b", "__isl").agg(
-        F.min("b_start").alias("b_start"),
-        (
-            F.max(F.col("b_start") + F.col("n_tokens")) - F.min("b_start")
-        ).alias("n_tokens"),
+    merged = coalesce_intervals(iv, ["id_b"], "__s", "__e").select(
+        "id_b",
+        F.col("__s").alias("b_start"),
+        (F.col("__e") - F.col("__s")).alias("n_tokens"),
     )
     agg = merged.groupBy(F.col("id_b").alias(id_col)).agg(
         F.collect_list(

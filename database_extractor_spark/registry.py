@@ -1219,6 +1219,29 @@ def _minhash_dup_ctes(
     )"""
 
 
+def _jaccard_truth_ctes(threshold: float, with_value: bool = False) -> str:
+    """sizes/common/truth CTE block: EXACT shingle-set Jaccard pairs
+    >= ``threshold`` off the ``sh`` CTE of :func:`_minhash_dup_ctes` —
+    the ground-truth arm shared by the three index-quality oracles
+    (LSH eval, SimHash eval, threshold sweep; review r13 deduplicated
+    the previously per-oracle pasted block). ``with_value`` keeps the
+    rounded jaccard value on each pair (the sweep thresholds on it)."""
+    val = ", round(c / (s1.n + s2.n - c), 4) as jaccard" if with_value else ""
+    return f""",
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    common as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+        group by 1, 2
+    ),
+    truth as (
+        select id_a, id_b{val} from common
+          join sizes s1 on id_a = s1.doc_id
+          join sizes s2 on id_b = s2.doc_id
+        where round(c / (s1.n + s2.n - c), 4) >= {threshold}
+    )"""
+
+
 def _minhash_lsh_oracle(
     num_hashes: int = 64, bands: int = 16, threshold: float = 0.7,
     max_bucket: int = 1000,
@@ -1253,19 +1276,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).select("doc_id")
 
 
-_LSH_QUALITY_ORACLE = _minhash_dup_ctes() + """,
-    sizes as (select doc_id, count(*) as n from sh group by doc_id),
-    common as (
-        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
-        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
-        group by 1, 2
-    ),
-    truth as (
-        select id_a, id_b from common
-          join sizes s1 on id_a = s1.doc_id
-          join sizes s2 on id_b = s2.doc_id
-        where round(c / (s1.n + s2.n - c), 4) >= 0.7
-    ),
+_LSH_QUALITY_ORACLE = _minhash_dup_ctes() + _jaccard_truth_ctes(0.7) + """,
     m as (
         select cast((select count(*) from truth) as bigint) as n_true,
                cast((select count(*) from dup) as bigint) as n_pred,
@@ -12058,19 +12069,7 @@ def tokenizer_fertility_eval(spark, sf_dir):
     )
 
 
-_SIMHASH_QUALITY_ORACLE = _minhash_dup_ctes() + f""",
-    sizes as (select doc_id, count(*) as n from sh group by doc_id),
-    common as (
-        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
-        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
-        group by 1, 2
-    ),
-    truth as (
-        select id_a, id_b from common
-          join sizes s1 on id_a = s1.doc_id
-          join sizes s2 on id_b = s2.doc_id
-        where round(c / (s1.n + s2.n - c), 4) >= 0.7
-    ),
+_SIMHASH_QUALITY_ORACLE = _minhash_dup_ctes() + _jaccard_truth_ctes(0.7) + f""",
     pred as (select id_a, id_b from ({_simhash_oracle()})),
     m as (
         select cast((select count(*) from truth) as bigint) as n_true,
@@ -12250,8 +12249,17 @@ def corpus_slice_jsd(spark, sf_dir):
     # bounded model-state collect: the SLICE list (domains/languages —
     # dozens by construction), never the vocab; builds the complete pair
     # universe so fully-disjoint pairs surface at exactly ln 2 instead
-    # of vanishing from the shared-word inner join
-    srcs = sorted(r[0] for r in tot.select("source").collect())
+    # of vanishing from the shared-word inner join. Enumerated from a
+    # single-column distinct over the source parquet — NOT from `tot`,
+    # whose lineage re-runs the corpus tokenize+count aggregate as a
+    # second job (review r13). A NULL slice is excluded, matching the
+    # oracle's `a.source < b.source` pair semantics (NULL compares
+    # UNKNOWN in SQL and joins nothing).
+    srcs = sorted(
+        r[0]
+        for r in docs.select("source").distinct().collect()
+        if r[0] is not None
+    )
     pairs = spark.createDataFrame(
         [(x, y) for i, x in enumerate(srcs) for y in srcs[i + 1:]],
         "s1 string, s2 string",
@@ -12395,7 +12403,7 @@ def mixture_epoch_plan(spark, sf_dir):
     )
 
 
-_SWEEP_ORACLE = _minhash_dup_ctes() + """,
+_SWEEP_ORACLE = _minhash_dup_ctes() + _jaccard_truth_ctes(0.5, with_value=True) + """,
     est as (
         select id_a, id_b,
                round(len([i for i in range(1, 65)
@@ -12405,19 +12413,6 @@ _SWEEP_ORACLE = _minhash_dup_ctes() + """,
           join sig sb on id_b = sb.doc_id
     ),
     estk as (select * from est where est_jaccard >= 0.5),
-    sizes as (select doc_id, count(*) as n from sh group by doc_id),
-    common as (
-        select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
-        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
-        group by 1, 2
-    ),
-    truth as (
-        select id_a, id_b, round(c / (s1.n + s2.n - c), 4) as jaccard
-        from common
-          join sizes s1 on id_a = s1.doc_id
-          join sizes s2 on id_b = s2.doc_id
-        where round(c / (s1.n + s2.n - c), 4) >= 0.5
-    ),
     fo as (
         select t.jaccard, e.est_jaccard
         from truth t full outer join estk e
@@ -12593,7 +12588,7 @@ def user_rfm_segments(spark, sf_dir):
     )
 
     def score(col, e1, e2, e3):
-        c = F.col(col)
+        c = F.col(col) if isinstance(col, str) else col
         return (
             F.lit(1)
             + F.when(c > F.col(e1), 1).otherwise(0)
@@ -12609,20 +12604,9 @@ def user_rfm_segments(spark, sf_dir):
             "n_events",
             "monetary",
             score("last_seen_us", "r1", "r2", "r3").alias("r_score"),
-            (
-                F.lit(1)
-                + F.when(
-                    F.col("n_events").cast("double") > F.col("f1"), 1
-                ).otherwise(0)
-                + F.when(
-                    F.col("n_events").cast("double") > F.col("f2"), 1
-                ).otherwise(0)
-                + F.when(
-                    F.col("n_events").cast("double") > F.col("f3"), 1
-                ).otherwise(0)
-            )
-            .cast("int")
-            .alias("f_score"),
+            score(
+                F.col("n_events").cast("double"), "f1", "f2", "f3"
+            ).alias("f_score"),
             score("monetary", "m1", "m2", "m3").alias("m_score"),
         )
         .orderBy("user_id")

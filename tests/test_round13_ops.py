@@ -475,11 +475,13 @@ def test_interval_coalesce_covered_time_python_replay(spark):
         for r in QUERIES["interval_coalesce"](spark, SF_DIR).collect()
     }
     uid = min(got)
+    # exact integer micros via the engine (float .timestamp()*1e6 can
+    # truncate 1 us on 16-digit epochs — review r13)
     ts = sorted(
-        int(r[0].timestamp() * 1_000_000)
+        r[0]
         for r in _tbl(spark, SF_DIR, "events")
         .filter(F.col("user_id") == uid)
-        .select(F.col("ts").cast("timestamp"))
+        .selectExpr("unix_micros(cast(ts as timestamp)) as us")
         .collect()
     )
     merged = []
