@@ -185,6 +185,11 @@ SECONDARY = [
     # quartile segmentation (one aggregate + 1-row percentile attach)
     "dedup_threshold_sweep",
     "user_rfm_segments",
+    # round-13 additions: frequent-items sketch (one pass, bounded
+    # memory), parameterized SQL front end, SQL PIVOT clause
+    "approx_topk_heavy_hitters",
+    "sql_parameterized",
+    "sql_pivot_clause",
 ]
 
 

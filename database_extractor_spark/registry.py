@@ -12613,6 +12613,126 @@ def user_rfm_segments(spark, sf_dir):
     )
 
 
+@register(
+    "approx_topk_heavy_hitters",
+    """
+    select cast(user_id as varchar) as item,
+           cast(count(*) as bigint) as n
+    from events
+    group by user_id
+    order by n desc, item
+    limit 25
+    """,
+)
+def approx_topk_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via the approx_top_k SKETCH — the frequent-items
+    member of the mergeable-sketch family (HLL = distinct,
+    approx_percentile = quantiles, this = top items): per-partition
+    sketches of bounded size merge associatively, so the hot-key census
+    at 100 TB costs one pass with fixed memory instead of a full
+    groupBy over every key. Run here in the EXACT regime (the
+    approx_distinct / approx_percentile_sketch discipline):
+    maxItemsTracked=100000 exceeds every fixture's distinct-user count,
+    so tracked counts are exact and the DuckDB group-count oracle
+    matches bit-for-bit; the approx regime (more keys than tracker
+    slots) is property-tested, not oracled. The sketch's own output
+    order is tie-UNSPECIFIED, so the entry re-sorts deterministically
+    (count desc, item) and cuts top-25 OUTSIDE the sketch — never trust
+    a sketch's tie order across engines."""
+    ev = _tbl(spark, sf_dir, "events")
+    tk = ev.agg(
+        F.expr(
+            "approx_top_k(cast(user_id as string), 5000, 100000)"
+        ).alias("tk")
+    )
+    return (
+        tk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("n"), "item")
+        .limit(25)
+    )
+
+
+@register(
+    "sql_parameterized",
+    """
+    select event_type, cast(count(*) as bigint) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as total
+    from events
+    where value >= 50.0 and event_type in ('click', 'purchase')
+    group by event_type
+    order by event_type
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL front end (spark.sql(..., args={...}) — named
+    ``:param`` markers bound server-side): the injection-safe seam every
+    multi-tenant query service needs; string-assembled SQL is how the
+    reference builds ALL its queries (Flux string concatenation,
+    database_extractor.py:264-300), so this is the modern replacement
+    for that whole class. Parameters bind as literals in the analyzed
+    plan — same Catalyst plan as the inlined query (filter pushdown
+    intact), which is exactly what the inlined-literal oracle checks."""
+    docs = _tbl(spark, sf_dir, "events")
+    docs.createOrReplaceTempView("events_param_v")
+    return spark.sql(
+        """
+        select event_type, cast(count(*) as bigint) as n,
+               cast(sum(cast(value as decimal(18,4))) as double) as total
+        from events_param_v
+        where value >= :lo and event_type in (:t1, :t2)
+        group by event_type
+        order by event_type
+        """,
+        args={"lo": 50.0, "t1": "click", "t2": "purchase"},
+    )
+
+
+@register(
+    "sql_pivot_clause",
+    """
+    select cast(ts as date) as day,
+           cast(sum(case when event_type = 'click'
+                         then cast(value as decimal(18,4)) end)
+                as double) as click,
+           cast(sum(case when event_type = 'view'
+                         then cast(value as decimal(18,4)) end)
+                as double) as view
+    from events
+    group by cast(ts as date)
+    order by day
+    """,
+)
+def sql_pivot_clause(spark, sf_dir):
+    """The SQL PIVOT clause — the front-end face of pivot (o05/
+    pivot_multi_agg cover the DataFrame API; sql_windowed_cte did the
+    same for windows): `FROM t PIVOT (agg FOR col IN (...))` with an
+    explicit value list, which is what keeps the operation ONE pass at
+    scale (implicit-value pivots need a distinct-scan first to discover
+    columns — the reference's pandas pivot does exactly that hidden
+    scan). Decimal-exact value sums; the oracle states the equivalent
+    CASE-conditional aggregate, which is also the physical plan Spark
+    lowers PIVOT to."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev.select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    ).createOrReplaceTempView("events_pivot_v")
+    return spark.sql(
+        """
+        select * from (
+            select day, event_type, cast(value as decimal(18,4)) as v
+            from events_pivot_v
+            where event_type in ('click', 'view')
+        )
+        pivot (cast(sum(v) as double) for event_type in ('click', 'view'))
+        order by day
+        """
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -855,3 +855,76 @@ def test_user_rfm_segments_python_replay(spark):
         assert g["m_score"] == 1 + sum(float(mon) > e for e in mq)
     scores = {(g["r_score"], g["f_score"], g["m_score"]) for g in got.values()}
     assert len(scores) > 1  # the grid actually separates users
+
+
+def test_approx_topk_exact_regime_and_separated_topk(spark):
+    """In the exact regime (tracker >= distinct items) the sketch's
+    counts equal true group counts; with k below the distinct count but
+    strictly separated frequencies, the top-k set is still the true
+    top-k."""
+    from pyspark.sql import functions as F
+
+    # id%5 frequencies strictly separated: item i appears 100-?? make
+    # counts distinct: value j repeated (j+1)*10 times
+    rows = [(str(j),) for j in range(8) for _ in range((j + 1) * 10)]
+    df = spark.createDataFrame(rows, "u string")
+    got = (
+        df.agg(F.expr("approx_top_k(u, 3, 100)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select("e.item", "e.count")
+        .collect()
+    )
+    assert {(r["item"], r["count"]) for r in got} == {
+        ("7", 80),
+        ("6", 70),
+        ("5", 60),
+    }
+
+
+def test_sql_parameterized_binds_like_inlined_literals(spark):
+    """The parameterized plan must be the same Catalyst plan as the
+    inlined-literal form: the value filter reaches the scan as a pushed
+    filter and results match the inlined query."""
+    from database_extractor_spark.registry import QUERIES
+
+    df = QUERIES["sql_parameterized"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(value,50.0)" in plan, plan
+    inlined = spark.sql(
+        """
+        select event_type, cast(count(*) as bigint) as n,
+               cast(sum(cast(value as decimal(18,4))) as double) as total
+        from events_param_v
+        where value >= 50.0 and event_type in ('click', 'purchase')
+        group by event_type order by event_type
+        """
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in inlined.collect()
+    ]
+
+
+def test_sql_pivot_clause_equals_dataframe_pivot(spark):
+    """The SQL PIVOT clause must produce exactly the DataFrame-API
+    pivot of the same input (same explicit value list, same decimal
+    sums)."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = [tuple(r) for r in QUERIES["sql_pivot_clause"](spark, SF_DIR).collect()]
+    api = (
+        _tbl(spark, SF_DIR, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.sum("v").cast("double"))
+        .orderBy("day")
+    )
+    assert got == [tuple(r) for r in api.collect()]
