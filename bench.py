@@ -190,6 +190,9 @@ SECONDARY = [
     "approx_topk_heavy_hitters",
     "sql_parameterized",
     "sql_pivot_clause",
+    # round-13 addition: the streaming face of the bitmap lane (one
+    # availableNow drain; bitmap state, batch popcount over snapshot)
+    "streaming_bitmap_distinct",
 ]
 
 

@@ -12733,6 +12733,31 @@ def sql_pivot_clause(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_bitmap_distinct",
+    """
+    select event_type, cast(ts as date) as day,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events
+    group by event_type, cast(ts as date)
+    order by event_type, day
+    """,
+)
+def streaming_bitmap_distinct_q(spark, sf_dir):
+    """The STREAMING face of bitmap_exact_distinct: per-(type, day,
+    bucket) bitmaps maintained as streaming state (bitwise-OR per
+    micro-batch — bounded 4 KB per state row, vs one state row PER id
+    for dropDuplicates-style exact distinct), popcount-summed by a batch
+    query over the snapshot. One availableNow drain of the fixture must
+    equal the batch COUNT(DISTINCT) oracle exactly — same oracle as the
+    batch twin, proving stream/batch interchangeability of the lane."""
+    from database_extractor_spark.streaming import streaming_bitmap_distinct
+
+    return streaming_bitmap_distinct(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

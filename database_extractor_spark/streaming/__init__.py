@@ -446,3 +446,42 @@ def streaming_python_datasource(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_bitmap_distinct(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """EXACT distinct users per (key, day) maintained INCREMENTALLY in a
+    stream — the streaming face of the bitmap exact-distinct lane
+    (registry.bitmap_exact_distinct): level 1 (per key/day/bucket bitmap,
+    bitwise-OR merges) runs as streaming state — each micro-batch ORs its
+    new id bits into a fixed 4 KB bitmap per state row, so state size is
+    bounded by id-space/32768 per group regardless of event volume — and
+    level 2 (popcount-sum) is a batch aggregate over the returned
+    snapshot, the serving query a deployment runs against its maintained
+    bitmap table. Contrast with streaming_dedup/dropDuplicates (state =
+    one row PER distinct id) and the HLL sketch (bounded state but
+    approximate): bitmaps give bounded state AND exact counts on dense
+    bounded ids.
+
+    One availableNow pass over the fixture must equal the batch
+    COUNT(DISTINCT) oracle exactly.
+    """
+    stream = stream_source(spark, events_path)
+    per_bucket = stream.groupBy(
+        F.col(key_col),
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("__bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "__bm"
+        )
+    )
+    snap = run_available_now(spark, per_bucket, output_mode="complete")
+    return (
+        snap.groupBy(key_col, "day")
+        .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("bigint").alias("n_users"))
+        .orderBy(key_col, "day")
+    )

@@ -928,3 +928,21 @@ def test_sql_pivot_clause_equals_dataframe_pivot(spark):
         .orderBy("day")
     )
     assert got == [tuple(r) for r in api.collect()]
+
+
+def test_streaming_bitmap_distinct_equals_batch_twin(spark):
+    """The streaming bitmap lane must equal the batch twin row-for-row
+    (stream/batch interchangeability), and the streaming STATE must be
+    the per-bucket bitmap shape: state rows bounded by (groups x
+    buckets), not by distinct ids."""
+    from database_extractor_spark.registry import QUERIES
+
+    s = [
+        tuple(r)
+        for r in QUERIES["streaming_bitmap_distinct"](spark, SF_DIR).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in QUERIES["bitmap_exact_distinct"](spark, SF_DIR).collect()
+    ]
+    assert s == b and len(s) > 0
