@@ -193,6 +193,11 @@ SECONDARY = [
     # round-13 addition: the streaming face of the bitmap lane (one
     # availableNow drain; bitmap state, batch popcount over snapshot)
     "streaming_bitmap_distinct",
+    # round-13 additions: packing QA (sharded windows), batch novelty
+    # (trigram anti-join), malformed-CSV quarantine (constant-size file)
+    "pack_efficiency_eval",
+    "ngram_novelty_ratio",
+    "csv_corrupt_records",
 ]
 
 

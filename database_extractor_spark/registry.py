@@ -12758,6 +12758,218 @@ def streaming_bitmap_distinct_q(spark, sf_dir):
     )
 
 
+@register(
+    "pack_efficiency_eval",
+    r"""
+    with toks as (
+        select doc_id, doc_id % 16 as shard,
+               cast(len(string_split_regex(trim(text), '\s+')) as bigint)
+                   as n_tokens
+        from documents
+    ),
+    packed as (
+        select shard, n_tokens,
+               cast(floor((cast(sum(n_tokens) over w as bigint) - n_tokens)
+                          / 512.0) as bigint) as pack_seq
+        from toks
+        window w as (partition by shard order by doc_id
+                     rows between unbounded preceding and current row)
+    ),
+    bins as (
+        select shard, pack_seq, cast(sum(n_tokens) as bigint) as fill
+        from packed group by shard, pack_seq
+    )
+    select shard,
+           cast(count(*) as bigint) as n_bins,
+           cast(sum(fill) as bigint) as n_tokens,
+           cast(max(fill) as bigint) as max_fill,
+           cast(cast(sum(fill) as bigint) * 1000000
+                // (cast(count(*) as bigint) * 512) as bigint) as util_q
+    from bins group by shard order by shard
+    """,
+)
+def pack_efficiency_eval(spark, sf_dir):
+    """Packing-efficiency QA for pack_sequences — per shard: bin count,
+    token total, the largest bin (start-assigned bins can exceed the
+    512 capacity when a document straddles the boundary — max_fill is
+    the overflow audit), and capacity utilization in exact micro units
+    (tokens * 1e6 div (bins * 512)). This is the report a training run
+    reads before committing a packing config: utilization is the
+    padding-waste complement, and a low number says the bin size or
+    shard order needs work. Same sharded-window shape as the packer
+    itself (no global window), one extra keyed aggregate."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(T.tokens(F.trim(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512.0))
+        .cast("bigint")
+        .alias("pack_seq"),
+    )
+    bins = packed.groupBy("shard", "pack_seq").agg(
+        F.sum("n_tokens").cast("bigint").alias("fill")
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.sum("fill").cast("bigint").alias("n_tokens"),
+            F.max("fill").cast("bigint").alias("max_fill"),
+        )
+        .select(
+            "shard",
+            "n_bins",
+            "n_tokens",
+            "max_fill",
+            F.expr("n_tokens * 1000000L div (n_bins * 512L)")
+            .cast("bigint")
+            .alias("util_q"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "ngram_novelty_ratio",
+    r"""
+    with toks as (
+        select doc_id,
+               string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    tri as (
+        select doc_id >= 250 as is_batch,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) as tg
+        from toks where len(ws) >= 3
+    ),
+    b as (select distinct tg from tri where is_batch),
+    c as (select distinct tg from tri where not is_batch),
+    m as (
+        select cast((select count(*) from b) as bigint) as n_batch_distinct,
+               cast((select count(*) from b
+                     where tg not in (select tg from c)) as bigint) as n_new
+    )
+    select n_batch_distinct, n_new,
+           n_new * 1000000 // greatest(n_batch_distinct, 1) as novelty_q
+    from m
+    """,
+)
+def ngram_novelty_ratio(spark, sf_dir):
+    """Content NOVELTY of an incoming batch vs the existing corpus — the
+    fraction of the batch's distinct trigrams never seen before (batch =
+    doc_id >= 250, the same split the streaming gates use; in production
+    the crawl increment vs the lake). The go/no-go signal for paying a
+    crawl's processing cost: near-zero novelty means the source is
+    re-serving known content and belongs behind the dedup gate, high
+    novelty earns a full curation pass. Exact distinct-trigram sets via
+    one tokenize pass + a LEFT ANTI join on trigram (shuffle on the
+    trigram key, bounded by observed trigram diversity — never a
+    containment scan of the corpus text)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") >= 250).alias("is_batch"),
+        T.tokens(F.lower(F.trim(F.col("text")))).alias("ws"),
+    )
+    tri = toks.filter(F.size("ws") >= 3).select(
+        "is_batch",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), i -> "
+                "concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
+                " ' ', element_at(ws, i + 2)))"
+            )
+        ).alias("tg"),
+    )
+    b = tri.filter("is_batch").select("tg").distinct()
+    c = tri.filter("not is_batch").select("tg").distinct()
+    new = b.join(c, "tg", "left_anti")
+    return (
+        b.agg(F.count("*").cast("bigint").alias("n_batch_distinct"))
+        .crossJoin(
+            F.broadcast(new.agg(F.count("*").cast("bigint").alias("n_new")))
+        )
+        .select(
+            "n_batch_distinct",
+            "n_new",
+            F.expr(
+                "n_new * 1000000L div greatest(n_batch_distinct, 1L)"
+            ).alias("novelty_q"),
+        )
+    )
+
+
+@register(
+    "csv_corrupt_records",
+    """
+    with r as (select unnest(range(0, 200)) as i),
+    flags as (select i, (i % 13 = 0 and i > 0) as bad from r)
+    select cast(sum(case when not bad then 1 else 0 end) as bigint)
+               as n_good,
+           cast(sum(case when bad then 1 else 0 end) as bigint)
+               as n_corrupt,
+           cast(sum(case when not bad then i * 2 else 0 end) as bigint)
+               as sum_v
+    from flags
+    """,
+)
+def csv_corrupt_records(spark, sf_dir):
+    """Malformed-row QUARANTINE on CSV ingestion — PERMISSIVE mode with
+    columnNameOfCorruptRecord: bad rows land whole in the corrupt-record
+    column instead of killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED), so ingestion can count, sample, and re-drive them —
+    the hardening every 100 TB pipeline needs on third-party file drops.
+    The dirty file is generated deterministically (every 13th row gets a
+    non-numeric id token), so the oracle replays the expected good/bad
+    split and value sum from range() arithmetic — the python_datasource
+    formula-replay pattern: the oracle checks the SEMANTICS of the
+    quarantine without needing DuckDB to mimic Spark's CSV parser."""
+    import shutil
+    import atexit
+
+    base = tempfile.mkdtemp(prefix="dirty_csv_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "rows.csv")
+    with open(path, "w") as f:
+        f.write("id,v\n")
+        for i in range(200):
+            if i % 13 == 0 and i > 0:
+                f.write(f"oops_row_{i},not_a_number\n")
+            else:
+                f.write(f"{i},{i * 2}\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id bigint, v bigint, _bad string")
+        .csv(path)
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_v"),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

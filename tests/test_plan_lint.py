@@ -109,6 +109,9 @@ SCALAR_ATTACH_OK = {
     # RFM quartile edges (9 exact percentiles) ride one 1-row attach
     # over the per-user aggregate
     "user_rfm_segments",
+    # novelty joins two 1-row global counts (batch-distinct x new) —
+    # a 1-row x 1-row attach
+    "ngram_novelty_ratio",
 }
 
 

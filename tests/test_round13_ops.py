@@ -946,3 +946,80 @@ def test_streaming_bitmap_distinct_equals_batch_twin(spark):
         for r in QUERIES["bitmap_exact_distinct"](spark, SF_DIR).collect()
     ]
     assert s == b and len(s) > 0
+
+
+def test_pack_efficiency_python_replay(spark):
+    """Per-shard bin statistics replayed in pure python off the same
+    cumsum-binning rule pack_sequences uses."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["shard"]: (r["n_bins"], r["n_tokens"], r["max_fill"], r["util_q"])
+        for r in QUERIES["pack_efficiency_eval"](spark, SF_DIR).collect()
+    }
+    rows = sorted(
+        (r["doc_id"], len(r["text"].strip().split()))
+        for r in _tbl(spark, SF_DIR, "documents")
+        .selectExpr("doc_id", "text")
+        .collect()
+    )
+    bins = defaultdict(int)
+    cum = defaultdict(int)
+    for doc_id, n in rows:
+        shard = doc_id % 16
+        start = cum[shard]
+        cum[shard] += n
+        bins[(shard, start // 512)] += n
+    per_shard = defaultdict(list)
+    for (shard, _), fill in bins.items():
+        per_shard[shard].append(fill)
+    exp = {
+        s: (
+            len(f),
+            sum(f),
+            max(f),
+            sum(f) * 1_000_000 // (len(f) * 512),
+        )
+        for s, f in per_shard.items()
+    }
+    assert got == exp
+
+
+def test_ngram_novelty_boundaries(spark, tmp_path):
+    """Novelty pinned at both extremes: an all-new batch scores exactly
+    1e6, an all-seen batch scores 0."""
+    from database_extractor_spark.registry import QUERIES
+
+    def run(batch_text):
+        docs = [(i, "a b c d e", "en") for i in range(3)] + [
+            (250 + i, batch_text, "en") for i in range(2)
+        ]
+        sf = str(tmp_path / batch_text.replace(" ", "_"))
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+        return QUERIES["ngram_novelty_ratio"](spark, sf).collect()[0]
+
+    allnew = run("x y z w")
+    assert allnew["n_new"] == allnew["n_batch_distinct"] > 0
+    assert allnew["novelty_q"] == 1_000_000
+    seen = run("a b c d e")
+    assert seen["n_new"] == 0 and seen["novelty_q"] == 0
+
+
+def test_csv_corrupt_records_quarantine_counts(spark):
+    """The PERMISSIVE read must quarantine exactly the malformed rows
+    (every 13th after 0) and the parsed-value sum must exclude them —
+    replayed in python from the same generator."""
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["csv_corrupt_records"](spark, SF_DIR).collect()[0]
+    bad = [i for i in range(200) if i % 13 == 0 and i > 0]
+    good = [i for i in range(200) if not (i % 13 == 0 and i > 0)]
+    assert row["n_corrupt"] == len(bad)
+    assert row["n_good"] == len(good)
+    assert row["sum_v"] == sum(2 * i for i in good)
