@@ -198,6 +198,10 @@ SECONDARY = [
     "pack_efficiency_eval",
     "ngram_novelty_ratio",
     "csv_corrupt_records",
+    # round-13 additions: last-touch attribution (one carry window) and
+    # the weekday-x-hour heatmap (one tiny-group aggregate)
+    "attribution_last_touch",
+    "activity_heatmap",
 ]
 
 

@@ -12970,6 +12970,119 @@ def csv_corrupt_records(spark, sf_dir):
     )
 
 
+@register(
+    "attribution_last_touch",
+    """
+    with t as (
+        select user_id, epoch_us(ts) as us, event_id, event_type, value,
+               case when event_type in ('click', 'view')
+                    then event_type end as touch
+        from events
+    ),
+    a as (
+        select *,
+               last_value(touch ignore nulls) over (
+                   partition by user_id order by us, event_id
+                   rows between unbounded preceding and 1 preceding
+               ) as attr
+        from t
+    )
+    select coalesce(attr, 'none') as channel,
+           cast(count(*) as bigint) as n_purchases,
+           cast(sum(cast(value as decimal(18,4))) as double) as revenue
+    from a where event_type = 'purchase'
+    group by coalesce(attr, 'none')
+    order by channel
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """LAST-TOUCH revenue attribution — every purchase credits the
+    user's most recent PRECEDING touch event (click or view; purchases
+    with no prior touch fall in the 'none' bucket): the marketing
+    question behind the funnel ("which channel gets the revenue"),
+    answered with the single-pass union-and-carry shape the as-of join
+    uses — touches and purchases ride ONE user-partitioned ordered
+    window (last ignore-nulls over strictly-earlier rows), no
+    touches-x-purchases range join. Deterministic: (us, event_id)
+    totally orders each user's stream. Revenue is the decimal-exact
+    money sum.
+
+    Scale: one hash exchange on user_id + one window pass + a 5-row
+    aggregate — the naive per-purchase backward range join is quadratic
+    per user and this is its standard linear rewrite."""
+    from database_extractor_spark.operators.relational import exact_sum
+    from database_extractor_spark.operators.timeseries import _epoch_us
+
+    ev = _tbl(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        _epoch_us("ts").alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = tagged.withColumn(
+        "attr", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attr", F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            exact_sum("value", "revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "activity_heatmap",
+    """
+    select date_part('isodow', ts) as dow_iso,
+           date_part('hour', ts) as hour,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as total
+    from events
+    group by date_part('isodow', ts), date_part('hour', ts)
+    order by dow_iso, hour
+    """,
+)
+def activity_heatmap(spark, sf_dir):
+    """Weekday-x-hour activity heatmap — the load-profile report behind
+    capacity planning and anomaly baselines (ts_seasonal_anomaly uses
+    hour-of-day; this is its 2-D reporting face). The cross-engine trap
+    this entry pins: day-of-week NUMBERING differs per engine (Spark
+    `dayofweek` counts 1=Sunday, DuckDB `dayofweek` 0=Sunday) — both
+    sides use the ISO convention (1=Monday..7=Sunday: Spark
+    `extract(DAYOFWEEK_ISO ...)`, DuckDB `isodow`) so the key aligns
+    bit-identically. One map-side-combinable aggregate over at most
+    168 groups."""
+    from database_extractor_spark.operators.relational import exact_sum
+
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)")
+            .cast("bigint")
+            .alias("dow_iso"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            exact_sum("value", "total"),
+        )
+        .orderBy("dow_iso", "hour")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -1023,3 +1023,72 @@ def test_csv_corrupt_records_quarantine_counts(spark):
     assert row["n_corrupt"] == len(bad)
     assert row["n_good"] == len(good)
     assert row["sum_v"] == sum(2 * i for i in good)
+
+
+def test_attribution_last_touch_python_replay(spark):
+    """Channel attribution replayed in pure python over the fixture:
+    per user, sort by (us, event_id), carry the last click/view, credit
+    each purchase."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in QUERIES["attribution_last_touch"](spark, SF_DIR).collect()
+    }
+    rows = (
+        _tbl(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) as us",
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(
+            (r["us"], r["event_id"], r["event_type"], r["value"])
+        )
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for seq in by_user.values():
+        seq.sort()
+        carry = None
+        for _, _, etype, value in seq:
+            if etype == "purchase":
+                a = agg[carry or "none"]
+                a[0] += 1
+                a[1] += Decimal(str(round(value, 4)))
+            if etype in ("click", "view"):
+                carry = etype
+    exp = {k: (n, float(v)) for k, (n, v) in agg.items()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9
+    assert set(got) <= {"click", "view", "none"}
+
+
+def test_activity_heatmap_iso_dow_alignment(spark):
+    """dow_iso must be the ISO convention (1=Monday..7=Sunday) on known
+    dates, and the cells must sum to the full event count."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["activity_heatmap"](spark, SF_DIR).collect()
+    assert {r["dow_iso"] for r in rows} <= set(range(1, 8))
+    assert sum(r["n"] for r in rows) == _tbl(spark, SF_DIR, "events").count()
+    # 2024-01-01 was a Monday: every event that day must land on dow 1
+    jan1 = (
+        _tbl(spark, SF_DIR, "events")
+        .filter(F.to_date("ts") == "2024-01-01")
+        .selectExpr("extract(DAYOFWEEK_ISO FROM ts) as d")
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in jan1] == [1]
