@@ -202,6 +202,12 @@ SECONDARY = [
     # the weekday-x-hour heatmap (one tiny-group aggregate)
     "attribution_last_touch",
     "activity_heatmap",
+    # round-13 additions: journey transition matrix, funnel latency
+    # percentiles, and the duplication-profile histogram (dedup_clusters
+    # cost class — exact pairs + components)
+    "event_path_markov",
+    "funnel_latency_percentiles",
+    "dup_cluster_histogram",
 ]
 
 

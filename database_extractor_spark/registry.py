@@ -13083,6 +13083,164 @@ def activity_heatmap(spark, sf_dir):
     )
 
 
+@register(
+    "event_path_markov",
+    """
+    with p as (
+        select event_type as e1,
+               lead(event_type, 1) over (
+                   partition by user_id order by ts, event_id) as e2
+        from events
+    ),
+    bg as (
+        select e1, e2, cast(count(*) as bigint) as n
+        from p where e2 is not null group by e1, e2
+    ),
+    tot as (select e1, cast(sum(n) as bigint) as t from bg group by e1)
+    select bg.e1, bg.e2, bg.n,
+           bg.n * 1000000 // tot.t as p_q
+    from bg join tot using (e1)
+    order by e1, e2
+    """,
+)
+def event_path_markov(spark, sf_dir):
+    """First-order Markov TRANSITION MATRIX over user journeys —
+    P(next event | current event) as exact scaled-integer micros (n
+    transitions from e1 to e2 over all transitions leaving e1): the
+    model behind next-action prediction baselines and journey
+    simulation; event_path_trigrams surfaces hot 3-paths, this gives
+    the normalized one-step dynamics. One user-partitioned window pass
+    (the same (ts, event_id) total order), a |types|^2-bounded count,
+    and a broadcast row-marginal join; probabilities are pure bigint
+    division — no doubles anywhere."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+    )
+    bg = (
+        p.filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = bg.groupBy("e1").agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        bg.join(F.broadcast(tot), "e1")
+        .select("e1", "e2", "n", F.expr("n * 1000000L div t").alias("p_q"))
+        .orderBy("e1", "e2")
+    )
+
+
+@register(
+    "funnel_latency_percentiles",
+    """
+    with f as (
+        select user_id,
+               min(case when event_type = 'view'
+                        then epoch_us(ts) end) as t_view,
+               min(case when event_type = 'purchase'
+                        then epoch_us(ts) end) as t_purchase
+        from events group by user_id
+    ),
+    lat as (
+        select t_purchase - t_view as latency_us
+        from f
+        where t_view is not null and t_purchase is not null
+          and t_purchase >= t_view
+    )
+    select cast(count(*) as bigint) as n_converted,
+           quantile_cont(cast(latency_us as double), 0.50) as p50_us,
+           quantile_cont(cast(latency_us as double), 0.90) as p90_us,
+           cast(max(latency_us) as bigint) as max_us
+    from lat
+    """,
+)
+def funnel_latency_percentiles(spark, sf_dir):
+    """Funnel LATENCY distribution — funnel_conversion counts who
+    converts; this measures HOW LONG conversion takes (first view ->
+    first purchase per user, exact integer micros), summarized as
+    p50/p90/max. The SLA-style report product teams read next to the
+    conversion rate. One per-user conditional-min aggregate (map-side
+    combinable) + one global exact-percentile aggregate over the
+    |converted users| latencies; percentiles interpolate on identical
+    doubles both engines (the length_outlier_filter convention)."""
+    from database_extractor_spark.operators.timeseries import _epoch_us
+
+    ev = _tbl(spark, sf_dir, "events")
+    us = _epoch_us("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "t_purchase"
+        ),
+    )
+    lat = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_view"))
+    ).select((F.col("t_purchase") - F.col("t_view")).alias("latency_us"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.expr("percentile(cast(latency_us as double), 0.50)").alias(
+            "p50_us"
+        ),
+        F.expr("percentile(cast(latency_us as double), 0.90)").alias(
+            "p90_us"
+        ),
+        F.max("latency_us").cast("bigint").alias("max_us"),
+    )
+
+
+def _dup_histogram_oracle() -> str:
+    """Cluster-size histogram over the dedup_clusters components oracle
+    (the _canonical_pick_oracle derived-table pattern)."""
+    return f"""
+    with cl as (select doc_id, cluster_id from ({ORACLE["dedup_clusters"]})),
+    sizes as (
+        select cluster_id, cast(count(*) as bigint) as size
+        from cl group by cluster_id
+    )
+    select size,
+           cast(count(*) as bigint) as n_clusters,
+           cast(size * count(*) as bigint) as n_docs
+    from sizes group by size order by size
+    """
+
+
+@register("dup_cluster_histogram", _dup_histogram_oracle())
+def dup_cluster_histogram(spark, sf_dir):
+    """Corpus DUPLICATION PROFILE — the cluster-size histogram of the
+    near-dup components (size -> how many clusters, how many documents):
+    the one-page answer to "how duplicated is this corpus", read before
+    choosing dedup aggressiveness (a long tail of pairs is normal;
+    mega-clusters mean boilerplate and call for the exact-substring or
+    containment lanes instead). Rides the same pairs -> components
+    machinery as dedup_clusters (inverted-index join + pointer-jumping
+    CC, never all-pairs) plus two tiny keyed aggregates; only multi-doc
+    clusters appear (singletons are the complement and would dominate
+    the histogram without adding signal)."""
+    pairs = D.ngram_jaccard_pairs(
+        _tbl(spark, sf_dir, "documents"), threshold=0.5
+    )
+    cl = D.connected_components(pairs.select("id_a", "id_b"))
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -1092,3 +1092,105 @@ def test_activity_heatmap_iso_dow_alignment(spark):
         .collect()
     )
     assert [r["d"] for r in jan1] == [1]
+
+
+def test_event_path_markov_rows_are_proper_distribution(spark):
+    """Transition micros per source state must sum to ~1e6 (within
+    per-row truncation), every transition count must equal the trigram
+    front's pair counts, and probabilities replay in python."""
+    from collections import Counter, defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        (r["e1"], r["e2"]): (r["n"], r["p_q"])
+        for r in QUERIES["event_path_markov"](spark, SF_DIR).collect()
+    }
+    rows = (
+        _tbl(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    c = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        c.update(zip(types, types[1:]))
+    tot = defaultdict(int)
+    for (e1, _), n in c.items():
+        tot[e1] += n
+    exp = {
+        (e1, e2): (n, n * 1_000_000 // tot[e1]) for (e1, e2), n in c.items()
+    }
+    assert got == exp
+    by_src = defaultdict(int)
+    for (e1, _), (_, p_q) in got.items():
+        by_src[e1] += p_q
+    for e1, s in by_src.items():
+        n_out = sum(1 for (a, _) in got if a == e1)
+        assert 1_000_000 - n_out <= s <= 1_000_000
+
+
+def test_funnel_latency_percentiles_python_replay(spark):
+    """Latency stats replayed in python with the p*(n-1) interpolation
+    convention."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    row = QUERIES["funnel_latency_percentiles"](spark, SF_DIR).collect()[0]
+    rows = (
+        _tbl(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) as us",
+            "event_type",
+        )
+        .collect()
+    )
+    first = defaultdict(lambda: [None, None])
+    for r in rows:
+        slot = first[r["user_id"]]
+        if r["event_type"] == "view":
+            slot[0] = r["us"] if slot[0] is None else min(slot[0], r["us"])
+        if r["event_type"] == "purchase":
+            slot[1] = r["us"] if slot[1] is None else min(slot[1], r["us"])
+    lat = sorted(
+        p - v for v, p in first.values()
+        if v is not None and p is not None and p >= v
+    )
+
+    def q(p):
+        idx = p * (len(lat) - 1)
+        lo, frac = int(idx // 1), idx % 1
+        hi = min(lo + 1, len(lat) - 1)
+        return float(lat[lo]) + (float(lat[hi]) - float(lat[lo])) * frac
+
+    assert row["n_converted"] == len(lat) > 0
+    assert row["max_us"] == lat[-1]
+    assert abs(row["p50_us"] - q(0.5)) < 1e-6
+    assert abs(row["p90_us"] - q(0.9)) < 1e-6
+
+
+def test_dup_cluster_histogram_consistency_with_clusters(spark):
+    """The histogram must be exactly the size distribution of
+    dedup_clusters' components (multi-doc clusters only) and its doc
+    total must equal the clustered-doc count."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    cl = QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    sizes = Counter()
+    for r in cl:
+        sizes[r["cluster_id"]] += 1
+    hist = Counter(sizes.values())
+    got = {
+        r["size"]: (r["n_clusters"], r["n_docs"])
+        for r in QUERIES["dup_cluster_histogram"](spark, SF_DIR).collect()
+    }
+    assert got == {s: (n, s * n) for s, n in hist.items()}
+    assert sum(d for _, d in got.values()) == len(cl)
