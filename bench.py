@@ -208,6 +208,10 @@ SECONDARY = [
     "event_path_markov",
     "funnel_latency_percentiles",
     "dup_cluster_histogram",
+    # round-13 additions: the curator's slice scorecard and the hinted
+    # broadcast join (conf-windowed)
+    "per_source_quality_report",
+    "sql_join_hints",
 ]
 
 

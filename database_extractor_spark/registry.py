@@ -13241,6 +13241,117 @@ def dup_cluster_histogram(spark, sf_dir):
     )
 
 
+def _source_quality_oracle() -> str:
+    """Per-source rollup over the Gopher gate oracle as a derived table
+    (the _canonical_pick_oracle pattern)."""
+    return f"""
+    with g as (select doc_id, n_words, keep from ({_GOPHER_ORACLE})),
+    j as (
+        select d.source, g.n_words, g.keep
+        from g join documents d using (doc_id)
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when keep then 1 else 0 end) as bigint) as n_keep,
+           cast(sum(case when keep then 1 else 0 end) as bigint)
+               * 1000000 // cast(count(*) as bigint) as keep_q,
+           cast(sum(n_words) as bigint) as n_words,
+           cast(sum(n_words) as bigint) * 1000000
+               // cast(count(*) as bigint) as mean_words_q
+    from j group by source order by source
+    """
+
+
+@register("per_source_quality_report", _source_quality_oracle())
+def per_source_quality_report(spark, sf_dir):
+    """SLICE SCORECARD — per source: document count, Gopher-gate keep
+    count and keep RATE (exact micro ratio), token volume, and mean
+    document length. This is the table a curator actually reads when
+    deciding which sources to keep, cap, or drop (corpus_slice_jsd says
+    which slices are redundant; this says which are junk): composes the
+    oracled Gopher gate with one broadcast-sized source join and a
+    per-source rollup, so the oracle replays gate AND rollup. All
+    ratios pure bigint division."""
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", "n_words", "keep"
+    )
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        g.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000L div n_docs").alias("keep_q"),
+            "n_words",
+            F.expr("n_words * 1000000L div n_docs").alias("mean_words_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sql_join_hints",
+    """
+    select n.n_name,
+           cast(count(*) as bigint) as n_customers,
+           cast(sum(cast(c.c_acctbal as decimal(18,4))) as double)
+               as total_acctbal
+    from customer c join nation n on c.c_nationkey = n.n_nationkey
+    group by n.n_name
+    order by n.n_name
+    """,
+)
+def sql_join_hints(spark, sf_dir):
+    """SQL JOIN HINTS — `/*+ BROADCAST(n) */` forcing a broadcast hash
+    join when the optimizer's size-based choice is disabled entirely
+    (autoBroadcastJoinThreshold=-1 inside the entry window, the
+    _with_bloom_confs conf-restore discipline): the escape hatch for
+    the 100 TB case the planner can't see — a logically-small dim whose
+    on-disk stats lie (post-filter selectivity, fresh table, remote
+    source without statistics). Hints are advisory-but-honored for
+    broadcast; the plan must show BroadcastHashJoin with NO size
+    information available (plan-pinned in tests), and results equal the
+    plain join (the oracle) because a hint can never change semantics.
+    Compilation happens inside the conf window via eager
+    localCheckpoint, the runtime_bloom_join discipline."""
+    keys = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        _tbl(spark, sf_dir, "customer").createOrReplaceTempView(
+            "customer_hint_v"
+        )
+        _tbl(spark, sf_dir, "nation").createOrReplaceTempView(
+            "nation_hint_v"
+        )
+        return spark.sql(
+            """
+            select /*+ BROADCAST(n) */
+                   n.n_name,
+                   cast(count(*) as bigint) as n_customers,
+                   cast(sum(cast(c.c_acctbal as decimal(18,4))) as double)
+                       as total_acctbal
+            from customer_hint_v c
+            join nation_hint_v n on c.c_nationkey = n.n_nationkey
+            group by n.n_name
+            order by n.n_name
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

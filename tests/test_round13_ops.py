@@ -1194,3 +1194,97 @@ def test_dup_cluster_histogram_consistency_with_clusters(spark):
     }
     assert got == {s: (n, s * n) for s, n in hist.items()}
     assert sum(d for _, d in got.values()) == len(cl)
+
+
+def test_per_source_quality_report_rolls_up_gopher(spark):
+    """The scorecard must equal a python rollup of the already-proven
+    gopher gate output joined to sources."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    gate = {
+        r["doc_id"]: (r["n_words"], r["keep"])
+        for r in QUERIES["gopher_quality_filter"](spark, SF_DIR).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in _tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc_id, (w, keep) in gate.items():
+        a = agg[src[doc_id]]
+        a[0] += 1
+        a[1] += int(keep)
+        a[2] += w
+    exp = [
+        (
+            s,
+            n,
+            k,
+            k * 1_000_000 // n,
+            w,
+            w * 1_000_000 // n,
+        )
+        for s, (n, k, w) in sorted(agg.items())
+    ]
+    got = [
+        tuple(r)
+        for r in QUERIES["per_source_quality_report"](spark, SF_DIR).collect()
+    ]
+    assert got == exp
+
+
+def test_sql_join_hints_forces_broadcast_without_stats(spark):
+    """With size-based broadcasting disabled, the BROADCAST hint must
+    still produce a BroadcastHashJoin (visible in the checkpointed
+    entry's executed plan lineage is cut — so re-derive the hinted plan
+    inside the same conf window and pin it there), and the entry's
+    results must equal the plain unhinted join."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = [tuple(r) for r in QUERIES["sql_join_hints"](spark, SF_DIR).collect()]
+    plain = (
+        _tbl(spark, SF_DIR, "customer")
+        .join(
+            _tbl(spark, SF_DIR, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+    assert got == [tuple(r) for r in plain.collect()]
+    # plan pin: rebuild the hinted query inside the same conf window
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _tbl(spark, SF_DIR, "customer").createOrReplaceTempView(
+            "customer_hint_v"
+        )
+        _tbl(spark, SF_DIR, "nation").createOrReplaceTempView("nation_hint_v")
+        hinted = spark.sql(
+            "select /*+ BROADCAST(n) */ n.n_name, count(*) as n "
+            "from customer_hint_v c join nation_hint_v n "
+            "on c.c_nationkey = n.n_nationkey group by n.n_name"
+        )
+        unhinted = spark.sql(
+            "select n.n_name, count(*) as n "
+            "from customer_hint_v c join nation_hint_v n "
+            "on c.c_nationkey = n.n_nationkey group by n.n_name"
+        )
+        hp = hinted._jdf.queryExecution().executedPlan().toString()
+        up = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hp, hp
+        assert "BroadcastHashJoin" not in up, up  # threshold off: no auto
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
