@@ -212,6 +212,10 @@ SECONDARY = [
     # broadcast join (conf-windowed)
     "per_source_quality_report",
     "sql_join_hints",
+    # round-13 additions: the lang-id confusion matrix and the 2x2
+    # quality-gate agreement (eval-loop entries)
+    "lang_id_confusion_eval",
+    "quality_gate_agreement",
 ]
 
 

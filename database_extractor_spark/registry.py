@@ -13352,6 +13352,115 @@ def sql_join_hints(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def _lang_confusion_oracle() -> str:
+    """Confusion matrix over the text_lang_id oracle as a derived table
+    joined to the fixture's lang labels."""
+    return f"""
+    with p as (select doc_id, lang_pred from ({ORACLE["text_lang_id"]}))
+    select d.lang, p.lang_pred, cast(count(*) as bigint) as n
+    from p join documents d using (doc_id)
+    group by d.lang, p.lang_pred
+    order by lang, lang_pred
+    """
+
+
+@register("lang_id_confusion_eval", _lang_confusion_oracle())
+def lang_id_confusion_eval(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX — predicted vs labeled language,
+    cell counts: the eval loop for the stopword-hit heuristic
+    (text_lang_id), the same close-the-loop discipline as the ANN
+    recall panel and the LSH precision/recall evals — an identifier you
+    have not scored against labels is a guess. Off-diagonal mass tells
+    you which language pairs the stopword lists confuse and where 'und'
+    (no hits / tie) swallows real text. One broadcast-sized join of the
+    per-doc prediction to the label column + a |langs|^2-bounded
+    aggregate; the oracle replays the identifier AND the rollup."""
+    pred = text_lang_id(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        pred.join(docs, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _gate_agreement_oracle() -> str:
+    """Binary agreement of the two quality gates, both oracles as
+    derived tables."""
+    return f"""
+    with g as (select doc_id, keep from ({_GOPHER_ORACLE})),
+    c as (select doc_id, quality_pass
+          from ({ORACLE["quality_classifier_score"]})),
+    j as (
+        select g.keep as gopher_keep, c.quality_pass as cls_keep
+        from g join c using (doc_id)
+    )
+    select cast(count(*) as bigint) as n_docs,
+           cast(sum(case when gopher_keep and cls_keep
+                         then 1 else 0 end) as bigint) as n_both,
+           cast(sum(case when cls_keep and not gopher_keep
+                         then 1 else 0 end) as bigint) as n_cls_only,
+           cast(sum(case when gopher_keep and not cls_keep
+                         then 1 else 0 end) as bigint) as n_gopher_only,
+           cast(sum(case when not gopher_keep and not cls_keep
+                         then 1 else 0 end) as bigint) as n_neither,
+           (cast(sum(case when gopher_keep and cls_keep then 1 else 0 end)
+                 as bigint)
+            + cast(sum(case when not gopher_keep and not cls_keep
+                            then 1 else 0 end) as bigint))
+               * 1000000 // cast(count(*) as bigint) as agreement_q
+    from j
+    """
+
+
+@register("quality_gate_agreement", _gate_agreement_oracle())
+def quality_gate_agreement(spark, sf_dir):
+    """GATE AGREEMENT — the 2x2 confusion of the heuristic Gopher gate
+    against the learned classifier gate plus exact micro agreement
+    rate: the sanity check run before swapping one quality gate for
+    another in a curation funnel (high disagreement means the swap
+    silently changes the corpus; the disagreement cells are exactly the
+    documents to sample and read). Composes two already-oracled per-doc
+    gates with one equi-join and one aggregate; the oracle replays both
+    gates AND the agreement arithmetic."""
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_pass").alias("cls_keep")
+    )
+    j = g.join(c, "doc_id")
+    both = F.sum(
+        F.when(F.col("gopher_keep") & F.col("cls_keep"), 1).otherwise(0)
+    ).cast("bigint")
+    neither = F.sum(
+        F.when(~F.col("gopher_keep") & ~F.col("cls_keep"), 1).otherwise(0)
+    ).cast("bigint")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        both.alias("n_both"),
+        F.sum(
+            F.when(F.col("cls_keep") & ~F.col("gopher_keep"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cls_only"),
+        F.sum(
+            F.when(F.col("gopher_keep") & ~F.col("cls_keep"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gopher_only"),
+        neither.alias("n_neither"),
+        F.expr(
+            "(cast(sum(case when gopher_keep and cls_keep then 1 else 0 end)"
+            " as bigint)"
+            " + cast(sum(case when not gopher_keep and not cls_keep"
+            " then 1 else 0 end) as bigint))"
+            " * 1000000L div count(*)"
+        ).alias("agreement_q"),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -1288,3 +1288,40 @@ def test_sql_join_hints_forces_broadcast_without_stats(spark):
         assert "BroadcastHashJoin" not in up, up  # threshold off: no auto
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_lang_id_confusion_sums_and_diagonal(spark):
+    """Matrix cells must sum to the corpus size; every fixture lang must
+    appear as a row label; the diagonal must replay text_lang_id joined
+    to labels in python."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["lang_id_confusion_eval"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in _tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert sum(r["n"] for r in rows) == len(docs)
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in QUERIES["text_lang_id"](spark, SF_DIR).collect()
+    }
+    exp = Counter((docs[d], p) for d, p in pred.items())
+    assert {(r["lang"], r["lang_pred"]): r["n"] for r in rows} == dict(exp)
+
+
+def test_quality_gate_agreement_cells_partition_corpus(spark):
+    """The four cells must partition the corpus and the agreement micro
+    ratio must replay exactly."""
+    from database_extractor_spark.registry import QUERIES
+
+    r = QUERIES["quality_gate_agreement"](spark, SF_DIR).collect()[0]
+    total = r["n_both"] + r["n_cls_only"] + r["n_gopher_only"] + r["n_neither"]
+    assert total == r["n_docs"] > 0
+    assert r["agreement_q"] == (
+        (r["n_both"] + r["n_neither"]) * 1_000_000 // r["n_docs"]
+    )
