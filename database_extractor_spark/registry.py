@@ -12702,6 +12702,7 @@ def sql_parameterized(spark, sf_dir):
                          then cast(value as decimal(18,4)) end)
                 as double) as view
     from events
+    where event_type in ('click', 'view')
     group by cast(ts as date)
     order by day
     """,
@@ -12796,29 +12797,12 @@ def pack_efficiency_eval(spark, sf_dir):
     (tokens * 1e6 div (bins * 512)). This is the report a training run
     reads before committing a packing config: utilization is the
     padding-waste complement, and a low number says the bin size or
-    shard order needs work. Same sharded-window shape as the packer
-    itself (no global window), one extra keyed aggregate."""
-    docs = _tbl(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 16).alias("shard"),
-        F.size(T.tokens(F.trim(F.col("text")))).cast("long").alias(
-            "n_tokens"
-        ),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    packed = toks.select(
-        "shard",
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(512.0))
-        .cast("bigint")
-        .alias("pack_seq"),
-    )
+    shard order needs work. Builds directly on pack_sequences' OUTPUT
+    (review r13: re-stating the shard/bin rule here would silently
+    audit a DIFFERENT packing if the packer's literals ever change —
+    the composition discipline of per_source_quality_report), plus one
+    extra keyed aggregate on the packer's own frame."""
+    packed = pack_sequences(spark, sf_dir)
     bins = packed.groupBy("shard", "pack_seq").agg(
         F.sum("n_tokens").cast("bigint").alias("fill")
     )
@@ -12912,6 +12896,10 @@ def ngram_novelty_ratio(spark, sf_dir):
     )
 
 
+#: per-process path of the deterministic dirty CSV fixture
+_DIRTY_CSV_PATH: dict[str, str] = {}
+
+
 @register(
     "csv_corrupt_records",
     """
@@ -12937,19 +12925,21 @@ def csv_corrupt_records(spark, sf_dir):
     split and value sum from range() arithmetic — the python_datasource
     formula-replay pattern: the oracle checks the SEMANTICS of the
     quarantine without needing DuckDB to mimic Spark's CSV parser."""
-    import shutil
-    import atexit
-
-    base = tempfile.mkdtemp(prefix="dirty_csv_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    path = os.path.join(base, "rows.csv")
-    with open(path, "w") as f:
-        f.write("id,v\n")
-        for i in range(200):
-            if i % 13 == 0 and i > 0:
-                f.write(f"oops_row_{i},not_a_number\n")
-            else:
-                f.write(f"{i},{i * 2}\n")
+    # one dirty file per PROCESS (review r13: this entry is in the bench
+    # rotation — a fresh mkdtemp + rewrite per invocation accumulates
+    # temp dirs and atexit handlers; _stream_tmpdir is the shared
+    # atexit-cleaned mkdtemp helper)
+    path = _DIRTY_CSV_PATH.get("path")
+    if path is None or not os.path.exists(path):
+        path = os.path.join(_stream_tmpdir("dirty_csv_"), "rows.csv")
+        with open(path, "w") as f:
+            f.write("id,v\n")
+            for i in range(200):
+                if i % 13 == 0 and i > 0:
+                    f.write(f"oops_row_{i},not_a_number\n")
+                else:
+                    f.write(f"{i},{i * 2}\n")
+        _DIRTY_CSV_PATH["path"] = path
     df = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
@@ -13220,10 +13210,11 @@ def dup_cluster_histogram(spark, sf_dir):
     CC, never all-pairs) plus two tiny keyed aggregates; only multi-doc
     clusters appear (singletons are the complement and would dominate
     the histogram without adding signal)."""
-    pairs = D.ngram_jaccard_pairs(
-        _tbl(spark, sf_dir, "documents"), threshold=0.5
-    )
-    cl = D.connected_components(pairs.select("id_a", "id_b"))
+    # compose the dedup_clusters ENTRY itself (review r13: restating the
+    # pair generator + threshold here would desynchronize the histogram
+    # from the clustering it reports on — its oracle already derives
+    # from ORACLE["dedup_clusters"])
+    cl = dedup_clusters(spark, sf_dir)
     sizes = cl.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("size")
     )
