@@ -173,6 +173,11 @@ def test_local_checkpoint_usage_is_pinned():
         # lints it) — the checkpoint only swaps the materialization of
         # its final projection
         ("operators/dedup.py", "incremental_minhash_dedup"),
+        # r13: compiled inside the autoBroadcastJoinThreshold=-1 conf
+        # window (the runtime_bloom_join discipline); the PRE-checkpoint
+        # hinted plan is re-derived and BroadcastHashJoin-pinned by
+        # test_round13_ops.test_sql_join_hints_forces_broadcast_without_stats
+        ("registry.py", "sql_join_hints"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
