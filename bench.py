@@ -216,6 +216,9 @@ SECONDARY = [
     # quality-gate agreement (eval-loop entries)
     "lang_id_confusion_eval",
     "quality_gate_agreement",
+    # round-13 additions: the lambda surface and the JSON quarantine
+    "higher_order_funcs",
+    "json_corrupt_records",
 ]
 
 

@@ -13452,6 +13452,117 @@ def quality_gate_agreement(spark, sf_dir):
     )
 
 
+@register(
+    "higher_order_funcs",
+    """
+    select vec_id,
+           cast(len(list_filter(embedding, x -> x > 0)) as integer)
+               as n_pos,
+           len(list_filter(embedding, x -> x > 2.0)) > 0 as exists_gt2,
+           round(list_reduce(
+               list_transform(embedding::DOUBLE[], x -> x * x),
+               (acc, x) -> acc + x), 6) as selfdot,
+           round(list_dot_product(embedding::DOUBLE[],
+                                  list_reverse(embedding::DOUBLE[])), 6)
+               as pal_dot
+    from embeddings
+    order by vec_id
+    """,
+)
+def higher_order_funcs(spark, sf_dir):
+    """HIGHER-ORDER array functions — the lambda surface (filter /
+    exists / aggregate / zip_with) that keeps per-element logic
+    JVM-side and codegen'd where a row-at-a-time Python UDF would cost
+    10-100x (the central UDF-avoidance lever of this repo): per vector,
+    positive-element count, a threshold EXISTS, the self dot product as
+    an explicit aggregate() left-fold, and a zip_with against the
+    reversed vector. Exactness: both engines LEFT-fold the lambda over
+    the same element order on identical doubles — the identical IEEE
+    sequence — and zip_with(x, reverse(x)) mirrors DuckDB's
+    list_dot_product with list_reverse (same order of partial sums
+    because dot products fold left too); round 6 guards the display
+    value. Pure per-row projection — no shuffle, no UDF."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    demb = F.expr("transform(embedding, x -> cast(x as double))")
+    selfdot = F.aggregate(
+        F.expr(
+            "transform(embedding, x -> cast(x as double)"
+            " * cast(x as double))"
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pal = F.aggregate(
+        F.zip_with(demb, F.reverse(demb), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > F.lit(0))).alias("n_pos"),
+        F.exists(emb, lambda x: x > F.lit(2.0)).alias("exists_gt2"),
+        F.round(selfdot, 6).alias("selfdot"),
+        F.round(pal, 6).alias("pal_dot"),
+    ).orderBy("vec_id")
+
+
+#: per-process path of the deterministic dirty JSONL fixture
+_DIRTY_JSON_PATH: dict[str, str] = {}
+
+
+@register(
+    "json_corrupt_records",
+    """
+    with r as (select unnest(range(0, 150)) as i),
+    flags as (select i, (i % 11 = 0 and i > 0) as bad from r)
+    select cast(sum(case when not bad then 1 else 0 end) as bigint)
+               as n_good,
+           cast(sum(case when bad then 1 else 0 end) as bigint)
+               as n_corrupt,
+           cast(sum(case when not bad then i * 3 else 0 end) as bigint)
+               as sum_v
+    from flags
+    """,
+)
+def json_corrupt_records(spark, sf_dir):
+    """Malformed-record quarantine for JSON LINES — the JSON sibling of
+    csv_corrupt_records (a DIFFERENT parser with different failure
+    modes: truncated objects and bare non-JSON lines rather than column
+    drift), same PERMISSIVE + columnNameOfCorruptRecord contract, same
+    formula-replay oracle over the deterministic dirty file (every 11th
+    line is cut mid-object). Spark restriction honored by construction:
+    a query may not reference ONLY the corrupt column — this aggregate
+    reads parsed and corrupt columns together in one pass."""
+    path = _DIRTY_JSON_PATH.get("path")
+    if path is None or not os.path.exists(path):
+        path = os.path.join(_stream_tmpdir("dirty_json_"), "rows.jsonl")
+        with open(path, "w") as f:
+            for i in range(150):
+                if i % 11 == 0 and i > 0:
+                    f.write('{"id": %d, "v":' % i + "\n")  # truncated
+                else:
+                    f.write('{"id": %d, "v": %d}' % (i, i * 3) + "\n")
+        _DIRTY_JSON_PATH["path"] = path
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id bigint, v bigint, _bad string")
+        .json(path)
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_v"),
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

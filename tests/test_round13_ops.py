@@ -1325,3 +1325,47 @@ def test_quality_gate_agreement_cells_partition_corpus(spark):
     assert r["agreement_q"] == (
         (r["n_both"] + r["n_neither"]) * 1_000_000 // r["n_docs"]
     )
+
+
+def test_higher_order_funcs_python_replay(spark):
+    """Lambda-surface results replayed in python with the same left-fold
+    order."""
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["vec_id"]: (r["n_pos"], r["exists_gt2"], r["selfdot"], r["pal_dot"])
+        for r in QUERIES["higher_order_funcs"](spark, SF_DIR).collect()
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in _tbl(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for vid, v in vecs.items():
+        selfdot = 0.0
+        for x in v:
+            selfdot += x * x
+        pal = 0.0
+        for x, y in zip(v, v[::-1]):
+            pal += x * y
+        exp = (
+            sum(1 for x in v if x > 0),
+            any(x > 2.0 for x in v),
+            round(selfdot, 6),
+            round(pal, 6),
+        )
+        assert got[vid] == exp, (vid, got[vid], exp)
+
+
+def test_json_corrupt_records_quarantine_counts(spark):
+    """The PERMISSIVE JSON read must quarantine exactly the truncated
+    lines (every 11th after 0) and the parsed sum must exclude them."""
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["json_corrupt_records"](spark, SF_DIR).collect()[0]
+    bad = [i for i in range(150) if i % 11 == 0 and i > 0]
+    good = [i for i in range(150) if not (i % 11 == 0 and i > 0)]
+    assert row["n_corrupt"] == len(bad)
+    assert row["n_good"] == len(good)
+    assert row["sum_v"] == sum(3 * i for i in good)
