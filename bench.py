@@ -219,6 +219,11 @@ SECONDARY = [
     # round-13 additions: the lambda surface and the JSON quarantine
     "higher_order_funcs",
     "json_corrupt_records",
+    # round-13 additions: leakage-safe eval split, embedding-norm gate,
+    # and the IDENTIFIER dynamic-name seam
+    "eval_split_decontaminated",
+    "embedding_norm_outliers",
+    "sql_identifier_clause",
 ]
 
 

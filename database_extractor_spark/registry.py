@@ -13563,6 +13563,159 @@ def json_corrupt_records(spark, sf_dir):
     )
 
 
+@register(
+    "eval_split_decontaminated",
+    r"""
+    with b as (
+        select doc_id, text,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+                   % 100 as bkt
+        from documents
+    ),
+    words as (select doc_id, bkt,
+                     string_split_regex(trim(text), '\s+') as ws from b),
+    sh as (
+        select doc_id, bkt, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ')
+             for i in range(1, greatest(len(ws) - 2, 1) + 1)]
+        )) as s
+        from words
+    ),
+    tr as (select doc_id, s from sh where bkt < 80),
+    ev as (select doc_id, s from sh where bkt >= 90),
+    contaminated as (
+        select ev.doc_id from (
+            select ev.doc_id, count(*) as c
+            from tr join ev on tr.s = ev.s
+            group by tr.doc_id, ev.doc_id
+        ) ev where c >= 3
+    )
+    select doc_id from b
+    where bkt >= 90 and doc_id not in (select doc_id from contaminated)
+    order by doc_id
+    """,
+)
+def eval_split_decontaminated(spark, sf_dir):
+    """LEAKAGE-SAFE EVAL SPLIT — the composition of the md5 80/10/10
+    split with n-gram decontamination: take the deterministic TEST
+    bucket (split_train_val_test's md5 rule) and PURGE every test
+    document sharing >= 3 distinct 3-gram shingles with any TRAIN
+    document. This is the step that makes an eval set trustworthy — a
+    random split of a crawl leaks near-duplicates across the boundary,
+    and an eval doc the model saw in training inflates every metric
+    downstream (train docs stay; the EVAL side pays the removal, since
+    eval sets are cheap and training tokens are not). Same
+    inverted-index equi-join as decontaminate_ngram_overlap (shuffle on
+    the 8-byte shingle hash, never cartesian) + one LEFT ANTI join."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    sh = docs.select(
+        "doc_id",
+        bkt.alias("bkt"),
+        F.explode(
+            F.transform(
+                D.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+            )
+        ).alias("s"),
+    )
+    tr = sh.filter(F.col("bkt") < 80).select(F.col("doc_id").alias("a"), "s")
+    ev = sh.filter(F.col("bkt") >= 90).select(F.col("doc_id").alias("b"), "s")
+    contaminated = (
+        tr.join(ev, "s")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    test = docs.select("doc_id", bkt.alias("bkt")).filter(
+        F.col("bkt") >= 90
+    )
+    return (
+        test.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    with n as (
+        select vec_id,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) as l2
+        from embeddings
+    ),
+    q as (
+        select quantile_cont(l2, 0.01) as lo, quantile_cont(l2, 0.99) as hi
+        from n
+    )
+    select vec_id, round(l2, 6) as l2,
+           (l2 < q.lo or l2 > q.hi) as is_outlier
+    from n cross join q
+    order by vec_id
+    """,
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding-space HEALTH GATE — flag vectors whose L2 norm falls
+    outside the corpus [P1, P99] band: failed or truncated encodes
+    produce near-zero norms and overflow bugs produce huge ones, and
+    both poison cosine-space dedup/ANN downstream (a near-zero vector is
+    'similar' to everything after normalization). The embedding sibling
+    of length_outlier_filter: one narrow norm projection (identical
+    sqrt(dot) sequence both engines), one 1-row exact-percentile
+    aggregate broadcast-attached in-plan, band compare on the RAW
+    double (round 6 only on the displayed value)."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", S.l2_norm(F.col("embedding")).alias("l2"))
+    q = n.agg(
+        F.expr("percentile(l2, 0.01)").alias("lo"),
+        F.expr("percentile(l2, 0.99)").alias("hi"),
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round("l2", 6).alias("l2"),
+            ((F.col("l2") < F.col("lo")) | (F.col("l2") > F.col("hi"))).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    """
+    select event_type, cast(count(*) as bigint) as n
+    from events group by event_type order by event_type
+    """,
+)
+def sql_identifier_clause(spark, sf_dir):
+    """The IDENTIFIER(:param) clause — the injection-safe DYNAMIC TABLE
+    NAME seam (sql_parameterized covers value parameters; this covers
+    the object-name dimension): a multi-tenant query service routing
+    the same query over per-tenant tables binds the table name as a
+    parameter instead of string-splicing it, and IDENTIFIER guarantees
+    the binding can only ever be a name, never an expression. The
+    resolved plan is identical to the static query (the oracle)."""
+    _tbl(spark, sf_dir, "events").createOrReplaceTempView("events_ident_v")
+    return spark.sql(
+        """
+        select event_type, cast(count(*) as bigint) as n
+        from IDENTIFIER(:tbl) group by event_type order by event_type
+        """,
+        args={"tbl": "events_ident_v"},
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

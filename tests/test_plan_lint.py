@@ -112,6 +112,8 @@ SCALAR_ATTACH_OK = {
     # novelty joins two 1-row global counts (batch-distinct x new) —
     # a 1-row x 1-row attach
     "ngram_novelty_ratio",
+    # norm band edges (2 exact percentiles) ride one 1-row attach
+    "embedding_norm_outliers",
 }
 
 

@@ -1369,3 +1369,98 @@ def test_json_corrupt_records_quarantine_counts(spark):
     assert row["n_corrupt"] == len(bad)
     assert row["n_good"] == len(good)
     assert row["sum_v"] == sum(3 * i for i in good)
+
+
+def test_eval_split_decontaminated_is_subset_and_leak_free(spark):
+    """The clean test set must be a subset of the md5 test bucket, and
+    NO surviving test doc may share >= 3 distinct shingle hashes with
+    any train doc (python replay of the contamination rule)."""
+    import hashlib
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    clean = {
+        r["doc_id"]
+        for r in QUERIES["eval_split_decontaminated"](spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def sh(text):
+        ws = text.strip().split()
+        return {
+            " ".join(ws[i : i + 3])
+            for i in range(max(len(ws) - 2, 1))
+        } if ws else set()
+
+    test_ids = {d for d in docs if bucket(d) >= 90}
+    assert clean <= test_ids
+    train_sh = defaultdict(set)
+    for d, t in docs.items():
+        if bucket(d) < 80:
+            train_sh[d] = sh(t)
+    for d in test_ids:
+        s = sh(docs[d])
+        contaminated = any(len(s & ts) >= 3 for ts in train_sh.values())
+        assert (d not in clean) == contaminated, d
+
+
+def test_embedding_norm_outliers_band_replay(spark):
+    """Band edges replay via the p*(n-1) percentile convention over
+    python-computed norms; flags match the strict-outside rule."""
+    import math
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["vec_id"]: (r["l2"], r["is_outlier"])
+        for r in QUERIES["embedding_norm_outliers"](spark, SF_DIR).collect()
+    }
+    norms = {}
+    for r in _tbl(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect():
+        dot = 0.0
+        for x in r["embedding"]:
+            dot += float(x) * float(x)
+        norms[r["vec_id"]] = math.sqrt(dot)
+    s = sorted(norms.values())
+
+    def q(p):
+        idx = p * (len(s) - 1)
+        lo, frac = int(idx // 1), idx % 1
+        hi = min(lo + 1, len(s) - 1)
+        return s[lo] + (s[hi] - s[lo]) * frac
+
+    lo, hi = q(0.01), q(0.99)
+    n_out = 0
+    for vid, l2 in norms.items():
+        exp_flag = l2 < lo or l2 > hi
+        assert got[vid] == (round(l2, 6), exp_flag), vid
+        n_out += exp_flag
+    assert 0 < n_out < len(norms)
+
+
+def test_sql_identifier_clause_matches_static_query(spark):
+    """IDENTIFIER-bound table name must resolve to the same plan/result
+    as the static query."""
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = [
+        tuple(r)
+        for r in QUERIES["sql_identifier_clause"](spark, SF_DIR).collect()
+    ]
+    static = (
+        _tbl(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy("event_type")
+    )
+    assert got == [tuple(r) for r in static.collect()]
