@@ -224,6 +224,8 @@ SECONDARY = [
     "eval_split_decontaminated",
     "embedding_norm_outliers",
     "sql_identifier_clause",
+    # round-13 addition: TPC-H RF1/RF2 refresh arithmetic
+    "tpch_refresh_functions",
 ]
 
 

@@ -13716,6 +13716,65 @@ def sql_identifier_clause(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_refresh_functions",
+    """
+    with ins as (
+        select o_orderkey + 10000000 as o_orderkey, o_orderpriority,
+               o_totalprice
+        from orders where o_orderkey % 101 = 0
+    ),
+    kept as (
+        select o_orderkey, o_orderpriority, o_totalprice
+        from orders where o_orderkey % 97 <> 0
+    ),
+    refreshed as (
+        select * from kept union all select * from ins
+    )
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+               as total_price
+    from refreshed
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def tpch_refresh_functions(spark, sf_dir):
+    """TPC-H REFRESH FUNCTIONS (RF1 insert + RF2 delete) — the half of
+    the benchmark beyond the 22 queries: apply a deterministic insert
+    batch (fixture-derived new orders, re-keyed into a disjoint range)
+    and a delete batch (every 97th order key) to the orders snapshot,
+    then prove the refreshed snapshot with a priority-level aggregate.
+    The classic RF semantics are set algebra — ONE anti-join (deletes
+    ship keys only) + ONE union — not a row-at-a-time maintenance loop;
+    at 100 TB both batches hash-join/append against the bucketed
+    snapshot without rewriting unaffected partitions (the
+    upsert_day_overwrite / cdc_merge_apply machinery handles the
+    on-disk form; this entry pins the REFRESH ARITHMETIC itself,
+    decimal-exact)."""
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ins = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    refreshed = o.join(deletes, "o_orderkey", "left_anti").unionByName(ins)
+    from database_extractor_spark.operators.relational import exact_sum
+
+    return (
+        refreshed.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            exact_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

@@ -1464,3 +1464,41 @@ def test_sql_identifier_clause_matches_static_query(spark):
         .orderBy("event_type")
     )
     assert got == [tuple(r) for r in static.collect()]
+
+
+def test_tpch_refresh_functions_set_algebra(spark):
+    """The refreshed aggregate must equal a python replay of delete +
+    insert set algebra over the snapshot, and the batches must be
+    non-trivial (both RF1 and RF2 did work)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_price"])
+        for r in QUERIES["tpch_refresh_functions"](spark, SF_DIR).collect()
+    }
+    rows = (
+        _tbl(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    n_del = n_ins = 0
+    for r in rows:
+        k, p, v = r["o_orderkey"], r["o_orderpriority"], r["o_totalprice"]
+        if k % 97 != 0:
+            agg[p][0] += 1
+            agg[p][1] += Decimal(str(round(v, 4)))
+        else:
+            n_del += 1
+        if k % 101 == 0:
+            agg[p][0] += 1
+            agg[p][1] += Decimal(str(round(v, 4)))
+            n_ins += 1
+    assert n_del > 0 and n_ins > 0
+    assert set(got) == set(agg)
+    for p, (n, total) in agg.items():
+        assert got[p][0] == n
+        assert abs(got[p][1] - float(total)) < 1e-9
