@@ -226,6 +226,8 @@ SECONDARY = [
     "sql_identifier_clause",
     # round-13 addition: TPC-H RF1/RF2 refresh arithmetic
     "tpch_refresh_functions",
+    # round-13 addition: fulfillment latency percentiles
+    "order_to_ship_latency",
 ]
 
 

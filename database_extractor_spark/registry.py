@@ -13775,6 +13775,58 @@ def tpch_refresh_functions(spark, sf_dir):
     )
 
 
+@register(
+    "order_to_ship_latency",
+    """
+    with lat as (
+        select l.l_returnflag,
+               date_diff('day', o.o_orderdate, l.l_shipdate) as days
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+    )
+    select l_returnflag,
+           cast(count(*) as bigint) as n_lines,
+           quantile_cont(cast(days as double), 0.50) as p50_days,
+           quantile_cont(cast(days as double), 0.90) as p90_days,
+           cast(max(days) as bigint) as max_days
+    from lat group by l_returnflag order by l_returnflag
+    """,
+)
+def order_to_ship_latency(spark, sf_dir):
+    """Order-to-ship FULFILLMENT latency — days from order placement to
+    line shipment, summarized per return flag as p50/p90/max: the
+    supply-chain SLA report (funnel_latency_percentiles is the
+    clickstream twin; this is the warehouse-side one, and the returned
+    flag split shows whether slow fulfillment correlates with returns).
+    One fact-to-fact equi-join on the natural key (at 100 TB both
+    sides bucket on orderkey — the bucketed_join_colocated layout makes
+    this exchange-free), integer day arithmetic, one exact-percentile
+    aggregate per flag (the pinned p*(n-1) convention)."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("percentile(cast(days as double), 0.50)").alias(
+                "p50_days"
+            ),
+            F.expr("percentile(cast(days as double), 0.90)").alias(
+                "p90_days"
+            ),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ==========================================================================
 # Driver-visible ordering
 # ==========================================================================

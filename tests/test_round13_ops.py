@@ -1502,3 +1502,47 @@ def test_tpch_refresh_functions_set_algebra(spark):
     for p, (n, total) in agg.items():
         assert got[p][0] == n
         assert abs(got[p][1] - float(total)) < 1e-9
+
+
+def test_order_to_ship_latency_python_replay(spark):
+    """Latency stats per return flag replayed in python with the pinned
+    percentile convention."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+    from pyspark.sql import functions as F
+
+    got = {
+        r["l_returnflag"]: (
+            r["n_lines"],
+            r["p50_days"],
+            r["p90_days"],
+            r["max_days"],
+        )
+        for r in QUERIES["order_to_ship_latency"](spark, SF_DIR).collect()
+    }
+    li = _tbl(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.to_date("l_shipdate").alias("s")
+    )
+    o = _tbl(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    rows = li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    lats = defaultdict(list)
+    for r in rows:
+        lats[r["l_returnflag"]].append((r["s"] - r["d"]).days)
+
+    def q(vals, p):
+        s = sorted(float(v) for v in vals)
+        idx = p * (len(s) - 1)
+        lo, frac = int(idx // 1), idx % 1
+        hi = min(lo + 1, len(s) - 1)
+        return s[lo] + (s[hi] - s[lo]) * frac
+
+    for flag, vals in lats.items():
+        g = got[flag]
+        assert g[0] == len(vals)
+        assert abs(g[1] - q(vals, 0.5)) < 1e-9
+        assert abs(g[2] - q(vals, 0.9)) < 1e-9
+        assert g[3] == max(vals)
+    assert set(got) == set(lats)
