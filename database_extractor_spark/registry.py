@@ -12171,7 +12171,9 @@ def simhash_quality_eval(spark, sf_dir):
     ),
     pairs as (
         select a.source as s1, b.source as s2
-        from tot a join tot b on a.source < b.source
+        from (select distinct source from documents where source is not null) a
+        join (select distinct source from documents where source is not null) b
+          on a.source < b.source
     )
     select p.s1, p.s2,
            coalesce(agg.n_shared, 0) as n_shared,
@@ -12254,7 +12256,10 @@ def corpus_slice_jsd(spark, sf_dir):
     # whose lineage re-runs the corpus tokenize+count aggregate as a
     # second job (review r13). A NULL slice is excluded, matching the
     # oracle's `a.source < b.source` pair semantics (NULL compares
-    # UNKNOWN in SQL and joins nothing).
+    # UNKNOWN in SQL and joins nothing). The oracle pair CTE enumerates
+    # the SAME universe (distinct non-null documents.source, r13 ADVICE):
+    # a slice whose documents are all NULL-text still pairs, landing at
+    # the ln 2 disjoint-slice convention on both engines.
     srcs = sorted(
         r[0]
         for r in docs.select("source").distinct().collect()
@@ -13460,7 +13465,8 @@ def quality_gate_agreement(spark, sf_dir):
                as n_pos,
            len(list_filter(embedding, x -> x > 2.0)) > 0 as exists_gt2,
            round(list_reduce(
-               list_transform(embedding::DOUBLE[], x -> x * x),
+               list_concat([0.0::DOUBLE],
+                           list_transform(embedding::DOUBLE[], x -> x * x)),
                (acc, x) -> acc + x), 6) as selfdot,
            round(list_dot_product(embedding::DOUBLE[],
                                   list_reverse(embedding::DOUBLE[])), 6)
@@ -13481,7 +13487,11 @@ def higher_order_funcs(spark, sf_dir):
     sequence — and zip_with(x, reverse(x)) mirrors DuckDB's
     list_dot_product with list_reverse (same order of partial sums
     because dot products fold left too); round 6 guards the display
-    value. Pure per-row projection — no shuffle, no UDF."""
+    value. The oracle's list_reduce is seeded with the SAME 0.0 init
+    as F.aggregate via list_concat([0.0], ...) (r13 ADVICE): a bare
+    list_reduce errors on empty lists and skips the init on 1-element
+    lists, so both engines now share fold semantics on degenerate
+    inputs too. Pure per-row projection — no shuffle, no UDF."""
     e = _tbl(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     demb = F.expr("transform(embedding, x -> cast(x as double))")
@@ -13839,71 +13849,65 @@ def order_to_ship_latency(spark, sf_dir):
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-13 front (VERDICT r12 item 2): the full r07/r08-aged
-    # block — the 53 entries whose latest DRIVER correctness row
-    # predates r09 (early joins/aggs/set-ops/scalar-fn/source-roundtrip
-    # cohort plus topk_*, multimodal_*, sim_* exact lanes). The window
-    # is 50, so the three cheapest, most-stable of them (set_union /
-    # set_intersect / set_except — single-operator plans, untouched
-    # since r03, pytest- and sweep-covered) defer to round 14 together
-    # with this round's touched entries (ccnet_perplexity_buckets —
-    # expr-string lnq rebuild; streaming_minhash_dedup /
-    # streaming_curation_funnel — ledger semi-join rewrite; all
-    # re-proven by the local full-registry DuckDB sweep this round) and
-    # the round-13 additions (sim_lsh_recall_eval, sim_ivf_auto,
-    # gopher_quality_filter, text_repetition_scores).
-    # r07-aged (11):
-    "bpe_pair_counts",
-    "csv_source_roundtrip",
-    "ffill_resample",
-    "jdbc_source_roundtrip",
-    "json_source_roundtrip",
-    "multimodal_frame_sample",
-    "orc_source_roundtrip",
-    "pit_join_scd2",
-    "session_windows",
-    "skyline_pareto_frontier",
-    "sliding_window_counts",
-    # r08-aged (39 of 42):
-    "agg_collect",
-    "agg_cube",
-    "agg_rollup",
-    "agg_suite",
-    "array_funcs",
-    "conditional_funcs",
-    "decontaminate_ngram_overlap",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "deterministic_sample",
-    "distinct_pairs",
-    "dropdup_keep_first",
-    "dsir_importance_resample",
-    "grouping_sets",
-    "histogram_fixed_bins",
-    "join_anti",
-    "join_broadcast_agg",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_star_5way",
-    "json_funcs",
-    "math_funcs",
-    "multimodal_audio_decode",
-    "not_exists_subquery",
-    "o14_pickle_sink_roundtrip",
-    "percentile_agg",
-    "quality_classifier_score",
-    "regex_funcs",
-    "sim_bruteforce_topk",
-    "sim_partitioned_topk",
-    "sql_windowed_cte",
-    "streaming_quality_gate",
-    "string_funcs",
-    "topk_global",
-    "topk_per_group",
-    "udtf_tokenize_offsets",
-    "unpivot_counts",
+    # ---- round-14 front (VERDICT r13 item 1): the 41 round-13
+    # additions — every entry that has NEVER had a driver correctness
+    # row (each passes the local 285-way DuckDB oracle sweep +
+    # per-entry tests) — followed by the 6 deferred/touched entries.
+    # Together 47 of the 50-slot window; the remaining slots go to
+    # round-14 additions appended at the end of this block.
+    # never-driver-verified (41, r13 additions):
+    "sim_ivf_auto",
+    "sim_lsh_recall_eval",
+    "text_repetition_scores",
+    "gopher_quality_filter",
+    "corpus_shard_manifest",
+    "corpus_export_order",
+    "length_outlier_filter",
+    "bitmap_exact_distinct",
+    "interval_coalesce",
+    "ngram_pmi_collocations",
+    "ngram_diversity_profile",
+    "tokenizer_fertility_eval",
+    "simhash_quality_eval",
+    "corpus_slice_jsd",
+    "event_path_trigrams",
+    "mixture_epoch_plan",
+    "dedup_threshold_sweep",
+    "user_rfm_segments",
+    "approx_topk_heavy_hitters",
+    "sql_parameterized",
+    "sql_pivot_clause",
+    "streaming_bitmap_distinct",
+    "pack_efficiency_eval",
+    "ngram_novelty_ratio",
+    "csv_corrupt_records",
+    "attribution_last_touch",
+    "activity_heatmap",
+    "event_path_markov",
+    "funnel_latency_percentiles",
+    "dup_cluster_histogram",
+    "per_source_quality_report",
+    "sql_join_hints",
+    "lang_id_confusion_eval",
+    "quality_gate_agreement",
+    "higher_order_funcs",
+    "json_corrupt_records",
+    "eval_split_decontaminated",
+    "embedding_norm_outliers",
+    "sql_identifier_clause",
+    "tpch_refresh_functions",
+    "order_to_ship_latency",
+    # deferred from the r13 window (3): single-operator set-op plans,
+    # untouched since r03, pytest- and sweep-covered every round:
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # touched in r13, re-verify (3): ccnet expr-string lnq rebuild;
+    # streaming ledger prior-id semi-join rewrite:
+    "ccnet_perplexity_buckets",
+    "streaming_minhash_dedup",
+    "streaming_curation_funnel",
+    # ---- round-14 additions get appended here (slots 48-50) ----
 ]
 
 
