@@ -1,0 +1,1213 @@
+"""Layout / streaming-state / training-batch operators, rate & calculus surface, corpus utilities (rounds 3-4).
+
+Split out of the flat registry.py in round 14; entry bodies are
+unchanged — see registry/__init__.py for the aggregation contract.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from database_extractor_spark.operators import core as C
+from database_extractor_spark.operators import dedup as D
+from database_extractor_spark.operators import relational as R
+from database_extractor_spark.operators import similarity as S
+from database_extractor_spark.operators import text as T
+
+from database_extractor_spark.registry._base import (
+    register,
+    _tbl,
+)
+
+# Layout / streaming-state / training-batch operators (round 3)
+# ==========================================================================
+
+@register(
+    "bucketed_join_colocated",
+    """
+    select c_mktsegment, cast(count(*) as bigint) as n,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_price
+    from orders join customer on o_custkey = c_custkey
+    group by c_mktsegment
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Bucket-to-bucket co-located join: both sides persisted via
+    sinks.write_bucketed on the join key (the shuffle paid ONCE at write
+    time), then sort-merge-joined reading the buckets back with NO
+    Exchange on either join input — the amortized-layout lever for
+    repeated 100 TB joins. The merge hint pins SMJ so the plan
+    demonstrates the exchange elimination even at fixture scale (AQE
+    would otherwise broadcast); tests/test_scale_posture.py asserts the
+    exchange-free join subtree."""
+    from database_extractor_spark.sinks import write_bucketed
+
+    write_bucketed(
+        _tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "orders_bkt", "o_custkey", n_buckets=8,
+    )
+    write_bucketed(
+        _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "customer_bkt", "c_custkey", n_buckets=8,
+    )
+    o, c = spark.table("orders_bkt"), spark.table("customer_bkt")
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        R.exact_sum("o_totalprice", "sum_price", scale=2),
+    )
+
+
+@register("streaming_dedup", "select distinct user_id, event_type from events")
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact deduplication: dropDuplicates over a file stream —
+    the state store carries the seen-key set (O(distinct keys); pair with
+    dropDuplicatesWithinWatermark in production for time-bounded state).
+    One availableNow pass over the fixture equals the batch DISTINCT
+    oracle."""
+    from database_extractor_spark.streaming import run_available_now, stream_source
+
+    s = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    dd = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_available_now(spark, dd, output_mode="append")
+
+
+@register(
+    "streaming_incremental_sink",
+    "select event_id, user_id, value from events where event_type = 'purchase'",
+)
+def streaming_incremental_sink(spark, sf_dir):
+    """Exactly-once incremental ETL: availableNow into a checkpointed
+    parquet sink, run TWICE against the unchanged source inside the entry
+    — the committed offsets make the second run a no-op, so the sink holds
+    exactly one copy of each row (a duplicated sink would double the
+    driver-compared row count). This is the incremental upgrade over the
+    reference's cron, which reprocesses the whole bucket every run
+    (reference main.py:36-43)."""
+    from database_extractor_spark.streaming import (
+        run_available_now_to_parquet,
+        stream_source,
+    )
+
+    base = tempfile.mkdtemp(prefix="inc_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    s = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    filtered = s.filter("event_type = 'purchase'").select("event_id", "user_id", "value")
+    result = None
+    for _ in range(2):
+        result = run_available_now_to_parquet(spark, filtered, out, ckpt)
+    return result
+
+
+@register(
+    "python_datasource_scan",
+    """
+    select i as event_id,
+           'sensor_' || cast(i % 7 as varchar) as sensor,
+           (i * 37 % 1000) / 10.0 as value
+    from range(0, 1000) t(i)
+    """,
+)
+def python_datasource_scan(spark, sf_dir):
+    """Custom connector end-to-end: a Spark 4 Python Data Source
+    (sources/custom.py) planned as a partition-parallel BatchScan — the
+    integration point for sources Spark lacks natively (REST, bespoke
+    protocols; the reference's InfluxDB HTTP client generalized). The
+    fixture source is a pure row-index formula, so DuckDB replays the
+    exact rows and the value-hash compare proves the whole connector
+    path."""
+    from database_extractor_spark.sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+@register(
+    "data_quality_checks",
+    """
+    with t as (
+        select
+            cast(sum(case when o_totalprice < 0 then 1 else 0 end) as bigint) as neg_price,
+            cast(sum(case when o_orderdate is null then 1 else 0 end) as bigint) as null_date,
+            cast(count(*) - count(distinct o_orderkey) as bigint) as dup_keys
+        from orders
+    )
+    select 'neg_price' as check_name, neg_price as violations from t
+    union all select 'null_date', null_date from t
+    union all select 'dup_keys', dup_keys from t
+    union all select 'orphan_custkey',
+        (select cast(count(*) as bigint) from orders o where not exists
+            (select 1 from customer c where c.c_custkey = o.o_custkey))
+    """,
+)
+def data_quality_checks(spark, sf_dir):
+    """Constraint validation in ONE fact-table pass: value-range, null,
+    and uniqueness violations come out of a single aggregate (unpivoted to
+    long check_name/violations form); referential integrity is a
+    broadcast anti-join count. This is the pre-training gate a pipeline
+    runs before accepting a new drop — at 100 TB the one-scan shape is
+    the only acceptable plan (the oracle's union-all re-scans instead,
+    proving the numbers, not the plan)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    base = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("bigint").alias("neg_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("null_date"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("bigint").alias("dup_keys"),
+    )
+    long_form = base.unpivot(
+        [], ["neg_price", "null_date", "dup_keys"], "check_name", "violations"
+    )
+    orphans = (
+        orders.join(F.broadcast(customer),
+                    orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return long_form.unionByName(orphans)
+
+
+@register(
+    "upsert_day_overwrite",
+    """
+    with base as (
+        select event_id, value, cast(ts as date) as date from events
+        where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-08'
+    )
+    select cast(date as varchar) as date, cast(count(*) as bigint) as n,
+           cast(sum(cast(case when date = date '2024-01-06' then value * 2
+                              else value end as decimal(18,6))) as double) as sum_val
+    from base group by date
+    """,
+)
+def upsert_day_overwrite(spark, sf_dir):
+    """Partition-level upsert: write three days partitioned by date, then
+    re-extract ONE day with corrected values through dynamic partition
+    overwrite — only that day's partition is replaced, siblings are
+    untouched (the oracle's CASE doubles exactly the corrected day, so a
+    static overwrite that truncated the lake, or a double-write that
+    duplicated it, would fail the compare). The parquet-native analog of
+    the reference's per-day re-extraction."""
+    from database_extractor_spark.sinks import overwrite_partitions_dynamic, write_parquet
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .filter("ts >= timestamp'2024-01-05' and ts < timestamp'2024-01-08'")
+        .select("event_id", "value", F.col("ts").cast("date").alias("date"))
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="upsert_"), "lake")
+    write_parquet(ev, path, partition_by=["date"])
+    corrected = ev.filter("date = date'2024-01-06'").withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions_dynamic(corrected, path, ["date"])
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("date").cast("string").alias("date"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            R.exact_sum("value", "sum_val", scale=6),
+        )
+    )
+
+
+@register(
+    "schema_evolution_merge",
+    """
+    select doc_id, lang, cast(null as varchar) as src from documents where doc_id % 2 = 0
+    union all
+    select doc_id, lang, source as src from documents where doc_id % 2 = 1
+    """,
+)
+def schema_evolution_merge(spark, sf_dir):
+    """Schema drift handling: files written before a column existed are
+    unified with newer files at read time via mergeSchema (missing column
+    back-filled with nulls) — no rewrite of historical data when the
+    pipeline's schema evolves. Scale note: mergeSchema reads every file
+    footer, so pin a table-level schema in production metadata and use
+    merge only for the migration read."""
+    docs = _tbl(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "tbl")
+    docs.filter("doc_id % 2 = 0").select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(path)
+    docs.filter("doc_id % 2 = 1").select(
+        "doc_id", "lang", F.col("source").alias("src")
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "src")
+    )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    with toks as (
+        select doc_id, doc_id % 16 as shard,
+               cast(len(string_split_regex(trim(text), '\s+')) as bigint) as n_tokens
+        from documents
+    )
+    select doc_id, shard, n_tokens,
+           cast(floor((cast(sum(n_tokens) over w as bigint) - n_tokens) / 512.0)
+                as bigint) as pack_seq
+    from toks
+    window w as (partition by shard order by doc_id
+                 rows between unbounded preceding and current row)
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: first-fit contiguous fill of
+    512-token bins in doc_id order — (shard, pack_seq) is the batch a doc
+    lands in. Scale: packing a corpus with ONE global cumulative sum would
+    serialize on a single window partition; sharding first (doc_id % 16
+    here; a file/date key in production) keeps the window partitioned and
+    parallel while preserving intra-shard determinism."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(T.tokens(F.trim(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512.0)).cast("bigint").alias("pack_seq"),
+    )
+
+
+#: language -> target sampling rate for mixture re-weighting (temperature
+#: sampling of a multilingual corpus toward a training mix)
+_MIX_RATES = {"en": 0.9, "de": 0.6, "es": 0.5, "fr": 0.4, "zh": 0.3}
+
+_MIX_CASE_SQL = "case " + " ".join(
+    f"when lang = '{k}' then {int(v * 10000)}" for k, v in _MIX_RATES.items()
+) + " else 1000 end"
+
+
+@register(
+    "mixture_weighted_sample",
+    f"""
+    select doc_id, lang from documents
+    where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
+          < {_MIX_CASE_SQL}
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Deterministic mixture re-weighting: keep each document with a
+    per-language probability (the corpus-balancing step that turns a raw
+    multilingual crawl into a target training mix). The keep decision is
+    a pure function of doc_id (portable md5 bucket vs a per-lang
+    threshold) — reproducible across engines, runs, and partitionings;
+    no rand(), no shuffle, filter pushes to the scan."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10000
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(int(v * 10000))) for k, v in _MIX_RATES.items()],
+        F.lit(1000),
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ==========================================================================
+# round-4 additions
+# ==========================================================================
+
+@register(
+    "join_full_outer",
+    """
+    with o as (
+        select o_custkey,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total_f
+        from orders where o_orderstatus = 'F' group by o_custkey
+    ),
+    c as (select c_custkey, c_acctbal from customer where c_acctbal < 0)
+    select coalesce(o.o_custkey, c.c_custkey) as custkey, o.total_f, c.c_acctbal
+    from o full outer join c on o.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join (the join-type matrix's last gap): per-customer
+    finished-order totals against negative-balance customers — both sides
+    contribute unmatched rows, so every null-padding path is exercised.
+    Scale: both inputs pre-aggregate/filter BEFORE the join, so the
+    full-outer shuffle carries one row per key, not raw fact rows."""
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(R.exact_sum("o_totalprice", "total_f"))
+    )
+    c = _tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "full_outer").select(
+        F.coalesce(o["o_custkey"], c["c_custkey"]).alias("custkey"),
+        "total_f",
+        "c_acctbal",
+    )
+
+
+@register(
+    "vocab_build",
+    r"""
+    with freq as (
+        select token, count(*) as n
+        from (
+            select unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+            from documents
+        )
+        group by token having count(*) >= 2
+    )
+    select token, n,
+           cast(floor(log2(n)) as integer) as band,
+           cast(row_number() over (
+                partition by floor(log2(n)) order by n desc, token
+           ) as integer) as band_rank
+    from freq
+    """,
+)
+def vocab_build(spark, sf_dir):
+    """Corpus vocabulary build (tokenizer-training precursor): frequency
+    table with min_count=2 plus a deterministic rank. The ranking window
+    partitions by frequency OCTAVE (floor(log2 n)) instead of a global
+    row_number — each band ranks in parallel, (band desc, band_rank)
+    reproduces the exact global frequency order, and no single task ever
+    sees the whole vocabulary (see text.build_vocab)."""
+    return T.build_vocab(_tbl(spark, sf_dir, "documents"), min_count=2)
+
+
+@register(
+    "token_count_bpe",
+    r"""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                as integer) as n_subword,
+           cast(len(string_split_regex(trim(text), '\s+')) as integer) as n_ws,
+           round(cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                      as double)
+                 / greatest(cast(len(string_split_regex(trim(text), '\s+')) as integer), 1),
+                 4) as subword_ratio
+    from documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting (training-budget accounting): letter-runs /
+    digit-runs / single punctuation via one regexp_extract_all — the units
+    a byte-pair tokenizer rarely crosses — next to the whitespace count
+    and their ratio. Pure per-row JVM regex, no tokenizer model, no UDF."""
+    docs = _tbl(spark, sf_dir, "documents")
+    n_sub = T.subword_token_count(F.col("text")).cast("int")
+    n_ws = F.size(T.tokens(F.col("text"))).cast("int")
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subword"),
+        n_ws.alias("n_ws"),
+        F.round(n_sub.cast("double") / F.greatest(n_ws, F.lit(1)), 4).alias(
+            "subword_ratio"
+        ),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+    with toks as (
+        select doc_id, string_split_regex(lower(trim(text)), '\s+') as ws
+        from documents
+    ),
+    bg as (
+        select doc_id, u.w1 as w1, u.w2 as w2
+        from (
+            select doc_id,
+                   unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                           for i in range(1, len(ws))]) as u
+            from toks where len(ws) >= 2
+        )
+    ),
+    bc as (select w1, w2, count(*) as c2 from bg group by w1, w2),
+    uc as (select w1, count(*) as c1 from bg group by w1),
+    vocab as (
+        select count(distinct token) as v
+        from (select unnest(ws) as token from toks)
+    )
+    select b.doc_id,
+           round(sum(ln(cast(bc.c2 + 1 as double) / cast(uc.c1 + vocab.v as double)))
+                 / count(*), 4) as avg_logprob
+    from bg b
+    join bc on b.w1 = bc.w1 and b.w2 = bc.w2
+    join uc on b.w1 = uc.w1
+    cross join vocab
+    group by b.doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM score per document (mean add-one-smoothed log
+    P(w_i | w_{i-1})) — the next rung up from the unigram perplexity proxy
+    for ranking training data. Corpus bigram/unigram counts attach via
+    equi-joins; the vocabulary size V attaches in-plan as a 1-row
+    broadcast aggregate (the whitelisted scalar-attach shape). Same
+    4-dp-round FP argument as text_unigram_logprob."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.lower(F.trim(F.col("text")))).alias("ws")
+    )
+    n = F.size("ws")
+    bg = (
+        toks.filter(n >= 2)
+        .withColumn("w1s", F.slice("ws", 1, n - 1))
+        .withColumn("w2s", F.slice("ws", 2, n - 1))
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("bg"))
+        .select("doc_id", F.col("bg.w1s").alias("w1"), F.col("bg.w2s").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("ws").alias("token")).agg(
+        F.count_distinct("token").alias("__v")
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("__v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count("*"), 4).alias("avg_logprob")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    with e as (
+        select label, unnest(embedding) as v,
+               cast(generate_subscripts(embedding, 1) as integer) as pos
+        from embeddings
+    )
+    select label, pos,
+           round(cast(sum(cast(cast(v as double) as decimal(28,10))) as double)
+                 / count(*), 6) as centroid
+    from e group by label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding in long (label, pos, centroid) format —
+    class prototypes / IVF coarse-quantizer seeds as ONE hash-aggregate
+    over posexploded components; decimal-cast sums keep the mean
+    engine-exact (see similarity.label_centroids)."""
+    return S.label_centroids(_tbl(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "scd2_user_history",
+    """
+    with o as (
+        select user_id, ts, event_id, event_type,
+               lag(event_type) over (partition by user_id order by ts, event_id)
+                 as prev
+        from events
+    ),
+    c as (
+        select user_id, ts, event_id, event_type from o
+        where prev is null or prev <> event_type
+    )
+    select user_id, event_type, ts as valid_from,
+           lead(ts) over (partition by user_id order by ts, event_id) as valid_to
+    from c
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from the event log: one row
+    per (user, event_type) state change with [valid_from, valid_to) — the
+    point-in-time joinable dimension a warehouse derives from append-only
+    facts. Both windows partition by user (see timeseries.scd2_history)."""
+    from database_extractor_spark.operators.timeseries import scd2_history
+
+    return scd2_history(
+        _tbl(spark, sf_dir, "events"), "user_id", "event_type", "ts",
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "text_edit_distance_pairs",
+    """
+    with b as (
+        select doc_id, text, lang, cast(n_chars // 64 as integer) as band
+        from documents where n_chars <= 512
+    )
+    select a.doc_id as id_a, c.doc_id as id_b,
+           cast(levenshtein(a.text, c.text) as integer) as lev
+    from b a join b c on a.lang = c.lang and a.band = c.band
+                     and a.doc_id < c.doc_id
+    where levenshtein(a.text, c.text) <= 64
+    """,
+)
+def text_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: candidates share (lang,
+    64-char length band), then exact Levenshtein <= 64 filters. The
+    never-all-pairs rule again — equi-join on a manufactured band key;
+    at corpus scale this verifies LSH survivors, not the raw corpus
+    (see dedup.edit_distance_pairs)."""
+    return D.edit_distance_pairs(_tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_source_roundtrip",
+    """
+    select count(*) as n_lines, cast(sum(length(text)) as bigint) as sum_chars
+    from documents
+    """,
+)
+def text_source_roundtrip(spark, sf_dir):
+    """Line-text source/sink roundtrip (spark.read/write.text): the
+    ingestion format raw web corpora actually arrive in. Writes the
+    documents' text as UTF-8 lines, reads it back, and aggregates —
+    no line lost, no character mangled (fixture text is newline-free,
+    which is what makes line-oriented storage lossless here)."""
+    docs = _tbl(spark, sf_dir, "documents").select("text")
+    out = os.path.join(tempfile.mkdtemp(prefix="txtrt_"), "docs_txt")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    with v as (
+        select user_id, min(ts) as t_view from events
+        where event_type = 'view' group by user_id
+    ),
+    c as (
+        select e.user_id, min(e.ts) as t_click
+        from events e join v on e.user_id = v.user_id
+         and e.ts > v.t_view and e.ts <= v.t_view + interval '1 day'
+        where e.event_type = 'click' group by e.user_id
+    ),
+    p as (
+        select e.user_id, min(e.ts) as t_buy
+        from events e join c on e.user_id = c.user_id
+         and e.ts > c.t_click and e.ts <= c.t_click + interval '1 day'
+        where e.event_type = 'purchase' group by e.user_id
+    )
+    select v.user_id, v.t_view, c.t_click, p.t_buy
+    from v left join c on v.user_id = c.user_id
+           left join p on v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis (view -> click within 1 day -> purchase within 1
+    day): per-user stage timestamps with NULLs past the drop-off point —
+    the sequential-pattern query behind every conversion dashboard.
+
+    Scale: each stage is a pre-aggregated (one row per user) frame joined
+    on user_id; the time-window condition rides along the equi-join as a
+    post-filter, so no interval/range join machinery is needed. At sf0.01
+    the funnel is 150 -> 60 -> 25 users, so all three null-padding shapes
+    are exercised."""
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@register(
+    "cohort_retention",
+    """
+    with f as (
+        select user_id, date_trunc('day', min(ts)) as cohort
+        from events group by user_id
+    )
+    select f.cohort,
+           cast(datediff('day', f.cohort, date_trunc('day', e.ts)) as integer)
+             as offset_d,
+           count(distinct e.user_id) as n_users
+    from events e join f on e.user_id = f.user_id
+    group by f.cohort, offset_d
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct per (cohort, day-offset) — the canonical retention triangle.
+    Scale: the first-seen frame is one aggregate keyed on user; the join
+    back to the fact is an equi-join on user_id (broadcastable — the
+    cohort frame has one row per user, tiny next to the event log);
+    count_distinct carries its usual Expand cost, bounded by the
+    (cohort x offset) cell count."""
+    ev = _tbl(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    return (
+        ev.join(F.broadcast(f), "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort"))
+            .cast("int")
+            .alias("offset_d"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    select doc_id,
+           case when b < 80 then 'train' when b < 90 then 'val'
+                else 'test' end as split
+    from (
+        select doc_id,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 100
+                 as b
+        from documents
+    )
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the bucket is a pure
+    md5 function of doc_id (portable across engines AND across runs — a
+    document never migrates between splits when the corpus grows, unlike
+    rand()-based splits). The split expression is a per-row projection
+    that pushes to the scan; no shuffle at all."""
+    docs = _tbl(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "share_of_total_agg",
+    """
+    with n as (
+        select n.n_name,
+               cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as revenue
+        from orders o
+        join customer c on o.o_custkey = c.c_custkey
+        join nation n on c.c_nationkey = n.n_nationkey
+        group by n.n_name
+    ),
+    t as (select cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+          from orders)
+    select n.n_name, n.revenue, round(n.revenue / t.total, 6) as share
+    from n cross join t
+    """,
+)
+def share_of_total_agg(spark, sf_dir):
+    """Percent-of-total report (revenue share per nation): group-level
+    aggregate divided by the grand total, with the total attached IN-PLAN
+    as a 1-row broadcast aggregate (the whitelisted scalar-attach shape)
+    rather than a driver-side collect. Decimal-cast sums keep both levels
+    engine-exact; the dimension joins broadcast."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(R.exact_sum("o_totalprice", "revenue"))
+    )
+    total = o.agg(R.exact_sum("o_totalprice", "total"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+    )
+
+
+# ==========================================================================
+# Flux/PromQL-parity rate & calculus surface (round 4)
+# ==========================================================================
+# The reference extracts from InfluxDB (ref extractor.py builds Flux
+# pipelines); Flux ships a per-series calculus family — derivative,
+# difference, increase, integral, timeWeightedAvg — that an InfluxDB
+# workload moving onto this engine needs. Each is one keyed window pass
+# (operators/timeseries.py); time arithmetic uses integer microseconds so
+# both engines produce bit-identical doubles.
+
+
+@register(
+    "ts_derivative",
+    """
+    with d as (
+        select event_type, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) over w as dt_us,
+               value - lag(value) over w as dv
+        from events
+        window w as (partition by event_type order by ts, event_id)
+    )
+    select event_type, ts, dv / (dt_us / 1000000.0) as deriv
+    from d where dt_us > 0
+    """,
+)
+def ts_derivative(spark, sf_dir):
+    """Flux ``derivative(unit: 1s)``: per-series rate of change between
+    consecutive points. One keyed window (shuffle on event_type + sort);
+    integer-microsecond deltas keep the division engine-exact."""
+    from database_extractor_spark.operators.timeseries import derivative
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = derivative(ev, "ts", ["event_type"], "value", tiebreak_col="event_id")
+    return out.select("event_type", "ts", "deriv")
+
+
+@register(
+    "ts_difference",
+    """
+    select event_type, ts,
+           value - lag(value) over (partition by event_type order by ts, event_id)
+               as delta
+    from events
+    qualify delta is not null
+    """,
+)
+def ts_difference(spark, sf_dir):
+    """Flux ``difference()``: per-series consecutive delta, first row of
+    each series dropped."""
+    from database_extractor_spark.operators.timeseries import difference
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = difference(ev, "ts", ["event_type"], "value", tiebreak_col="event_id")
+    return out.select("event_type", "ts", "delta")
+
+
+@register(
+    "ts_increase",
+    """
+    with d as (
+        select event_type, ts, event_id,
+               value - lag(value) over (partition by event_type
+                                        order by ts, event_id) as dv
+        from events
+    )
+    select event_type, ts,
+           cast(sum(cast(greatest(coalesce(dv, 0), 0) as decimal(18,6)))
+                over (partition by event_type order by ts, event_id
+                      rows between unbounded preceding and current row)
+                as double) as increase
+    from d
+    """,
+)
+def ts_increase(spark, sf_dir):
+    """Flux ``increase()``: running total of non-negative deltas — counter
+    growth that survives resets. The prefix sum accumulates DECIMAL-cast
+    deltas so it is order- and engine-exact (float window cumsum is not:
+    DuckDB segment-trees its window aggregates)."""
+    from database_extractor_spark.operators.timeseries import increase
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = increase(ev, "ts", ["event_type"], "value", tiebreak_col="event_id")
+    return out.select("event_type", "ts", "increase")
+
+
+@register(
+    "ts_integral",
+    """
+    with d as (
+        select event_type,
+               cast(floor((value + lag(value) over w) *
+                          cast(epoch_us(ts) - lag(epoch_us(ts)) over w
+                               as double)) as bigint) as term
+        from events
+        window w as (partition by event_type order by ts, event_id)
+    )
+    select event_type, cast(sum(term) as double) / 2000000.0 as integral
+    from d group by event_type
+    """,
+)
+def ts_integral(spark, sf_dir):
+    """Flux ``integral(interpolate: "linear")``: trapezoidal integral of
+    value·seconds per series — one keyed window for the trapezoids, one
+    integer-exact keyed sum. Terms are floor-quantized doubles (pure
+    IEEE ops, bit-identical across engines) — the r05 decimal(18,4)
+    cast was rounding-tie-unstable between Spark and DuckDB."""
+    from database_extractor_spark.operators.timeseries import integral
+
+    ev = _tbl(spark, sf_dir, "events")
+    return integral(ev, "ts", ["event_type"], "value", tiebreak_col="event_id")
+
+
+@register(
+    "time_weighted_avg",
+    """
+    with d as (
+        select event_type, epoch_us(ts) as us,
+               cast(floor((value + lag(value) over w) *
+                          cast(epoch_us(ts) - lag(epoch_us(ts)) over w
+                               as double)) as bigint) as term
+        from events
+        window w as (partition by event_type order by ts, event_id)
+    )
+    select event_type,
+           (cast(sum(term) as double) / 2000000.0)
+               / ((max(us) - min(us)) / 1000000.0) as twa
+    from d group by event_type
+    having max(us) > min(us)
+    """,
+)
+def time_weighted_avg_q(spark, sf_dir):
+    """Time-weighted average per series: trapezoidal integral over the
+    observed span — the unbiased mean for irregular sampling (plain AVG
+    over-weights dense stretches). Flux ``timeWeightedAvg()``."""
+    from database_extractor_spark.operators.timeseries import time_weighted_avg
+
+    ev = _tbl(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", ["event_type"], "value", tiebreak_col="event_id")
+
+
+@register(
+    "ts_rate_per_window",
+    """
+    with d as (
+        select event_type, ts,
+               value - lag(value) over (partition by event_type
+                                        order by ts, event_id) as dv
+        from events
+    )
+    select event_type, date_trunc('hour', ts) as hour,
+           cast(sum(cast(greatest(coalesce(dv, 0), 0) as decimal(18,6)))
+                as double) / 3600.0 as rate_per_sec
+    from d group by 1, 2
+    """,
+)
+def ts_rate_per_window(spark, sf_dir):
+    """PromQL-style ``rate()``: counter increase per hourly bucket divided
+    by the bucket width. A boundary-crossing delta is attributed to the
+    later point's bucket (PromQL does the same). Decimal-exact sums."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.withColumn("dv", F.col("value") - F.lag("value").over(w))
+    return d.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        (
+            F.sum(
+                F.greatest(F.coalesce(F.col("dv"), F.lit(0.0)), F.lit(0.0)).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.lit(3600.0)
+        ).alias("rate_per_sec")
+    )
+
+
+@register(
+    "gap_fill_linear",
+    """
+    with raw as (
+        select event_type, date_trunc('minute', ts) as bts, value
+        from events
+        where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-06'
+          and value is not null
+        qualify row_number() over (
+            partition by event_type, date_trunc('minute', ts)
+            order by ts desc, event_id desc) = 1
+    ),
+    binned as (select event_type, bts as ts, value from raw),
+    bounds as (select event_type, min(ts) as mn, max(ts) as mx from binned group by 1),
+    grid as (
+        select event_type, unnest(generate_series(mn, mx, interval 1 minute)) as ts
+        from bounds
+    ),
+    g as (
+        select g.event_type, g.ts, b.value, epoch_us(g.ts) as us,
+               case when b.value is not null then epoch_us(g.ts) end as obs_us
+        from grid g left join binned b on g.event_type = b.event_type and g.ts = b.ts
+    ),
+    f as (
+        select event_type, ts, value, us,
+               last_value(value ignore nulls) over wb as pv,
+               last_value(obs_us ignore nulls) over wb as pt,
+               first_value(value ignore nulls) over wf as nv,
+               first_value(obs_us ignore nulls) over wf as nt
+        from g
+        window wb as (partition by event_type order by ts
+                      rows between unbounded preceding and current row),
+               wf as (partition by event_type order by ts
+                      rows between current row and unbounded following)
+    )
+    select event_type, ts,
+           case when value is not null then value
+                when pv is null then nv
+                when nv is null then pv
+                else pv + (nv - pv) * (cast(us - pt as double) / cast(nt - pt as double))
+           end as value
+    from f
+    """,
+)
+def gap_fill_linear(spark, sf_dir):
+    """Gap-filled minute resample with LINEAR interpolation — the
+    ``interpolate.linear`` counterpart of ffill_resample: missing bins get
+    the time-weighted blend of the nearest real bins on each side (two
+    keyed window passes; integer-microsecond weights). Per-bin take-last
+    tiebreaks on event_id (see ffill_resample's docstring for the oracle
+    mirror and null-skip note)."""
+    from database_extractor_spark.operators.timeseries import interpolate_linear
+
+    ev = C.time_range(
+        _tbl(spark, sf_dir, "events"), "ts", "2024-01-05", "2024-01-06"
+    )
+    return interpolate_linear(
+        ev, "ts", ["event_type"], "value", every="1 minute",
+        tiebreak_cols=["event_id"],
+    )
+
+
+# ==========================================================================
+# Corpus utilities (round 4): running distinct, weighted sampling,
+# int8 embedding quantization, windowed exact median
+# ==========================================================================
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    with fs as (
+        select user_id, min(date_trunc('day', ts)) as day from events group by 1
+    ),
+    d as (select day, count(*) as new_users from fs group by 1)
+    select day, new_users,
+           cast(sum(new_users) over (order by day
+                                     rows between unbounded preceding
+                                     and current row) as bigint) as cum_users
+    from d
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """TRUE running count of distinct users ever seen, by day — the classic
+    "cumulative uniques" a windowed COUNT(DISTINCT) can't do scalably.
+    Rewrite: distinct collapses to each user's FIRST day (one shuffle on
+    user_id), then a two-level distributed prefix sum: (1) an intra-year
+    running sum over a window PARTITIONED by year (≤366 rows per partition
+    regardless of data volume — no global single-task window), plus (2) a
+    cross-year carry computed on the per-year totals (cardinality = number
+    of years, bounded by the time range, not the data volume) by packing
+    them into one sorted array and prefix-summing with `transform` +
+    `aggregate`, then broadcast-equi-joined back. Unlike the round-4 form,
+    `cum_users` no longer resets each Jan 1 (ADVICE r4)."""
+    ev = _tbl(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+    d = fs.groupBy("day").agg(F.count("*").alias("new_users")).withColumn(
+        "yr", F.date_trunc("year", F.col("day"))
+    )
+    w = (
+        Window.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yearly = d.groupBy("yr").agg(F.sum("new_users").alias("yt"))
+    carry = (
+        yearly.agg(F.sort_array(F.collect_list(F.struct("yr", "yt"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.yr as yr, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.yt) as carry))"
+                )
+            ).alias("s")
+        )
+        .select("s.yr", "s.carry")
+    )
+    return (
+        d.withColumn("intra", F.sum("new_users").over(w))
+        .join(F.broadcast(carry), "yr")
+        .select(
+            "day",
+            "new_users",
+            (F.col("intra") + F.col("carry")).cast("long").alias("cum_users"),
+        )
+    )
+
+
+@register(
+    "weighted_sample_wor",
+    """
+    with k as (
+        select doc_id, n_chars,
+               -ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+                    + 0.5) / 4294967296.0) / n_chars as k
+        from documents
+    )
+    select doc_id, n_chars, round(k, 6) as samp_key
+    from k order by k limit 50
+    """,
+)
+def weighted_sample_wor(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential-jumps form): key_i = -ln(u_i)/w_i with u_i an
+    md5-derived uniform and w_i = n_chars; the k smallest keys ARE a
+    weighted sample without replacement. Fully distributed: the key is a
+    pure per-row function of doc_id (no rand(), reproducible across
+    retries/engines) and selection is TakeOrderedAndProject — each
+    partition keeps only its k smallest keys and the driver merges k-row
+    heaps, which IS the distributed A-Res shape (Efraimidis-Spirakis
+    reservoir); no global sort is materialized (plan pinned in
+    tests/test_round5_ops.py). For k large enough that k-row heaps
+    strain the driver, the A-ExpJ skip-ahead variant applies per
+    partition — not needed at k=50. Weight-proportional selection is how
+    corpus mixtures are drawn for LLM training runs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    x = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (x.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("samp_key"))
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    with m as (
+        select vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                                             x -> abs(cast(x as double))),
+                              'max') as maxabs
+        from embeddings
+    )
+    select vec_id,
+           case when maxabs = 0
+                then array_to_string(list_transform(embedding, x -> 0), ',')
+                else array_to_string(
+                         list_transform(embedding, x ->
+                             cast(round(cast(x as double) * 127.0 / maxabs)
+                                  as integer)), ',')
+           end as q8_str,
+           maxabs / 127.0 as scale
+    from m
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (q = round(127·x/maxabs)) +
+    dequantization scale — 4× storage/bandwidth compression for embedding
+    corpora. Element-wise transform/aggregate built-ins, no shuffle. The
+    int array is serialized to a comma-joined string for the cross-engine
+    value-hash (array renderings differ between engines)."""
+    from database_extractor_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(_tbl(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda x: x.cast("string")), ","
+        ).alias("q8_str"),
+        "scale",
+    )
+
+
+@register(
+    "rolling_median",
+    """
+    select event_id, event_type,
+           round(median(value) over (partition by event_type
+                                     order by ts, event_id
+                                     rows between 9 preceding and current row),
+                 6) as med10
+    from events
+    """,
+)
+def rolling_median(spark, sf_dir):
+    """EXACT median over a trailing 10-row frame per series — robust
+    smoothing an approx-percentile sketch can't provide (and a moving
+    average can't: one spike drags the mean). Spark's exact `percentile`
+    as a window aggregate; both engines interpolate the even-count middle
+    pair, rounded to 6dp to absorb the interpolation's last-ulp
+    difference."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "event_type",
+        "round(percentile(value, 0.5) over (partition by event_type "
+        "order by ts, event_id rows between 9 preceding and current row), 6)"
+        " as med10",
+    )
+
+
+@register(
+    "streaming_session_windows",
+    """
+    with d as (
+        select user_id, ts,
+               case when lag(ts) over w is null
+                         or ts - lag(ts) over w >= interval 30 minute
+                    then 1 else 0 end as brk
+        from events
+        window w as (partition by user_id order by ts)
+    ),
+    s as (
+        select user_id, ts,
+               sum(brk) over (partition by user_id order by ts
+                              rows between unbounded preceding and current row) as sid
+        from d
+    )
+    select user_id, min(ts) as session_start, count(*) as n
+    from s group by user_id, sid
+    """,
+)
+def streaming_session_windows_q(spark, sf_dir):
+    """Native ``session_window`` aggregation in STREAMING mode: state-
+    store-backed session merging over the event stream, availableNow
+    trigger — must equal the batch gaps-and-islands sessionization (same
+    30-minute gap semantics). The streaming twin of `session_windows`."""
+    from database_extractor_spark.streaming import streaming_session_windows as run
+
+    return run(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================

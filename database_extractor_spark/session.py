@@ -15,6 +15,7 @@ with from_utc_timestamp).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -148,3 +149,42 @@ def create_spark_client(config_path: str | None = None) -> SparkSession:
     if spark.range(1).count() != 1:
         raise ConnectionError("SparkSession failed its smoke job")
     return spark
+
+
+@contextmanager
+def conf_window(spark: SparkSession, confs: dict[str, str]):
+    """Session-conf WINDOW: set ``confs``, yield, restore every key to
+    its prior value (or unset it if it had none) — even on error.
+
+    This is the one sanctioned way to run a plan under non-default
+    optimizer confs (broadcast threshold, bloom-filter injection,
+    partition-overwrite mode, ...). Two rules the call sites must keep,
+    factored out of the three formerly hand-rolled try/finally blocks
+    (sql_join_hints / runtime_bloom_join / dynamic partition overwrite —
+    VERDICT r13 item 6):
+
+    - COMPILE INSIDE THE WINDOW. Spark reads these confs at optimization
+      time, so a lazily-returned DataFrame would compile AFTER restore
+      with the default confs; materialize inside (eager localCheckpoint
+      or the write/collect itself) when the plan must reflect the window.
+    - Session confs are process-global: a conf window is not reentrant
+      per-key and not thread-safe across concurrently-compiling plans.
+      Keep windows short and data-independent.
+    """
+    UNSET = object()
+    saved: dict[str, object] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = UNSET
+    for k, v in confs.items():
+        spark.conf.set(k, str(v))
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is UNSET:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -150,11 +150,12 @@ def overwrite_partitions_dynamic(
     upsert for late-arriving corrections (re-extract one day without
     rewriting the lake; the reference's per-day CSV overwrite generalized
     to a partitioned table). Static overwrite mode would truncate the
-    whole root path; the mode is restored after the write."""
+    whole root path; the mode is restored after the write
+    (session.conf_window — the write itself materializes inside)."""
+    from database_extractor_spark.session import conf_window
+
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with conf_window(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -143,9 +143,9 @@ def test_local_checkpoint_usage_is_pinned():
 
     allowed = {
         # lazy twin linted by test_triangle_count_prechk_plan
-        ("registry.py", "_triangle_count_plan"),
+        ("registry/tpch_ops.py", "_triangle_count_plan"),
         # lazy twin linted by test_pagerank_prechk_plan
-        ("registry.py", "_pagerank_plan"),
+        ("registry/cdc_ops.py", "_pagerank_plan"),
         # pair subplans have lazily-linted twins: dedup_ngram_jaccard /
         # embedding_near_dup are the same candidate plans the clustered
         # entries feed in, and test_llm_ops lints the minhash candidate
@@ -153,21 +153,21 @@ def test_local_checkpoint_usage_is_pinned():
         ("operators/dedup.py", "connected_components"),
         # must compile inside its conf window; pre-checkpoint plan linted
         # by test_round9_ops.py::test_runtime_bloom_join_plan
-        ("registry.py", "runtime_bloom_join"),
+        ("registry/text_graph_ops.py", "runtime_bloom_join"),
         # edge list materialized once before the hop joins; lazy twin
         # linted by test_khop_prechk_plan below
-        ("registry.py", "_khop_plan"),
+        ("registry/text_graph_ops.py", "_khop_plan"),
         # corpus fingerprint set materialized once before the stream
         # starts (VERDICT r10 item 7); lazy twin linted by
         # test_funnel_corpus_fp_prechk_plan below
-        ("registry.py", "_funnel_corpus_fp"),
+        ("registry/streaming_bpe_ops.py", "_funnel_corpus_fp"),
         # spaced-symbol vocab aggregated once per bpe_train_merges call;
         # lazy twin linted by test_bpe_words_prechk_plan below
-        ("registry.py", "_bpe_words"),
+        ("registry/streaming_bpe_ops.py", "_bpe_words"),
         # corpus signature table materialized once before the stream
         # starts (the _funnel_corpus_fp discipline); lazy twin linted by
         # test_streaming_minhash_corpus_prechk_plan below
-        ("registry.py", "streaming_minhash_dedup"),
+        ("registry/llm_ops.py", "streaming_minhash_dedup"),
         # r13 ADVICE cap: dropped sets past MATERIALIZE_COLLECT_CAP are
         # localCheckpoint'ed instead of driver-collected; the
         # pre-checkpoint candidate/verify plan is the SAME plan the
@@ -179,7 +179,7 @@ def test_local_checkpoint_usage_is_pinned():
         # window (the runtime_bloom_join discipline); the PRE-checkpoint
         # hinted plan is re-derived and BroadcastHashJoin-pinned by
         # test_round13_ops.test_sql_join_hints_forces_broadcast_without_stats
-        ("registry.py", "sql_join_hints"),
+        ("registry/sharding_ops.py", "sql_join_hints"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
