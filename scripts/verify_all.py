@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""ONE-COMMAND verification for a judge (VERDICT r13 item 8).
+
+Reproduces the round's headline claims in <10 minutes without reading
+BASELINE.md prose:
+
+  1. Driver-contract invariants — entry() runs; queries()/oracle_sql()
+     are key-identical; _VERIFY_FIRST leads insertion order; every
+     registry module stays under the 4k-line split invariant.
+  2. Full registry sweep — EVERY entry compared against its DuckDB
+     oracle at sf0.01 (row count + column set + order-insensitive
+     values), via scripts/full_registry_sweep.py's comparator.
+  3. Machine-readable environment controls — the same window_rank /
+     single-thread anchors bench.py records, so a slow box is visible
+     as a control excursion rather than a performance claim.
+
+Usage:
+    python scripts/verify_all.py [--sf-dir /root/testdata/sf0.01]
+                                 [--quick]   # contract + controls only
+
+Exit code 0 iff every check passes. Prints one JSON summary line last.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from full_registry_sweep import TABLES, frame_key  # noqa: E402
+
+
+def check_contract() -> dict:
+    import pathlib
+
+    import __spark_entry__ as E
+    import database_extractor_spark.registry as reg
+
+    q, o = E.queries(), E.oracle_sql()
+    res = {
+        "n_queries": len(q),
+        "n_oracles": len(o),
+        "keys_identical": set(q) == set(o),
+        "verify_first_leads": list(q)[: len(reg._VERIFY_FIRST)]
+        == reg._VERIFY_FIRST,
+    }
+    sizes = {
+        p.name: sum(1 for _ in open(p))
+        for p in pathlib.Path(reg.__file__).parent.glob("*.py")
+    }
+    res["max_module_lines"] = max(sizes.values())
+    res["split_invariant"] = res["max_module_lines"] < 4000
+    res["ok"] = all(
+        res[k]
+        for k in ("keys_identical", "verify_first_leads", "split_invariant")
+    )
+    return res
+
+
+def run_entry_smoke(spark) -> dict:
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    n = df.count()
+    return {"rows": n, "cols": len(df.columns), "ok": n >= 0}
+
+
+def run_sweep(spark, sf_dir: str, only: list[str] | None) -> dict:
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{p}')"
+            )
+    queries, oracles = E.queries(), E.oracle_sql()
+    names = only or list(queries)
+    out = {"match": 0, "mismatch": [], "error": []}
+    t0 = time.monotonic()
+    for i, name in enumerate(names):
+        try:
+            df = queries[name](spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            cur = con.execute(oracles[name])
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+            ok = (
+                sorted(s_cols) == sorted(o_cols)
+                and len(s_rows) == len(o_rows)
+                and frame_key(s_cols, s_rows) == frame_key(o_cols, o_rows)
+            )
+            if ok:
+                out["match"] += 1
+            else:
+                out["mismatch"].append(name)
+                print(f"  MISMATCH {name}", flush=True)
+        except Exception as exc:  # noqa: BLE001 — summarized, not hidden
+            out["error"].append(name)
+            print(f"  ERROR {name}: {exc!r}", flush=True)
+        if (i + 1) % 50 == 0:
+            print(
+                f"  ... {i + 1}/{len(names)} "
+                f"({time.monotonic() - t0:.0f}s)",
+                flush=True,
+            )
+    out["elapsed_sec"] = round(time.monotonic() - t0, 1)
+    out["ok"] = not out["mismatch"] and not out["error"]
+    return out
+
+
+def run_controls() -> dict:
+    """The bench.py environment anchors, standalone: a judge comparing
+    a BENCH_r{N}.json against these bands can attribute drift to the
+    box before reading any query timing."""
+    import bench
+
+    return {
+        "single_thread_sec": bench._single_thread_control(),
+        "quiet_bands": {
+            "window_rank": [0.20, 0.30],
+            "single_thread_sec": [0.12, 0.17],
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--quick",
+        action="store_true",
+        help="skip the full sweep (contract + smoke + controls only)",
+    )
+    ap.add_argument("--only", default=None, help="comma-separated entries")
+    args = ap.parse_args()
+
+    summary: dict = {"contract": check_contract()}
+    print(f"contract: {summary['contract']}", flush=True)
+
+    from database_extractor_spark.session import create_spark_client
+
+    spark = create_spark_client()
+    summary["entry_smoke"] = run_entry_smoke(spark)
+    print(f"entry_smoke: {summary['entry_smoke']}", flush=True)
+
+    if not args.quick:
+        only = args.only.split(",") if args.only else None
+        summary["sweep"] = run_sweep(spark, args.sf_dir, only)
+        print(
+            f"sweep: {summary['sweep']['match']} match, "
+            f"{len(summary['sweep']['mismatch'])} mismatch, "
+            f"{len(summary['sweep']['error'])} error "
+            f"in {summary['sweep']['elapsed_sec']}s",
+            flush=True,
+        )
+
+    summary["controls"] = run_controls()
+    ok = all(v.get("ok", True) for v in summary.values() if isinstance(v, dict))
+    summary["ok"] = ok
+    print(json.dumps(summary, default=str))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
