@@ -117,6 +117,8 @@ _VERIFY_FIRST = [
     "streaming_curation_funnel",
     # ---- round-14 additions (slots 48-50) ----
     "bitmap_distinct_dictionary",
+    "sim_filtered_topk",
+    "schema_evolution_union",
 ]
 
 

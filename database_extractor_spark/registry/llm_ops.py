@@ -601,6 +601,47 @@ def sim_partitioned_topk(spark, sf_dir):
     return S.partitioned_topk(e.filter("vec_id <> 0"), q, "label", [q_label], k=5)
 
 
+@register(
+    "sim_filtered_topk",
+    """
+    with q as (select embedding as qv, label as ql
+               from embeddings where vec_id = 0)
+    select vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+    from embeddings e, q
+    where e.vec_id % 3 = 0 and e.label <> q.ql and e.vec_id <> 0
+    order by cos desc, vec_id limit 8
+    """,
+)
+def sim_filtered_topk(spark, sf_dir):
+    """METADATA-FILTERED vector search — top-k under an arbitrary
+    predicate that crosses index-partition boundaries (vec_id % 3 = 0
+    AND label <> query's label): the filtered-ANN serving problem.
+    Partition pruning (sim_partitioned_topk) only helps when the filter
+    IS the partition key; an arbitrary metadata filter needs
+    PRE-filtering — apply the predicate BEFORE scoring, so the result
+    is exact and k is always filled — rather than POST-filtering an ANN
+    candidate list, which under-fills k exactly when the filter is
+    selective (the classic filtered-HNSW failure mode). In this plan
+    the predicate reaches the parquet scan (vec_id/label are scalar
+    columns -> PushedFilters + row-group min/max skipping), so at 100 TB
+    the selective filter prunes I/O before a single dot product runs;
+    what remains is the exact lane's no-shuffle scan + TakeOrdered(k).
+    For low-selectivity filters the right lane is the bucketed ANN
+    (sim_ann_lsh / sim_ivf_*) with the predicate applied inside each
+    probed bucket — same pre-filter principle, bounded candidates."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, ql = _fixture_query_vec(sf_dir)
+    filtered = e.filter(
+        (F.col("vec_id") % 3 == 0)
+        & (F.col("label") != F.lit(ql))
+        & (F.col("vec_id") != 0)
+    )
+    return S.brute_force_topk(filtered, q, k=8)
+
+
 _SEED_VEC_CACHE: dict[str, list] = {}
 
 #: the frozen sampled-quantizer seed ids (sim_ivf_fixed / sim_pq_fixed):

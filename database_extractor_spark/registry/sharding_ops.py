@@ -2414,3 +2414,55 @@ def order_to_ship_latency(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 14: lake schema evolution
+# ==========================================================================
+
+
+@register(
+    "schema_evolution_union",
+    """
+    select case when doc_id % 2 = 1 then lang end as lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(cast(len(text) as bigint)) as bigint) as sum_chars
+    from documents
+    group by 1
+    order by lang nulls first
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    """SCHEMA EVOLUTION across lake batches — the 100 TB lake reality
+    that a fixed-schema scan ignores: early ingest batches lack columns
+    later batches carry. Two parquet batches are written from the same
+    corpus (even doc_ids: (doc_id, n_chars) only; odd doc_ids: plus
+    lang), then read back as ONE frame via mergeSchema=true — Spark
+    reconciles the footers and back-fills missing columns with NULL, so
+    the aggregate sees old rows as lang IS NULL without any rewrite of
+    the old batch. This is the read-side half of evolution; the
+    write-side half (overwrite one partition with a wider schema) is
+    upsert_day_overwrite's discipline. Plan note: mergeSchema is a
+    FOOTER operation per batch directory, not a data pass — at scale the
+    cost is one schema merge per file footer, and column pruning still
+    reaches every batch (a batch without the column scans nothing for
+    it). The oracle replays the split from the source table (batch
+    membership is doc_id parity, so the union is reconstructible
+    without reading the temp lake). NULL-first ordering pinned on both
+    engines (Spark asc_nulls_first vs DuckDB's default nulls-last)."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"), "lang"
+    )
+    root = _stream_tmpdir("schema_evo_")
+    old = os.path.join(root, "batch_v1")
+    new = os.path.join(root, "batch_v2")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "n_chars"
+    ).write.mode("overwrite").parquet(old)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(new)
+    lake = spark.read.option("mergeSchema", "true").parquet(old, new)
+    return (
+        lake.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy(F.asc_nulls_first("lang"))
+    )

@@ -140,3 +140,41 @@ def test_conf_window_restores_and_unsets(spark):
         assert spark.conf.get(novel) == "x"
     with _pytest.raises(Exception):
         spark.conf.get(novel)
+
+
+def test_sim_filtered_topk_prefilter_semantics(spark):
+    """Pre-filter semantics: every returned id satisfies the metadata
+    predicate, k is filled, and the predicate reaches the parquet scan
+    as DataFilters (row-group skipping at scale)."""
+    from database_extractor_spark.registry import QUERIES, _fixture_query_vec
+
+    _, ql = _fixture_query_vec(SF_DIR)
+    df = QUERIES["sim_filtered_topk"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["vec_id"] % 3 == 0 and r["vec_id"] != 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "DataFilters: [" in plan and "% 3" in plan, plan
+    # exact lane shape: no shuffle joins, no Python
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_schema_evolution_union_backfills_nulls(spark):
+    """mergeSchema must surface batch-v1 rows (no lang column on disk)
+    as lang IS NULL, and the union must cover every source row."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    out = QUERIES["schema_evolution_union"](spark, SF_DIR).collect()
+    n_total = sum(r["n_docs"] for r in out)
+    assert n_total == _tbl(spark, SF_DIR, "documents").count()
+    null_group = [r for r in out if r["lang"] is None]
+    assert null_group, "batch-v1 rows must land in the NULL-lang group"
+    # the NULL group holds at least all even doc_ids (plus odd NULL-lang)
+    n_even = _tbl(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).count()
+    assert null_group[0]["n_docs"] >= n_even
