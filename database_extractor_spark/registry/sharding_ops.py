@@ -2414,55 +2414,77 @@ def order_to_ship_latency(spark, sf_dir):
 
 
 # ==========================================================================
-# Round 14: lake schema evolution
+# Round 14: document chunking
 # ==========================================================================
 
 
 @register(
-    "schema_evolution_union",
-    """
-    select case when doc_id % 2 = 1 then lang end as lang,
-           cast(count(*) as bigint) as n_docs,
-           cast(sum(cast(len(text) as bigint)) as bigint) as sum_chars
-    from documents
-    group by 1
-    order by lang nulls first
+    "doc_chunk_overlap",
+    r"""
+    with toks as (
+        select doc_id, string_split_regex(trim(text), '\s+') as t
+        from documents
+        where text is not null and len(trim(text)) > 0
+    ),
+    starts as (
+        select doc_id, t,
+               unnest(range(1, greatest(1, len(t) - 8) + 1, 24)) as start
+        from toks
+    )
+    select doc_id,
+           cast((start - 1) / 24 as bigint) as chunk_id,
+           cast(start as bigint) as start_tok,
+           cast(least(32, len(t) - start + 1) as bigint) as n_tokens,
+           md5(array_to_string(t[start:least(start + 31, len(t))], ' '))
+               as chunk_md5
+    from starts
+    order by doc_id, chunk_id
     """,
 )
-def schema_evolution_union(spark, sf_dir):
-    """SCHEMA EVOLUTION across lake batches — the 100 TB lake reality
-    that a fixed-schema scan ignores: early ingest batches lack columns
-    later batches carry. Two parquet batches are written from the same
-    corpus (even doc_ids: (doc_id, n_chars) only; odd doc_ids: plus
-    lang), then read back as ONE frame via mergeSchema=true — Spark
-    reconciles the footers and back-fills missing columns with NULL, so
-    the aggregate sees old rows as lang IS NULL without any rewrite of
-    the old batch. This is the read-side half of evolution; the
-    write-side half (overwrite one partition with a wider schema) is
-    upsert_day_overwrite's discipline. Plan note: mergeSchema is a
-    FOOTER operation per batch directory, not a data pass — at scale the
-    cost is one schema merge per file footer, and column pruning still
-    reaches every batch (a batch without the column scans nothing for
-    it). The oracle replays the split from the source table (batch
-    membership is doc_id parity, so the union is reconstructible
-    without reading the temp lake). NULL-first ordering pinned on both
-    engines (Spark asc_nulls_first vs DuckDB's default nulls-last)."""
-    docs = _tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("n_chars"), "lang"
+def doc_chunk_overlap(spark, sf_dir):
+    """FIXED-SIZE TOKEN CHUNKING WITH OVERLAP — the document splitter
+    every RAG index and long-context training pipeline runs before
+    embedding or packing: windows of 32 tokens advancing by stride 24
+    (8-token overlap so no boundary-spanning phrase is lost to a cut),
+    emitting (doc_id, chunk_id, start offset, chunk length, content
+    md5). Pure JVM array surface — tokenize once, F.sequence generates
+    the chunk starts, posexplode-free explode + slice materializes each
+    window, concat_ws+md5 fingerprints it; no UDF, no shuffle (chunking
+    is embarrassingly row-local: a 100 TB corpus chunks in one scan at
+    whatever parallelism the input splits give). Chunk starts stop at
+    greatest(1, n - (size - stride)): a window is emitted only if the
+    previous one did NOT already reach the document end, so every
+    non-tail chunk is exactly full-size, the tail is kept short rather
+    than padded, no chunk is fully contained in its predecessor, and
+    coverage is total; empty/whitespace-only docs produce no chunks on
+    either engine. Downstream: chunk_md5 is the join key into
+    the dedup lane (chunk-level exact dedup catches boilerplate that
+    document-level hashing misses), and (doc_id, start_tok) reassembles
+    provenance."""
+    size, stride = 32, 24
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
-    root = _stream_tmpdir("schema_evo_")
-    old = os.path.join(root, "batch_v1")
-    new = os.path.join(root, "batch_v2")
-    docs.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id", "n_chars"
-    ).write.mode("overwrite").parquet(old)
-    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(new)
-    lake = spark.read.option("mergeSchema", "true").parquet(old, new)
-    return (
-        lake.groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-        )
-        .orderBy(F.asc_nulls_first("lang"))
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size("t") - (size - stride)),
+                F.lit(stride),
+            )
+        ).alias("start"),
     )
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(size), F.size("t") - F.col("start") + 1
+        ).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(size)))
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

@@ -33,7 +33,16 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".sf1"))
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--sf-dir", default=SF1_DIR,
+                    help="fixture dir (default: the sf1 10x fixture)")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+    names = args.names or DEFAULT
+    sf_dir = args.sf_dir
     load_before = os.getloadavg()
 
     import __spark_entry__ as E
@@ -51,20 +60,20 @@ def main() -> None:
     results = {}
     for name in names:
         fn = queries[name]
-        fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()  # warm
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         times = []
-        for _ in range(5):
+        for _ in range(args.runs):
             t0 = time.monotonic()
-            fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
         results[name] = {"min": min(times), "runs": times}
-        print(json.dumps({"query": name, "sf": 1, **results[name]}), flush=True)
+        print(json.dumps({"query": name, "sf_dir": sf_dir, **results[name]}), flush=True)
 
     print(
         json.dumps(
             {
                 "protocol": "fresh session, 1 warm-up + 5 timed, min, noop sink",
-                "sf1_dir": SF1_DIR,
+                "sf1_dir": sf_dir,
                 "loadavg_before": load_before,
                 "loadavg_after": os.getloadavg(),
                 "min_by_query": {n: r["min"] for n, r in results.items()},

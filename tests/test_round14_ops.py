@@ -161,20 +161,51 @@ def test_sim_filtered_topk_prefilter_semantics(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_schema_evolution_union_backfills_nulls(spark):
-    """mergeSchema must surface batch-v1 rows (no lang column on disk)
-    as lang IS NULL, and the union must cover every source row."""
+def test_doc_chunk_overlap_invariants(spark):
+    """Chunking invariants: stride-24/size-32 windows — consecutive
+    chunks overlap by 8 token positions, every token position is
+    covered, only the tail chunk may be short, and chunking is
+    shuffle-free up to the presentation sort."""
+    from collections import defaultdict
+
     from pyspark.sql import functions as F
 
     from database_extractor_spark.registry import QUERIES, _tbl
 
-    out = QUERIES["schema_evolution_union"](spark, SF_DIR).collect()
-    n_total = sum(r["n_docs"] for r in out)
-    assert n_total == _tbl(spark, SF_DIR, "documents").count()
-    null_group = [r for r in out if r["lang"] is None]
-    assert null_group, "batch-v1 rows must land in the NULL-lang group"
-    # the NULL group holds at least all even doc_ids (plus odd NULL-lang)
-    n_even = _tbl(spark, SF_DIR, "documents").filter(
-        F.col("doc_id") % 2 == 0
-    ).count()
-    assert null_group[0]["n_docs"] >= n_even
+    rows = QUERIES["doc_chunk_overlap"](spark, SF_DIR).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    n_tokens_truth = {
+        r["doc_id"]: r["n"]
+        for r in _tbl(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    assert set(by_doc) == set(n_tokens_truth)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = n_tokens_truth[doc_id]
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i
+            assert c["start_tok"] == 1 + i * 24
+            expect = min(32, n - c["start_tok"] + 1)
+            assert c["n_tokens"] == expect
+            if i < len(chunks) - 1:
+                assert c["n_tokens"] == 32  # only the tail may be short
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tokens"] - 1 == n
+    plan = (
+        QUERIES["doc_chunk_overlap"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    # one scan, explode, project — the only exchange is the final sort's
+    assert plan.count("Exchange") <= 1, plan
