@@ -118,7 +118,7 @@ _VERIFY_FIRST = [
     # ---- round-14 additions (slots 48-50) ----
     "bitmap_distinct_dictionary",
     "sim_filtered_topk",
-    "doc_chunk_overlap",
+    "hybrid_rank_fusion",
 ]
 
 

@@ -17,8 +17,10 @@ from database_extractor_spark.operators import similarity as S
 from database_extractor_spark.operators import text as T
 
 from database_extractor_spark.registry._base import (
+    ORACLE,
     register,
     _tbl,
+    _fixture_query_vec,
 )
 from database_extractor_spark.registry.relational_ops import (
     _near_dup_oracle,
@@ -676,6 +678,97 @@ def text_bm25(spark, sf_dir):
     )
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+
+
+def _rrf_oracle() -> str:
+    """RRF over the two retrieval lanes the registry already oracles:
+    the text_bm25 oracle verbatim as lane 1, the sim_bruteforce cosine
+    form (vec_id row-aligned with doc_id in the fixture) as lane 2."""
+    return f"""
+    with bm_all as (select * from ({ORACLE["text_bm25"]})),
+    bm as (select doc_id, bm25 as score from bm_all
+           order by bm25 desc, doc_id limit 50),
+    q as (select embedding as qv from embeddings where vec_id = 0),
+    vs as (
+        select vec_id as doc_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv::DOUBLE[],
+                                                q.qv::DOUBLE[]))), 6)
+                   as score
+        from embeddings e, q
+        where e.vec_id <> 0
+        order by score desc, doc_id limit 50
+    ),
+    pool as (
+        select 'bm25' as lane, doc_id, score from bm
+        union all
+        select 'vec' as lane, doc_id, score from vs
+    ),
+    ranked as (
+        select lane, doc_id,
+               row_number() over (partition by lane
+                                  order by score desc, doc_id) as r
+        from pool
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_lanes,
+           round(sum(1.0 / (60.0 + r)), 6) as rrf
+    from ranked
+    group by doc_id
+    order by rrf desc, doc_id
+    limit 10
+    """
+
+
+@register("hybrid_rank_fusion", _rrf_oracle())
+def hybrid_rank_fusion(spark, sf_dir):
+    """RECIPROCAL-RANK FUSION of two retrieval lanes — hybrid search,
+    the standard way a RAG/retrieval pipeline combines lexical and
+    vector relevance without comparable score scales: rank each lane
+    independently, score each doc sum(1/(60+rank)) over the lanes that
+    returned it, re-rank by the fused score (Cormack et al.'s RRF,
+    k=60). Lane 1 is the registry's BM25 entry (fixed query term set);
+    lane 2 is exact cosine to the fixture query vector (embeddings are
+    the corpus's row-aligned sidecar: vec_id == doc_id). Each lane
+    contributes its top-50 (TakeOrderedAndProject — no global sort);
+    per-lane ranks come from a window PARTITIONED BY LANE over the
+    union of the two 50-row pools (never a global window — the lint
+    bar), so at 100 TB the only corpus-sized work is the two lane
+    scans the registry already runs; fusion itself is bounded by
+    n_lanes x k rows. Exactness: both lanes' doubles are oracled
+    bit-identical, ranks are integers, 1/(60+r) is one IEEE division,
+    and the per-doc sum has at most TWO terms (double addition is
+    commutative — order-safe without decimal lanes)."""
+    k_pool, k_rrf = 50, 60.0
+    bm = (
+        text_bm25(spark, sf_dir)
+        .select("doc_id", F.col("bm25").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k_pool)
+    )
+    e = _tbl(spark, sf_dir, "embeddings")
+    q, _ = _fixture_query_vec(sf_dir)
+    vs = S.brute_force_topk(e, q, k=k_pool, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    pool = bm.select(F.lit("bm25").alias("lane"), "doc_id", "score").unionAll(
+        vs.select(F.lit("vec").alias("lane"), "doc_id", "score")
+    )
+    w = Window.partitionBy("lane").orderBy(F.desc("score"), "doc_id")
+    ranked = pool.select("lane", "doc_id", F.row_number().over(w).alias("r"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lanes"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("r"))), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
     )
 
 

@@ -2411,80 +2411,3 @@ def order_to_ship_latency(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
-
-
-# ==========================================================================
-# Round 14: document chunking
-# ==========================================================================
-
-
-@register(
-    "doc_chunk_overlap",
-    r"""
-    with toks as (
-        select doc_id, string_split_regex(trim(text), '\s+') as t
-        from documents
-        where text is not null and len(trim(text)) > 0
-    ),
-    starts as (
-        select doc_id, t,
-               unnest(range(1, greatest(1, len(t) - 8) + 1, 24)) as start
-        from toks
-    )
-    select doc_id,
-           cast((start - 1) / 24 as bigint) as chunk_id,
-           cast(start as bigint) as start_tok,
-           cast(least(32, len(t) - start + 1) as bigint) as n_tokens,
-           md5(array_to_string(t[start:least(start + 31, len(t))], ' '))
-               as chunk_md5
-    from starts
-    order by doc_id, chunk_id
-    """,
-)
-def doc_chunk_overlap(spark, sf_dir):
-    """FIXED-SIZE TOKEN CHUNKING WITH OVERLAP — the document splitter
-    every RAG index and long-context training pipeline runs before
-    embedding or packing: windows of 32 tokens advancing by stride 24
-    (8-token overlap so no boundary-spanning phrase is lost to a cut),
-    emitting (doc_id, chunk_id, start offset, chunk length, content
-    md5). Pure JVM array surface — tokenize once, F.sequence generates
-    the chunk starts, posexplode-free explode + slice materializes each
-    window, concat_ws+md5 fingerprints it; no UDF, no shuffle (chunking
-    is embarrassingly row-local: a 100 TB corpus chunks in one scan at
-    whatever parallelism the input splits give). Chunk starts stop at
-    greatest(1, n - (size - stride)): a window is emitted only if the
-    previous one did NOT already reach the document end, so every
-    non-tail chunk is exactly full-size, the tail is kept short rather
-    than padded, no chunk is fully contained in its predecessor, and
-    coverage is total; empty/whitespace-only docs produce no chunks on
-    either engine. Downstream: chunk_md5 is the join key into
-    the dedup lane (chunk-level exact dedup catches boilerplate that
-    document-level hashing misses), and (doc_id, start_tok) reassembles
-    provenance."""
-    size, stride = 32, 24
-    docs = _tbl(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
-    )
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
-    chunks = toks.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.lit(1), F.size("t") - (size - stride)),
-                F.lit(stride),
-            )
-        ).alias("start"),
-    )
-    return chunks.select(
-        "doc_id",
-        ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_id"),
-        F.col("start").cast("bigint").alias("start_tok"),
-        F.least(
-            F.lit(size), F.size("t") - F.col("start") + 1
-        ).cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(size)))
-        ).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")

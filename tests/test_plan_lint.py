@@ -93,6 +93,10 @@ SCALAR_ATTACH_OK = {
     "share_of_total_agg",
     "equal_freq_binning",
     "text_bm25",
+    # RRF's lane 1 is text_bm25's plan verbatim, inheriting its 1-row
+    # N/avgdl stats attach; the fusion stages add only equi-unions,
+    # a lane-partitioned window, and TakeOrdered
+    "hybrid_rank_fusion",
     # Q22's global-threshold CTE (`from cust, thr` with thr a 1-row
     # sum/count aggregate) is the same exact-integer scalar attach,
     # expressed through the SQL front-end

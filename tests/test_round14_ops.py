@@ -161,51 +161,49 @@ def test_sim_filtered_topk_prefilter_semantics(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_doc_chunk_overlap_invariants(spark):
-    """Chunking invariants: stride-24/size-32 windows — consecutive
-    chunks overlap by 8 token positions, every token position is
-    covered, only the tail chunk may be short, and chunking is
-    shuffle-free up to the presentation sort."""
-    from collections import defaultdict
+def test_hybrid_rank_fusion_semantics(spark):
+    """RRF invariants: the fused score of every returned doc equals
+    sum(1/(60+rank)) recomputed from the two lanes' independent
+    rankings; docs found by BOTH lanes carry n_lanes=2; the plan uses a
+    lane-partitioned window (never global) and TakeOrdered limits."""
+    import re
 
+    from database_extractor_spark.registry import (
+        QUERIES,
+        _fixture_query_vec,
+        _tbl,
+        text_bm25,
+    )
+    from database_extractor_spark.operators import similarity as S
     from pyspark.sql import functions as F
 
-    from database_extractor_spark.registry import QUERIES, _tbl
-
-    rows = QUERIES["doc_chunk_overlap"](spark, SF_DIR).collect()
-    by_doc = defaultdict(list)
-    for r in rows:
-        by_doc[r["doc_id"]].append(r)
-    n_tokens_truth = {
-        r["doc_id"]: r["n"]
-        for r in _tbl(spark, SF_DIR, "documents")
-        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
-        .select(
-            "doc_id",
-            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
-        )
-        .collect()
-    }
-    assert set(by_doc) == set(n_tokens_truth)
-    for doc_id, chunks in by_doc.items():
-        chunks.sort(key=lambda r: r["chunk_id"])
-        n = n_tokens_truth[doc_id]
-        for i, c in enumerate(chunks):
-            assert c["chunk_id"] == i
-            assert c["start_tok"] == 1 + i * 24
-            expect = min(32, n - c["start_tok"] + 1)
-            assert c["n_tokens"] == expect
-            if i < len(chunks) - 1:
-                assert c["n_tokens"] == 32  # only the tail may be short
-        # full coverage: last chunk reaches the final token
-        last = chunks[-1]
-        assert last["start_tok"] + last["n_tokens"] - 1 == n
+    out = QUERIES["hybrid_rank_fusion"](spark, SF_DIR).collect()
+    assert len(out) == 10
+    # recompute lane ranks driver-side
+    bm = sorted(
+        [(r["doc_id"], r["bm25"]) for r in text_bm25(spark, SF_DIR).collect()],
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    q, _ = _fixture_query_vec(SF_DIR)
+    vs = S.brute_force_topk(
+        _tbl(spark, SF_DIR, "embeddings"), q, k=50, exclude_ids=[0]
+    ).collect()
+    rank = {}
+    for i, (d, _s) in enumerate(bm):
+        rank.setdefault(d, []).append(i + 1)
+    for i, r in enumerate(vs):
+        rank.setdefault(r["vec_id"], []).append(i + 1)
+    for r in out:
+        expect = round(sum(1.0 / (60.0 + rr) for rr in rank[r["doc_id"]]), 6)
+        assert abs(r["rrf"] - expect) < 1e-9, (r, expect)
+        assert r["n_lanes"] == len(rank[r["doc_id"]])
     plan = (
-        QUERIES["doc_chunk_overlap"](spark, SF_DIR)
+        QUERIES["hybrid_rank_fusion"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
+    assert not re.search(r"Window \[[^\n]*?\], \[\], \[", plan), plan
+    assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
-    # one scan, explode, project — the only exchange is the final sort's
-    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan
