@@ -2411,3 +2411,131 @@ def order_to_ship_latency(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ==========================================================================
+# Round 14: incremental view maintenance, inverted-index postings
+# ==========================================================================
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(18,6))) as double) as sum_val
+    from events
+    where ts < timestamp '2024-01-26'
+    group by event_type
+    order by event_type
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view delta
+    merge that keeps a 100 TB rollup fresh without rescanning history:
+    the running aggregate is stored as MERGEABLE PARTIAL STATE (per
+    (event_type, day): count + decimal sum — both associative), and a
+    new day folds in by aggregating ONLY the delta partition and
+    re-aggregating partials. History cost is |groups| snapshot rows,
+    not |events| history rows; the events scan in the merged plan
+    carries the delta's day bound as a pushed filter (plan-pinned in
+    tests — the proof nothing re-reads the old days). Exactness: counts
+    merge as bigint sums, value sums stay decimal(18,6) through the
+    snapshot parquet and the merge, cast to double only at the edge —
+    so merge(partials) is bit-identical to the oracle's full recompute.
+    The same shape maintains daily rollups under streaming_merge_upsert
+    semantics; time_hierarchy_rollup is the BATCH form of this state."""
+    ev = _tbl(spark, sf_dir, "events")
+    cutoff, delta_end = "2024-01-25", "2024-01-26"
+    partials = lambda df: (  # noqa: E731 — local plan shape, not an API
+        df.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+        )
+    )
+    snap_path = os.path.join(_stream_tmpdir("ivm_"), "snapshot")
+    partials(
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    ).write.mode("overwrite").parquet(snap_path)
+    delta = partials(
+        ev.filter(
+            (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+            & (F.col("ts") < F.lit(delta_end).cast("timestamp"))
+        )
+    )
+    snap = spark.read.parquet(snap_path)
+    return (
+        snap.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("psum").cast("double").alias("sum_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+    with toks as (
+        select doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) as term,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                   - 1 as pos
+        from documents
+        where text is not null and len(trim(text)) > 0
+    ),
+    posting as (
+        select term, doc_id,
+               cast(count(*) as bigint) as tf,
+               list(pos order by pos) as positions
+        from toks group by term, doc_id
+    ),
+    dfreq as (
+        select term, cast(count(*) as bigint) as df from posting group by term
+    )
+    select p.term, p.doc_id, p.tf, p.positions
+    from posting p join dfreq using (term)
+    where df between 2 and 50
+    order by term, doc_id
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """INVERTED-INDEX POSTINGS BUILD — the (term -> doc, positions)
+    table behind phrase search, span-level decontamination and BM25
+    serving, materialized as a first-class data product: one
+    posexplode pass, one (term, doc) aggregate collecting the ORDERED
+    position list (sort_array over collect_list — deterministic
+    regardless of shuffle arrival order), and a document-frequency gate
+    2 <= df <= 50 that drops hapax terms (index noise) AND stopword-
+    grade terms whose posting lists grow with the corpus — the
+    unbounded-posting hazard at 100 TB (the df-cap discipline of
+    dedup_containment_capped; a production index shards those terms or
+    tiers them into a separate stopword index). Both aggregates shuffle
+    on term, so the df gate and the postings join co-locate without a
+    second exchange. Positions are 0-based on both engines (DuckDB
+    generate_subscripts is 1-based, normalized in the oracle)."""
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.col("text"))).alias("pos", "term"),
+    )
+    posting = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias(
+            "positions"
+        ),
+    )
+    dfreq = (
+        posting.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
+    return (
+        posting.join(dfreq.select("term"), "term")
+        .select("term", "doc_id", "tf", "positions")
+        .orderBy("term", "doc_id")
+    )

@@ -207,3 +207,59 @@ def test_hybrid_rank_fusion_semantics(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_maintenance_never_rescans_history(spark):
+    """The IVM proof: in the merged plan, the EVENTS parquet scan must
+    carry the delta day's bounds as pushed data filters (history lives
+    only in the snapshot partials file), and merge(partials) must equal
+    the full recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    df = QUERIES["incremental_agg_maintenance"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ev_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events" in ln
+    ]
+    assert len(ev_scans) == 1, plan  # ONE events scan: the delta only
+    assert "2024-01-25" in ev_scans[0] and "2024-01-26" in ev_scans[0], (
+        ev_scans[0]
+    )
+    got = {r["event_type"]: (r["n_events"], r["sum_val"]) for r in df.collect()}
+    truth = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in _tbl(spark, SF_DIR, "events")
+        .filter(F.col("ts") < F.lit("2024-01-26").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_inverted_index_postings_invariants(spark):
+    """Postings invariants: positions strictly increasing and 0-based,
+    tf == len(positions), every surviving term's df within [2, 50], and
+    the hot/hapax terms are really gone."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["inverted_index_postings"](spark, SF_DIR).collect()
+    assert rows, "fixture should yield some postings"
+    df_count = Counter(r["term"] for r in rows)
+    for r in rows:
+        ps = r["positions"]
+        assert r["tf"] == len(ps)
+        assert all(ps[i] < ps[i + 1] for i in range(len(ps) - 1))
+        assert ps[0] >= 0
+        assert 2 <= df_count[r["term"]] <= 50
