@@ -228,6 +228,13 @@ SECONDARY = [
     "tpch_refresh_functions",
     # round-13 addition: fulfillment latency percentiles
     "order_to_ship_latency",
+    # round-14 additions: sparse-id bitmap compose, filtered/hybrid
+    # retrieval, materialized-view delta merge, postings build
+    "bitmap_distinct_dictionary",
+    "sim_filtered_topk",
+    "hybrid_rank_fusion",
+    "incremental_agg_maintenance",
+    "inverted_index_postings",
 ]
 
 
