@@ -235,6 +235,8 @@ SECONDARY = [
     "hybrid_rank_fusion",
     "incremental_agg_maintenance",
     "inverted_index_postings",
+    "corpus_snapshot_diff",
+    "sql_unpivot_clause",
 ]
 
 

@@ -2539,3 +2539,135 @@ def inverted_index_postings(spark, sf_dir):
         .select("term", "doc_id", "tf", "positions")
         .orderBy("term", "doc_id")
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    with a as (select doc_id, md5(coalesce(text, '')) as h from documents),
+    b_kept as (
+        select doc_id,
+               md5(coalesce(text, '')
+                   || case when doc_id % 11 = 5 then ' rev2' else '' end) as h
+        from documents where doc_id % 7 <> 3
+    ),
+    b_new as (
+        select doc_id + 1000000 as doc_id, md5(coalesce(text, '')) as h
+        from documents where doc_id % 13 = 8
+    ),
+    b as (select * from b_kept union all select * from b_new)
+    select coalesce(a.doc_id, b.doc_id) as doc_id,
+           case when a.doc_id is null then 'added'
+                when b.doc_id is null then 'removed'
+                else 'changed' end as status
+    from a full outer join b on a.doc_id = b.doc_id
+    where a.doc_id is null or b.doc_id is null or a.h <> b.h
+    order by doc_id
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """SNAPSHOT DIFF / CDC EXTRACTION — the inverse of cdc_merge_apply:
+    given two corpus releases, DERIVE the change feed (added / removed /
+    changed by content hash) that merge would need to turn A into B.
+    This is corpus release management at 100 TB: one full-outer
+    shuffle join of two (doc_id, md5(text)) projections — 16-byte-hash
+    rows, never the text — emitting ONLY the delta (unchanged rows,
+    the overwhelming majority of a release, are filtered before
+    anything downstream sees them). Snapshot B is synthesized in-plan
+    from the same table by a deterministic evolution (every 7th doc
+    removed, every 11th revised, every 13th re-keyed as an addition)
+    so the oracle replays it exactly; in production the two sides are
+    two parquet roots and the plan is unchanged. Content equality is
+    md5 — portable across engines and cheap to bucket the join on."""
+    docs = _tbl(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    b_kept = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 11 == 5, F.lit(" rev2")).otherwise(
+                    F.lit("")
+                ),
+            )
+        ).alias("h"),
+    )
+    b_new = docs.filter(F.col("doc_id") % 13 == 8).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return (
+        j.filter(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.h") != F.col("b.h"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sql_unpivot_clause",
+    """
+    with w as (
+        select o_orderpriority,
+               cast(count(case when o_orderstatus = 'F' then 1 end)
+                    as bigint) as n_f,
+               cast(count(case when o_orderstatus = 'O' then 1 end)
+                    as bigint) as n_o,
+               cast(count(case when o_orderstatus = 'P' then 1 end)
+                    as bigint) as n_p
+        from orders group by o_orderpriority
+    )
+    select o_orderpriority, status, n from (
+        select o_orderpriority, 'n_f' as status, n_f as n from w
+        union all select o_orderpriority, 'n_o', n_o from w
+        union all select o_orderpriority, 'n_p', n_p from w
+    )
+    order by o_orderpriority, status
+    """,
+)
+def sql_unpivot_clause(spark, sf_dir):
+    """The SQL UNPIVOT front end — the wide->long sibling of
+    sql_pivot_clause, completing the PIVOT/UNPIVOT pair at the SQL
+    surface: a per-priority status-count matrix folds back to
+    (priority, status, n) rows through the standard `UNPIVOT (n FOR
+    status IN (...))` clause, which Catalyst lowers to the same Expand
+    projection the DataFrame melt/unpivot API produces — one pass, no
+    join, row count = rows x |listed columns|. Spark's UNPIVOT drops
+    NULL measure values by default; these counts are never NULL (the
+    CASE-count form yields 0), so both engines see all 15 rows. The
+    oracle states the clause's exact union-all semantics."""
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_unpivot_v"
+    )
+    return spark.sql(
+        """
+        with w as (
+            select o_orderpriority,
+                   cast(count(case when o_orderstatus = 'F' then 1 end)
+                        as bigint) as n_f,
+                   cast(count(case when o_orderstatus = 'O' then 1 end)
+                        as bigint) as n_o,
+                   cast(count(case when o_orderstatus = 'P' then 1 end)
+                        as bigint) as n_p
+            from orders_unpivot_v group by o_orderpriority
+        )
+        select o_orderpriority, status, n
+        from w unpivot (n for status in (n_f, n_o, n_p))
+        order by o_orderpriority, status
+        """
+    )

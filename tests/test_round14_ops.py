@@ -263,3 +263,65 @@ def test_inverted_index_postings_invariants(spark):
         assert all(ps[i] < ps[i + 1] for i in range(len(ps) - 1))
         assert ps[0] >= 0
         assert 2 <= df_count[r["term"]] <= 50
+
+
+def test_corpus_snapshot_diff_is_exact_change_feed(spark):
+    """The diff must be exactly the change feed the synthesized
+    evolution implies: removed = docs with id%7==3, changed = kept docs
+    with id%11==5 (and not removed), added = re-keyed id%13==8 docs —
+    and NO unchanged rows leak through."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["corpus_snapshot_diff"](spark, SF_DIR).collect()
+    got = {(r["doc_id"], r["status"]) for r in rows}
+    ids = [
+        r["doc_id"]
+        for r in _tbl(spark, SF_DIR, "documents").select("doc_id").collect()
+    ]
+    expect = set()
+    for i in ids:
+        if i % 7 == 3:
+            expect.add((i, "removed"))
+        elif i % 11 == 5:
+            expect.add((i, "changed"))
+        if i % 13 == 8:
+            expect.add((i + 1000000, "added"))
+    assert got == expect and len(got) > 0
+
+
+def test_sql_unpivot_clause_matches_dataframe_melt(spark):
+    """The SQL UNPIVOT clause must produce the same rows as the
+    DataFrame unpivot API over the same wide frame — one lowering, two
+    faces."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    sql_rows = sorted(
+        (r["o_orderpriority"], r["status"], r["n"])
+        for r in QUERIES["sql_unpivot_clause"](spark, SF_DIR).collect()
+    )
+    wide = (
+        _tbl(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("bigint")
+            .alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1))
+            .cast("bigint")
+            .alias("n_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1))
+            .cast("bigint")
+            .alias("n_p"),
+        )
+    )
+    api_rows = sorted(
+        (r["o_orderpriority"], r["status"], r["n"])
+        for r in wide.unpivot(
+            "o_orderpriority", ["n_f", "n_o", "n_p"], "status", "n"
+        ).collect()
+    )
+    assert sql_rows == api_rows and len(sql_rows) == 15
