@@ -237,6 +237,7 @@ SECONDARY = [
     "inverted_index_postings",
     "corpus_snapshot_diff",
     "sql_unpivot_clause",
+    "length_bucket_batching",
 ]
 
 

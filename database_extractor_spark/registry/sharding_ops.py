@@ -2671,3 +2671,83 @@ def sql_unpivot_clause(spark, sf_dir):
         order by o_orderpriority, status
         """
     )
+
+
+@register(
+    "length_bucket_batching",
+    r"""
+    with toks as (
+        select doc_id,
+               cast(len(string_split_regex(trim(text), '\s+')) as bigint)
+                   as n_tokens
+        from documents
+        where text is not null and len(trim(text)) > 0
+    ),
+    bucketed as (
+        select doc_id, n_tokens,
+               case when n_tokens <= 16 then 16
+                    when n_tokens <= 32 then 32
+                    when n_tokens <= 64 then 64
+                    when n_tokens <= 128 then 128
+                    when n_tokens <= 256 then 256
+                    when n_tokens <= 512 then 512
+                    else 1024 end as bucket_len
+        from toks
+    )
+    select bucket_len,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tokens) as bigint) as sum_tokens,
+           cast(count(*) * bucket_len as bigint) as padded_tokens,
+           cast((count(*) * bucket_len - sum(n_tokens)) * 1000000
+                // (count(*) * bucket_len) as bigint) as waste_ppm
+    from bucketed
+    group by bucket_len
+    order by bucket_len
+    """,
+)
+def length_bucket_batching(spark, sf_dir):
+    """LENGTH-BUCKETED BATCHING — the OTHER standard training-batch
+    strategy next to first-fit packing (pack_sequences): instead of
+    concatenating documents into full windows, group similar-length
+    documents into fixed bucket sizes (16/32/.../512/1024 tokens) and
+    pad each to its bucket — simpler serving (no attention-mask
+    surgery across document boundaries) at the cost of padding waste.
+    This entry produces the decision table: per bucket, document count,
+    real tokens, padded tokens, and waste in EXACT integer ppm
+    ((padded - real) * 1e6 div padded — no float division, so the
+    ranking against pack_efficiency_eval's packing efficiency is
+    engine-exact). One narrow scan + one 7-group aggregate: the
+    strategy chooser costs nothing at any scale, which is the point —
+    run both evals, pick per corpus. The bucket menu is a fixed CASE
+    ladder (not log2 float math) so boundary docs land identically on
+    both engines."""
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    n_tok = F.size(T.tokens(F.col("text"))).cast("bigint")
+    bucket = (
+        F.when(n_tok <= 16, 16)
+        .when(n_tok <= 32, 32)
+        .when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256)
+        .when(n_tok <= 512, 512)
+        .otherwise(1024)
+    ).cast("bigint")
+    b = docs.select(n_tok.alias("n_tokens"), bucket.alias("bucket_len"))
+    cnt, tot = F.count("*").cast("bigint"), F.sum("n_tokens").cast("bigint")
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            cnt.alias("n_docs"),
+            tot.alias("sum_tokens"),
+            (cnt * F.col("bucket_len")).cast("bigint").alias("padded_tokens"),
+            F.expr(
+                "(count(*) * bucket_len - sum(n_tokens)) * 1000000L"
+                " div (count(*) * bucket_len)"
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+        )
+        .orderBy("bucket_len")
+    )
