@@ -238,6 +238,9 @@ SECONDARY = [
     "corpus_snapshot_diff",
     "sql_unpivot_clause",
     "length_bucket_batching",
+    "k_anonymity_audit",
+    "hll_intersection_estimate",
+    "join_skew_diagnostic",
 ]
 
 

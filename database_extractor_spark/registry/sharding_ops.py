@@ -2751,3 +2751,149 @@ def length_bucket_batching(spark, sf_dir):
         )
         .orderBy("bucket_len")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    select c_nationkey, c_mktsegment,
+           cast(count(*) as bigint) as n,
+           count(*) >= 5 as meets_k
+    from customer
+    group by c_nationkey, c_mktsegment
+    order by c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """K-ANONYMITY AUDIT — the privacy gate before a data release: for
+    the chosen quasi-identifier tuple (nation, market segment), every
+    equivalence class smaller than k=5 is a re-identification risk and
+    must be generalized (coarsen the quasi-identifier) or suppressed
+    before the release ships. The other half of the privacy lane next
+    to text_pii_scrub: scrubbing removes DIRECT identifiers, this
+    audits the INDIRECT ones. One map-side-combinable aggregate over
+    the quasi-identifier key — at 100 TB the audit costs one shuffle of
+    |classes| partial rows, and the failing classes (the actionable
+    output) are typically a tiny fraction. The flag threshold is an
+    integer count compare — no FP boundary."""
+    c = _tbl(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") >= 5).alias("meets_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "hll_intersection_estimate",
+    """
+    with a as (select distinct user_id from events
+               where cast(ts as date) = date '2024-01-05'),
+    b as (select distinct user_id from events
+          where cast(ts as date) = date '2024-01-06'),
+    u as (select user_id from a union select user_id from b)
+    select cast((select count(*) from a) as bigint) as est_a,
+           cast((select count(*) from b) as bigint) as est_b,
+           cast((select count(*) from u) as bigint) as est_union,
+           cast((select count(*) from a) + (select count(*) from b)
+                - (select count(*) from u) as bigint) as est_intersection
+    """,
+)
+def hll_intersection_estimate(spark, sf_dir):
+    """SKETCH ALGEBRA: distinct-set INTERSECTION via inclusion-
+    exclusion over HLL sketches — |A∩B| = est(A) + est(B) - est(A∪B).
+    HLL unions losslessly (hll_sketch_union_distinct) but cannot
+    intersect directly; inclusion-exclusion is the standard workaround
+    for audience-overlap questions (users active on BOTH days) when
+    only per-slice sketches are retained. Both day sketches build in
+    ONE pass over the two-day scan (FILTER-ed hll_sketch_agg — no
+    second job), the union is a driver-free hll_union of the two
+    sketch values, and day-partition pruning reaches the scan. Exact
+    regime: lgConfigK=14 against the fixture's ~1e3 user cardinality
+    makes every estimate exact, so the oracle is the exact set
+    arithmetic (the approx_distinct discipline); at production
+    cardinalities the docstring caveat applies — inclusion-exclusion
+    COMPOUNDS the ~1.6%/sqrt(2^lgK) relative error and can go negative
+    for near-disjoint sets; clamp and size lgK for the smallest set,
+    or keep exact bitmap lanes for small-k intersections."""
+    ev = _tbl(spark, sf_dir, "events").filter(
+        (F.to_date("ts") >= F.lit("2024-01-05"))
+        & (F.to_date("ts") <= F.lit("2024-01-06"))
+    )
+    day = F.to_date("ts")
+    sk = ev.agg(
+        F.expr(
+            "hll_sketch_agg(user_id, 14)"
+            " filter (where cast(ts as date) = date '2024-01-05')"
+        ).alias("sk_a"),
+        F.expr(
+            "hll_sketch_agg(user_id, 14)"
+            " filter (where cast(ts as date) = date '2024-01-06')"
+        ).alias("sk_b"),
+    )
+    return sk.select(
+        F.expr("cast(hll_sketch_estimate(sk_a) as bigint)").alias("est_a"),
+        F.expr("cast(hll_sketch_estimate(sk_b) as bigint)").alias("est_b"),
+        F.expr(
+            "cast(hll_sketch_estimate(hll_union(sk_a, sk_b)) as bigint)"
+        ).alias("est_union"),
+        F.expr(
+            "cast(hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)"
+            " - hll_sketch_estimate(hll_union(sk_a, sk_b)) as bigint)"
+        ).alias("est_intersection"),
+    )
+
+
+@register(
+    "join_skew_diagnostic",
+    """
+    with k as (
+        select l_orderkey, cast(count(*) as bigint) as fanout
+        from lineitem group by l_orderkey
+    )
+    select cast(count(*) as bigint) as n_keys,
+           cast(sum(fanout) as bigint) as n_rows,
+           cast(max(fanout) as bigint) as max_fanout,
+           cast(quantile_cont(fanout, 0.99) as double) as p99_fanout,
+           cast(quantile_cont(fanout, 0.50) as double) as p50_fanout,
+           cast(max(fanout) * 1000000 * count(*) // sum(fanout)
+                as bigint) as skew_ratio_ppm
+    from k
+    """,
+)
+def join_skew_diagnostic(spark, sf_dir):
+    """PRE-JOIN SKEW DIAGNOSTIC — the measurement that picks a lane
+    from the skew playbook BEFORE the join runs: the fact side's
+    per-key fanout distribution (count, max, exact p50/p99) plus
+    max/mean in exact integer ppm. Read it against session.
+    SKEW_PROFILES: max_fanout ~ p99 means uniform keys (plain join);
+    max_fanout >> p99 with narrow rows is exactly the skew that hides
+    under AQE's 256 MB byte threshold (use the measured "aqe-tuned"
+    profile or relational.salted_join). Cost: one map-side-combinable
+    count per key + one |keys|-row percentile aggregate — at 100 TB
+    this is the cheap scan you run once per (table, key) and cache in
+    table metadata, the same place NDV stats live. Exactness: fanouts
+    are integers; quantile_cont interpolation runs the identical IEEE
+    sequence on both engines (the percentile_agg discipline); the
+    ratio is integer div."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("fanout")
+    )
+    return k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("fanout").cast("bigint").alias("n_rows"),
+        F.max("fanout").cast("bigint").alias("max_fanout"),
+        F.expr("percentile(fanout, 0.99)").alias("p99_fanout"),
+        F.expr("percentile(fanout, 0.50)").alias("p50_fanout"),
+        F.expr(
+            "cast(max(fanout) * 1000000L * count(*)"
+            " div sum(fanout) as bigint)"
+        ).alias("skew_ratio_ppm"),
+    )

@@ -325,3 +325,80 @@ def test_sql_unpivot_clause_matches_dataframe_melt(spark):
         ).collect()
     )
     assert sql_rows == api_rows and len(sql_rows) == 15
+
+
+def test_k_anonymity_audit_flags_small_classes(spark):
+    """Every class's flag must equal (n >= 5), and class sizes must sum
+    to the table size (no rows lost to the audit)."""
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["k_anonymity_audit"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == _tbl(
+        spark, SF_DIR, "customer"
+    ).count()
+    for r in rows:
+        assert r["meets_k"] == (r["n"] >= 5)
+
+
+def test_hll_intersection_exact_regime_and_pruning(spark):
+    """In the exact regime the inclusion-exclusion estimate must equal
+    the true two-day user intersection, and the two-day bound must be
+    pushed to the events scan (partition-prunable at scale)."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    df = QUERIES["hll_intersection_estimate"](spark, SF_DIR)
+    row = df.collect()[0]
+    ev = _tbl(spark, SF_DIR, "events")
+    day = F.to_date("ts")
+    a = {
+        r[0]
+        for r in ev.filter(day == F.lit("2024-01-05"))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    b = {
+        r[0]
+        for r in ev.filter(day == F.lit("2024-01-06"))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert row["est_a"] == len(a) and row["est_b"] == len(b)
+    assert row["est_union"] == len(a | b)
+    assert row["est_intersection"] == len(a & b)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events" in ln
+    ]
+    # AQE may print the scan twice (initial + final plan); every
+    # occurrence must carry the pushed two-day bounds
+    assert scan and all("2024-01-0" in ln for ln in scan), scan
+
+
+def test_join_skew_diagnostic_consistency(spark):
+    """The diagnostic must reconcile with the raw table: n_rows equals
+    the fact row count, max_fanout equals the true hottest key, and the
+    ppm ratio equals max*1e6*keys // rows exactly."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    r = QUERIES["join_skew_diagnostic"](spark, SF_DIR).collect()[0]
+    li = _tbl(spark, SF_DIR, "lineitem")
+    assert r["n_rows"] == li.count()
+    true_max = (
+        li.groupBy("l_orderkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert r["max_fanout"] == true_max
+    assert (
+        r["skew_ratio_ppm"]
+        == r["max_fanout"] * 1000000 * r["n_keys"] // r["n_rows"]
+    )
