@@ -241,6 +241,8 @@ SECONDARY = [
     "k_anonymity_audit",
     "hll_intersection_estimate",
     "join_skew_diagnostic",
+    "mutual_nearest_neighbors",
+    "event_debounce",
 ]
 
 

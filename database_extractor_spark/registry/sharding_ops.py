@@ -2897,3 +2897,129 @@ def join_skew_diagnostic(spark, sf_dir):
             " div sum(fanout) as bigint)"
         ).alias("skew_ratio_ppm"),
     )
+
+
+@register(
+    "mutual_nearest_neighbors",
+    """
+    with a as (select vec_id as a_id, label,
+                      embedding::DOUBLE[] as av
+               from embeddings where vec_id % 2 = 0),
+    b as (select vec_id as b_id, label,
+                 embedding::DOUBLE[] as bv
+          from embeddings where vec_id % 2 = 1),
+    pairs as (
+        select a_id, b_id,
+               round(list_dot_product(av, bv)
+                     / (sqrt(list_dot_product(av, av))
+                        * sqrt(list_dot_product(bv, bv))), 6) as cos
+        from a join b using (label)
+    ),
+    na as (select a_id, b_id, cos,
+                  row_number() over (partition by a_id
+                                     order by cos desc, b_id) as ra
+           from pairs),
+    nb as (select a_id, b_id,
+                  row_number() over (partition by b_id
+                                     order by cos desc, a_id) as rb
+           from pairs)
+    select na.a_id, na.b_id, na.cos
+    from na join nb on na.a_id = nb.a_id and na.b_id = nb.b_id
+    where na.ra = 1 and nb.rb = 1
+    order by na.a_id
+    """,
+)
+def mutual_nearest_neighbors(spark, sf_dir):
+    """MUTUAL NEAREST NEIGHBORS — the bitext/alignment-mining
+    primitive (LASER/CCMatrix-style margin mining's core step): pair
+    two corpus sides and keep only pairs where each is the OTHER's
+    top-1 by cosine — the reciprocal check that kills the hubness
+    false-positives a one-directional top-1 produces. Sides here are
+    the even/odd vec_id halves; candidate pairs are bounded by the
+    LABEL equi-join (the coarse-quantizer-bucket discipline of
+    sim_ivf_* — at 100 TB the label is the IVF cell assignment, so
+    pair volume is sum of per-cell |A_c| x |B_c|, never |A| x |B|).
+    Two partitioned windows (by a_id, by b_id) extract each side's
+    top-1 with deterministic id tie-break; the mutual filter is one
+    equi-join of the two rank-1 sets. Cosine doubles run the identical
+    IEEE sequence on both engines, so ranks agree exactly."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("av")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("bv"),
+    )
+    pairs = a.join(b, F.col("label") == F.col("label_b")).select(
+        "a_id", "b_id", F.round(S.cosine(F.col("av"), F.col("bv")), 6).alias("cos")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
+    na = pairs.withColumn("ra", F.row_number().over(wa)).filter("ra = 1")
+    nb = pairs.withColumn("rb", F.row_number().over(wb)).filter("rb = 1")
+    return (
+        na.select("a_id", "b_id", "cos")
+        .join(nb.select("a_id", "b_id"), ["a_id", "b_id"])
+        .orderBy("a_id")
+    )
+
+
+@register(
+    "event_debounce",
+    """
+    with g as (
+        select event_type, value,
+               epoch_us(ts) - lag(epoch_us(ts)) over (
+                   partition by user_id, event_type
+                   order by ts, event_id) as gap_us
+        from events
+    )
+    select event_type,
+           cast(count(*) as bigint) as n_total,
+           cast(sum(case when gap_us is null or gap_us > 86400000000
+                         then 1 else 0 end) as bigint) as n_kept,
+           cast(sum(case when gap_us is not null
+                          and gap_us <= 86400000000
+                         then 1 else 0 end) as bigint) as n_debounced
+    from g
+    group by event_type
+    order by event_type
+    """,
+)
+def event_debounce(spark, sf_dir):
+    """EVENT DEBOUNCING — the telemetry pre-aggregation filter: a
+    repeat of the same (user, event_type) within the debounce window
+    (1 day here) is noise (double-clicks, retry storms, duplicate
+    beacons) and is dropped before counting. One (user, type)-keyed
+    window computes the gap to the previous occurrence in EXACT epoch
+    micros (integer compare against the window, no timestamp
+    arithmetic in doubles); the first occurrence per key always
+    survives (NULL gap). Distinct from dropDuplicates (exact-key
+    dedup, no time dimension) and from session_windows (which GROUPS
+    by gaps; debounce FILTERS by them). At 100 TB: one hash exchange
+    on (user_id, event_type) shared by the lag and the rollup — the
+    same shape as interval_coalesce."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "event_type",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+    window_us = 86400000000  # 1 day
+    kept = F.col("gap_us").isNull() | (F.col("gap_us") > window_us)
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )

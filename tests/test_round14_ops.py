@@ -402,3 +402,60 @@ def test_join_skew_diagnostic_consistency(spark):
         r["skew_ratio_ppm"]
         == r["max_fanout"] * 1000000 * r["n_keys"] // r["n_rows"]
     )
+
+
+def test_mutual_nearest_neighbors_reciprocity(spark):
+    """Every returned pair must be reciprocal: b is a's top-1 AND a is
+    b's top-1 within the label bucket (recomputed driver-side), and no
+    a_id or b_id appears twice (top-1 sets are functions)."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["mutual_nearest_neighbors"](spark, SF_DIR).collect()
+    assert rows
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
+    # recompute the truth in python
+    import math
+
+    vecs = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in _tbl(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return 0.0 if nu * nv == 0 else d / (nu * nv)
+
+    by_label = defaultdict(lambda: ([], []))
+    for vid, (lab, v) in vecs.items():
+        by_label[lab][vid % 2].append((vid, v))
+    expected = set()
+    for lab, (evens, odds) in by_label.items():
+        for aid, av in evens:
+            if not odds:
+                continue
+            nb = min(odds, key=lambda t: (-round(cos(av, t[1]), 6), t[0]))
+            na = min(evens, key=lambda t: (-round(cos(t[1], nb[1]), 6), t[0]))
+            if na[0] == aid:
+                expected.add((aid, nb[0]))
+    assert {(r["a_id"], r["b_id"]) for r in rows} == expected
+
+
+def test_event_debounce_counts_reconcile(spark):
+    """kept + debounced must equal total per type, totals must cover
+    the whole table, and at least one event must actually debounce at
+    the 1-day window (the fixture has same-day repeats)."""
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["event_debounce"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_kept"] + r["n_debounced"] == r["n_total"]
+    assert sum(r["n_total"] for r in rows) == _tbl(
+        spark, SF_DIR, "events"
+    ).count()
+    assert sum(r["n_debounced"] for r in rows) > 0
