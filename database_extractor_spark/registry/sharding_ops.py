@@ -2938,22 +2938,39 @@ def mutual_nearest_neighbors(spark, sf_dir):
     the even/odd vec_id halves; candidate pairs are bounded by the
     LABEL equi-join (the coarse-quantizer-bucket discipline of
     sim_ivf_* — at 100 TB the label is the IVF cell assignment, so
-    pair volume is sum of per-cell |A_c| x |B_c|, never |A| x |B|).
-    Two partitioned windows (by a_id, by b_id) extract each side's
-    top-1 with deterministic id tie-break; the mutual filter is one
-    equi-join of the two rank-1 sets. Cosine doubles run the identical
-    IEEE sequence on both engines, so ranks agree exactly."""
+    pair volume is sum of per-cell |A_c| x |B_c|, never |A| x |B|;
+    and because within-cell work is quadratic in CELL size, the cell
+    count must GROW with the corpus — c ∝ N cells of bounded size keep
+    total pair volume ∝ N, the auto_n_lists sizing rule's exact
+    argument. The fixture's 4 fixed labels give ~130x work at 10x data
+    — measured at sf1 and recorded in BASELINE.md as the motivation
+    for that rule, not as this plan's scale posture). Per-side L2
+    norms are computed ONCE in the side projections and reused across
+    every pair (the cosine helper's three folds per pair collapse to
+    one dot fold — same IEEE values, hoisted). Two partitioned windows
+    (by a_id, by b_id) extract each side's top-1 with deterministic id
+    tie-break; the mutual filter is one equi-join of the two rank-1
+    sets. Cosine doubles run the identical IEEE sequence on both
+    engines, so ranks agree exactly."""
     e = _tbl(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a_id"), "label", F.col("embedding").alias("av")
+        F.col("vec_id").alias("a_id"),
+        "label",
+        F.col("embedding").alias("av"),
+        S.l2_norm(F.col("embedding")).alias("an"),
     )
     b = e.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("bv"),
+        S.l2_norm(F.col("embedding")).alias("bn"),
+    )
+    denom = F.col("an") * F.col("bn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        S.dot(F.col("av"), F.col("bv")) / denom
     )
     pairs = a.join(b, F.col("label") == F.col("label_b")).select(
-        "a_id", "b_id", F.round(S.cosine(F.col("av"), F.col("bv")), 6).alias("cos")
+        "a_id", "b_id", F.round(cos, 6).alias("cos")
     )
     wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
