@@ -243,6 +243,7 @@ SECONDARY = [
     "join_skew_diagnostic",
     "mutual_nearest_neighbors",
     "event_debounce",
+    "backfill_todo_ledger",
 ]
 
 

@@ -3040,3 +3040,74 @@ def event_debounce(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "backfill_todo_ledger",
+    """
+    with inp as (
+        select cast(ts as date) as day,
+               cast(count(*) as bigint) as n_input
+        from events group by 1
+    ),
+    outp as (
+        select cast(ts as date) as day,
+               cast(count(*) filter (where cast(ts as date) < date '2024-01-16'
+                                        or event_id % 13 <> 0)
+                    as bigint) as n_output
+        from events
+        where cast(ts as date) <= date '2024-01-20'
+        group by 1
+    )
+    select i.day,
+           case when o.day is null then 'todo'
+                when o.n_output <> i.n_input then 'stale'
+                else 'done' end as status,
+           i.n_input,
+           o.n_output
+    from inp i left join outp o on i.day = o.day
+    order by i.day
+    """,
+)
+def backfill_todo_ledger(spark, sf_dir):
+    """BACKFILL TODO LEDGER — the bookkeeping half of the reference's
+    per-day batch loop (extract.query_data_for_range processes days;
+    THIS decides which days): reconcile the input lake against the
+    processed-output lake and emit per-day status — 'todo' (no output
+    exists), 'stale' (output exists but its row count no longer matches
+    the input — late-arriving data landed after processing), 'done'.
+    The entry runs the REAL mechanics: per-day output aggregates are
+    WRITTEN to a parquet lake in-plan (days through Jan 20; days from
+    Jan 16 deliberately processed from an input snapshot missing the
+    event_id%13 rows, simulating late arrivals), read back, and
+    LEFT-joined to the per-day input counts — a |days|-row join, never
+    a row-level diff. At 100 TB this ledger is the idempotent-rerun
+    driver: both sides are day-grain aggregates (map-side combinable),
+    the join is broadcast-sized, and the 'stale' test is an exact
+    bigint compare. The oracle replays the snapshot rule arithmetically
+    (no lake needed — output counts are a deterministic function of the
+    input)."""
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    inp = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_input")
+    )
+    cutoff, late_from = "2024-01-20", "2024-01-16"
+    processed = ev.filter(day <= F.lit(cutoff)).filter(
+        (day < F.lit(late_from)) | (F.col("event_id") % 13 != 0)
+    )
+    lake = os.path.join(_stream_tmpdir("ledger_"), "daily_outputs")
+    processed.groupBy(day.alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_output")
+    ).write.mode("overwrite").parquet(lake)
+    outp = spark.read.parquet(lake)
+    j = inp.join(outp, "day", "left")
+    return j.select(
+        "day",
+        F.when(F.col("n_output").isNull(), F.lit("todo"))
+        .when(F.col("n_output") != F.col("n_input"), F.lit("stale"))
+        .otherwise(F.lit("done"))
+        .alias("status"),
+        "n_input",
+        "n_output",
+    ).orderBy("day")

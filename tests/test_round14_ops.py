@@ -459,3 +459,48 @@ def test_event_debounce_counts_reconcile(spark):
         spark, SF_DIR, "events"
     ).count()
     assert sum(r["n_debounced"] for r in rows) > 0
+
+
+def test_backfill_todo_ledger_statuses(spark):
+    """The ledger must classify every input day exactly once: days past
+    the processing cutoff are 'todo', processed days whose snapshot
+    missed late rows are 'stale', the rest 'done' — with counts
+    reconciling against the raw table."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["backfill_todo_ledger"](spark, SF_DIR).collect()
+    n_days = (
+        _tbl(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+        if r["status"] == "todo":
+            assert r["n_output"] is None and str(r["day"]) > "2024-01-20"
+        elif r["status"] == "stale":
+            assert r["n_output"] < r["n_input"]
+            assert "2024-01-16" <= str(r["day"]) <= "2024-01-20"
+        else:
+            assert r["n_output"] == r["n_input"]
+    assert set(by_status) == {"todo", "stale", "done"}
+
+
+def test_operator_catalog_is_fresh():
+    """docs/OPERATORS.md is generated; its headline count must track the
+    registry so the catalog cannot silently go stale."""
+    import re
+
+    from database_extractor_spark.registry import QUERIES
+
+    doc = open("/root/repo/docs/OPERATORS.md").read()
+    m = re.search(r"(\d+) named queries, (\d+) with independent", doc)
+    assert m, "catalog headline missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        "docs/OPERATORS.md is stale — rerun scripts/gen_catalog.py"
+    )
