@@ -244,6 +244,7 @@ SECONDARY = [
     "mutual_nearest_neighbors",
     "event_debounce",
     "backfill_todo_ledger",
+    "content_defined_chunks",
 ]
 
 

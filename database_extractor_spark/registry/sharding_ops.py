@@ -3111,3 +3111,110 @@ def backfill_todo_ledger(spark, sf_dir):
         "n_input",
         "n_output",
     ).orderBy("day")
+
+
+#: shared windowed Rabin-style hash (window 8, base 31, exact bigint —
+#: max value 128*31^7 < 2^42, no modular reduction needed) and the
+#: boundary rule (hash % 64 == 0): IDENTICAL expression text on both
+#: engines, so boundaries agree bit-exactly.
+_CDC_HASH = (
+    "(cast(ascii(substring(text, i, 1)) as bigint)"
+    " + cast(ascii(substring(text, i-1, 1)) as bigint) * 31"
+    " + cast(ascii(substring(text, i-2, 1)) as bigint) * 961"
+    " + cast(ascii(substring(text, i-3, 1)) as bigint) * 29791"
+    " + cast(ascii(substring(text, i-4, 1)) as bigint) * 923521"
+    " + cast(ascii(substring(text, i-5, 1)) as bigint) * 28629151"
+    " + cast(ascii(substring(text, i-6, 1)) as bigint) * 887503681"
+    " + cast(ascii(substring(text, i-7, 1)) as bigint) * 27512614111)"
+    " % 64 = 0"
+)
+
+
+@register(
+    "content_defined_chunks",
+    f"""
+    with d as (
+        select doc_id, text,
+               list_filter(range(8, len(text) + 1), i -> {_CDC_HASH})
+                   as bnds
+        from documents where text is not null and len(text) >= 1
+    ),
+    subs as (
+        select doc_id,
+               list_filter(
+                   list_transform(range(1, len(bnds) + 2), k ->
+                       substring(text,
+                           case when k = 1 then 1
+                                else bnds[k - 1] + 1 end,
+                           (case when k = len(bnds) + 1 then len(text)
+                                 else bnds[k] end)
+                           - (case when k = 1 then 1
+                                   else bnds[k - 1] + 1 end) + 1)),
+                   s -> len(s) > 0) as chunks
+        from d
+    ),
+    ch as (select doc_id, md5(unnest(chunks)) as h from subs)
+    select cast(count(distinct doc_id) as bigint) as n_docs,
+           cast(count(*) as bigint) as n_chunks,
+           cast(count(distinct h) as bigint) as n_distinct_chunks,
+           cast(count(*) - count(distinct h) as bigint) as dup_chunks,
+           cast((count(*) - count(distinct h)) * 1000000 // count(*)
+                as bigint) as dup_ppm
+    from ch
+    """,
+)
+def content_defined_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING (CDC) — the storage-dedup primitive
+    behind rsync/restic/LBFS-style incremental transfer and chunk-level
+    corpus dedup: cut boundaries where a WINDOWED ROLLING HASH of the
+    last 8 characters hits a target residue (64-way -> ~64-char
+    expected chunks), so boundaries are a function of LOCAL CONTENT.
+    Insert one character and fixed-grid chunking (text_chunking)
+    re-keys every downstream chunk; CDC re-keys only the chunk
+    containing the edit — the shift-invariance pytest pins exactly
+    that. Everything is JVM-side higher-order functions: one
+    filter(sequence) computes boundary positions (the 8-term windowed
+    hash is EXACT bigint arithmetic — max 128*31^7 < 2^42, no modular
+    reduction, so both engines agree bit-exactly), one transform
+    slices the chunks, md5 fingerprints them, and a corpus aggregate
+    reports total vs distinct chunk hashes with the duplicate ratio in
+    exact integer ppm. No Python, no shuffle before the final
+    aggregate; per-row cost is O(8n) character probes. At 100 TB the
+    chunk-hash table IS the dedup index: new data uploads only chunks
+    whose md5 is unseen (the backup-tool economics), and boilerplate
+    shared across documents surfaces as dup_chunks without any
+    pairwise comparison."""
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    bnds = F.expr(
+        "case when length(text) >= 8 then"
+        f" filter(sequence(8, length(text)), i -> {_CDC_HASH})"
+        " else cast(array() as array<int>) end"
+    )
+    d = docs.select("doc_id", "text", bnds.alias("bnds"))
+    subs = F.expr(
+        "filter(transform(sequence(1, size(bnds) + 1), k ->"
+        " substring(text,"
+        "   case when k = 1 then 1 else element_at(bnds, k - 1) + 1 end,"
+        "   (case when k = size(bnds) + 1 then length(text)"
+        "         else element_at(bnds, k) end)"
+        "   - (case when k = 1 then 1"
+        "           else element_at(bnds, k - 1) + 1 end) + 1)),"
+        " s -> length(s) > 0)"
+    )
+    ch = d.select(
+        "doc_id", F.explode(subs).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    return ch.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_chunks"),
+        (F.count("*") - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.expr(
+            "cast((count(*) - count(distinct h)) * 1000000L"
+            " div count(*) as bigint)"
+        ).alias("dup_ppm"),
+    )

@@ -504,3 +504,52 @@ def test_operator_catalog_is_fresh():
     assert int(m.group(1)) == len(QUERIES), (
         "docs/OPERATORS.md is stale — rerun scripts/gen_catalog.py"
     )
+
+
+def test_content_defined_chunks_shift_invariance(spark):
+    """CDC's defining property: prepending one character to a document
+    re-keys only the chunks up to the first re-synchronized boundary —
+    the TAIL chunk hashes are unchanged, where fixed-grid chunking
+    would re-key everything. Verified via the registry helper plan on
+    an original vs shifted two-row frame."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import _CDC_HASH
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the engine "
+        "chunks content by rolling hash boundaries again and again and "
+        "the quick brown fox jumps over the lazy dog while the engine "
+        "chunks content by rolling hash boundaries once more for luck"
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "X" + text)], "doc_id long, text string"
+    )
+    bnds = F.expr(
+        "case when length(text) >= 8 then"
+        f" filter(sequence(8, length(text)), i -> {_CDC_HASH})"
+        " else cast(array() as array<int>) end"
+    )
+    subs = F.expr(
+        "filter(transform(sequence(1, size(bnds) + 1), k ->"
+        " substring(text,"
+        "   case when k = 1 then 1 else element_at(bnds, k - 1) + 1 end,"
+        "   (case when k = size(bnds) + 1 then length(text)"
+        "         else element_at(bnds, k) end)"
+        "   - (case when k = 1 then 1"
+        "           else element_at(bnds, k - 1) + 1 end) + 1)),"
+        " s -> length(s) > 0)"
+    )
+    rows = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select("doc_id", "text", bnds.alias("bnds"))
+        .select("doc_id", subs.alias("chunks"))
+        .collect()
+    }
+    orig, shifted = rows[1], rows[2]
+    assert len(orig) >= 3, "fixture text must produce several chunks"
+    # after the first boundary past the edit, the streams re-synchronize:
+    # every original chunk except possibly the first must reappear
+    assert set(orig[1:]).issubset(set(shifted))
+    # and the shifted doc's FIRST chunk differs (it absorbed the edit)
+    assert shifted[0] != orig[0]
