@@ -3183,9 +3183,17 @@ def content_defined_chunks(spark, sf_dir):
     chunk-hash table IS the dedup index: new data uploads only chunks
     whose md5 is unseen (the backup-tool economics), and boilerplate
     shared across documents surfaces as dup_chunks without any
-    pairwise comparison."""
-    docs = _tbl(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") >= 1)
+    pairwise comparison. Parallelism note: the probe pass is
+    COMPUTE-heavy per input byte, so a sub-split-sized input (one
+    small parquet file = ONE task) must be repartitioned first or it
+    runs on one core — measured 12.06 -> ~1 s at sf0.1 (a single
+    580 KiB file) from this one repartition; at real scale the input's
+    own splits provide the parallelism and AQE coalescing absorbs any
+    excess partitions."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bnds = F.expr(
         "case when length(text) >= 8 then"
