@@ -245,6 +245,13 @@ SECONDARY = [
     "event_debounce",
     "backfill_todo_ledger",
     "content_defined_chunks",
+    # round-14 additions: gaps-and-islands streaks (one user-keyed
+    # exchange), integer-exact KS drift (two-level prefix sum), basket
+    # lift (order-keyed bounded self-join), tie-aware prefix-sum AUC
+    "user_activity_streaks",
+    "ks_test_drift",
+    "market_basket_lift",
+    "quality_score_auc",
 ]
 
 

@@ -120,12 +120,14 @@ _VERIFY_FIRST = [
     "sim_filtered_topk",
     "hybrid_rank_fusion",
 ]
-# Round-15 front queue (the window was full at 50): the ten remaining
+# Round-15 front queue (the window was full at 50): the remaining
 # round-14 additions, all locally oracled + tested, never driver-
 # verified — incremental_agg_maintenance, inverted_index_postings,
 # corpus_snapshot_diff, sql_unpivot_clause, length_bucket_batching,
 # k_anonymity_audit, hll_intersection_estimate, join_skew_diagnostic,
-# mutual_nearest_neighbors, event_debounce.
+# mutual_nearest_neighbors, event_debounce, backfill_todo_ledger,
+# content_defined_chunks, user_activity_streaks, ks_test_drift,
+# market_basket_lift, quality_score_auc.
 
 
 def _reorder_for_driver() -> None:

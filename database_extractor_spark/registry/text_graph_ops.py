@@ -356,6 +356,118 @@ def streaming_quality_gate(spark, sf_dir):
     return run_available_now(spark, agg)
 
 
+def _auc_oracle() -> str:
+    return f"""
+    with docs as (
+        select doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') as t
+        from documents
+    ),
+    ws as (
+        select doc_id, {_qc_wsum_sql()} as wsum
+        from (select doc_id, unnest(t) as token from docs)
+        group by doc_id
+    ),
+    sc as (
+        select case when d.lang = 'en' then 1 else 0 end as pos,
+               cast(ws.wsum as bigint) as s
+        from docs d join ws on d.doc_id = ws.doc_id
+    ),
+    g as (
+        select s, cast(sum(pos) as bigint) as p,
+               cast(sum(1 - pos) as bigint) as q
+        from sc group by s
+    ),
+    c as (
+        select p, q,
+               cast(sum(q) over (order by s
+                   rows between unbounded preceding and current row)
+                   as bigint) as cq
+        from g
+    )
+    select cast(sum(p) as bigint) as n_pos,
+           cast(sum(q) as bigint) as n_neg,
+           cast(sum(p * (2 * cq - q)) as bigint) as auc_num2,
+           cast(sum(p * (2 * cq - q)) as double)
+               / cast(2 * sum(p) * sum(q) as double) as auc
+    from c
+    """
+
+
+@register("quality_score_auc", _auc_oracle())
+def quality_score_auc(spark, sf_dir):
+    """EXACT tie-aware ROC-AUC of the quality classifier against an
+    English/non-English label — the eval that tells you whether a
+    learned filter actually ranks wanted documents above unwanted ones
+    (the threshold-free companion of quality_gate_agreement's fixed-
+    cutoff confusion counts). Uses the Mann-Whitney identity: AUC =
+    [#(pos > neg pairs) + ½#(ties)] / (P·Q), computed WITHOUT pair
+    enumeration — group documents by their exact INTEGER weight sum
+    (_qc_wsum, the same frozen score quality_classifier_score squashes),
+    prefix-sum the negative counts over ordered distinct scores, and
+    fold Σ p(s)·(2·cumq_below(s) + q(s)) = 2·AUC·P·Q, all in bigints;
+    the single double division happens once at the end, identically on
+    both engines. The prefix sum is the registry's two-level
+    distributed form (cumulative_distinct_users): intra-band window
+    PARTITIONED by floor(s/2^14) (exact in doubles — power-of-two
+    divisor), cross-band carry from per-band totals via one sorted-
+    array fold, broadcast back. Scale: distinct scores shuffle once;
+    no O(P·Q) pair join ever exists, so a 100 TB corpus evaluates at
+    scan + two bounded exchanges. The frozen hashed weights stand in
+    for a trained model with the identical plan shape."""
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("__toks")
+    )
+    sc = docs.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        _qc_wsum(F.col("__toks")).cast("bigint").alias("s"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("q"),
+    ).withColumn("band", F.floor(F.col("s") / F.lit(16384)))
+    w = (
+        Window.partitionBy("band")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        g.groupBy("band")
+        .agg(F.sum("q").alias("tq"))
+        .agg(F.sort_array(F.collect_list(F.struct("band", "tq"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.band as band, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, u) -> acc + u.tq)"
+                    " as kq))"
+                )
+            ).alias("s")
+        )
+        .select("s.band", "s.kq")
+    )
+    c = (
+        g.withColumn("iq", F.sum("q").over(w))
+        .join(F.broadcast(carry), "band")
+        .select(
+            "p",
+            "q",
+            (F.col("iq") + F.col("kq")).cast("bigint").alias("cq"),
+        )
+    )
+    term = F.col("p") * (F.lit(2) * F.col("cq") - F.col("q"))
+    return c.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+        F.sum(term).cast("bigint").alias("auc_num2"),
+        (
+            F.sum(term).cast("double")
+            / (F.lit(2) * F.sum("p") * F.sum("q")).cast("double")
+        ).alias("auc"),
+    )
+
+
 # ==========================================================================
 # Round 9: CCNet perplexity buckets, k-hop graph reachability, ordered
 # listagg, Arrow-native mapInArrow, runtime bloom-filter join, LATERAL

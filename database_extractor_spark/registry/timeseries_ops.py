@@ -5,6 +5,7 @@ unchanged — see registry/__init__.py for the aggregation contract.
 """
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from database_extractor_spark.operators import core as C
@@ -188,6 +189,181 @@ def session_windows_q(spark, sf_dir):
 
     out = session_windows(_tbl(spark, sf_dir, "events"), "ts", ["user_id"], "30 minutes")
     return out.select("user_id", "session_start", "n")
+
+
+@register(
+    "user_activity_streaks",
+    """
+    with d as (select distinct user_id, cast(ts as date) as day from events),
+    r as (
+        select user_id,
+               day - cast(row_number() over (
+                   partition by user_id order by day) as int) as grp
+        from d
+    ),
+    s as (
+        select user_id, grp, cast(count(*) as bigint) as len
+        from r group by user_id, grp
+    )
+    select user_id,
+           cast(max(len) as bigint) as longest_streak,
+           cast(count(*) as bigint) as n_streaks,
+           cast(sum(len) as bigint) as n_active_days
+    from s group by user_id
+    order by user_id
+    """,
+)
+def user_activity_streaks(spark, sf_dir):
+    """CONSECUTIVE-DAY STREAKS per user — the canonical gaps-and-islands
+    rewrite (engagement metrics, retention heuristics, "n-day streak"
+    badges): collapse events to distinct (user, day), number the days
+    per user, and group by ``day - row_number`` — consecutive days share
+    the anchor date, so each island IS a streak; the per-user rollup
+    reports the longest streak, island count, and total active days.
+    Distinct from session_windows (sub-day gap grouping on raw
+    timestamps) and interval_coalesce (merging explicit [start,end]
+    ranges): this is calendar-day arithmetic on a deduplicated day
+    grid. Scale: the distinct and both windows share ONE hash exchange
+    on user_id; per-partition state is bounded by days-per-user (≤ the
+    calendar range, never the event volume), and the 100 TB event scan
+    reduces to (user, day) pairs map-side before any shuffle."""
+    ev = _tbl(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    s = islands.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ks_test_drift",
+    """
+    with t as (
+        select value,
+               case when ts < timestamp '2024-01-08' then 1 else 0 end as is_a
+        from events
+        where ts >= timestamp '2024-01-01' and ts < timestamp '2024-01-15'
+          and value is not null
+    ),
+    g as (
+        select value,
+               cast(sum(is_a) as bigint) as c1,
+               cast(sum(1 - is_a) as bigint) as c2
+        from t group by value
+    ),
+    c as (
+        select value,
+               cast(sum(c1) over (order by value
+                   rows between unbounded preceding and current row)
+                   as bigint) as cum1,
+               cast(sum(c2) over (order by value
+                   rows between unbounded preceding and current row)
+                   as bigint) as cum2
+        from g
+    ),
+    n as (select cast(sum(c1) as bigint) as n1,
+                 cast(sum(c2) as bigint) as n2 from g)
+    select n.n1, n.n2,
+           cast(max(abs(cum1 * n.n2 - cum2 * n.n1)) as bigint) as ks_num,
+           cast(max(abs(cum1 * n.n2 - cum2 * n.n1)) as double)
+               / cast(n.n1 * n.n2 as double) as ks_stat
+    from c, n
+    group by n.n1, n.n2
+    """,
+)
+def ks_test_drift(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift statistic (week 1 vs week 2 of
+    events.value) — the distribution-shape companion of psi_drift's
+    binned divergence: D = max_v |F1(v) - F2(v)| over the POOLED value
+    grid, computed EXACTLY in integers as max |cum1*n2 - cum2*n1| /
+    (n1*n2), so the max never compares rounded doubles. The empirical
+    CDFs need a prefix sum over ordered distinct values — done as the
+    registry's standard two-level distributed form (cumulative_distinct_
+    users): an intra-band running sum over a window PARTITIONED by
+    floor(value) (band population bounded by value locality, never a
+    single global task) plus a cross-band carry computed on the per-band
+    totals (cardinality = number of integer bands) via one sorted-array
+    prefix fold, broadcast back. Totals n1/n2 attach as the idiomatic
+    1-row broadcast. Scale: one hash exchange on value for the group-by,
+    one on band for the window; a skewed value distribution swaps
+    floor() for quantile bands (equal_freq_binning) — same shape."""
+    ev = _tbl(spark, sf_dir, "events")
+    ts = F.col("ts")
+    t = ev.filter(
+        (ts >= F.lit("2024-01-01").cast("timestamp"))
+        & (ts < F.lit("2024-01-15").cast("timestamp"))
+        & F.col("value").isNotNull()
+    ).select(
+        "value",
+        F.when(ts < F.lit("2024-01-08").cast("timestamp"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_a"),
+    )
+    g = t.groupBy("value").agg(
+        F.sum("is_a").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("c2"),
+    ).withColumn("band", F.floor("value"))
+    w = (
+        Window.partitionBy("band")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    band_tot = g.groupBy("band").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    carry = (
+        band_tot.agg(
+            F.sort_array(F.collect_list(F.struct("band", "t1", "t2"))).alias("a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.band as band, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, u) -> acc + u.t1) as k1, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, u) -> acc + u.t2) as k2))"
+                )
+            ).alias("s")
+        )
+        .select("s.band", "s.k1", "s.k2")
+    )
+    totals = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    c = (
+        g.withColumn("i1", F.sum("c1").over(w))
+        .withColumn("i2", F.sum("c2").over(w))
+        .join(F.broadcast(carry), "band")
+        .select(
+            (F.col("i1") + F.col("k1")).cast("bigint").alias("cum1"),
+            (F.col("i2") + F.col("k2")).cast("bigint").alias("cum2"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return c.groupBy("n1", "n2").agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .cast("bigint")
+        .alias("ks_num"),
+        (
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_stat"),
+    )
 
 
 # ==========================================================================

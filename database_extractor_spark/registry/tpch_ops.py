@@ -2397,3 +2397,98 @@ def mmr_diversified_topk(spark, sf_dir):
 
 
 # ==========================================================================
+
+@register(
+    "market_basket_lift",
+    """
+    with ob as (
+        select distinct l_orderkey, p_brand
+        from lineitem join part on l_partkey = p_partkey
+    ),
+    pr as (
+        select a.p_brand as brand_a, b.p_brand as brand_b,
+               cast(count(*) as bigint) as n_ab
+        from ob a join ob b
+          on a.l_orderkey = b.l_orderkey and a.p_brand < b.p_brand
+        group by 1, 2
+    ),
+    bt as (select p_brand, cast(count(*) as bigint) as n from ob group by 1),
+    tot as (select cast(count(distinct l_orderkey) as bigint) as n_orders
+            from ob)
+    select brand_a, brand_b, n_ab, ta.n as n_a, tb.n as n_b,
+           cast(n_ab * n_orders as double)
+               / cast(ta.n * tb.n as double) as lift
+    from pr
+    join bt ta on pr.brand_a = ta.p_brand
+    join bt tb on pr.brand_b = tb.p_brand
+    cross join tot
+    order by n_ab desc, brand_a, brand_b
+    limit 20
+    """,
+)
+def market_basket_lift(spark, sf_dir):
+    """MARKET-BASKET CO-OCCURRENCE with lift — the association-rule
+    primitive (brands bought together within one order, scored by
+    lift = P(a,b) / (P(a)P(b))): collapse lineitem x part to distinct
+    (order, brand) pairs, self-equi-join ON THE ORDER KEY with
+    brand_a < brand_b to enumerate within-basket pairs once, then
+    attach per-brand marginals and the order total. The lift ratio is
+    computed from four exact bigints with ONE double division at the
+    end (identical expression both engines), so ordering by n_ab with
+    the full (brand_a, brand_b) tiebreak is deterministic. Scale: the
+    pair fan-out is Σ b(o)² over per-order brand counts b(o) — bounded
+    by basket size (TPC-H ≤ 7 lineitems), NEVER corpus-quadratic; the
+    self-join co-locates on the same l_orderkey hash both sides, the
+    brand marginal join is a broadcast (|brands| = 25), and the order
+    count attaches as the idiomatic 1-row broadcast. The same plan at
+    100 TB shuffles (order, brand) pairs once."""
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    bt = ob.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n"))
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    return (
+        pr.join(
+            F.broadcast(bt.withColumnRenamed("n", "n_a")),
+            pr.brand_a == F.col("p_brand"),
+        )
+        .drop("p_brand")
+        .join(
+            F.broadcast(bt.withColumnRenamed("n", "n_b")),
+            F.col("brand_b") == F.col("p_brand"),
+        )
+        .drop("p_brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
+        .limit(20)
+    )

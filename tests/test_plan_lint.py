@@ -118,6 +118,12 @@ SCALAR_ATTACH_OK = {
     "ngram_novelty_ratio",
     # norm band edges (2 exact percentiles) ride one 1-row attach
     "embedding_norm_outliers",
+    # KS sample sizes (n1, n2) ride one 1-row attach over the pooled
+    # value-grid aggregate
+    "ks_test_drift",
+    # the basket-universe order count (1-row COUNT DISTINCT) rides one
+    # attach; the pair self-join and marginal joins are all equi-joins
+    "market_basket_lift",
 }
 
 

@@ -553,3 +553,120 @@ def test_content_defined_chunks_shift_invariance(spark):
     assert set(orig[1:]).issubset(set(shifted))
     # and the shifted doc's FIRST chunk differs (it absorbed the edit)
     assert shifted[0] != orig[0]
+
+
+def test_user_activity_streaks_matches_brute(spark):
+    """Gaps-and-islands streaks must match a brute-force Python scan of
+    each user's sorted distinct active days."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["n_active_days"])
+        for r in QUERIES["user_activity_streaks"](spark, SF_DIR).collect()
+    }
+    days = duckdb.sql(
+        f"select distinct user_id, cast(ts as date) as day"
+        f" from '{SF_DIR}/events.parquet' order by 1, 2"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for u, d in days:
+        by_user.setdefault(u, []).append(d)
+    assert set(got) == set(by_user)
+    for u, ds in by_user.items():
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[u] == (max(streaks), len(streaks), len(ds)), u
+
+
+def test_ks_test_drift_matches_brute(spark):
+    """The integer-exact KS statistic must equal a brute-force pooled-CDF
+    scan, and sit in [0, 1]."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["ks_test_drift"](spark, SF_DIR).collect()[0]
+    vals = duckdb.sql(
+        f"""select value,
+                   case when ts < timestamp '2024-01-08' then 1 else 0 end
+            from '{SF_DIR}/events.parquet'
+            where ts >= timestamp '2024-01-01'
+              and ts < timestamp '2024-01-15' and value is not null
+            order by value"""
+    ).fetchall()
+    n1 = sum(s for _, s in vals)
+    n2 = len(vals) - n1
+    cum1 = cum2 = best = 0
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            cum1 += vals[j][1]
+            cum2 += 1 - vals[j][1]
+            j += 1
+        best = max(best, abs(cum1 * n2 - cum2 * n1))
+        i = j
+    assert (row["n1"], row["n2"], row["ks_num"]) == (n1, n2, best)
+    assert row["ks_stat"] == best / (n1 * n2)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_market_basket_lift_invariants(spark):
+    """Pair support can never exceed either marginal; lift must equal the
+    exact integer ratio; pairs are canonically ordered (brand_a <
+    brand_b) and the output is the deterministic top-20."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["market_basket_lift"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    n_orders = duckdb.sql(
+        f"""select count(distinct l_orderkey)
+            from '{SF_DIR}/lineitem.parquet' l
+            join '{SF_DIR}/part.parquet' p on l.l_partkey = p.p_partkey"""
+    ).fetchone()[0]
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"]
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] == (r["n_ab"] * n_orders) / (r["n_a"] * r["n_b"])
+    counts = [r["n_ab"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_quality_score_auc_matches_brute(spark):
+    """The prefix-sum AUC must equal a brute-force O(P*Q) pairwise
+    Mann-Whitney count over the per-document integer scores."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES, _tbl, _qc_wsum
+    from database_extractor_spark.operators import text as T
+
+    row = QUERIES["quality_score_auc"](spark, SF_DIR).collect()[0]
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    docs = (
+        _tbl(spark, SF_DIR, "documents")
+        .select(
+            (F.col("lang") == "en").alias("pos"),
+            _qc_wsum(toks).alias("s"),
+        )
+        .collect()
+    )
+    pos = sorted(r["s"] for r in docs if r["pos"])
+    neg = sorted(r["s"] for r in docs if not r["pos"])
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    num2 = sum(
+        2 * sum(1 for q in neg if q < p) + sum(1 for q in neg if q == p)
+        for p in pos
+    )
+    assert row["auc_num2"] == num2
+    assert row["auc"] == num2 / (2 * len(pos) * len(neg))
+    assert 0.0 <= row["auc"] <= 1.0
