@@ -252,6 +252,12 @@ SECONDARY = [
     "ks_test_drift",
     "market_basket_lift",
     "quality_score_auc",
+    # round-14 additions: fractional-credit attribution (user-keyed
+    # equi-join + milli-integer rollup), reliability table (one scan +
+    # 11-row agg), within-cell cosine histogram (label-cell pair join)
+    "multi_touch_attribution_linear",
+    "calibration_reliability",
+    "embedding_cosine_histogram",
 ]
 
 

@@ -127,7 +127,9 @@ _VERIFY_FIRST = [
 # k_anonymity_audit, hll_intersection_estimate, join_skew_diagnostic,
 # mutual_nearest_neighbors, event_debounce, backfill_todo_ledger,
 # content_defined_chunks, user_activity_streaks, ks_test_drift,
-# market_basket_lift, quality_score_auc.
+# market_basket_lift, quality_score_auc,
+# multi_touch_attribution_linear, calibration_reliability,
+# embedding_cosine_histogram.
 
 
 def _reorder_for_driver() -> None:

@@ -2172,3 +2172,75 @@ def streaming_event_counts(spark, sf_dir):
 
 
 # ==========================================================================
+
+@register(
+    "embedding_cosine_histogram",
+    """
+    with s as (
+        select vec_id, label, embedding::DOUBLE[] as v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) as nrm
+        from embeddings
+        where ('0x' || substr(md5(cast(vec_id as varchar)), 1, 8))::bigint
+              % 2 = 0
+    )
+    select cast(floor(round(list_dot_product(a.v, b.v)
+                            / (a.nrm * b.nrm), 6) * 20) as int) as bin,
+           cast(count(*) as bigint) as n
+    from s a join s b on a.label = b.label and a.vec_id < b.vec_id
+    group by 1
+    order by bin
+    """,
+)
+def embedding_cosine_histogram(spark, sf_dir):
+    """WITHIN-CELL COSINE HISTOGRAM — the threshold-calibration view
+    behind semdedup_prune and embedding_near_dup: before picking "cos >
+    0.96 is a near-duplicate", look at the actual distribution of
+    pairwise cosines inside cells (0.05-wide bins of round(cos, 6)).
+    Pairing follows the mutual_nearest_neighbors discipline: candidate
+    pairs come from a LABEL equi-join (at 100 TB the label is the IVF
+    cell id, so pair volume is Σ|cell|² — bounded by keeping cells
+    small as the corpus grows, never corpus-quadratic) over an
+    md5-halved deterministic sample (the bounding knob: sample rate ×
+    cell size caps per-cell work; both engines share the md5 lane).
+    Per-side L2 norms are computed once in the side projection and
+    reused across every pair (one dot fold per pair); cosine doubles
+    run the identical IEEE sequence on both engines, so bin edges
+    cannot flip. Output is the bounded |bins|-row histogram."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    keep = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    s = e.filter(keep).select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = s.select(
+        F.col("vec_id").alias("a_id"),
+        "label",
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("b_id"),
+        "label",
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = F.round(
+        S.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.floor(cos * 20).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bin")
+    )

@@ -3226,3 +3226,76 @@ def content_defined_chunks(spark, sf_dir):
             " div count(*) as bigint)"
         ).alias("dup_ppm"),
     )
+
+@register(
+    "multi_touch_attribution_linear",
+    """
+    with p as (
+        select event_id as p_id, user_id, ts as p_ts
+        from events where event_type = 'purchase'
+    ),
+    t as (
+        select user_id, ts as t_ts, event_type as channel
+        from events where event_type <> 'purchase'
+    ),
+    d as (
+        select distinct p.p_id, t.channel
+        from p join t on p.user_id = t.user_id
+         and t.t_ts >= p.p_ts - interval 3 day and t.t_ts < p.p_ts
+    ),
+    k as (select p_id, cast(count(*) as bigint) as k from d group by p_id)
+    select d.channel,
+           cast(count(*) as bigint) as n_conversions,
+           cast(sum(1000 // k.k) as bigint) as credit_milli
+    from d join k on d.p_id = k.p_id
+    group by d.channel
+    order by d.channel
+    """,
+)
+def multi_touch_attribution_linear(spark, sf_dir):
+    """LINEAR MULTI-TOUCH ATTRIBUTION — the fractional-credit
+    counterpart of attribution_last_touch (which awards each
+    conversion to ONE channel): every distinct channel the user
+    touched in the 3 days before a purchase shares the conversion's
+    credit equally. Credit is integer MILLI-UNITS via 1000 div k
+    (truncating integer division — identical on both engines), so the
+    per-channel rollup is an exact bigint sum with NO order-dependent
+    FP accumulation; the deliberate <=999/1000 truncation remainder is
+    documented, not redistributed. Plan: purchases equi-join touches
+    on user_id with the half-open 3-day range as a post-join filter
+    (fan-out bounded by per-user event rate x window, the
+    funnel_latency shape), distinct to (purchase, channel), one
+    |purchases|-row count for k, one broadcast-sized rollup. At
+    100 TB: the only exchange is the user_id hash both sides already
+    share; k and the credit join stay on the purchase key."""
+    ev = _tbl(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        ts.alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        ts.alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    d = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 3 days"))
+            & (F.col("t_ts") < F.col("p_ts"))
+        )
+        .select("p_id", "channel")
+        .distinct()
+    )
+    k = d.groupBy("p_id").agg(F.count("*").cast("bigint").alias("k"))
+    return (
+        d.join(k, "p_id")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum(F.expr("1000L div k")).cast("bigint").alias("credit_milli"),
+        )
+        .orderBy("channel")
+    )

@@ -468,6 +468,90 @@ def quality_score_auc(spark, sf_dir):
     )
 
 
+def _calibration_oracle() -> str:
+    return f"""
+    with docs as (
+        select doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') as t
+        from documents
+    ),
+    ws as (
+        select doc_id, {_qc_wsum_sql()} as wsum, count(*) as n
+        from (select doc_id, unnest(t) as token from docs)
+        group by doc_id
+    ),
+    sc as (
+        select case when d.lang = 'en' then 1 else 0 end as pos,
+               round(1.0 / (1.0 + exp(-(ws.wsum / (100.0 * ws.n)))), 6)
+                   as score
+        from docs d join ws on d.doc_id = ws.doc_id
+    )
+    select cast(floor(score * 10) as int) as bin,
+           cast(count(*) as bigint) as n,
+           cast(sum(pos) as bigint) as n_pos,
+           round(cast(sum(cast(score as decimal(20, 12))) as double)
+                 / count(*), 6) as mean_pred,
+           cast(sum(pos) as double) / count(*) as pos_rate
+    from sc
+    group by 1
+    order by bin
+    """
+
+
+@register("calibration_reliability", _calibration_oracle())
+def calibration_reliability(spark, sf_dir):
+    """CALIBRATION RELIABILITY TABLE of the quality classifier — the
+    third leg of the filter-eval tripod: quality_gate_agreement checks
+    a fixed cutoff, quality_score_auc checks ranking, THIS checks
+    whether the predicted probabilities MEAN what they say (bin
+    documents by predicted score, compare each bin's mean prediction
+    to its empirical positive rate — the reliability-diagram table).
+    The prediction is the TEMPERATURE-SCALED score sigmoid(wsum /
+    (100*n)) — T = 0.1 of the canonical classifier scale — exactly
+    the knob calibration analysis exists to tune; the canonical
+    T = 1 score concentrates every fixture document into two bins,
+    which would leave the table's mechanics unexercised.
+    Exactness discipline: the per-document sigmoid score is rounded to
+    6 dp first (identical IEEE sequence both engines — the
+    quality_classifier_score contract), the bin is floor(score*10) on
+    those identical doubles, and the bin's mean goes through a
+    DECIMAL(20,12) sum (order-independent, exact at this magnitude)
+    before ONE double division — no FP accumulation drift can split a
+    bin across engines. Scale: one scan + a <=11-row aggregate; the
+    100 TB cost is the token fold quality_classifier_score already
+    pays."""
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("__toks")
+    )
+    wsum = _qc_wsum(F.col("__toks"))
+    n = F.size(F.col("__toks"))
+    sc = docs.withColumn("__wsum", wsum).select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("__wsum") / (100.0 * n)))),
+            6,
+        ).alias("score"),
+    )
+    return (
+        sc.groupBy(
+            F.floor(F.col("score") * 10).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_pred"),
+            (F.sum("pos").cast("double") / F.count("*")).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 # ==========================================================================
 # Round 9: CCNet perplexity buckets, k-hop graph reachability, ordered
 # listagg, Arrow-native mapInArrow, runtime bloom-filter join, LATERAL

@@ -670,3 +670,77 @@ def test_quality_score_auc_matches_brute(spark):
     assert row["auc_num2"] == num2
     assert row["auc"] == num2 / (2 * len(pos) * len(neg))
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_multi_touch_attribution_invariants(spark):
+    """Milli-credits must conserve: each purchase with k touched
+    channels contributes exactly k * (1000 div k) <= 1000 milli-units,
+    and channel totals must sum to that global amount."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["multi_touch_attribution_linear"](spark, SF_DIR).collect()
+    assert rows, "fixture must produce attributed conversions"
+    got_total = sum(r["credit_milli"] for r in rows)
+    ks = duckdb.sql(
+        f"""with p as (select event_id as p_id, user_id, ts as p_ts
+                       from '{SF_DIR}/events.parquet'
+                       where event_type = 'purchase'),
+        t as (select user_id, ts as t_ts, event_type as channel
+              from '{SF_DIR}/events.parquet'
+              where event_type <> 'purchase'),
+        d as (select distinct p.p_id, t.channel from p join t
+              on p.user_id = t.user_id
+             and t.t_ts >= p.p_ts - interval 3 day and t.t_ts < p.p_ts)
+        select count(*) as k from d group by p_id"""
+    ).fetchall()
+    want_total = sum(k * (1000 // k) for (k,) in ks)
+    assert got_total == want_total
+    # every contributing purchase pays out at most 1000 milli-units
+    assert got_total <= 1000 * len(ks)
+    for r in rows:
+        assert 0 < r["credit_milli"] <= 1000 * r["n_conversions"]
+
+
+def test_calibration_reliability_invariants(spark):
+    """Reliability bins must partition the corpus: n sums to the doc
+    count, n_pos <= n per bin, mean_pred must lie inside the bin's
+    score interval, and pos_rate is the exact ratio."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["calibration_reliability"](spark, SF_DIR).collect()
+    n_docs = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+    assert len(rows) >= 3, "temperature-scaled scores must spread bins"
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        assert lo <= r["mean_pred"] <= hi, (r["bin"], r["mean_pred"])
+        assert r["pos_rate"] == r["n_pos"] / r["n"]
+
+
+def test_embedding_cosine_histogram_invariants(spark):
+    """Histogram counts must total the exact within-label pair count of
+    the md5 sample, and bins must stay inside [-1, 1] cosine range."""
+    import duckdb
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_cosine_histogram"](spark, SF_DIR).collect()
+    labels = duckdb.sql(
+        f"""select label from '{SF_DIR}/embeddings.parquet'
+            where ('0x' || substr(md5(cast(vec_id as varchar)), 1, 8))::bigint
+                  % 2 = 0"""
+    ).fetchall()
+    per = Counter(l for (l,) in labels)
+    want_pairs = sum(c * (c - 1) // 2 for c in per.values())
+    assert sum(r["n"] for r in rows) == want_pairs
+    for r in rows:
+        assert -21 <= r["bin"] <= 20
+        assert r["n"] > 0
