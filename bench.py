@@ -258,6 +258,12 @@ SECONDARY = [
     "multi_touch_attribution_linear",
     "calibration_reliability",
     "embedding_cosine_histogram",
+    # round-14 additions: single-aggregate OHLC bars (struct-ordered
+    # argmin/argmax), chi-square feature association (inverted-index
+    # exchange + 1-row margins), per-dim embedding moments (micro-int)
+    "ohlc_bars",
+    "token_label_chi2",
+    "embedding_dim_stats",
 ]
 
 

@@ -129,7 +129,8 @@ _VERIFY_FIRST = [
 # content_defined_chunks, user_activity_streaks, ks_test_drift,
 # market_basket_lift, quality_score_auc,
 # multi_touch_attribution_linear, calibration_reliability,
-# embedding_cosine_histogram.
+# embedding_cosine_histogram, ohlc_bars, token_label_chi2,
+# embedding_dim_stats.
 
 
 def _reorder_for_driver() -> None:

@@ -2244,3 +2244,86 @@ def embedding_cosine_histogram(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("bin")
     )
+
+@register(
+    "embedding_dim_stats",
+    """
+    with x as (
+        select unnest(range(len(embedding))) as dim,
+               cast(unnest(embedding) as double) as x
+        from embeddings
+    ),
+    q as (
+        select dim, x,
+               cast(round(x * 1000000.0) as bigint) as xi
+        from x
+    ),
+    s as (
+        select cast(dim as int) as dim,
+               cast(count(*) as bigint) as n,
+               cast(sum(xi) as bigint) as sum_micro,
+               cast(sum(xi * xi) as bigint) as sumsq_micro,
+               min(x) as min_x, max(x) as max_x
+        from q group by 1
+    )
+    select dim, n,
+           cast(sum_micro as double) / (1000000.0 * n) as mean,
+           sqrt((cast(sumsq_micro as double)
+                 - cast(sum_micro as double) * cast(sum_micro as double)
+                   / cast(n as double)) / cast(n as double)) / 1000000.0
+               as std,
+           min_x, max_x
+    from s
+    order by dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """PER-DIMENSION EMBEDDING HEALTH STATS — the audit that catches
+    dead dimensions (std ~ 0), scale drift between model versions, and
+    saturated dims before they poison cosine retrieval: explode vectors
+    positionally and aggregate count/mean/std/min/max per dimension.
+    Exactness discipline: doubles never sum directly (hash-order FP
+    drift) — each value is quantized to exact integer MICRO-units
+    (round(x·1e6) on identical doubles → identical bigints), so the
+    first and second moments are exact int64 sums on both engines
+    (headroom: |x|≤1 ⇒ xi²≤1e12, safe to ~9e6 rows/dim; shard or lift
+    to decimal beyond); mean and std derive from those integers through
+    one identical double expression. min/max compare raw doubles —
+    order-free, no quantization needed. Scale: posexplode widens 64x
+    but map-side partial aggregation collapses to 64 rows per mapper
+    before the ONE tiny exchange; output is |dims| rows."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    q = x.withColumn(
+        "xi", F.round(F.col("x") * 1000000.0, 0).cast("bigint")
+    )
+    s = q.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sum_micro"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sumsq_micro"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    mean = F.col("sum_micro").cast("double") / (1000000.0 * F.col("n"))
+    std = (
+        F.sqrt(
+            (
+                F.col("sumsq_micro").cast("double")
+                - F.col("sum_micro").cast("double")
+                * F.col("sum_micro").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+        / 1000000.0
+    )
+    return s.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        std.alias("std"),
+        "min_x",
+        "max_x",
+    ).orderBy("dim")

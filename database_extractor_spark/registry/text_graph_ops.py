@@ -552,6 +552,114 @@ def calibration_reliability(spark, sf_dir):
     )
 
 
+def _chi2_oracle() -> str:
+    return """
+    with docs as (
+        select doc_id,
+               case when lang = 'en' then 1 else 0 end as pos,
+               string_split_regex(lower(trim(text)), '\\s+') as t
+        from documents
+    ),
+    pres as (
+        select distinct doc_id, pos, token
+        from (select doc_id, pos, unnest(t) as token from docs)
+    ),
+    tk as (
+        select token,
+               cast(sum(pos) as bigint) as a,
+               cast(sum(1 - pos) as bigint) as b
+        from pres group by token
+        having sum(pos) + sum(1 - pos) >= 20
+    ),
+    tot as (
+        select cast(sum(pos) as bigint) as ta,
+               cast(sum(1 - pos) as bigint) as tb
+        from docs
+    )
+    select token,
+           a as n_pos_docs,
+           b as n_neg_docs,
+           cast(ta + tb as double)
+           * cast(a * (tb - b) - b * (ta - a) as double)
+           * cast(a * (tb - b) - b * (ta - a) as double)
+           / (cast(a + b as double) * cast((ta - a) + (tb - b) as double)
+              * cast(ta as double) * cast(tb as double)) as chi2
+    from tk cross join tot
+    order by chi2 desc, token
+    limit 20
+    """
+
+
+@register("token_label_chi2", _chi2_oracle())
+def token_label_chi2(spark, sf_dir):
+    """TOKEN-LABEL chi-square ASSOCIATION — the feature-selection scan
+    behind every bag-of-words quality/language classifier (which tokens
+    separate English from non-English documents?): build the per-token
+    2x2 presence contingency table (a = positive docs containing the
+    token, b = negative docs containing it; column margins from the
+    1-row document totals) and rank by chi² = N·(ad-bc)² / ((a+b)(c+d)
+    (a+c)(b+d)). Every table cell and the 2x2 determinant are EXACT
+    bigints (|det| <= ta*tb, int64-safe to ~3e9 docs); the chi² ratio
+    itself is evaluated by ONE identical double expression on both
+    engines — det² can exceed int64 at corpus scale (it did at the 50k
+    -doc sf1 fixture), so each factor casts to double BEFORE squaring,
+    and determinism comes from identical IEEE sequencing, not integer
+    exactness. The (chi2 desc, token) tiebreak keeps the top-20
+    deterministic. The min-df 20 gate prunes the long
+    tail before ranking. Scale: (doc, token) presence pairs shuffle
+    once on token — the inverted-index exchange dedup_containment
+    already pays; totals attach as the idiomatic 1-row broadcast; the
+    output is TakeOrdered(20), never a global sort."""
+    toks = T.tokens(F.lower(F.trim(F.col("text"))))
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        toks.alias("__toks"),
+    )
+    pres = docs.select(
+        "doc_id", "pos", F.explode("__toks").alias("token")
+    ).distinct()
+    tk = (
+        pres.groupBy("token")
+        .agg(
+            F.sum("pos").cast("bigint").alias("a"),
+            F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= 20)
+    )
+    tot = docs.agg(
+        F.sum("pos").cast("bigint").alias("ta"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("tb"),
+    )
+    j = tk.crossJoin(F.broadcast(tot))
+    det = F.col("a") * (F.col("tb") - F.col("b")) - F.col("b") * (
+        F.col("ta") - F.col("a")
+    )
+    chi2 = (
+        (F.col("ta") + F.col("tb")).cast("double")
+        * det.cast("double")
+        * det.cast("double")
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * ((F.col("ta") - F.col("a")) + (F.col("tb") - F.col("b"))).cast(
+                "double"
+            )
+            * F.col("ta").cast("double")
+            * F.col("tb").cast("double")
+        )
+    )
+    return (
+        j.select(
+            "token",
+            F.col("a").alias("n_pos_docs"),
+            F.col("b").alias("n_neg_docs"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "token")
+        .limit(20)
+    )
+
+
 # ==========================================================================
 # Round 9: CCNet perplexity buckets, k-hop graph reachability, ordered
 # listagg, Arrow-native mapInArrow, runtime bloom-filter join, LATERAL

@@ -367,3 +367,64 @@ def ks_test_drift(spark, sf_dir):
 
 
 # ==========================================================================
+
+@register(
+    "ohlc_bars",
+    """
+    with b as (
+        select event_type, date_trunc('minute', ts) as bar_ts,
+               ts, event_id, value
+        from events where value is not null
+    ),
+    o as (
+        select event_type, bar_ts, value as open from b
+        qualify row_number() over (partition by event_type, bar_ts
+                                   order by ts, event_id) = 1
+    ),
+    c as (
+        select event_type, bar_ts, value as close from b
+        qualify row_number() over (partition by event_type, bar_ts
+                                   order by ts desc, event_id desc) = 1
+    ),
+    hl as (
+        select event_type, bar_ts, max(value) as high, min(value) as low,
+               cast(count(*) as bigint) as n
+        from b group by 1, 2
+    )
+    select hl.event_type, hl.bar_ts, o.open, hl.high, hl.low, c.close, hl.n
+    from hl
+    join o using (event_type, bar_ts)
+    join c using (event_type, bar_ts)
+    """,
+)
+def ohlc_bars(spark, sf_dir):
+    """OHLC BARS (1-minute open/high/low/close/volume per event_type) —
+    the candlestick downsample every metrics store offers, and the
+    four-facet sibling of o08's take-last: open/close are the
+    time-extreme values WITH the event_id tiebreak (duplicate
+    timestamps resolve identically on any engine), high/low are plain
+    extremes, n is the bar volume. Spark-first: ONE hash aggregate
+    computes all five facets — open/close ride min/max over a
+    (ts, event_id, value) struct (lexicographic struct ordering IS the
+    tie-broken argmin/argmax, no second window pass), so the whole
+    entry is a single exchange on (event_type, minute); the oracle
+    spells the same semantics as two QUALIFY row_number passes + one
+    group-by, joined. At 100 TB the struct-min form map-side-combines
+    to one row per bar per mapper before the shuffle — strictly less
+    traffic than any window formulation."""
+    ev = _tbl(spark, sf_dir, "events")
+    b = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("bar_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    s = F.struct("ts", "event_id", "value")
+    return b.groupBy("event_type", "bar_ts").agg(
+        F.min(s).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(s).getField("value").alias("close"),
+        F.count("*").cast("bigint").alias("n"),
+    )

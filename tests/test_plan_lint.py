@@ -124,6 +124,9 @@ SCALAR_ATTACH_OK = {
     # the basket-universe order count (1-row COUNT DISTINCT) rides one
     # attach; the pair self-join and marginal joins are all equi-joins
     "market_basket_lift",
+    # the contingency-table column margins (1-row doc totals) ride one
+    # attach over the min-df-gated token table
+    "token_label_chi2",
 }
 
 

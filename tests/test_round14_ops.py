@@ -744,3 +744,88 @@ def test_embedding_cosine_histogram_invariants(spark):
     for r in rows:
         assert -21 <= r["bin"] <= 20
         assert r["n"] > 0
+
+
+def test_ohlc_bars_matches_brute(spark):
+    """The single-aggregate struct-ordered OHLC must equal a brute
+    recompute from each bar's time-sorted rows (open = first by
+    (ts, event_id), close = last, high/low = extremes, n = count)."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    got = {
+        (r["event_type"], r["bar_ts"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in QUERIES["ohlc_bars"](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"""select event_type, date_trunc('minute', ts), ts, event_id, value
+            from '{SF_DIR}/events.parquet' where value is not null
+            order by event_type, 2, ts, event_id"""
+    ).fetchall()
+    bars: dict = {}
+    for et, bts, ts, eid, v in rows:
+        bars.setdefault((et, bts), []).append(v)
+    assert set(got) == set(bars)
+    for k, vs in bars.items():
+        assert got[k] == (vs[0], max(vs), min(vs), vs[-1], len(vs)), k
+
+
+def test_token_label_chi2_invariants(spark):
+    """Contingency cells must respect margins, chi2 must be the exact
+    integer-ratio value, and the output must be the deterministic
+    top-20 above the min-df gate."""
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["token_label_chi2"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    ta, tb = duckdb.sql(
+        f"""select sum(case when lang = 'en' then 1 else 0 end),
+                   sum(case when lang = 'en' then 0 else 1 end)
+            from '{SF_DIR}/documents.parquet'"""
+    ).fetchone()
+    chis = []
+    for r in rows:
+        a, b = r["n_pos_docs"], r["n_neg_docs"]
+        assert a + b >= 20 and a <= ta and b <= tb
+        det = a * (tb - b) - b * (ta - a)
+        want = ((ta + tb) * det * det) / (
+            (a + b) * ((ta - a) + (tb - b)) * ta * tb
+        )
+        assert r["chi2"] == want
+        chis.append(r["chi2"])
+    assert chis == sorted(chis, reverse=True)
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    """Micro-quantized integer moments must reproduce numpy's per-dim
+    mean/std on the quantized values to double precision, and min/max
+    must be the raw extremes."""
+    import numpy as np
+    import duckdb
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_dim_stats"](spark, SF_DIR).collect()
+    vecs = np.array(
+        [
+            v[0]
+            for v in duckdb.sql(
+                f"select embedding from '{SF_DIR}/embeddings.parquet' order by vec_id"
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    assert len(rows) == vecs.shape[1]
+    for r in rows:
+        col = vecs[:, r["dim"]]
+        xi = np.round(col * 1e6)
+        assert r["n"] == len(col)
+        assert r["mean"] == xi.sum() / (1e6 * len(col))
+        var = (np.sum(xi * xi) - xi.sum() ** 2 / len(col)) / len(col)
+        assert abs(r["std"] - np.sqrt(var) / 1e6) < 1e-15
+        assert (r["min_x"], r["max_x"]) == (col.min(), col.max())
