@@ -264,6 +264,15 @@ SECONDARY = [
     "ohlc_bars",
     "token_label_chi2",
     "embedding_dim_stats",
+    # round-14 additions: Flesch readability rollup (three regex
+    # counters + one source aggregate), Heaps-law growth curve (word
+    # first-seen shuffle + x10 checkpoint fan-out), Goh-Barabasi
+    # burstiness (one user-keyed window + TakeOrdered), Benford
+    # first-digit screen (one 9-group aggregate + two tiny attaches)
+    "readability_flesch",
+    "vocab_growth_curve",
+    "interarrival_burstiness",
+    "benford_digit_profile",
 ]
 
 

@@ -130,7 +130,8 @@ _VERIFY_FIRST = [
 # market_basket_lift, quality_score_auc,
 # multi_touch_attribution_linear, calibration_reliability,
 # embedding_cosine_histogram, ohlc_bars, token_label_chi2,
-# embedding_dim_stats.
+# embedding_dim_stats, readability_flesch, vocab_growth_curve,
+# interarrival_burstiness, benford_digit_profile.
 
 
 def _reorder_for_driver() -> None:

@@ -1359,3 +1359,93 @@ def sql_windowed_cte(spark, sf_dir):
 
 
 # ==========================================================================
+
+
+@register(
+    "benford_digit_profile",
+    """
+    with d as (
+        select substr(cast(cast(floor(o_totalprice) as bigint) as varchar),
+                      1, 1) as digit
+        from orders
+        where o_totalprice >= 1.0
+    ),
+    cnt as (
+        select digit, cast(count(*) as bigint) as n
+        from d group by digit
+    ),
+    tot as (select cast(sum(n) as bigint) as t from cnt),
+    exp_p as (
+        select * from (values
+            ('1', 0.30103), ('2', 0.176091), ('3', 0.124939),
+            ('4', 0.09691), ('5', 0.079181), ('6', 0.066947),
+            ('7', 0.057992), ('8', 0.051153), ('9', 0.045757)
+        ) as v(digit, pd)
+    ),
+    expd as (select digit, cast(pd as double) as p from exp_p)
+    select e.digit,
+           coalesce(c.n, 0) as n,
+           round(cast(coalesce(c.n, 0) as double)
+                 / cast(t.t as double), 6) as obs_p,
+           e.p as exp_p,
+           round((cast(coalesce(c.n, 0) as double)
+                  - cast(t.t as double) * e.p)
+                 * (cast(coalesce(c.n, 0) as double)
+                    - cast(t.t as double) * e.p)
+                 / (cast(t.t as double) * e.p), 6) as chi2_term
+    from expd e
+    left join cnt c on e.digit = c.digit
+    cross join tot t
+    order by e.digit
+    """,
+)
+def benford_digit_profile(spark, sf_dir):
+    """BENFORD'S-LAW first-digit profile over order totals — the
+    classic fabricated-data / pipeline-corruption screen (organically
+    generated magnitudes follow P(d) = log10(1 + 1/d); a synthetic or
+    truncated feed flattens the curve, and the per-digit chi-square
+    terms localize WHICH digit band drifted). The first significant
+    digit is extracted WITHOUT float formatting (cross-engine repr of
+    doubles differs): floor -> exact bigint -> string -> substr, so
+    both engines classify identical digits. Expected probabilities are
+    COMMITTED 6-dp constants (the _qc_weights/_LN_MICRO_TABLE
+    discipline — no runtime log10 on either engine); observed shares
+    and chi-square terms are one identical IEEE double expression, and
+    the 9-row digit frame LEFT-joins counts so a digit absent from the
+    data still reports (n=0, its full expected-count chi2 term) instead
+    of vanishing. Scale: one map-side-combinable 9-group aggregate +
+    two broadcast attaches (the 1-row total and the 9-row constant
+    dim); nothing downstream exceeds 9 rows."""
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("t"))
+    exp_p = spark.createDataFrame(
+        [
+            ("1", 0.30103), ("2", 0.176091), ("3", 0.124939),
+            ("4", 0.09691), ("5", 0.079181), ("6", 0.066947),
+            ("7", 0.057992), ("8", 0.051153), ("9", 0.045757),
+        ],
+        "digit string, p double",
+    )
+    n = F.coalesce("n", F.lit(0)).cast("bigint")
+    nd = n.cast("double")
+    expected = F.col("t").cast("double") * F.col("p")
+    return (
+        exp_p.join(F.broadcast(cnt), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n.alias("n"),
+            F.round(nd / F.col("t").cast("double"), 6).alias("obs_p"),
+            F.col("p").alias("exp_p"),
+            F.round(
+                (nd - expected) * (nd - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

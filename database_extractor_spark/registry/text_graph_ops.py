@@ -1728,3 +1728,236 @@ def corpus_curation_funnel(spark, sf_dir):
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# Round 14 (session 3): readability scoring, Heaps-law vocab growth
+# ==========================================================================
+
+@register(
+    "readability_flesch",
+    r"""
+    with d as (
+        select source,
+               cast(len(string_split_regex(trim(text), '\s+')) as bigint)
+                   as w,
+               greatest(cast(len(regexp_extract_all(text, '[.!?]+'))
+                             as bigint), 1) as s,
+               greatest(cast(len(regexp_extract_all(lower(text),
+                                                    '[aeiouy]+'))
+                             as bigint),
+                        cast(len(string_split_regex(trim(text), '\s+'))
+                             as bigint)) as y
+        from documents
+        where text is not null and length(trim(text)) > 0
+    ),
+    scored as (
+        select source, w, s, y,
+               206.835 - 1.015 * (cast(w as double) / cast(s as double))
+                       - 84.6 * (cast(y as double) / cast(w as double))
+                   as fre,
+               case when 206835 * s * w - 1015 * w * w - 84600 * y * s
+                         >= 60000 * s * w
+                    then 1 else 0 end as easy
+        from d
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(easy) as bigint) as n_easy_docs,
+           round(cast(sum(w) as double) / cast(sum(s) as double), 6)
+               as words_per_sentence,
+           round(cast(sum(cast(fre as decimal(28,12))) as double)
+                 / count(*), 6) as mean_fre
+    from scored group by source order by source
+    """,
+)
+def readability_flesch(spark, sf_dir):
+    """FLESCH READING-EASE per corpus source — the classic readability
+    quality signal (206.835 - 1.015 w/s - 84.6 syll/w) over a fully
+    deterministic proxy: words = whitespace tokens, sentences =
+    [.!?]+ runs (min 1), syllables = vowel-group runs [aeiouy]+
+    clamped to >= 1 per word (the standard dictionary-free heuristic —
+    every real word has a vowel nucleus). The per-doc score is ONE
+    identical IEEE double expression on both engines; the easy-doc
+    gate (FRE >= 60, "plain English") is decided in cross-multiplied
+    EXACT int64 (206835*s*w - 1015*w^2 - 84600*y*s >= 60000*s*w —
+    the gopher_quality_filter discipline: no FP boundary flips), and
+    the per-source mean sums decimals before the final divide so it is
+    aggregation-order independent. Scale: three regex counters per row,
+    all codegen'd JVM-side, then one map-side-combinable aggregate on
+    source — no UDFs, no extra shuffle beyond the group-by."""
+    d = _tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    w = F.size(T.tokens(F.col("text"))).cast("bigint")
+    s = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+        F.lit(1),
+    )
+    y = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+            "bigint"
+        ),
+        w,
+    )
+    base = d.select("source", w.alias("w"), s.alias("s"), y.alias("y"))
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("w").cast("double") / F.col("s").cast("double"))
+        - F.lit(84.6)
+        * (F.col("y").cast("double") / F.col("w").cast("double"))
+    )
+    easy = (
+        F.lit(206835) * F.col("s") * F.col("w")
+        - F.lit(1015) * F.col("w") * F.col("w")
+        - F.lit(84600) * F.col("y") * F.col("s")
+        >= F.lit(60000) * F.col("s") * F.col("w")
+    ).cast("long")
+    scored = base.select("source", "w", "s", fre.alias("fre"), easy.alias("easy"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("easy").cast("bigint").alias("n_easy_docs"),
+            F.round(
+                F.sum("w").cast("double") / F.sum("s").cast("double"), 6
+            ).alias("words_per_sentence"),
+            F.round(
+                F.sum(F.col("fre").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_fre"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    r"""
+    with mx as (select max(doc_id) as m from documents),
+    d as (
+        select doc_id,
+               least(10, greatest(1,
+                   (doc_id * 10 + m.m - 1) // m.m)) as b,
+               string_split_regex(lower(trim(text)), '\s+') as t
+        from documents, mx m
+    ),
+    per_doc as (
+        select b, cast(1 as bigint) as nd,
+               cast(len(t) as bigint) as nt
+        from d
+    ),
+    doc_b as (
+        select b, cast(sum(nd) as bigint) as n_docs_b,
+               cast(sum(nt) as bigint) as n_tokens_b
+        from per_doc group by b
+    ),
+    first_seen as (
+        select word, min(b) as fb
+        from (select b, unnest(t) as word from d)
+        group by word
+    ),
+    vocab_b as (
+        select fb as b, cast(count(*) as bigint) as n_vocab_b
+        from first_seen group by fb
+    ),
+    doc_cum as (
+        select unnest(generate_series(b, 10)) as decile,
+               n_docs_b, n_tokens_b
+        from doc_b
+    ),
+    voc_cum as (
+        select unnest(generate_series(b, 10)) as decile, n_vocab_b
+        from vocab_b
+    ),
+    dc as (select decile, cast(sum(n_docs_b) as bigint) as n_docs,
+                  cast(sum(n_tokens_b) as bigint) as n_tokens
+           from doc_cum group by decile),
+    vc as (select decile, cast(sum(n_vocab_b) as bigint) as n_vocab
+           from voc_cum group by decile)
+    select cast(dc.decile as int) as decile, n_docs, n_tokens,
+           coalesce(n_vocab, 0) as n_vocab
+    from dc left join vc using (decile)
+    order by decile
+    """,
+)
+def vocab_growth_curve(spark, sf_dir):
+    """HEAPS'-LAW VOCABULARY GROWTH — distinct-vocabulary size vs corpus
+    size at ten ingestion checkpoints (does the next 10% of the corpus
+    still add new words, or has vocabulary saturated? — the marginal-
+    value curve behind "is more of this source worth crawling").
+    Checkpoints are doc_id deciles computed in EXACT integer arithmetic
+    ((doc_id*10 + max-1) div max — no FP boundary), and the cumulative
+    counts avoid both a global window (lint-barred) and a triangular
+    self-join: each per-bucket partial EXPLODES to the checkpoints it
+    feeds via sequence(b, 10) — a bounded x10 map-side fan-out — and
+    one group-by sums them. The vocabulary side needs only each word's
+    FIRST doc (min(doc_id); its bucket is bucket(min), legal because
+    the bucket is monotone in doc_id): one shuffle on word, output one
+    row per word, re-aggregated to <= N rows keyed by first-doc. Both
+    lanes UNION before the decile denominator attaches, so the 1-row
+    max(doc_id) aggregate rides exactly ONE nested-loop attach (the
+    lint-pinned scalar shape). Every output value is an exact bigint —
+    no doubles anywhere. Scale: the word-grain shuffle is the same
+    exchange every tf-idf/vocab entry pays; everything after the two
+    doc_id-grain partials is <= 10 rows per mapper."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", T.tokens(F.lower(F.trim(F.col("text")))).alias("t")
+    )
+    lane_doc = d.select(
+        "doc_id",
+        F.lit(1).cast("bigint").alias("nd"),
+        F.size("t").cast("bigint").alias("nt"),
+        F.lit(0).cast("bigint").alias("nv"),
+    )
+    lane_vocab = (
+        d.select("doc_id", F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").cast("bigint").alias("nv"))
+        .select(
+            F.col("fd").alias("doc_id"),
+            F.lit(0).cast("bigint").alias("nd"),
+            F.lit(0).cast("bigint").alias("nt"),
+            "nv",
+        )
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    both = (
+        lane_doc.unionByName(lane_vocab)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(10),
+                F.greatest(F.lit(1), F.expr("(doc_id * 10 + m - 1) div m")),
+            ).alias("b"),
+            "nd",
+            "nt",
+            "nv",
+        )
+    )
+    return (
+        both.select(
+            F.explode(F.sequence(F.col("b"), F.lit(10))).alias("decile"),
+            "nd",
+            "nt",
+            "nv",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nv").cast("bigint").alias("n_vocab"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+        )
+        .orderBy("decile")
+    )

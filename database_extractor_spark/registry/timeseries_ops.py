@@ -428,3 +428,98 @@ def ohlc_bars(spark, sf_dir):
         F.max(s).getField("value").alias("close"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "interarrival_burstiness",
+    """
+    with g as (
+        select user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) over (
+                   partition by user_id order by ts, event_id) as gap
+        from events
+    ),
+    st as (
+        select user_id,
+               cast(count(gap) as bigint) as n_gaps,
+               cast(sum(gap) as bigint) as sum_gap,
+               cast(sum(cast(gap as decimal(28,0))
+                        * cast(gap as decimal(28,0))) as double) as sumsq
+        from g where gap is not null
+        group by user_id
+        having count(gap) >= 20
+    )
+    select user_id, n_gaps,
+           round(cast(sum_gap as double) / cast(n_gaps as double)
+                 / 1000000.0, 6) as mean_gap_s,
+           round((sqrt(greatest(sumsq / cast(n_gaps as double)
+                                - (cast(sum_gap as double)
+                                   / cast(n_gaps as double))
+                                  * (cast(sum_gap as double)
+                                     / cast(n_gaps as double)), 0.0))
+                  - cast(sum_gap as double) / cast(n_gaps as double))
+                 / (sqrt(greatest(sumsq / cast(n_gaps as double)
+                                  - (cast(sum_gap as double)
+                                     / cast(n_gaps as double))
+                                    * (cast(sum_gap as double)
+                                       / cast(n_gaps as double)), 0.0))
+                    + cast(sum_gap as double) / cast(n_gaps as double)),
+                 6) as burstiness
+    from st
+    order by burstiness desc, user_id
+    limit 20
+    """,
+)
+def interarrival_burstiness(spark, sf_dir):
+    """INTER-ARRIVAL BURSTINESS per user — the Goh-Barabasi statistic
+    B = (sigma - mu) / (sigma + mu) over each user's event-gap
+    distribution (B -> -1 periodic heartbeat, 0 Poisson, -> +1 bursty;
+    the behavioral fingerprint that separates bots/monitors from humans
+    and flags scraper traffic in a curation pipeline). Gaps are EXACT
+    int64 microseconds from one lag() pass per user partition; the
+    moments are a map-side-combinable aggregate (count / exact bigint
+    sum / decimal-exact sum of squares — gap^2 exceeds int64 at
+    month-long gaps, so squares multiply as decimal(38,0), the
+    token_label_chi2 overflow lesson applied pre-emptively). sigma uses
+    the population form sumsq/n - mean^2 clamped at 0 (FP cancellation
+    guard) — sqrt is IEEE-correctly-rounded so both engines agree
+    bit-for-bit given identical operand sequences; round 6 guards the
+    display. Output is TakeOrdered(20) on (B desc, user_id). Scale: the
+    user-partitioned window is the sessionization exchange every
+    funnel entry pays; everything downstream is one row per user."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    st = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sum_gap"),
+            F.sum(
+                F.col("gap").cast("decimal(28,0)")
+                * F.col("gap").cast("decimal(28,0)")
+            )
+            .cast("double")
+            .alias("sumsq"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    mean = F.col("sum_gap").cast("double") / F.col("n_gaps").cast("double")
+    var = F.greatest(
+        F.col("sumsq") / F.col("n_gaps").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
+    sigma = F.sqrt(var)
+    return (
+        st.select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / F.lit(1000000.0), 6).alias("mean_gap_s"),
+            F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "user_id")
+        .limit(20)
+    )

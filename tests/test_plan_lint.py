@@ -127,6 +127,12 @@ SCALAR_ATTACH_OK = {
     # the contingency-table column margins (1-row doc totals) ride one
     # attach over the min-df-gated token table
     "token_label_chi2",
+    # the decile denominator (1-row max(doc_id)) rides one attach
+    # before the per-doc bucket assignment
+    "vocab_growth_curve",
+    # the digit-share denominator (1-row total count) rides one attach
+    # over the 9-row digit frame
+    "benford_digit_profile",
 }
 
 

