@@ -273,6 +273,14 @@ SECONDARY = [
     "vocab_growth_curve",
     "interarrival_burstiness",
     "benford_digit_profile",
+    # round-14 additions: exact-integer CUSUM change-point (day-grain
+    # windows), 7-day pair correlation panel (day-keyed equi-join),
+    # token-mass-weighted percentiles and Gini concentration (both on
+    # the value-grouped prefix-sum discipline)
+    "cusum_changepoint",
+    "rolling_correlation",
+    "weighted_percentile",
+    "token_gini_by_source",
 ]
 
 

@@ -131,7 +131,8 @@ _VERIFY_FIRST = [
 # multi_touch_attribution_linear, calibration_reliability,
 # embedding_cosine_histogram, ohlc_bars, token_label_chi2,
 # embedding_dim_stats, readability_flesch, vocab_growth_curve,
-# interarrival_burstiness, benford_digit_profile.
+# interarrival_burstiness, benford_digit_profile, cusum_changepoint,
+# rolling_correlation, weighted_percentile, token_gini_by_source.
 
 
 def _reorder_for_driver() -> None:

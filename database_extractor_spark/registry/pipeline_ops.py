@@ -1211,3 +1211,200 @@ def streaming_session_windows_q(spark, sf_dir):
 
 
 # ==========================================================================
+
+
+@register(
+    "weighted_percentile",
+    r"""
+    with per_doc as (
+        select source, n_chars as v,
+               cast(len(string_split_regex(lower(trim(text)), '\s+'))
+                    as bigint) as wt
+        from documents
+    ),
+    grouped as (
+        select source, v, cast(sum(wt) as bigint) as w_v
+        from per_doc group by source, v
+    ),
+    cum as (
+        select source, v,
+               cast(sum(w_v) over (
+                   partition by source order by v
+                   rows between unbounded preceding and current row)
+                   as bigint) as cw,
+               cast(sum(w_v) over (partition by source) as bigint) as tot
+        from grouped
+    ),
+    hit as (
+        select source, unnest([50, 90, 99]) as q_pct, v, cw, tot
+        from cum
+    )
+    select source, cast(q_pct as int) as q_pct,
+           min(v) as weighted_nchars
+    from hit
+    where cw * 100 >= q_pct * tot
+    group by source, q_pct
+    order by source, q_pct
+    """,
+)
+def weighted_percentile(spark, sf_dir):
+    """TOKEN-WEIGHTED length percentiles per source — "the document
+    length below which q% of the TOKEN MASS sits" (plain percentiles
+    weight every doc equally; a curation budget is spent in tokens, so
+    the mass-weighted quantile is what sizing decisions actually need
+    — one 10M-token doc moves it as much as a thousand 10k ones).
+    Fully EXACT: weights and cumulative mass are int64, the hit test
+    cross-multiplies (cw*100 >= q*tot — no FP quantile boundary), and
+    the answer is the minimal value whose cumulative mass clears the
+    threshold (percentile_disc semantics, weighted). Plan: docs
+    collapse to (source, length)-grain first (bounded by the distinct-
+    length domain, the quality_score_auc prefix-sum discipline), the
+    cumulative window is PARTITIONED by source, and the three
+    thresholds fan each grouped row out x3 map-side via an array
+    explode — no per-quantile rescan, no global sort."""
+    d = _tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("v"),
+        F.size(T.tokens(F.lower(F.trim(F.col("text"))))).cast("bigint").alias(
+            "wt"
+        ),
+    )
+    grouped = d.groupBy("source", "v").agg(
+        F.sum("wt").cast("bigint").alias("w_v")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = grouped.select(
+        "source",
+        "v",
+        F.sum("w_v").over(wcum).cast("bigint").alias("cw"),
+        F.sum("w_v").over(wall).cast("bigint").alias("tot"),
+    )
+    hit = cum.select(
+        "source",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q_pct"),
+        "v",
+        "cw",
+        "tot",
+    )
+    return (
+        hit.filter(F.col("cw") * 100 >= F.col("q_pct") * F.col("tot"))
+        .groupBy("source", F.col("q_pct").cast("int").alias("q_pct"))
+        .agg(F.min("v").alias("weighted_nchars"))
+        .orderBy("source", "q_pct")
+    )
+
+
+@register(
+    "token_gini_by_source",
+    r"""
+    with per_doc as (
+        select source,
+               cast(len(string_split_regex(lower(trim(text)), '\s+'))
+                    as bigint) as t
+        from documents
+    ),
+    grouped as (
+        select source, t, cast(count(*) as bigint) as c
+        from per_doc group by source, t
+    ),
+    cum as (
+        select source, t, c,
+               cast(sum(c) over (
+                   partition by source order by t
+                   rows between unbounded preceding and current row)
+                   as bigint) as cv,
+               cast(count(*) over (partition by source) as bigint)
+                   as n_vals,
+               cast(sum(c) over (partition by source) as bigint) as n,
+               cast(sum(t * c) over (partition by source) as bigint)
+                   as mass
+        from grouped
+    ),
+    blocks as (
+        select source, n, mass,
+               t * (cv * (cv + 1) - (cv - c) * (cv - c + 1)) / 2
+                   as rank_mass
+        from cum
+    )
+    select source, max(n) as n_docs, max(mass) as total_tokens,
+           round(2.0 * cast(sum(rank_mass) as double)
+                 / (cast(max(n) as double) * cast(max(mass) as double))
+                 - (cast(max(n) as double) + 1.0)
+                   / cast(max(n) as double), 6) as gini
+    from blocks
+    group by source
+    order by source
+    """,
+)
+def token_gini_by_source(spark, sf_dir):
+    """GINI COEFFICIENT of token mass across documents, per source —
+    the concentration screen for training mixtures (gini near 0: token
+    budget spread evenly across documents; near 1: a handful of
+    megadocs carry the slice, so per-doc dedup/quality decisions barely
+    move the mass and a length cap is the real lever). Computed from
+    VALUE-GROUPED data with exact integers end to end: docs collapse to
+    (source, token-count)-grain, the ascending-rank sum for a value
+    block is t * (C*(C+1) - C_prev*(C_prev+1))/2 (consecutive-rank
+    closed form — always even, so integer /2 is exact), and Gini =
+    2*SUM(rank_mass)/(n*T) - (n+1)/n evaluates once in doubles.
+    int64 bound: rank_mass sums to <= max_t * n^2 — safe to ~10M docs
+    x 100k tokens per source; beyond that the same formula runs in
+    decimal(38). Plan: one doc-grain aggregate, windows PARTITIONED by
+    source over the distinct-length domain (the prefix-sum discipline),
+    one final source-grain rollup — no global sort, no self-join."""
+    d = _tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.size(T.tokens(F.lower(F.trim(F.col("text"))))).cast("bigint").alias(
+            "t"
+        ),
+    )
+    grouped = d.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = grouped.select(
+        "source",
+        "t",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cv"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("c")).over(wall).cast("bigint").alias("mass"),
+    )
+    blocks = cum.select(
+        "source",
+        "n",
+        "mass",
+        (
+            F.col("t")
+            * (
+                F.col("cv") * (F.col("cv") + 1)
+                - (F.col("cv") - F.col("c")) * (F.col("cv") - F.col("c") + 1)
+            )
+            / 2
+        ).cast("bigint").alias("rank_mass"),
+    )
+    nd = F.max("n").cast("double")
+    md = F.max("mass").cast("double")
+    return (
+        blocks.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("mass").alias("total_tokens"),
+            F.round(
+                F.lit(2.0) * F.sum("rank_mass").cast("double") / (nd * md)
+                - (nd + F.lit(1.0)) / nd,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

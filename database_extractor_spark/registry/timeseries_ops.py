@@ -523,3 +523,205 @@ def interarrival_burstiness(spark, sf_dir):
         .orderBy(F.desc("burstiness"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    with daily as (
+        select event_type, date_trunc('day', ts) as day,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    c as (
+        select event_type, day, n,
+               cast(row_number() over w as bigint) as k,
+               cast(sum(n) over (
+                   partition by event_type order by day
+                   rows between unbounded preceding and current row)
+                   as bigint) as s_k,
+               cast(count(*) over (partition by event_type) as bigint)
+                   as n_days,
+               cast(sum(n) over (partition by event_type) as bigint) as s_n
+        from daily
+        window w as (partition by event_type order by day)
+    ),
+    scored as (
+        select event_type, day, n_days, s_n,
+               abs(n_days * s_k - k * s_n) as stat_scaled
+        from c
+    )
+    select event_type, day as changepoint_day, n_days,
+           s_n as total_events, stat_scaled,
+           round(cast(stat_scaled as double)
+                 / (cast(n_days as double) * cast(s_n as double)), 6)
+               as cusum_stat
+    from scored
+    qualify row_number() over (
+        partition by event_type order by stat_scaled desc, day) = 1
+    order by event_type
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGE-POINT detection per event-type series — the day at
+    which the daily-volume series most departs from a constant rate
+    (argmax_k |S_k - (k/N)*S_N|, the classic at-most-one-change-point
+    statistic; the monitoring primitive behind "when did this feed's
+    behavior shift"). The statistic is held EXACT: scale by N*S_N so
+    stat = |N*S_k - k*S_N| is pure int64 (bounded by N*S_N — days x
+    total events, safe to ~3e9 event-days per type) and the argmax is
+    FP-free with an earliest-day tiebreak; the normalized 0..1 score
+    divides exact integers once for display. Plan: one map-side-
+    combinable day-grain aggregate collapses the fact table, then every
+    window is PARTITIONED by event_type over calendar-bounded day rows
+    — the backfill_todo_ledger shape; nothing downstream of the first
+    aggregate exceeds days x types rows."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s_k"),
+        F.count("*").over(wall).cast("bigint").alias("n_days"),
+        F.sum("n").over(wall).cast("bigint").alias("s_n"),
+    )
+    scored = c.select(
+        "event_type",
+        "day",
+        "n_days",
+        "s_n",
+        F.abs(
+            F.col("n_days") * F.col("s_k") - F.col("k") * F.col("s_n")
+        ).alias("stat_scaled"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("stat_scaled"), "day"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            F.col("s_n").alias("total_events"),
+            "stat_scaled",
+            F.round(
+                F.col("stat_scaled").cast("double")
+                / (F.col("n_days").cast("double") * F.col("s_n").cast("double")),
+                6,
+            ).alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "rolling_correlation",
+    """
+    with daily as (
+        select event_type, date_trunc('day', ts) as day,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    pairs as (
+        select a.event_type as t1, b.event_type as t2, a.day,
+               a.n as x, b.n as y
+        from daily a join daily b
+          on a.day = b.day and a.event_type < b.event_type
+    ),
+    win as (
+        select t1, t2, day,
+               cast(count(*) over w as bigint) as n,
+               cast(sum(x) over w as bigint) as sx,
+               cast(sum(y) over w as bigint) as sy,
+               cast(sum(x * y) over w as bigint) as sxy,
+               cast(sum(x * x) over w as bigint) as sxx,
+               cast(sum(y * y) over w as bigint) as syy
+        from pairs
+        window w as (partition by t1, t2 order by day
+                     rows between 6 preceding and current row)
+    )
+    select t1, t2, day,
+           round((cast(n as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / nullif(sqrt(cast(n as double) * cast(sxx as double)
+                               - cast(sx as double) * cast(sx as double))
+                          * sqrt(cast(n as double) * cast(syy as double)
+                                 - cast(sy as double) * cast(sy as double)),
+                          0.0), 6) as corr_7d
+    from win
+    where n >= 7
+    order by t1, t2, day
+    """,
+)
+def rolling_correlation(spark, sf_dir):
+    """ROLLING 7-day PEARSON CORRELATION between every pair of daily
+    event-type volume series — the co-movement monitor (did purchases
+    decouple from clicks this week? are errors tracking traffic or
+    spiking independently?). Day-grain aggregation first (the fact
+    table collapses map-side to days x types rows), then an equi-join
+    on day builds the C(types,2) pair panel — NEVER a cross join: the
+    inequality is a post-join filter on a day-keyed hash join. Window
+    moments (n, Sx, Sy, Sxy, Sxx, Syy) over the trailing 7 OBSERVED
+    days per pair are all EXACT int64 (counts squared x 7 — safe to
+    ~1e9 events/day); Pearson r is then ONE identical IEEE double
+    expression, sqrt is correctly-rounded, a zero variance nulls via
+    nullif on both engines, and round 6 guards display. Rows emit only
+    at full 7-day windows. Scale: everything after the first aggregate
+    is bounded by calendar days x type-pairs."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("t1"), "day", F.col("n").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("t2"),
+        F.col("day").alias("day2"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(
+        b, (F.col("day") == F.col("day2")) & (F.col("t1") < F.col("t2"))
+    ).select("t1", "t2", "day", "x", "y")
+    w = (
+        Window.partitionBy("t1", "t2")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = pairs.select(
+        "t1",
+        "t2",
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        nd * F.col("syy").cast("double") - sy * sy
+    )
+    return (
+        win.filter(F.col("n") >= 7)
+        .select(
+            "t1",
+            "t2",
+            "day",
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_7d"),
+        )
+        .orderBy("t1", "t2", "day")
+    )

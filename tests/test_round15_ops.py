@@ -156,3 +156,163 @@ def test_benford_mass_closure_and_coverage(spark):
         assert r["exp_p"] == pytest.approx(
             math.log10(1 + 1 / int(r["digit"])), abs=5e-7
         )
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    """A constructed series with a clean level shift must put the
+    change-point at the shift boundary."""
+    import datetime as dt
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        # 2/day for days 0-9, 10/day for days 10-19 -> argmax at day 9
+        n = 2 if day < 10 else 10
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 3, 1 + day, 12, 0, i),
+                    1,
+                    "shift",
+                    1.0,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    out = QUERIES["cusum_changepoint"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["changepoint_day"].day == 10  # last low-rate day
+    assert out[0]["n_days"] == 20
+    assert out[0]["total_events"] == 120
+
+
+def test_cusum_statistic_matches_brute(spark):
+    """Every per-type statistic reproduces from a driver-side cumsum."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["cusum_changepoint"](spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r["event_type"]][r["ts"].date()] += 1
+    for et, days in daily.items():
+        ordered = sorted(days)
+        n_days, s_n = len(ordered), sum(days.values())
+        s_k = 0
+        best = (-1, None)
+        for k, day in enumerate(ordered, 1):
+            s_k += days[day]
+            stat = abs(n_days * s_k - k * s_n)
+            if stat > best[0]:
+                best = (stat, day)
+        assert out[et]["stat_scaled"] == best[0]
+        assert out[et]["changepoint_day"].date() == best[1]
+
+
+def test_rolling_correlation_brute_and_bounds(spark):
+    """corr in [-1, 1]; one (pair, day) cell reproduces from numpy-free
+    brute Pearson over the trailing 7 observed shared days."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["rolling_correlation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["corr_7d"] is not None:
+            assert -1.0 - 1e-9 <= r["corr_7d"] <= 1.0 + 1e-9
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        daily[e["event_type"]][e["ts"].date()] += 1
+    probe = rows[-1]
+    t1, t2 = probe["t1"], probe["t2"]
+    shared = sorted(set(daily[t1]) & set(daily[t2]))
+    upto = [d for d in shared if d <= probe["day"].date()][-7:]
+    xs = [daily[t1][d] for d in upto]
+    ys = [daily[t2][d] for d in upto]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = (
+        math.sqrt(n * sum(x * x for x in xs) - sum(xs) ** 2)
+        * math.sqrt(n * sum(y * y for y in ys) - sum(ys) ** 2)
+    )
+    want = None if den == 0 else num / den
+    if want is None:
+        assert probe["corr_7d"] is None
+    else:
+        assert probe["corr_7d"] == pytest.approx(want, abs=1e-5)
+
+
+def test_weighted_percentile_mass_threshold(spark):
+    """Each reported value is the minimal length whose cumulative token
+    mass clears q% — verified against a brute per-source recompute."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    out = QUERIES["weighted_percentile"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).collect()
+    per_src: dict = defaultdict(list)
+    for d in docs:
+        wt = len(d["text"].strip().lower().split())
+        per_src[d["source"]].append((d["n_chars"], wt))
+    want = {}
+    for src, pairs in per_src.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        for q in (50, 90, 99):
+            cw = 0
+            for v, w in pairs:
+                cw += w
+                if cw * 100 >= q * tot:
+                    want[(src, q)] = v
+                    break
+    got = {(r["source"], r["q_pct"]): r["weighted_nchars"] for r in out}
+    assert got == want
+
+
+def test_token_gini_matches_brute_and_bounds(spark):
+    """gini in [0, 1); reproduces the classic sorted-rank formula."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    out = {
+        r["source"]: r
+        for r in QUERIES["token_gini_by_source"](spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).collect()
+    per_src: dict = defaultdict(list)
+    for d in docs:
+        per_src[d["source"]].append(len(d["text"].strip().lower().split()))
+    for src, ts in per_src.items():
+        ts.sort()
+        n, tot = len(ts), sum(ts)
+        a = sum(i * t for i, t in enumerate(ts, 1))
+        gini = 2 * a / (n * tot) - (n + 1) / n
+        assert out[src]["gini"] == pytest.approx(gini, abs=1e-5)
+        assert 0.0 <= out[src]["gini"] < 1.0
+        assert out[src]["n_docs"] == n
+        assert out[src]["total_tokens"] == tot
