@@ -281,6 +281,12 @@ SECONDARY = [
     "rolling_correlation",
     "weighted_percentile",
     "token_gini_by_source",
+    # round-14 additions: GROUP BY ALL front end, the dyadic-integer
+    # JVM EWMA (pandas_ema's 100 TB twin), and the trained-quantizer
+    # silhouette eval (one map-only 16-cosine scan + 16-group rollup)
+    "sql_group_by_all",
+    "ewma_event_rate",
+    "ivf_silhouette_eval",
 ]
 
 

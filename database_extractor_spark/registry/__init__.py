@@ -132,7 +132,8 @@ _VERIFY_FIRST = [
 # embedding_cosine_histogram, ohlc_bars, token_label_chi2,
 # embedding_dim_stats, readability_flesch, vocab_growth_curve,
 # interarrival_burstiness, benford_digit_profile, cusum_changepoint,
-# rolling_correlation, weighted_percentile, token_gini_by_source.
+# rolling_correlation, weighted_percentile, token_gini_by_source,
+# sql_group_by_all, ewma_event_rate, ivf_silhouette_eval.
 
 
 def _reorder_for_driver() -> None:

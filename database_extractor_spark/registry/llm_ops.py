@@ -2327,3 +2327,115 @@ def embedding_dim_stats(spark, sf_dir):
         "min_x",
         "max_x",
     ).orderBy("dim")
+
+
+def _ivf_silhouette_oracle(rounds: int = 2) -> str:
+    """Oracle for ivf_silhouette_eval: Lloyd prefix -> all (vec,
+    centroid) cosines -> rank-1 (own) and rank-2 (nearest other)
+    -> simplified silhouette -> per-cluster mean."""
+    cos = _LLOYD_COS
+    last = f"cent{rounds}"
+    return _lloyd_cte_prefix(rounds) + (
+        f""",
+    fa as (
+        select e.vec_id, c.sid, {cos} as cs
+        from e cross join {last} c
+    ),
+    ranked as (
+        select vec_id, sid, cs,
+               row_number() over (
+                   partition by vec_id order by cs desc, sid) as rn
+        from fa
+    ),
+    ab as (
+        select a.vec_id, cast(a.sid as int) as cluster_id,
+               1.0 - a.cs as a_dist, 1.0 - b.cs as b_dist
+        from (select * from ranked where rn = 1) a
+        join (select * from ranked where rn = 2) b using (vec_id)
+    ),
+    s as (
+        select cluster_id,
+               case when greatest(a_dist, b_dist) > 0.0
+                    then (b_dist - a_dist) / greatest(a_dist, b_dist)
+                    else 0.0 end as sil
+        from ab
+    )
+    select cluster_id, cast(count(*) as bigint) as n_vecs,
+           round(cast(sum(cast(sil as decimal(28,12))) as double)
+                 / count(*), 6) as mean_silhouette
+    from s group by cluster_id order by cluster_id"""
+    )
+
+
+@register("ivf_silhouette_eval", _ivf_silhouette_oracle())
+def ivf_silhouette_eval(spark, sf_dir):
+    """SIMPLIFIED-SILHOUETTE quality evaluation of the trained IVF
+    quantizer — the third leg of the index-eval stool (the recall
+    evals ask "does probe-pruned search find the true neighbors?";
+    this asks "are the lists themselves coherent?" — a low-silhouette
+    cluster is a candidate for re-training or splitting, and the
+    per-cluster breakdown localizes WHICH lists are muddy). Per
+    vector: a = cosine distance to its OWN centroid, b = distance to
+    the nearest OTHER centroid, s = (b - a) / max(a, b) in [-1, 1]
+    (the centroid-based simplified silhouette — the full pairwise
+    form is quadratic in cluster size and adds nothing for centroid
+    indexes). Shares the deterministic-Lloyd trained-centroid cache
+    with sim_ivf_kmeans (one index, many evals), so the oracle
+    replays training as CTEs and every cosine is the SAME IEEE
+    sequence on both engines (cosine_to_literal contract); the
+    rank-1/rank-2 centroid pick is the sorted-struct form of the
+    oracle's row_number tiebreak (cs desc, sid asc). Scale: one scan
+    computes all n_lists cosines per row with ONE shared row-norm
+    fold — map-only; the rollup is a 16-group aggregate."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    cents = _trained_model(
+        "ivf",
+        sf_dir,
+        _TRAINED_IVF_CACHE,
+        lambda: S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2),
+    )
+    vnorm = S.l2_norm(F.col("embedding"))
+    structs = [
+        F.struct(
+            (
+                -S.cosine_to_literal(
+                    F.col("embedding"), [float(v) for v in vec], F.col("__vnorm")
+                )
+            ).alias("nc"),
+            F.lit(int(sid)).alias("sid"),
+        )
+        for sid, vec in cents
+    ]
+    ranked = (
+        e.withColumn("__vnorm", vnorm)
+        .withColumn("__arr", F.array_sort(F.array(*structs)))
+        .select(
+            F.element_at("__arr", 1).getField("sid").cast("int").alias(
+                "cluster_id"
+            ),
+            (F.lit(1.0) + F.element_at("__arr", 1).getField("nc")).alias(
+                "a_dist"
+            ),
+            (F.lit(1.0) + F.element_at("__arr", 2).getField("nc")).alias(
+                "b_dist"
+            ),
+        )
+    )
+    sil = F.when(
+        F.greatest("a_dist", "b_dist") > 0.0,
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.greatest("a_dist", "b_dist"),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.select("cluster_id", sil.alias("sil"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("sil").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster_id")
+    )

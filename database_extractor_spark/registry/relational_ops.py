@@ -1449,3 +1449,30 @@ def benford_digit_profile(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+#: dialect-common: GROUP BY ALL infers the grouping keys from the
+#: non-aggregate select list on BOTH engines (Spark 3.4+/DuckDB), so the
+#: query text is again its own oracle
+_SQL_GROUP_BY_ALL = """
+    select event_type, date_trunc('day', ts) as day,
+           cast(count(*) as bigint) as n,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events
+    group by all
+    order by event_type, day
+"""
+
+
+@register("sql_group_by_all", _SQL_GROUP_BY_ALL)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL through the SQL front end — the analyst-facing
+    sugar (grouping keys inferred from the select list) that modern
+    warehouses treat as table stakes; one dialect-common string runs
+    verbatim on Spark SQL and DuckDB, so the text is its own oracle.
+    Plan-wise it resolves to the identical hash aggregate as an
+    explicit GROUP BY 1, 2 — the distinct-count expansion and the
+    day-grain partial aggregation are unchanged."""
+    from database_extractor_spark.session import sql as run_sql
+
+    return run_sql(spark, _SQL_GROUP_BY_ALL, sf_dir=sf_dir)

@@ -725,3 +725,76 @@ def rolling_correlation(spark, sf_dir):
         )
         .orderBy("t1", "t2", "day")
     )
+
+
+def _ewma_oracle(depth: int = 16) -> str:
+    num = " + ".join(
+        f"coalesce(lag(n, {j}) over w, 0) * {1 << (depth - 1 - j)}"
+        for j in range(depth)
+    )
+    den = " + ".join(
+        f"case when lag(n, {j}) over w is not null"
+        f" then {1 << (depth - 1 - j)} else 0 end"
+        for j in range(depth)
+    )
+    return f"""
+    with daily as (
+        select event_type, date_trunc('day', ts) as day,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    w16 as (
+        select event_type, day, n,
+               cast({num} as bigint) as num,
+               cast({den} as bigint) as den
+        from daily
+        window w as (partition by event_type order by day)
+    )
+    select event_type, day, n,
+           round(cast(num as double) / cast(den as double), 6) as ewma
+    from w16
+    order by event_type, day
+    """
+
+
+@register("ewma_event_rate", _ewma_oracle())
+def ewma_event_rate(spark, sf_dir):
+    """EXPONENTIALLY-WEIGHTED moving average of daily event volume,
+    computed ENTIRELY JVM-side with exact integers — the scale twin of
+    `pandas_ema` (which demonstrates the Arrow/pandas extension seam;
+    THIS entry is what you deploy at 100 TB: no Python workers, no
+    Arrow transfer, full whole-stage codegen). The half-life-one-day
+    kernel alpha=1/2 makes every weight a DYADIC RATIONAL: the
+    16-term truncated EWMA is sum_j lag_j * 2^(15-j) / sum_j 2^(15-j)
+    — numerator and denominator are pure int64 (tail truncation error
+    2^-16 is below the 6-dp display rounding), missing leading days
+    shorten the kernel by dropping their weight from BOTH sums, and
+    the single final division is the only FP op. No libm pow() on
+    either engine — the committed-constant discipline. Plan: one
+    day-grain map-side-combinable aggregate, then ONE partitioned
+    window pass evaluates all 16 lags (they share the frame sort)."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    depth = 16
+    num = None
+    den = None
+    for j in range(depth):
+        wt = 1 << (depth - 1 - j)
+        lagged = F.lag("n", j).over(w)
+        term_n = F.coalesce(lagged, F.lit(0)) * F.lit(wt)
+        term_d = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            num.cast("bigint").cast("double")
+            / den.cast("bigint").cast("double"),
+            6,
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")

@@ -316,3 +316,142 @@ def test_token_gini_matches_brute_and_bounds(spark):
         assert 0.0 <= out[src]["gini"] < 1.0
         assert out[src]["n_docs"] == n
         assert out[src]["total_tokens"] == tot
+
+
+def test_sql_group_by_all_equals_explicit_grouping(spark):
+    """GROUP BY ALL must resolve to the same result as the explicit
+    GROUP BY over the non-aggregate select columns."""
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.session import sql as run_sql
+
+    got = QUERIES["sql_group_by_all"](spark, SF_DIR).collect()
+    want = run_sql(
+        spark,
+        """
+        select event_type, date_trunc('day', ts) as day,
+               cast(count(*) as bigint) as n,
+               cast(count(distinct user_id) as bigint) as n_users
+        from events group by 1, 2 order by 1, 2
+        """,
+        sf_dir=SF_DIR,
+    ).collect()
+    assert got == want
+
+
+def test_ewma_converges_and_tracks_constant_series(spark):
+    """On a constant daily rate the EWMA equals the rate exactly at
+    every depth (weights cancel); fixture EWMA stays within the
+    min/max envelope of its trailing 16 days."""
+    import datetime as dt
+    import os as _os
+    import tempfile
+
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        for i in range(5):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 8, 0, i), 1,
+                 "steady", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    out = QUERIES["ewma_event_rate"](spark, d).collect()
+    assert len(out) == 20
+    assert all(r["ewma"] == 5.0 for r in out)
+
+    # fixture: ewma bounded by the trailing-16 min/max
+    fx = QUERIES["ewma_event_rate"](spark, SF_DIR).collect()
+    series: dict = defaultdict(list)
+    for r in fx:
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        for i, r in enumerate(rs):
+            window = [x["n"] for x in rs[max(0, i - 15): i + 1]]
+            assert min(window) <= r["ewma"] <= max(window)
+
+
+def test_ewma_weights_brute_one_cell(spark):
+    """The last day of one series reproduces from the dyadic formula."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    fx = QUERIES["ewma_event_rate"](spark, SF_DIR).collect()
+    series: dict = defaultdict(list)
+    for r in fx:
+        series[r["event_type"]].append(r["n"])
+    et, ns = sorted(series.items())[0]
+    last = [r for r in fx if r["event_type"] == et][-1]
+    depth = min(16, len(ns))
+    tail = ns[-depth:][::-1]  # tail[0] = current day
+    num = sum(x * (1 << (15 - j)) for j, x in enumerate(tail))
+    den = sum((1 << (15 - j)) for j in range(depth))
+    assert last["ewma"] == pytest.approx(num / den, abs=1e-5)
+
+
+def test_ivf_silhouette_bounds_and_coverage(spark):
+    """s in [-1, 1]; every vector lands in exactly one cluster; the
+    cluster ids are the trained seed ids; counts close to the corpus."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["ivf_silhouette_eval"](spark, SF_DIR).collect()
+    assert rows
+    assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert all(1 <= r["cluster_id"] <= 16 for r in rows)
+
+
+def test_ivf_silhouette_separable_synthetic(spark):
+    """Two orthogonal-cone clusters must score near-perfect silhouette
+    (a ~ 0, b ~ 1 -> s ~ 1) through the same trained-Lloyd path."""
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.registry.llm_ops import (
+        _TRAINED_IVF_CACHE,
+    )
+
+    dim = 64
+    rows = []
+    # vec_id 0 is the reserved query slot; seeds are ids 1..16.
+    # axis-0 cone for even ids, axis-1 cone for odd ids
+    for i in range(120):
+        v = [0.0] * dim
+        axis = i % 2
+        v[axis] = 1.0
+        v[2 + (i % 8)] = 0.001 * (1 + i % 5)  # tiny deterministic jitter
+        rows.append((i, [float(x) for x in v], axis))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(
+        _os.path.join(d, "embeddings.parquet")
+    )
+    out = QUERIES["ivf_silhouette_eval"](spark, d).collect()
+    _TRAINED_IVF_CACHE.pop(
+        next(k for k in list(_TRAINED_IVF_CACHE) if str(d) in str(k)), None
+    ) if any(str(d) in str(k) for k in _TRAINED_IVF_CACHE) else None
+    # mass-weighted mean silhouette must be strongly positive: the two
+    # cones are orthogonal. It won't reach ~1.0 — 16 seeds split each
+    # cone into near-parallel sub-clusters, so some vectors' nearest
+    # OTHER centroid is a sibling within the same cone, which is
+    # exactly the "candidate lists to merge" signal the eval exists
+    # to surface.
+    tot = sum(r["n_vecs"] for r in out)
+    wmean = sum(r["mean_silhouette"] * r["n_vecs"] for r in out) / tot
+    assert wmean > 0.6
+    assert tot == 120
