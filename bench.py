@@ -287,6 +287,12 @@ SECONDARY = [
     "sql_group_by_all",
     "ewma_event_rate",
     "ivf_silhouette_eval",
+    # round-14 additions: pooled-variance A/B z-test (user-grain
+    # reduce), lifespan survival curve (sequence-explode fan-out), and
+    # PromQL histogram_quantile (one attach + 16-bucket linear flow)
+    "ab_test_proportions",
+    "user_retention_curve",
+    "histogram_quantile_interp",
 ]
 
 

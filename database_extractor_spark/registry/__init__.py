@@ -133,7 +133,9 @@ _VERIFY_FIRST = [
 # embedding_dim_stats, readability_flesch, vocab_growth_curve,
 # interarrival_burstiness, benford_digit_profile, cusum_changepoint,
 # rolling_correlation, weighted_percentile, token_gini_by_source,
-# sql_group_by_all, ewma_event_rate, ivf_silhouette_eval.
+# sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
+# ab_test_proportions, user_retention_curve,
+# histogram_quantile_interp.
 
 
 def _reorder_for_driver() -> None:

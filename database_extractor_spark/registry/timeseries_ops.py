@@ -798,3 +798,356 @@ def ewma_event_rate(spark, sf_dir):
             6,
         ).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "ab_test_proportions",
+    """
+    with u as (
+        select user_id,
+               max(case when event_type = 'purchase' and value > 150.0
+                        then 1 else 0 end) as conv
+        from events group by user_id
+    ),
+    armed as (
+        select case when md5(cast(user_id as varchar)) < '8'
+                    then 'A' else 'B' end as arm,
+               conv
+        from u
+    ),
+    agg as (
+        select cast(sum(case when arm = 'A' then 1 else 0 end) as bigint)
+                   as n_a,
+               cast(sum(case when arm = 'A' then conv else 0 end) as bigint)
+                   as x_a,
+               cast(sum(case when arm = 'B' then 1 else 0 end) as bigint)
+                   as n_b,
+               cast(sum(case when arm = 'B' then conv else 0 end) as bigint)
+                   as x_b
+        from armed
+    )
+    select n_a, x_a, n_b, x_b,
+           round(cast(x_a as double) / cast(n_a as double), 6) as rate_a,
+           round(cast(x_b as double) / cast(n_b as double), 6) as rate_b,
+           round((cast(x_a as double) / cast(n_a as double)
+                  - cast(x_b as double) / cast(n_b as double))
+                 / nullif(sqrt((cast(x_a + x_b as double)
+                         / cast(n_a + n_b as double))
+                        * (1.0 - cast(x_a + x_b as double)
+                                 / cast(n_a + n_b as double))
+                        * (1.0 / cast(n_a as double)
+                           + 1.0 / cast(n_b as double))), 0.0), 6) as z_stat
+    from agg
+    """,
+)
+def ab_test_proportions(spark, sf_dir):
+    """TWO-PROPORTION z-TEST over a deterministic 50/50 user split —
+    the experiment-analysis primitive (did arm A convert better than
+    arm B, and is the lift larger than chance?). Assignment is the
+    md5-bucket discipline every sampling entry uses (first hex digit
+    < '8' -> A: deterministic, uniform, reproducible on any engine —
+    the split a real experimentation system derives from a salted
+    user hash). Conversion (>= 1 high-value purchase,
+    value > 150 — an exact double compare, identical on both engines)
+    collapses events to one row per user map-side; a fully-converted
+    or fully-unconverted population has zero pooled variance, so the
+    z denominator nullif-guards to NULL rather than erroring under
+    ANSI division; the 2x2 cell counts are EXACT int64 from
+    ONE global aggregate (no window, no join), and the pooled-variance
+    z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) evaluates as a single
+    identical IEEE double expression on both engines (sqrt correctly
+    rounded; round 6 display guard). Scale: user-grain partial
+    aggregation then a 1-row reduce — the cheapest possible shape;
+    the chi2/KS/PSI entries cover the distributional siblings, this
+    covers the canonical conversion-rate test."""
+    ev = _tbl(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    armed = u.select(
+        F.when(
+            F.md5(F.col("user_id").cast("string")) < "8", "A"
+        ).otherwise("B").alias("arm"),
+        "conv",
+    )
+    agg = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.nullif(
+        F.sqrt(
+            pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "user_retention_curve",
+    """
+    with life as (
+        select user_id,
+               date_diff('day', min(cast(ts as date)),
+                         max(cast(ts as date))) as lifespan
+        from events group by user_id
+    ),
+    tot as (select cast(count(*) as bigint) as n_users from life),
+    fan as (
+        select unnest(generate_series(0, least(lifespan, 30))) as d
+        from life
+    ),
+    ret as (
+        select d, cast(count(*) as bigint) as n_retained
+        from fan group by d
+    )
+    select cast(d as int) as day_n, n_retained,
+           round(cast(n_retained as double) / cast(t.n_users as double), 6)
+               as retained_frac
+    from ret cross join tot t
+    order by day_n
+    """,
+)
+def user_retention_curve(spark, sf_dir):
+    """SURVIVAL/RETENTION CURVE — the fraction of users still active d
+    days after their first event, for d = 0..30 (the product-health
+    curve every growth dashboard opens with; cohort_retention slices
+    by signup month x month, THIS is the marginal lifespan survival
+    function S(d)). Lifespans are exact day diffs from one user-grain
+    aggregate; the monotone "alive at day d" counts avoid both a
+    global cumulative window (lint-barred) and a 31-way rescan with
+    the sequence-explode trick: each user fans out to every day it
+    survived (<= 31 map-side rows), one group-by counts them, and the
+    1-row user total attaches for the fraction (exact ints before one
+    division). Scale: events collapse to one row per user map-side;
+    everything after is <= 31 rows per mapper partial."""
+    ev = _tbl(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifespan")
+    )
+    tot = life.agg(F.count("*").cast("bigint").alias("n_users"))
+    ret = (
+        life.select(
+            F.explode(
+                F.sequence(F.lit(0), F.least(F.col("lifespan"), F.lit(30)))
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_retained"))
+    )
+    return (
+        ret.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("day_n"),
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("retained_frac"),
+        )
+        .orderBy("day_n")
+    )
+
+
+@register(
+    "histogram_quantile_interp",
+    """
+    with stats as (
+        select min(value) as mn, max(value) as mx,
+               cast(count(*) as bigint) as total
+        from events where value is not null
+    ),
+    binned as (
+        select case when s.mx > s.mn
+                    then least(15, greatest(0, cast(floor(
+                        (e.value - s.mn) * 16.0 / (s.mx - s.mn)) as int)))
+                    else 0 end as bin,
+               s.mn, s.mx, s.total
+        from events e cross join stats s
+        where e.value is not null
+    ),
+    per_bin as (
+        select bin, mn, mx, total,
+               cast(count(*) as bigint) as n_b
+        from binned group by bin, mn, mx, total
+    ),
+    cum as (
+        select cb as bin, cast(sum(n_b) as bigint) as cum_n
+        from (select unnest(generate_series(bin, 15)) as cb, n_b
+              from per_bin)
+        group by cb
+    ),
+    pb as (
+        select p.bin, p.mn, p.mx, p.total, p.n_b, c.cum_n
+        from per_bin p join cum c using (bin)
+    ),
+    choice as (
+        select q_pct, min(bin) as bin
+        from (select unnest([50, 90, 99]) as q_pct, bin, cum_n, total
+              from pb)
+        where cum_n * 100 >= q_pct * total
+        group by q_pct
+    )
+    select cast(ch.q_pct as int) as q_pct, pb.bin, pb.n_b, pb.cum_n,
+           round(pb.mn + ((pb.mx - pb.mn) / 16.0)
+                 * (cast(pb.bin as double)
+                    + (cast(ch.q_pct * pb.total as double) / 100.0
+                       - cast(pb.cum_n - pb.n_b as double))
+                      / cast(pb.n_b as double)), 6) as est_value
+    from choice ch join pb on ch.bin = pb.bin
+    order by q_pct
+    """,
+)
+def histogram_quantile_interp(spark, sf_dir):
+    """HISTOGRAM-QUANTILE with linear interpolation — the PromQL
+    ``histogram_quantile()`` analog: estimate P50/P90/P99 from a
+    16-bucket equal-width histogram by interpolating WITHIN the
+    bucket that crosses the target rank. Completes the quantile
+    triptych: percentile_agg is exact (needs the raw values),
+    approx_percentile_sketch is mergeable-sketch (needs Spark's
+    binary state), THIS is the only form computable from
+    pre-aggregated histogram counters — the shape observability
+    pipelines actually ship, and the estimator whose bucket-width
+    error the exact entry calibrates. Determinism: bin assignment,
+    threshold crossing (cum*100 >= q*total, exact ints) and the
+    interpolation run the SAME IEEE sequence on both engines; the
+    crossing bucket provably has n_b > 0 (cum strictly increases at
+    the crossing), so the division is safe under ANSI. Scale: one
+    global (min, max, count) attach, one 16-group aggregate, then a
+    SINGLE linear flow over <= 16-row frames — cumulative counts via
+    the sequence-explode fan-out and the crossing bucket picked by an
+    argmin STRUCT (no join-back: re-using the post-attach frame would
+    replay the scalar attach once per branch, the vocab_growth_curve
+    lesson), no unpartitioned window, no rescan per quantile."""
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("bigint").alias("total"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(15),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        * 16.0
+                        / (F.col("mx") - F.col("mn"))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+        "mn",
+        "mx",
+        "total",
+    )
+    per_bin = binned.groupBy("bin", "mn", "mx", "total").agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    # one fan-out computes, per target bucket cb, BOTH the cumulative
+    # count and that bucket's own increment (conditional sum) plus the
+    # constant stats — per_bin is consumed exactly once
+    pb2 = (
+        per_bin.select(
+            F.explode(F.sequence(F.col("bin"), F.lit(15))).alias("cb"),
+            "bin",
+            "n_b",
+            "mn",
+            "mx",
+            "total",
+        )
+        .groupBy("cb")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("cum_n"),
+            F.sum(
+                F.when(F.col("bin") == F.col("cb"), F.col("n_b")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_at"),
+            F.max("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.max("total").alias("total"),
+        )
+    )
+    chosen = (
+        pb2.select(
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias(
+                "q_pct"
+            ),
+            "cb",
+            "cum_n",
+            "n_at",
+            "mn",
+            "mx",
+            "total",
+        )
+        .filter(F.col("cum_n") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("q_pct")
+        .agg(
+            F.min(
+                F.struct("cb", "n_at", "cum_n", "mn", "mx", "total")
+            ).alias("s")
+        )
+        .select(
+            "q_pct",
+            F.col("s.cb").alias("bin"),
+            F.col("s.n_at").alias("n_b"),
+            F.col("s.cum_n").alias("cum_n"),
+            F.col("s.mn").alias("mn"),
+            F.col("s.mx").alias("mx"),
+            F.col("s.total").alias("total"),
+        )
+    )
+    est = F.col("mn") + ((F.col("mx") - F.col("mn")) / F.lit(16.0)) * (
+        F.col("bin").cast("double")
+        + (
+            (F.col("q_pct") * F.col("total")).cast("double") / F.lit(100.0)
+            - (F.col("cum_n") - F.col("n_b")).cast("double")
+        )
+        / F.col("n_b").cast("double")
+    )
+    return chosen.select(
+        F.col("q_pct").cast("int").alias("q_pct"),
+        "bin",
+        "n_b",
+        "cum_n",
+        F.round(est, 6).alias("est_value"),
+    ).orderBy("q_pct")

@@ -133,6 +133,12 @@ SCALAR_ATTACH_OK = {
     # the digit-share denominator (1-row total count) rides one attach
     # over the 9-row digit frame
     "benford_digit_profile",
+    # the survival denominator (1-row user count) rides one attach
+    # over the <= 31-row retention frame
+    "user_retention_curve",
+    # the bin frame (1-row min/max/count) rides one attach before the
+    # 16-bucket assignment scan
+    "histogram_quantile_interp",
 }
 
 

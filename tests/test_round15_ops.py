@@ -455,3 +455,120 @@ def test_ivf_silhouette_separable_synthetic(spark):
     wmean = sum(r["mean_silhouette"] * r["n_vecs"] for r in out) / tot
     assert wmean > 0.6
     assert tot == 120
+
+
+def test_ab_test_counts_and_z_brute(spark):
+    """The 2x2 cells reproduce from a driver-side md5 re-bucket, and z
+    matches the pooled-variance formula."""
+    import hashlib
+
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["ab_test_proportions"](spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    conv: dict = {}
+    for e in ev:
+        u = e["user_id"]
+        hit = e["event_type"] == "purchase" and e["value"] is not None and e[
+            "value"
+        ] > 150.0
+        conv[u] = conv.get(u, 0) | int(hit)
+    cells = {"A": [0, 0], "B": [0, 0]}
+    for u, c in conv.items():
+        arm = "A" if hashlib.md5(str(u).encode()).hexdigest() < "8" else "B"
+        cells[arm][0] += 1
+        cells[arm][1] += c
+    assert (row["n_a"], row["x_a"]) == tuple(cells["A"])[0:1] + (
+        cells["A"][1],
+    )
+    assert (row["n_b"], row["x_b"]) == (cells["B"][0], cells["B"][1])
+    na, xa = cells["A"]
+    nb, xb = cells["B"]
+    pp = (xa + xb) / (na + nb)
+    den = math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    if den == 0:
+        assert row["z_stat"] is None
+    else:
+        assert row["z_stat"] == pytest.approx(
+            (xa / na - xb / nb) / den, abs=1e-5
+        )
+
+
+def test_ab_test_degenerate_population_nulls_z(spark):
+    """A population where EVERYONE converts must return z = NULL (zero
+    pooled variance), not an ANSI division error."""
+    import datetime as dt
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, 0, i), i, "purchase", 200.0, "{}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    out = QUERIES["ab_test_proportions"](spark, d).collect()[0]
+    assert out["z_stat"] is None
+    assert out["x_a"] == out["n_a"] and out["x_b"] == out["n_b"]
+
+
+def test_retention_curve_monotone_and_closes(spark):
+    """S(d) is non-increasing, S(0) covers every user, fractions in
+    (0, 1]; reproduces from a brute lifespan recompute."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["user_retention_curve"](spark, SF_DIR).collect()
+    assert rows[0]["day_n"] == 0
+    assert rows[0]["retained_frac"] == pytest.approx(1.0, abs=1e-9)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_retained"] <= a["n_retained"]
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    span: dict = defaultdict(list)
+    for e in ev:
+        span[e["user_id"]].append(e["ts"].date())
+    lifespans = {
+        u: (max(ds) - min(ds)).days for u, ds in span.items()
+    }
+    for r in rows:
+        want = sum(
+            1 for v in lifespans.values() if min(v, 30) >= r["day_n"]
+        )
+        assert r["n_retained"] == want
+
+
+def test_histogram_quantile_brackets_exact_percentile(spark):
+    """The interpolated estimate must land within one bucket width of
+    the exact percentile, and increase with q."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = {
+        r["q_pct"]: r
+        for r in QUERIES["histogram_quantile_interp"](
+            spark, SF_DIR
+        ).collect()
+    }
+    vals = sorted(
+        r["value"]
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).collect()
+        if r["value"] is not None
+    )
+    width = (vals[-1] - vals[0]) / 16.0
+    assert rows[50]["est_value"] <= rows[90]["est_value"] <= rows[99][
+        "est_value"
+    ]
+    for q in (50, 90, 99):
+        import math as _math
+
+        exact = vals[min(len(vals) - 1, _math.ceil(q * len(vals) / 100) - 1)]
+        assert abs(rows[q]["est_value"] - exact) <= width + 1e-9
