@@ -293,6 +293,9 @@ SECONDARY = [
     "ab_test_proportions",
     "user_retention_curve",
     "histogram_quantile_interp",
+    # round-14 addition: MRL dimension-truncation recall (two literal-
+    # panel scans, corpus never shuffled — the 4th index-quality eval)
+    "matryoshka_recall_eval",
 ]
 
 

@@ -135,7 +135,7 @@ _VERIFY_FIRST = [
 # rolling_correlation, weighted_percentile, token_gini_by_source,
 # sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
 # ab_test_proportions, user_retention_curve,
-# histogram_quantile_interp.
+# histogram_quantile_interp, matryoshka_recall_eval.
 
 
 def _reorder_for_driver() -> None:

@@ -2439,3 +2439,171 @@ def ivf_silhouette_eval(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+def _matryoshka_oracle() -> str:
+    ids = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
+    dims = [8, 16, 32]
+    trunc_arms = "\n        union all\n".join(
+        f"""        select {d} as dim, q.qid, e.vec_id,
+               round(list_dot_product(e.v[1:{d}], q.qv[1:{d}])
+                     / (sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))
+                        * sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))),
+                     6) as c
+        from e cross join q where e.vec_id <> q.qid"""
+        for d in dims
+    )
+    return f"""
+    with e as (select vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) as v
+               from embeddings),
+    q as (select vec_id as qid, v as qv from e
+          where vec_id in ({ids})),
+    exact as (
+        select q.qid, e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) as c
+        from e cross join q where e.vec_id <> q.qid
+        qualify row_number() over (
+            partition by q.qid order by c desc, e.vec_id) <= 10
+    ),
+    trunc as (
+{trunc_arms}
+    ),
+    trunc_top as (
+        select dim, qid, vec_id from trunc
+        qualify row_number() over (
+            partition by dim, qid order by c desc, vec_id) <= 10
+    )
+    select t.dim as dim, x.qid as query_id,
+           cast(sum(case when t2.vec_id is not null then 1 else 0 end)
+                as bigint) as hits,
+           round(sum(case when t2.vec_id is not null then 1 else 0 end)
+                 / 10.0, 6) as recall_at_10
+    from exact x
+    cross join (select distinct dim from trunc_top) t
+    left join trunc_top t2
+      on t2.dim = t.dim and t2.qid = x.qid and t2.vec_id = x.vec_id
+    group by t.dim, x.qid
+    order by t.dim, query_id
+    """
+
+
+@register("matryoshka_recall_eval", _matryoshka_oracle())
+def matryoshka_recall_eval(spark, sf_dir):
+    """MATRYOSHKA / DIMENSION-TRUNCATION recall eval — recall@10 of
+    prefix-truncated embeddings (dims 8/16/32) against the full-64-dim
+    exact top-10, over the frozen 8-query panel. Completes the
+    index-COMPRESSION eval family: PQ quantizes subspaces, int8
+    quantizes values, THIS truncates trailing dimensions (the MRL
+    deployment pattern — retrieve with a cheap prefix, rerank with the
+    full vector — and the recall curve here tells you how many dims
+    the retrieval tier can drop). One corpus scan per arm: the panel
+    vectors (and their prefixes) are plan LITERALS, so the truncated
+    arm is 8 queries x 3 dims = 24 extra dot folds per row exploded
+    from one scan — no join against a query table at all, and each
+    prefix norm is folded once per row and shared across its 8
+    queries. Rankings round to 6 dp with a vec_id tiebreak before the
+    top-10 window (the sim_recall_eval discipline that keeps the
+    DuckDB replay hash-identical). Scale: the corpus is never
+    shuffled — both arms are scan + per-query TakeOrdered-shaped
+    windows over panel-bounded groups; this is the once-per-index
+    eval, not the serving path."""
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    dims = [8, 16, 32]
+
+    # exact arm (full 64 dims): literal-panel explode, one shared norm
+    ex_structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.round(
+                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
+            ).alias("c"),
+        )
+        for qid, qv in panel
+    ]
+    rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    exact = (
+        e.withColumn("__vn", S.l2_norm(F.col("v")))
+        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select(
+            "vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c")
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    # truncated arms: per dim, slice the row vector once (norm shared
+    # across the 8 queries), literal prefixes of the panel vectors
+    tr_structs = []
+    for d in dims:
+        for qid, qv in panel:
+            tr_structs.append(
+                F.struct(
+                    F.lit(d).alias("dim"),
+                    F.lit(int(qid)).alias("qid"),
+                    F.round(
+                        S.cosine_to_literal(
+                            F.col(f"__v{d}"), qv[:d], F.col(f"__n{d}")
+                        ),
+                        6,
+                    ).alias("c"),
+                )
+            )
+    tr = e
+    for d in dims:
+        tr = tr.withColumn(f"__v{d}", F.slice("v", 1, d)).withColumn(
+            f"__n{d}", S.l2_norm(F.col(f"__v{d}"))
+        )
+    rank_d = Window.partitionBy("dim", "qid").orderBy(F.desc("c"), "vec_id")
+    trunc_top = (
+        tr.select("vec_id", F.explode(F.array(*tr_structs)).alias("qc"))
+        .select(
+            "vec_id",
+            F.col("qc.dim").alias("dim"),
+            F.col("qc.qid").alias("qid"),
+            F.col("qc.c").alias("c"),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank_d))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("dim").alias("t_dim"),
+            F.col("qid").alias("t_qid"),
+            F.col("vec_id").alias("t_id"),
+        )
+    )
+
+    return (
+        exact.select(
+            "qid",
+            "vec_id",
+            F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+        )
+        .join(
+            F.broadcast(trunc_top),
+            (F.col("t_dim") == F.col("dim"))
+            & (F.col("t_qid") == F.col("qid"))
+            & (F.col("t_id") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("dim", F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(F.when(F.col("t_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+            F.round(
+                F.sum(F.when(F.col("t_id").isNotNull(), 1).otherwise(0))
+                / F.lit(10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("dim", "query_id")
+    )

@@ -572,3 +572,58 @@ def test_histogram_quantile_brackets_exact_percentile(spark):
 
         exact = vals[min(len(vals) - 1, _math.ceil(q * len(vals) / 100) - 1)]
         assert abs(rows[q]["est_value"] - exact) <= width + 1e-9
+
+
+def test_matryoshka_recall_monotone_in_dim(spark):
+    """More dimensions can only help on average: mean recall@10 must be
+    non-decreasing in the prefix width, and dim=64 would be exactly 1
+    (the 32-dim arm must already be high on the fixture's embeddings);
+    every per-query recall is hits/10 with hits in 0..10."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["matryoshka_recall_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 24  # 3 dims x 8 queries
+    by_dim: dict = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["hits"] <= 10
+        assert r["recall_at_10"] == pytest.approx(r["hits"] / 10.0)
+        by_dim[r["dim"]].append(r["hits"])
+    means = {d: sum(v) / len(v) for d, v in by_dim.items()}
+    assert means[8] <= means[16] + 1e-9
+    assert means[16] <= means[32] + 1e-9
+
+
+def test_matryoshka_full_prefix_is_identity(spark):
+    """Sanity of the truncation machinery: a 64-dim 'prefix' equals the
+    exact arm, so recall would be exactly 1.0 — verified by comparing
+    the two top-10 computations on the raw frame."""
+    from pyspark.sql import Window, functions as F
+
+    from database_extractor_spark.operators import similarity as S
+    from database_extractor_spark.registry.llm_ops import (
+        _fixture_recall_queries,
+    )
+
+    e = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qid, qv = _fixture_recall_queries(SF_DIR)[0]
+    full = e.select(
+        "vec_id", F.round(S.cosine_to_literal(F.col("v"), qv), 6).alias("c")
+    ).filter(F.col("vec_id") != qid)
+    sliced = e.select(
+        "vec_id",
+        F.round(
+            S.cosine_to_literal(F.slice("v", 1, 64), qv[:64]), 6
+        ).alias("c"),
+    ).filter(F.col("vec_id") != qid)
+    top = lambda df: [
+        r["vec_id"]
+        for r in df.orderBy(F.desc("c"), "vec_id").limit(10).collect()
+    ]
+    assert top(full) == top(sliced)
