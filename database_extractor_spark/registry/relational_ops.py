@@ -1476,3 +1476,4 @@ def sql_group_by_all(spark, sf_dir):
     from database_extractor_spark.session import sql as run_sql
 
     return run_sql(spark, _SQL_GROUP_BY_ALL, sf_dir=sf_dir)
+

@@ -485,3 +485,117 @@ def streaming_bitmap_distinct(
         .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("bigint").alias("n_users"))
         .orderBy(key_col, "day")
     )
+
+
+def tws_user_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    applyInPandasWithState — typed state handles, timers, TTL): per key,
+    carry (n, max value, first ts, last ts) in a ValueState across
+    micro-batches and emit the running snapshot each batch.
+
+    This is the modern face of the same template `first_seen_per_key`
+    demonstrates on the legacy API: explicit state schema, the group is
+    the shuffle key, state is O(keys). TWS additionally gives List/Map
+    state and per-key timers — the integration points for online
+    sketches and TTL'd session state at 100 TB. Requires the RocksDB
+    state-store provider (the only provider TWS supports); the caller
+    wraps the stream start in ``session.conf_window``.
+
+    Output per key per batch: (key, n, max_value, first_ts, last_ts) —
+    with a single availableNow batch this equals the batch
+    count/max/min/max aggregate per key, the driver-contract oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "st",
+                "n bigint, mx double, first_ts timestamp, last_ts timestamp",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx, first_ts, last_ts = (
+                self._st.get() if self._st.exists() else (0, None, None, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                bmx = pdf[val_col].max(skipna=True)
+                if pd.notna(bmx):
+                    mx = float(bmx) if mx is None else max(mx, float(bmx))
+                bfirst = pdf[ts_col].min().to_pydatetime()
+                blast = pdf[ts_col].max().to_pydatetime()
+                first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
+                last_ts = blast if last_ts is None else max(last_ts, blast)
+            self._st.update((n, mx, first_ts, last_ts))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "max_value": [mx],
+                    "first_ts": [first_ts],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_tws_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
+    """End-to-end transformWithState run: stream-read events -> TWS
+    per-user running stats -> availableNow under the RocksDB provider
+    conf window (TWS supports no other provider; the window restores
+    the session default so sibling streaming entries keep the HDFS
+    store)."""
+    from database_extractor_spark.session import conf_window
+
+    stream = stream_source(spark, events_path)
+    with conf_window(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    ):
+        return run_available_now(
+            spark, tws_user_stats(stream), output_mode="update"
+        )

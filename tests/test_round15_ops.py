@@ -627,3 +627,70 @@ def test_matryoshka_full_prefix_is_identity(spark):
         for r in df.orderBy(F.desc("c"), "vec_id").limit(10).collect()
     ]
     assert top(full) == top(sliced)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def test_tws_plan_constructs_without_protobuf(spark):
+    """transformWithStateInPandas plan CONSTRUCTION (groupBy + processor
+    + schemas) is pure PySpark and must work in every environment; only
+    query START needs the protobuf state protocol."""
+    from database_extractor_spark.streaming import (
+        stream_source,
+        tws_user_stats,
+    )
+
+    stream = stream_source(
+        spark, os.path.join(SF_DIR, "events.parquet")
+    )
+    out = tws_user_stats(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n",
+        "max_value",
+        "first_ts",
+        "last_ts",
+    ]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TWS execution needs protobuf (documented integration point)",
+)
+def test_tws_end_to_end_equals_batch(spark):
+    """Where protobuf exists, one availableNow TWS drain must equal the
+    batch per-user count/max/min/max aggregate."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.streaming import streaming_tws_user_stats
+
+    got = {
+        r["user_id"]: r
+        for r in streaming_tws_user_stats(
+            spark, os.path.join(SF_DIR, "events.parquet")
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("value").alias("max_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, w in want.items():
+        assert got[u]["n"] == w["n"]
+        assert got[u]["max_value"] == w["max_value"]
