@@ -296,6 +296,9 @@ SECONDARY = [
     # round-14 addition: MRL dimension-truncation recall (two literal-
     # panel scans, corpus never shuffled — the 4th index-quality eval)
     "matryoshka_recall_eval",
+    # round-14 addition: 80/20 revenue concentration (customer-grain
+    # partial agg + nation-partitioned windows + broadcast name attach)
+    "revenue_pareto_by_nation",
 ]
 
 

@@ -135,7 +135,8 @@ _VERIFY_FIRST = [
 # rolling_correlation, weighted_percentile, token_gini_by_source,
 # sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
 # ab_test_proportions, user_retention_curve,
-# histogram_quantile_interp, matryoshka_recall_eval.
+# histogram_quantile_interp, matryoshka_recall_eval,
+# revenue_pareto_by_nation.
 
 
 def _reorder_for_driver() -> None:

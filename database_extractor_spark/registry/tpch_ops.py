@@ -2492,3 +2492,101 @@ def market_basket_lift(spark, sf_dir):
         .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "revenue_pareto_by_nation",
+    """
+    with rev as (
+        select c.c_nationkey, o.o_custkey,
+               sum(cast(o.o_totalprice as decimal(28,4))) as r
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by c.c_nationkey, o.o_custkey
+    ),
+    ranked as (
+        select c_nationkey, r,
+               cast(row_number() over (
+                   partition by c_nationkey
+                   order by r desc, o_custkey) as bigint) as rk,
+               sum(r) over (
+                   partition by c_nationkey
+                   order by r desc, o_custkey
+                   rows between unbounded preceding and current row)
+                   as cum_r,
+               cast(count(*) over (partition by c_nationkey) as bigint)
+                   as n_cust,
+               sum(r) over (partition by c_nationkey) as tot_r
+        from rev
+    ),
+    hit as (
+        select c_nationkey, n_cust, tot_r, min(rk) as top_n
+        from ranked
+        where cum_r * 10 >= tot_r * 8
+        group by c_nationkey, n_cust, tot_r
+    )
+    select n.n_name as nation, h.n_cust as n_customers, h.top_n,
+           round(cast(h.top_n as double) / cast(h.n_cust as double), 6)
+               as pareto_share,
+           round(cast(h.tot_r as double), 2) as total_revenue
+    from hit h join nation n on h.c_nationkey = n.n_nationkey
+    order by nation
+    """,
+)
+def revenue_pareto_by_nation(spark, sf_dir):
+    """REVENUE PARETO CONCENTRATION per nation — the smallest number of
+    customers covering 80% of a market's revenue, and the share of the
+    customer base they represent (the classic 80/20 account-management
+    screen; token_gini_by_source is the same concentration question
+    asked of corpora — THIS is the relational original on a real
+    money column). Exactness: per-customer revenue sums o_totalprice
+    through decimal(28,4) (order-independent — the repo's double-sum
+    discipline), the ranking tiebreaks on custkey, and the 80%
+    threshold test cross-multiplies DECIMALS (cum*10 >= tot*8) so no
+    FP boundary decides membership; only the two display ratios touch
+    doubles. Plan: customer-grain partial aggregate (map-side), then
+    every window is PARTITIONED by nation (25-way), the nation-name
+    attach is a broadcast equi-join, and the per-nation argmin is one
+    grouped min — no global sort, no scalar attach."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("r")
+        )
+    )
+    wo = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("r"), "o_custkey"
+    )
+    wall = Window.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "r",
+        F.row_number().over(wo).cast("bigint").alias("rk"),
+        F.sum("r")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_r"),
+        F.count("*").over(wall).cast("bigint").alias("n_cust"),
+        F.sum("r").over(wall).alias("tot_r"),
+    )
+    hit = (
+        ranked.filter(F.col("cum_r") * 10 >= F.col("tot_r") * 8)
+        .groupBy("c_nationkey", "n_cust", "tot_r")
+        .agg(F.min("rk").alias("top_n"))
+    )
+    return (
+        hit.join(F.broadcast(n), hit["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_cust").alias("n_customers"),
+            "top_n",
+            F.round(
+                F.col("top_n").cast("double") / F.col("n_cust").cast("double"),
+                6,
+            ).alias("pareto_share"),
+            F.round(F.col("tot_r").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("nation")
+    )

@@ -694,3 +694,52 @@ def test_tws_end_to_end_equals_batch(spark):
     for u, w in want.items():
         assert got[u]["n"] == w["n"]
         assert got[u]["max_value"] == w["max_value"]
+
+
+def test_revenue_pareto_matches_brute(spark):
+    """Per-nation top-n reproduces from a driver-side sort, and the
+    share is top_n / customer count."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from database_extractor_spark.registry import QUERIES
+
+    out = {
+        r["nation"]: r
+        for r in QUERIES["revenue_pareto_by_nation"](spark, SF_DIR).collect()
+    }
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "customer.parquet")
+        ).collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "nation.parquet")
+        ).collect()
+    }
+    rev: dict = defaultdict(lambda: defaultdict(Decimal))
+    q = Decimal("0.0001")
+    for o in orders:
+        nk = cust[o["o_custkey"]]
+        rev[nk][o["o_custkey"]] += Decimal(repr(o["o_totalprice"])).quantize(q)
+    for nk, per_cust in rev.items():
+        vals = sorted(per_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(v for _, v in vals)
+        cum = Decimal(0)
+        top_n = None
+        for i, (_, v) in enumerate(vals, 1):
+            cum += v
+            if cum * 10 >= tot * 8:
+                top_n = i
+                break
+        got = out[nation[nk]]
+        assert got["top_n"] == top_n
+        assert got["n_customers"] == len(vals)
+        assert got["pareto_share"] == pytest.approx(
+            top_n / len(vals), abs=1e-6
+        )
+        assert 0 < got["pareto_share"] <= 1.0
