@@ -299,6 +299,9 @@ SECONDARY = [
     # round-14 addition: 80/20 revenue concentration (customer-grain
     # partial agg + nation-partitioned windows + broadcast name attach)
     "revenue_pareto_by_nation",
+    # round-14 addition: capped-uniform waterfill allocator (one cap
+    # aggregate + bounded |sources| model-state collect + literal join)
+    "mixture_waterfill_allocation",
 ]
 
 

@@ -136,7 +136,7 @@ _VERIFY_FIRST = [
 # sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
 # ab_test_proportions, user_retention_curve,
 # histogram_quantile_interp, matryoshka_recall_eval,
-# revenue_pareto_by_nation.
+# revenue_pareto_by_nation, mixture_waterfill_allocation.
 
 
 def _reorder_for_driver() -> None:

@@ -3299,3 +3299,124 @@ def multi_touch_attribution_linear(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "mixture_waterfill_allocation",
+    r"""
+    with cap as (
+        select source,
+               cast(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+                    as bigint) as c
+        from documents group by source
+    ),
+    tot as (select cast(sum(c) as bigint) as t_all,
+                   cast(count(*) as bigint) as n from cap),
+    budget as (select t_all // 2 as t, n, t_all from tot),
+    sorted as (
+        select source, c,
+               cast(row_number() over (order by c, source) as bigint) as rk
+        from cap
+    ),
+    pre as (
+        select rk, c,
+               cast(sum(c) over (order by rk
+                   rows between unbounded preceding and current row)
+                   as bigint) as s_k
+        from sorted
+    ),
+    -- candidate k = number of fully-saturated (smallest) sources;
+    -- k feasible iff S_k + (n-k)*c_k <= T (k=0 uses S_0=0, c_0=0)
+    kpick as (
+        select max(k) as k from (
+            select 0 as k from budget
+            union all
+            select p.rk as k
+            from pre p cross join budget b
+            where p.s_k + (b.n - p.rk) * p.c <= b.t
+        )
+    ),
+    params as (
+        select b.t, b.n, kp.k,
+               coalesce((select s_k from pre where rk = kp.k), 0) as s_k
+        from budget b cross join kpick kp
+    )
+    select c.source, c.c as cap_tokens,
+           case when c.c * (p.n - p.k) <= (p.t - p.s_k)
+                then cast(c.c as double)
+                else round(cast(p.t - p.s_k as double)
+                           / cast(p.n - p.k as double), 6) end
+               as alloc_tokens,
+           (c.c * (p.n - p.k) <= (p.t - p.s_k)) as saturated
+    from cap c cross join params p
+    order by c.source
+    """,
+)
+def mixture_waterfill_allocation(spark, sf_dir):
+    """WATER-FILLING token-budget allocation across corpus sources —
+    the capped-uniform mixture allocator (give every source the same
+    token budget L, except sources too small to spend it, which
+    contribute everything they have; L solves sum(min(cap, L)) = T).
+    This is the allocator you use when the mixture target is
+    "maximally uniform under availability caps" — a different family
+    from mixture_epoch_plan's temperature reweighting (which shapes
+    proportions) and dsir_importance_resample (which shapes content).
+    Budget here: T = half the corpus tokens. Exactness: caps and
+    prefix sums are int64; the saturation decision for EVERY source
+    cross-multiplies exact integers (c*(n-k) <= T-S_k — no FP
+    boundary), and only the display value of L divides once. The
+    breakpoint k (how many smallest sources saturate) maximizes k
+    over the same exact inequality. Scale: caps come from one
+    map-side-combinable aggregate; the waterfill itself runs over the
+    |sources|-row frame — collected driver-side as bounded model
+    state (the Lloyd-centroid/slice-list discipline: sources are
+    dozens, not millions) and re-emitted as plan literals joined back
+    to the distributed caps frame by one broadcast equi-join."""
+    docs = _tbl(spark, sf_dir, "documents")
+    cap = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.lower(F.trim(F.col("text"))))))
+        .cast("bigint")
+        .alias("c")
+    )
+    # bounded model-state collect: |sources| rows
+    caps = sorted((r["source"], int(r["c"])) for r in cap.collect())
+    n = len(caps)
+    t_all = sum(c for _, c in caps)
+    t = t_all // 2
+    by_c = sorted(caps, key=lambda sc: (sc[1], sc[0]))
+    prefix = [0]
+    for _, c in by_c:
+        prefix.append(prefix[-1] + c)
+    k = 0
+    for cand in range(1, n):
+        if prefix[cand] + (n - cand) * by_c[cand - 1][1] <= t:
+            k = cand
+    # re-check k=0 dominance handled by loop start; alloc decisions:
+    s_k = prefix[k]
+    # half-up 6-dp rounding to mirror SQL ROUND (Python's built-in
+    # round is banker's — a tie at the 6th decimal would diverge)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    level = float(
+        Decimal(repr((t - s_k) / (n - k))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    rows = []
+    for src, c in caps:
+        saturated = c * (n - k) <= (t - s_k)
+        alloc = float(c) if saturated else level
+        rows.append((src, saturated, alloc))
+    lit = spark.createDataFrame(
+        rows, "source string, saturated boolean, alloc_tokens double"
+    )
+    return (
+        cap.join(F.broadcast(lit), "source")
+        .select(
+            "source",
+            F.col("c").alias("cap_tokens"),
+            "alloc_tokens",
+            "saturated",
+        )
+        .orderBy("source")
+    )

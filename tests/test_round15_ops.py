@@ -743,3 +743,30 @@ def test_revenue_pareto_matches_brute(spark):
             top_n / len(vals), abs=1e-6
         )
         assert 0 < got["pareto_share"] <= 1.0
+
+
+def test_waterfill_budget_closes_and_level_semantics(spark):
+    """sum(alloc) == T (the budget), every saturated source gets
+    exactly its cap, every unsaturated source gets the SAME level L,
+    and L is at least every saturated cap."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["mixture_waterfill_allocation"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    total = docs.select(
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+    ).collect()[0][0]
+    t = total // 2
+    got_sum = sum(r["alloc_tokens"] for r in rows)
+    assert got_sum == pytest.approx(t, abs=max(1e-4 * t, 0.01))
+    levels = {r["alloc_tokens"] for r in rows if not r["saturated"]}
+    assert len(levels) <= 1
+    for r in rows:
+        if r["saturated"]:
+            assert r["alloc_tokens"] == float(r["cap_tokens"])
+            if levels:
+                assert r["cap_tokens"] <= next(iter(levels)) + 1e-6
+        else:
+            assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-6
