@@ -302,6 +302,11 @@ SECONDARY = [
     # round-14 addition: capped-uniform waterfill allocator (one cap
     # aggregate + bounded |sources| model-state collect + literal join)
     "mixture_waterfill_allocation",
+    # round-14 additions: ACF seasonality diagnostic (one 7-lag window
+    # pass + struct-explode unpivot) and kNN label-accuracy eval (one
+    # literal-panel scan, labels ride the scan)
+    "ts_autocorrelation",
+    "knn_label_accuracy",
 ]
 
 

@@ -136,7 +136,8 @@ _VERIFY_FIRST = [
 # sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
 # ab_test_proportions, user_retention_curve,
 # histogram_quantile_interp, matryoshka_recall_eval,
-# revenue_pareto_by_nation, mixture_waterfill_allocation.
+# revenue_pareto_by_nation, mixture_waterfill_allocation,
+# ts_autocorrelation, knn_label_accuracy.
 
 
 def _reorder_for_driver() -> None:

@@ -2607,3 +2607,107 @@ def matryoshka_recall_eval(spark, sf_dir):
         )
         .orderBy("dim", "query_id")
     )
+
+
+def _knn_label_oracle(k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
+    return f"""
+    with e as (select vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) as v,
+                      label
+               from embeddings),
+    q as (select vec_id as qid, v as qv, label as true_label from e
+          where vec_id in ({ids})),
+    nn as (
+        select q.qid, q.true_label, e.label
+        from e cross join q
+        where e.vec_id <> q.qid
+        qualify row_number() over (
+            partition by q.qid order by
+            round(list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            e.vec_id) <= {k}
+    ),
+    votes as (
+        select qid, true_label, label as pred_label,
+               cast(count(*) as bigint) as n_votes
+        from nn group by qid, true_label, label
+    )
+    select qid as query_id, true_label, pred_label, n_votes,
+           pred_label = true_label as correct
+    from votes
+    qualify row_number() over (
+        partition by qid order by n_votes desc, pred_label) = 1
+    order by query_id
+    """
+
+
+@register("knn_label_accuracy", _knn_label_oracle())
+def knn_label_accuracy(spark, sf_dir):
+    """kNN LABEL-ACCURACY eval (k=5, majority vote) over the frozen
+    query panel — the EMBEDDING-SPACE quality probe the recall evals
+    can't give: recall@10 says the index finds the true neighbors;
+    THIS says whether proximity in the space predicts the LABEL at
+    all (a space where nearest neighbors are label-random is useless
+    for classification-by-retrieval no matter how good the ANN index
+    is). Exact top-5 per panel query from one literal-panel corpus
+    scan (shared row-norm fold, 6-dp rounding + vec_id tiebreak — the
+    sim_recall_eval ranking discipline), neighbor labels ride the
+    same scan (no label join), majority vote resolves ties toward the
+    smaller label on both engines. Scale: one scan, panel-bounded
+    windows, <= 40 vote rows — the once-per-embedding-build eval."""
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    true_labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in _tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(_RECALL_QUERY_IDS))
+        .select("vec_id", "label")
+        .collect()
+    }
+    structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.lit(true_labels[int(qid)]).alias("true_label"),
+            F.round(
+                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
+            ).alias("c"),
+        )
+        for qid, qv in panel
+    ]
+    rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    nn = (
+        e.withColumn("__vn", S.l2_norm(F.col("v")))
+        .select("vec_id", "label", F.explode(F.array(*structs)).alias("qc"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("qc.qid").alias("qid"),
+            F.col("qc.true_label").alias("true_label"),
+            F.col("qc.c").alias("c"),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = nn.groupBy("qid", "true_label", F.col("label").alias("pred_label")).agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    pick = Window.partitionBy("qid").orderBy(F.desc("n_votes"), "pred_label")
+    return (
+        votes.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -1151,3 +1151,112 @@ def histogram_quantile_interp(spark, sf_dir):
         "cum_n",
         F.round(est, 6).alias("est_value"),
     ).orderBy("q_pct")
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    arms = "\n        union all\n".join(
+        f"        select event_type, {k} as lag_k, n as x, l{k} as y"
+        f" from lagged where l{k} is not null"
+        for k in range(1, max_lag + 1)
+    )
+    lag_cols = ",\n               ".join(
+        f"lag(n, {k}) over w as l{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""
+    with daily as (
+        select event_type, date_trunc('day', ts) as day,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    lagged as (
+        select event_type, n,
+               {lag_cols}
+        from daily
+        window w as (partition by event_type order by day)
+    ),
+    pairs as (
+{arms}
+    ),
+    m as (
+        select event_type, lag_k,
+               cast(count(*) as bigint) as np,
+               cast(sum(x) as bigint) as sx,
+               cast(sum(y) as bigint) as sy,
+               cast(sum(x * y) as bigint) as sxy,
+               cast(sum(x * x) as bigint) as sxx,
+               cast(sum(y * y) as bigint) as syy
+        from pairs group by event_type, lag_k
+    )
+    select event_type, cast(lag_k as int) as lag_k, np as n_pairs,
+           round((cast(np as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / nullif(sqrt(cast(np as double) * cast(sxx as double)
+                               - cast(sx as double) * cast(sx as double))
+                          * sqrt(cast(np as double) * cast(syy as double)
+                                 - cast(sy as double) * cast(sy as double)),
+                          0.0), 6) as acf
+    from m
+    order by event_type, lag_k
+    """
+
+
+@register("ts_autocorrelation", _acf_oracle())
+def ts_autocorrelation(spark, sf_dir):
+    """AUTOCORRELATION FUNCTION (lags 1-7) of each event-type's daily
+    volume — the seasonality detector (a weekly cycle shows as an ACF
+    spike at lag 7, a trending series decays slowly, white noise sits
+    near 0; this is the diagnostic that tells you whether
+    ts_seasonal_anomaly's day-of-week baseline is even justified).
+    One partitioned window pass evaluates all 7 lags (they share the
+    frame sort — the ewma_event_rate discipline); the (lag, x, y)
+    pairs unpivot via a map-side struct explode, the per-(type, lag)
+    moments are exact int64 (counts x counts x days — safe to ~1e8
+    events/day), and Pearson r is ONE identical IEEE expression with
+    a nullif zero-variance guard. Scale: the fact table collapses
+    map-side to day grain; everything after is days x types x 7 rows."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    structs = [
+        F.struct(F.lit(k).alias("lag_k"), F.col(f"l{k}").alias("y"))
+        for k in range(1, 8)
+    ]
+    pairs = (
+        lagged.select(
+            "event_type", "n", F.explode(F.array(*structs)).alias("p")
+        )
+        .select(
+            "event_type",
+            F.col("p.lag_k").alias("lag_k"),
+            F.col("n").alias("x"),
+            F.col("p.y").alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = npd * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(npd * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        npd * F.col("syy").cast("double") - sy * sy
+    )
+    return m.select(
+        "event_type",
+        F.col("lag_k").cast("int").alias("lag_k"),
+        F.col("np").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    ).orderBy("event_type", "lag_k")

@@ -770,3 +770,81 @@ def test_waterfill_budget_closes_and_level_semantics(spark):
                 assert r["cap_tokens"] <= next(iter(levels)) + 1e-6
         else:
             assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-6
+
+
+def test_acf_lag_structure_and_brute(spark):
+    """n_pairs = n_days - lag; acf in [-1, 1]; one (type, lag) cell
+    reproduces from a brute Pearson over the shifted series."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["ts_autocorrelation"](spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        daily[e["event_type"]][e["ts"].date()] += 1
+    for r in rows:
+        days = sorted(daily[r["event_type"]])
+        assert r["n_pairs"] == max(0, len(days) - r["lag_k"])
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+    probe = rows[0]
+    days = sorted(daily[probe["event_type"]])
+    ns = [daily[probe["event_type"]][d] for d in days]
+    k = probe["lag_k"]
+    xs, ys = ns[k:], ns[:-k]
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+        n * sum(b * b for b in ys) - sum(ys) ** 2
+    )
+    want = None if den == 0 else num / den
+    if want is None:
+        assert probe["acf"] is None
+    else:
+        assert probe["acf"] == pytest.approx(want, abs=1e-5)
+
+
+def test_acf_detects_weekly_cycle(spark):
+    """A constructed series with period 7 must put its largest
+    positive off-zero ACF at lag 7."""
+    import datetime as dt
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for day in range(28):
+        n = 10 if day % 7 == 0 else 2
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1, 0, 0) + dt.timedelta(days=day, seconds=i),
+                 1, "weekly", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    out = {r["lag_k"]: r["acf"] for r in QUERIES["ts_autocorrelation"](spark, d).collect()}
+    assert out[7] == max(out.values())
+    assert out[7] > 0.8
+
+
+def test_knn_label_accuracy_contract(spark):
+    """8 panel rows; votes sum <= 5; correct == (pred == true); the
+    top-1 vote count is the max over a brute recount."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["knn_label_accuracy"](spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 5
+        assert r["correct"] == (r["pred_label"] == r["true_label"])
