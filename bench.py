@@ -307,6 +307,11 @@ SECONDARY = [
     # literal-panel scan, labels ride the scan)
     "ts_autocorrelation",
     "knn_label_accuracy",
+    # round-14 additions: percent-of-parent geo rollup (nation-grain
+    # agg + region window + 1-row global attach) and cohort revenue
+    # LTV (customer-grain min agg + custkey equi-join + 12-col matrix)
+    "geo_rollup_share",
+    "cohort_revenue_ltv",
 ]
 
 

@@ -137,7 +137,8 @@ _VERIFY_FIRST = [
 # ab_test_proportions, user_retention_curve,
 # histogram_quantile_interp, matryoshka_recall_eval,
 # revenue_pareto_by_nation, mixture_waterfill_allocation,
-# ts_autocorrelation, knn_label_accuracy.
+# ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
+# cohort_revenue_ltv.
 
 
 def _reorder_for_driver() -> None:

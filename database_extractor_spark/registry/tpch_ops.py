@@ -2590,3 +2590,171 @@ def revenue_pareto_by_nation(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "geo_rollup_share",
+    """
+    with nat_rev as (
+        select c.c_nationkey,
+               sum(cast(o.o_totalprice as decimal(28,4))) as r
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by c.c_nationkey
+    ),
+    named as (
+        select rg.r_name as region, n.n_name as nation, nr.r
+        from nat_rev nr
+        join nation n on nr.c_nationkey = n.n_nationkey
+        join region rg on n.n_regionkey = rg.r_regionkey
+    ),
+    tot as (select sum(r) as g from named)
+    select region, nation,
+           round(cast(r as double), 2) as revenue,
+           round(cast(r as double)
+                 / cast(sum(r) over (partition by region) as double), 6)
+               as share_of_region,
+           round(cast(r as double) / cast(t.g as double), 6)
+               as share_of_global
+    from named cross join tot t
+    order by region, nation
+    """,
+)
+def geo_rollup_share(spark, sf_dir):
+    """GEOGRAPHY ROLLUP with PERCENT-OF-PARENT — revenue per nation
+    with its share of the parent region AND of the global total (the
+    two-level drill-down every BI hierarchy renders;
+    time_hierarchy_rollup is the same idea on the calendar axis, and
+    share_of_total_agg the single-level case — this adds the
+    PARENT-relative share, which needs a second grouping grain in the
+    same frame). Exactness: revenue sums o_totalprice through
+    decimal(28,4) (order-independent), both shares divide decimal-
+    exact numerators once into doubles, round 6/2 guard display.
+    Plan: the orders-customer equi-join collapses to nation grain
+    map-side (25 rows), the two dimension attaches are broadcast
+    equi-joins, the region share is a window PARTITIONED by region
+    over <= 25 rows, and the global denominator is the single
+    whitelisted 1-row scalar attach."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rg = _tbl(spark, sf_dir, "region")
+    nat_rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("r"))
+    )
+    named = (
+        nat_rev.join(
+            F.broadcast(n), nat_rev["c_nationkey"] == n["n_nationkey"]
+        )
+        .join(F.broadcast(rg), n["n_regionkey"] == rg["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "r",
+        )
+    )
+    tot = named.agg(F.sum("r").alias("g"))
+    wreg = Window.partitionBy("region")
+    return (
+        named.crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.round(F.col("r").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("r").cast("double")
+                / F.sum("r").over(wreg).cast("double"),
+                6,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("r").cast("double") / F.col("g").cast("double"), 6
+            ).alias("share_of_global"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "cohort_revenue_ltv",
+    """
+    with first_m as (
+        select o_custkey,
+               min(date_trunc('month', o_orderdate)) as m0
+        from orders group by o_custkey
+    ),
+    placed as (
+        select f.m0 as cohort_month,
+               (year(o.o_orderdate) - year(f.m0)) * 12
+                 + (month(o.o_orderdate) - month(f.m0)) as offset_m,
+               o.o_custkey,
+               cast(o.o_totalprice as decimal(28,4)) as p
+        from orders o join first_m f on o.o_custkey = f.o_custkey
+    ),
+    cell as (
+        select cohort_month, cast(offset_m as int) as offset_m,
+               cast(count(distinct o_custkey) as bigint) as n_active,
+               sum(p) as rev
+        from placed
+        where offset_m <= 11
+        group by cohort_month, offset_m
+    )
+    select cohort_month, offset_m, n_active,
+           round(cast(rev as double), 2) as revenue,
+           round(cast(sum(rev) over (
+                     partition by cohort_month order by offset_m
+                     rows between unbounded preceding and current row)
+                 as double), 2) as cum_revenue
+    from cell
+    order by cohort_month, offset_m
+    """,
+)
+def cohort_revenue_ltv(spark, sf_dir):
+    """COHORT REVENUE / LTV matrix — customers grouped by FIRST-ORDER
+    month, revenue tracked by months-since-acquisition (the
+    lifetime-value curve finance builds retention economics on;
+    cohort_retention counts ACTIVITY on the events table — this
+    accumulates MONEY on orders, the other half of the cohort pair).
+    Month offsets are exact integer calendar arithmetic
+    ((y2-y1)*12 + (m2-m1) — no date subtraction FP), revenue sums
+    through decimal(28,4), the 12-month horizon caps the matrix, and
+    cumulative LTV is a window PARTITIONED by cohort over <= 12 rows.
+    Plan: one customer-grain min-aggregate, one equi-join back to
+    orders (broadcast-able: first_m is one row per customer — at
+    100 TB it shuffles on custkey, the exchange the orders table
+    already pays for Q13/Q18), then cells are cohorts x 12."""
+    o = _tbl(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("m0")
+    )
+    placed = o.join(first_m, "o_custkey").select(
+        F.col("m0").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("m0")) * 12
+            + (F.month("o_orderdate") - F.month("m0"))
+        ).alias("offset_m"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(28,4)").alias("p"),
+    )
+    cell = (
+        placed.filter(F.col("offset_m") <= 11)
+        .groupBy("cohort_month", F.col("offset_m").cast("int").alias("offset_m"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("p").alias("rev"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_month",
+        "offset_m",
+        "n_active",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(wc).cast("double"), 2).alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort_month", "offset_m")

@@ -139,6 +139,9 @@ SCALAR_ATTACH_OK = {
     # the bin frame (1-row min/max/count) rides one attach before the
     # 16-bucket assignment scan
     "histogram_quantile_interp",
+    # the global-share denominator (1-row revenue total) rides one
+    # attach over the 25-row nation frame
+    "geo_rollup_share",
 }
 
 

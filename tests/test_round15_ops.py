@@ -848,3 +848,61 @@ def test_knn_label_accuracy_contract(spark):
     for r in rows:
         assert 1 <= r["n_votes"] <= 5
         assert r["correct"] == (r["pred_label"] == r["true_label"])
+
+
+def test_geo_rollup_shares_close(spark):
+    """Region shares sum to 1 within each region; global shares sum
+    to 1 overall; revenue closes to the orders total."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["geo_rollup_share"](spark, SF_DIR).collect()
+    by_region: dict = defaultdict(float)
+    for r in rows:
+        by_region[r["region"]] += r["share_of_region"]
+    for tot in by_region.values():
+        assert tot == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["share_of_global"] for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    orders_total = sum(
+        r["o_totalprice"]
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "orders.parquet")
+        ).collect()
+    )
+    assert sum(r["revenue"] for r in rows) == pytest.approx(
+        orders_total, rel=1e-6
+    )
+
+
+def test_cohort_ltv_cumulative_and_offsets(spark):
+    """Offsets are 0..11; cum_revenue is the running sum of revenue
+    within a cohort; offset-0 n_active equals the cohort's size."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["cohort_revenue_ltv"](spark, SF_DIR).collect()
+    by_cohort: dict = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["offset_m"] <= 11
+        by_cohort[r["cohort_month"]].append(r)
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).collect()
+    first: dict = {}
+    for o in orders:
+        m = o["o_orderdate"].replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        k = o["o_custkey"]
+        first[k] = min(first.get(k, m), m)
+    cohort_size: dict = defaultdict(set)
+    for k, m in first.items():
+        cohort_size[m].add(k)
+    for cm, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["offset_m"])
+        run = 0.0
+        for r in rs:
+            run += r["revenue"]
+            assert r["cum_revenue"] == pytest.approx(run, abs=0.05)
+        zero = [r for r in rs if r["offset_m"] == 0]
+        assert zero and zero[0]["n_active"] == len(cohort_size[cm])
