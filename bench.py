@@ -312,6 +312,11 @@ SECONDARY = [
     # LTV (customer-grain min agg + custkey equi-join + 12-col matrix)
     "geo_rollup_share",
     "cohort_revenue_ltv",
+    # round-14 additions: dyadic time-decay attribution (user-keyed
+    # join + purchase-keyed integer rollups) and cross-source shingle
+    # containment (inverted-index exchange + TakeOrdered)
+    "attribution_time_decay",
+    "source_shingle_overlap",
 ]
 
 

@@ -906,3 +906,85 @@ def test_cohort_ltv_cumulative_and_offsets(spark):
             assert r["cum_revenue"] == pytest.approx(run, abs=0.05)
         zero = [r for r in rs if r["offset_m"] == 0]
         assert zero and zero[0]["n_active"] == len(cohort_size[cm])
+
+
+def test_time_decay_credit_closes_per_conversion(spark):
+    """Total micro-credit across channels is n_purchases_with_touches
+    * 1e6 minus only truncation remainders (< channels per conversion);
+    day-0 touches outweigh day-2 touches."""
+    from database_extractor_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["attribution_time_decay"](spark, SF_DIR).collect()
+    assert rows
+    total_credit = sum(r["credit_micro"] for r in rows)
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", us.alias("p_us")
+    )
+    t = ev.filter("event_type <> 'purchase'").select(
+        "user_id", us.alias("t_us")
+    )
+    day = 86400000000
+    n_attr = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_us") >= F.col("p_us") - F.lit(3 * day))
+            & (F.col("t_us") < F.col("p_us"))
+        )
+        .select("p_id")
+        .distinct()
+        .count()
+    )
+    # each attributed conversion distributes <= 1e6 micro (truncation
+    # loses < n_channels micro per conversion)
+    assert total_credit <= n_attr * 1_000_000
+    assert total_credit >= n_attr * 1_000_000 - n_attr * 8
+
+
+def test_time_decay_weights_order(spark):
+    """A constructed user with one touch per day must split credit
+    4:2:1 (day-0 1000, day-1 500, day-2 250)."""
+    import datetime as dt
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+
+    base = dt.datetime(2024, 5, 10, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(days=2, seconds=10), 7, "view", 1.0, "{}"),
+        (2, base - dt.timedelta(days=1, seconds=10), 7, "click", 1.0, "{}"),
+        (3, base - dt.timedelta(seconds=10), 7, "signup", 1.0, "{}"),
+        (4, base, 7, "purchase", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    out = {
+        r["channel"]: r["credit_micro"]
+        for r in QUERIES["attribution_time_decay"](spark, d).collect()
+    }
+    tot = 1000 + 500 + 250
+    assert out["signup"] == (1000 * 1_000_000) // tot
+    assert out["click"] == (500 * 1_000_000) // tot
+    assert out["view"] == (250 * 1_000_000) // tot
+
+
+def test_source_overlap_containment_bounds(spark):
+    """containment in (0, 1]; n_shared <= the smaller side's distinct
+    shingle count; ordering is by n_shared desc."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["source_shingle_overlap"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["containment"] <= 1.0
+        assert r["s1"] < r["s2"]
+    shared = [r["n_shared"] for r in rows]
+    assert shared == sorted(shared, reverse=True)
