@@ -317,6 +317,9 @@ SECONDARY = [
     # containment (inverted-index exchange + TakeOrdered)
     "attribution_time_decay",
     "source_shingle_overlap",
+    # round-14 addition: order-independent two-lane content digest
+    # (one scan + one global reduce — the copy-integrity primitive)
+    "table_content_checksum",
 ]
 
 

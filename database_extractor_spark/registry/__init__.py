@@ -138,7 +138,8 @@ _VERIFY_FIRST = [
 # histogram_quantile_interp, matryoshka_recall_eval,
 # revenue_pareto_by_nation, mixture_waterfill_allocation,
 # ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
-# cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap.
+# cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
+# table_content_checksum.
 
 
 def _reorder_for_driver() -> None:

@@ -997,3 +997,78 @@ def pagerank_event_graph(spark, sf_dir):
 
 
 # ==========================================================================
+
+
+@register(
+    "table_content_checksum",
+    """
+    with canon as (
+        select concat_ws('|',
+                   cast(o_orderkey as varchar),
+                   cast(o_custkey as varchar),
+                   o_orderstatus,
+                   cast(cast(round(o_totalprice * 100) as bigint)
+                        as varchar),
+                   cast(epoch_us(o_orderdate) as varchar),
+                   o_orderpriority) as c
+        from orders
+    ),
+    h as (
+        select ('0x' || substr(md5(c), 1, 15))::bigint as h1,
+               ('0x' || substr(md5(c), 17, 15))::bigint as h2
+        from canon
+    )
+    select cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(h1 as decimal(38,0))) % 2305843009213693951
+                as bigint) as checksum_a,
+           cast(sum(cast(h2 as decimal(38,0))) % 2305843009213693951
+                as bigint) as checksum_b
+    from h
+    """,
+)
+def table_content_checksum(spark, sf_dir):
+    """ORDER-INDEPENDENT CONTENT CHECKSUM of a table — the integrity
+    primitive behind every cross-cluster copy, backfill, and
+    migration sign-off ("the 100 TB replica has the same ROWS, not
+    just the same row count"): canonicalize each row to a string,
+    hash it, and SUM the hashes so any partitioning, row order, or
+    file layout yields the identical pair of 61-bit digests (sum is
+    commutative where a concatenated hash is not; two independent
+    md5 lanes make a colliding corruption need to cancel both).
+    Portability discipline: doubles enter the canonical form as
+    EXACT integer cents (round(x*100) — double repr differs across
+    engines, scaled-integer text does not), timestamps as epoch
+    micros, and the lane sums are decimal(38)-exact before one
+    modular reduction by the Mersenne prime 2^61-1 (sum < 1e38 up to
+    ~1e17 rows). Plan: one scan, one map-side-combinable global
+    aggregate — no shuffle beyond the final 1-row reduce; this is
+    the cheapest possible full-table integrity pass and it
+    parallelizes perfectly at any scale."""
+    o = _tbl(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(canon), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    m = F.lit(2305843009213693951)
+    return h.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(F.col("h1").cast("decimal(38,0)")) % m)
+        .cast("bigint")
+        .alias("checksum_a"),
+        (F.sum(F.col("h2").cast("decimal(38,0)")) % m)
+        .cast("bigint")
+        .alias("checksum_b"),
+    )

@@ -988,3 +988,38 @@ def test_source_overlap_containment_bounds(spark):
         assert r["s1"] < r["s2"]
     shared = [r["n_shared"] for r in rows]
     assert shared == sorted(shared, reverse=True)
+
+
+def test_checksum_is_order_and_layout_independent(spark):
+    """Repartitioning / reordering the table must not change the
+    digests; changing ONE row must change them."""
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    base = QUERIES["table_content_checksum"](spark, SF_DIR).collect()[0]
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    d = tempfile.mkdtemp()
+    # shuffled layout: different partitioning + reversed sort
+    orders.repartition(7).sortWithinPartitions(
+        F.desc("o_orderkey")
+    ).write.mode("overwrite").parquet(_os.path.join(d, "orders.parquet"))
+    shuffled = QUERIES["table_content_checksum"](spark, d).collect()[0]
+    assert shuffled == base
+
+    d2 = tempfile.mkdtemp()
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == orders.first()["o_orderkey"],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+    )
+    mutated.write.mode("overwrite").parquet(_os.path.join(d2, "orders.parquet"))
+    tampered = QUERIES["table_content_checksum"](spark, d2).collect()[0]
+    assert tampered["n_rows"] == base["n_rows"]
+    assert (
+        tampered["checksum_a"] != base["checksum_a"]
+        or tampered["checksum_b"] != base["checksum_b"]
+    )
