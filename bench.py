@@ -320,6 +320,11 @@ SECONDARY = [
     # round-14 addition: order-independent two-lane content digest
     # (one scan + one global reduce — the copy-integrity primitive)
     "table_content_checksum",
+    # round-14 additions: closed-form business-day SLA latency (one
+    # orderkey equi-join + 5-group rollup) and the governance masking
+    # projection (pure scan, no shuffle)
+    "business_days_latency",
+    "column_masking_view",
 ]
 
 

@@ -139,7 +139,7 @@ _VERIFY_FIRST = [
 # revenue_pareto_by_nation, mixture_waterfill_allocation,
 # ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
 # cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
-# table_content_checksum.
+# table_content_checksum, business_days_latency, column_masking_view.
 
 
 def _reorder_for_driver() -> None:

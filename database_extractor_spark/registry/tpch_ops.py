@@ -2758,3 +2758,121 @@ def cohort_revenue_ltv(spark, sf_dir):
             "cum_revenue"
         ),
     ).orderBy("cohort_month", "offset_m")
+
+
+@register(
+    "business_days_latency",
+    """
+    with j as (
+        select o.o_orderpriority,
+               date_diff('day', date '1970-01-05',
+                         cast(l.l_shipdate as date)) as d2,
+               date_diff('day', date '1970-01-05',
+                         cast(o.o_orderdate as date)) as d1
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+    ),
+    bd as (
+        select o_orderpriority,
+               (5 * (d2 // 7) + least(d2 % 7, 5))
+               - (5 * (d1 // 7) + least(d1 % 7, 5)) as b
+        from j
+    )
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_lines,
+           round(cast(sum(b) as double) / count(*), 6) as avg_bdays,
+           cast(max(b) as bigint) as max_bdays
+    from bd group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def business_days_latency(spark, sf_dir):
+    """BUSINESS-DAY fulfillment latency per order priority — calendar
+    arithmetic that SKIPS WEEKENDS, in closed form (no calendar table,
+    no per-day loop): anchor every date to Monday 1970-01-05 and count
+    B(d) = 5*(days div 7) + min(days mod 7, 5) accumulated business
+    days; the latency is B(ship) - B(order), SIGNED — the synthetic
+    fixture ships some lines before their order date, and a signed
+    latency surfaces that inconsistency instead of clamping it (the
+    data_quality_checks instinct). The formula is exact integer
+    arithmetic validated against a day-walking brute force (tests),
+    runs identically on both engines, and extends the calendar-day
+    sibling order_to_ship_latency the way a real SLA is actually
+    written ("5 business days"). Plan: one orderkey
+    equi-join (the exchange every TPC-H lineitem-orders query pays),
+    per-row integer math, one 5-group map-side-combinable rollup —
+    the average divides exact int64 sums once."""
+    l = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    anchor = F.lit("1970-01-05").cast("date")
+    d2 = F.datediff(F.col("l_shipdate").cast("date"), anchor)
+    d1 = F.datediff(F.col("o_orderdate").cast("date"), anchor)
+    bfun = lambda d: F.lit(5) * F.expr(f"({d}) div 7") + F.least(
+        F.expr(f"({d}) % 7"), F.lit(5)
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        d2.alias("d2"),
+        d1.alias("d1"),
+    )
+    b = (
+        F.lit(5) * F.expr("d2 div 7")
+        + F.least(F.expr("d2 % 7"), F.lit(5))
+        - (F.lit(5) * F.expr("d1 div 7") + F.least(F.expr("d1 % 7"), F.lit(5)))
+    )
+    return (
+        j.select("o_orderpriority", b.alias("b"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum("b").cast("double") / F.count("*"), 6).alias(
+                "avg_bdays"
+            ),
+            F.max("b").cast("bigint").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "column_masking_view",
+    """
+    select c_custkey,
+           'cust_' || substr(md5(c_name), 1, 8) as name_masked,
+           case when c_acctbal < 0 then 'negative'
+                when c_acctbal < 1000 then 'low'
+                when c_acctbal < 5000 then 'mid'
+                else 'high' end as acctbal_band,
+           c_mktsegment,
+           c_nationkey
+    from customer
+    order by c_custkey
+    """,
+)
+def column_masking_view(spark, sf_dir):
+    """DETERMINISTIC COLUMN MASKING — the governance projection that
+    ships a customer table to an analytics tier: direct identifiers
+    pseudonymize via keyed-hash tokens ('cust_' + md5 prefix — stable
+    across runs and engines, so joins on the token still work
+    downstream), the quasi-identifying balance GENERALIZES to coarse
+    bands (the k-anonymity lever k_anonymity_audit measures — these
+    two entries are the apply/measure pair of the same control), and
+    everything else passes through. Band edges are exact double
+    compares identical on both engines (fixture balances are 2-dp
+    values away from the thresholds; a production deployment bands on
+    integer cents, the benford/checksum discipline). Plan: pure
+    per-row projection — no shuffle, no UDF, full codegen; masking
+    100 TB costs exactly one scan."""
+    c = _tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"), F.substring(F.md5(F.col("c_name")), 1, 8)
+        ).alias("name_masked"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+        "c_nationkey",
+    ).orderBy("c_custkey")

@@ -1023,3 +1023,80 @@ def test_checksum_is_order_and_layout_independent(spark):
         tampered["checksum_a"] != base["checksum_a"]
         or tampered["checksum_b"] != base["checksum_b"]
     )
+
+
+def test_business_day_formula_matches_day_walk(spark):
+    """The closed form B(d2) - B(d1) equals a brute weekday walk on a
+    sample of fixture (order, ship) pairs."""
+    import datetime
+
+    from database_extractor_spark.registry import QUERIES
+
+    def brute(a, b):
+        if b < a:
+            return -brute(b, a)
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += datetime.timedelta(days=1)
+        return n
+
+    def closed(a, b):
+        anchor = datetime.date(1970, 1, 5)
+        B = lambda x: 5 * ((x - anchor).days // 7) + min(
+            (x - anchor).days % 7, 5
+        )
+        return B(b) - B(a)
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .limit(50)
+        .collect()
+    )
+    od = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "orders.parquet")
+        ).collect()
+    }
+    for r in li:
+        a, b = od[r["l_orderkey"]], r["l_shipdate"].date()
+        assert closed(a, b) == brute(a, b)
+    out = QUERIES["business_days_latency"](spark, SF_DIR).collect()
+    assert len(out) == 5  # one row per priority
+    # the synthetic fixture has ship dates on both sides of the order
+    # date, so latencies are SIGNED — the entry surfaces that as a
+    # data-quality signal rather than clamping it away
+    assert any(r["max_bdays"] > 0 for r in out)
+
+
+def test_masking_is_stable_lossless_on_keys_and_banded(spark):
+    """Tokens are deterministic (same input -> same token), key and
+    segment pass through, and bands partition the balance domain."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["column_masking_view"](spark, SF_DIR).collect()
+    raw = {
+        r["c_custkey"]: r
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "customer.parquet")
+        ).collect()
+    }
+    assert len(rows) == len(raw)
+    import hashlib
+
+    for r in rows[:100]:
+        src = raw[r["c_custkey"]]
+        assert r["name_masked"] == "cust_" + hashlib.md5(
+            src["c_name"].encode()
+        ).hexdigest()[:8]
+        assert src["c_name"] not in r["name_masked"]
+        b = src["c_acctbal"]
+        want = (
+            "negative" if b < 0 else
+            "low" if b < 1000 else
+            "mid" if b < 5000 else "high"
+        )
+        assert r["acctbal_band"] == want
+        assert r["c_mktsegment"] == src["c_mktsegment"]
