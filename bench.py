@@ -325,6 +325,11 @@ SECONDARY = [
     # projection (pure scan, no shuffle)
     "business_days_latency",
     "column_masking_view",
+    # round-14 additions: streaming OHLC twin (availableNow drain of
+    # the mergeable struct-min/max bars) and behavioral-variety
+    # entropy (two small exchanges, no windows)
+    "streaming_ohlc_bars",
+    "user_behavior_entropy",
 ]
 
 

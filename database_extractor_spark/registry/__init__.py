@@ -139,7 +139,8 @@ _VERIFY_FIRST = [
 # revenue_pareto_by_nation, mixture_waterfill_allocation,
 # ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
 # cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
-# table_content_checksum, business_days_latency, column_masking_view.
+# table_content_checksum, business_days_latency, column_masking_view,
+# streaming_ohlc_bars, user_behavior_entropy.
 
 
 def _reorder_for_driver() -> None:

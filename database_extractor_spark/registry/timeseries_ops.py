@@ -5,6 +5,8 @@ unchanged — see registry/__init__.py for the aggregation contract.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1260,3 +1262,113 @@ def ts_autocorrelation(spark, sf_dir):
         F.col("np").alias("n_pairs"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
     ).orderBy("event_type", "lag_k")
+
+
+@register(
+    "streaming_ohlc_bars",
+    """
+    with b as (
+        select event_type, date_trunc('minute', ts) as bar_ts,
+               ts, event_id, value
+        from events where value is not null
+    ),
+    o as (
+        select event_type, bar_ts, value as open
+        from b
+        qualify row_number() over (
+            partition by event_type, bar_ts
+            order by ts, event_id, value) = 1
+    ),
+    c as (
+        select event_type, bar_ts, value as close
+        from b
+        qualify row_number() over (
+            partition by event_type, bar_ts
+            order by ts desc, event_id desc, value desc) = 1
+    )
+    select g.bar_ts, g.event_type, o.open, g.high, g.low, c.close, g.n
+    from (
+        select event_type, bar_ts, max(value) as high, min(value) as low,
+               cast(count(*) as bigint) as n
+        from b group by event_type, bar_ts
+    ) g
+    join o using (event_type, bar_ts)
+    join c using (event_type, bar_ts)
+    """,
+)
+def streaming_ohlc_bars_q(spark, sf_dir):
+    """The STREAMING face of ohlc_bars — the same mergeable
+    struct-min/max aggregate running under Structured Streaming
+    (watermark + tumbling window + state store, availableNow drain):
+    a single drain over the static source must equal the batch bars.
+    The struct-ordered argmin/argmax matters MORE here than in batch —
+    streaming state merges partial aggregates per micro-batch, and
+    lexicographic struct min/max is associative/commutative where
+    "first row in window order" is not even well-defined across
+    batches. Oracle: two QUALIFY row_number passes + one group-by,
+    joined (the batch entry's oracle shape, same tiebreaks)."""
+    from database_extractor_spark.streaming import streaming_ohlc_bars
+
+    return streaming_ohlc_bars(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "user_behavior_entropy",
+    """
+    with c as (
+        select user_id, event_type, cast(count(*) as bigint) as c
+        from events group by user_id, event_type
+    ),
+    u as (
+        select user_id,
+               cast(sum(c) as bigint) as n,
+               cast(count(*) as bigint) as n_types,
+               cast(sum(cast(c * ln(cast(c as double)) as decimal(28,12)))
+                    as double) as clc
+        from c group by user_id
+    )
+    select user_id, n as n_events, n_types,
+           round(ln(cast(n as double)) - clc / cast(n as double), 6)
+               as entropy
+    from u
+    order by user_id
+    """,
+)
+def user_behavior_entropy(spark, sf_dir):
+    """BEHAVIORAL-VARIETY ENTROPY per user — the Shannon entropy of
+    each user's event-type mix (0 = does exactly one thing: a bot, a
+    monitor, a scraper; ln(5) = uses every feature equally). The
+    temporal fingerprint interarrival_burstiness and this VARIETY
+    fingerprint are orthogonal axes of the same abuse/engagement
+    screen — a periodic one-event-type account flags on both. Form:
+    H = ln(n) - (1/n)*sum(c*ln c), so the per-(user, type) terms are
+    c*ln(c) doubles summed through decimals (aggregation-order
+    independent; ln is evaluated on identical exact-int-valued
+    doubles on both engines — the corpus_slice_jsd discipline) and
+    the final expression is one identical IEEE sequence, round 6.
+    Plan: one (user, type)-grain map-side-combinable aggregate, one
+    user-grain rollup — two small exchanges, no windows, no joins."""
+    ev = _tbl(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    clc = F.sum(
+        (F.col("c") * F.log(F.col("c").cast("double"))).cast(
+            "decimal(28,12)"
+        )
+    ).cast("double")
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+        clc.alias("clc"),
+    )
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("clc") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("user_id")

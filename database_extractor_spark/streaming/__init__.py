@@ -599,3 +599,42 @@ def streaming_tws_user_stats(spark: SparkSession, events_path: str) -> DataFrame
         return run_available_now(
             spark, tws_user_stats(stream), output_mode="update"
         )
+
+
+def streaming_ohlc_bars(
+    spark: SparkSession, events_path: str, every: str = "1 minute"
+) -> DataFrame:
+    """STREAMING OHLC bars: stream-read events -> watermark -> tumbling
+    1-minute windows per event_type -> open/high/low/close via the SAME
+    single-aggregate struct-ordered argmin/argmax the batch `ohlc_bars`
+    entry uses (lexicographic struct min/max IS the tie-broken
+    first/last — no second window pass, and unlike a window-function
+    formulation it is INCREMENTALLY MERGEABLE, which is exactly what a
+    streaming state store needs: partial bars combine by struct
+    min/max) -> availableNow -> result frame. One availableNow drain
+    over a static source equals the batch bars — the driver oracle."""
+    from pyspark.sql import functions as F
+
+    stream = stream_source(spark, events_path)
+    b = stream.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    s = F.struct("ts", "event_id", "value")
+    agg = (
+        b.withWatermark("ts", "1 minute")
+        .groupBy(
+            F.window("ts", every).getField("start").alias("bar_ts"),
+            "event_type",
+        )
+        .agg(
+            F.min(s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("value").alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    return run_available_now(spark, agg, output_mode="complete")

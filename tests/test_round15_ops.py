@@ -1100,3 +1100,43 @@ def test_masking_is_stable_lossless_on_keys_and_banded(spark):
         )
         assert r["acctbal_band"] == want
         assert r["c_mktsegment"] == src["c_mktsegment"]
+
+
+def test_streaming_ohlc_equals_batch(spark):
+    """One availableNow drain over the static source must equal the
+    batch ohlc_bars rows (same keys, same OHLC values)."""
+    from database_extractor_spark.registry import QUERIES
+
+    sk = lambda r: (r["event_type"], r["bar_ts"])
+    batch = {
+        sk(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in QUERIES["ohlc_bars"](spark, SF_DIR).collect()
+    }
+    stream = {
+        sk(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in QUERIES["streaming_ohlc_bars"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+def test_behavior_entropy_bounds_and_brute(spark):
+    """H in [0, ln(n_types)]; single-type users get exactly 0; one
+    user's entropy reproduces from a driver-side recompute."""
+    from collections import Counter, defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["user_behavior_entropy"](spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    per_user: dict = defaultdict(Counter)
+    for e in ev:
+        per_user[e["user_id"]][e["event_type"]] += 1
+    for r in rows:
+        cnt = per_user[r["user_id"]]
+        n = sum(cnt.values())
+        want = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        assert r["entropy"] == pytest.approx(want, abs=1e-5)
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0
