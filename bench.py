@@ -330,6 +330,10 @@ SECONDARY = [
     # entropy (two small exchanges, no windows)
     "streaming_ohlc_bars",
     "user_behavior_entropy",
+    # round-14 additions: file-layout skew report (metadata rides the
+    # scan) and GDPR cascade sizing (two equi-join chains, 3-row union)
+    "input_file_skew",
+    "erasure_cascade_audit",
 ]
 
 

@@ -140,7 +140,8 @@ _VERIFY_FIRST = [
 # ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
 # cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
 # table_content_checksum, business_days_latency, column_masking_view,
-# streaming_ohlc_bars, user_behavior_entropy.
+# streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
+# erasure_cascade_audit.
 
 
 def _reorder_for_driver() -> None:

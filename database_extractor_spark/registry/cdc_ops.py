@@ -1072,3 +1072,186 @@ def table_content_checksum(spark, sf_dir):
         .cast("bigint")
         .alias("checksum_b"),
     )
+
+
+@register(
+    "input_file_skew",
+    """
+    with f as (
+        select regexp_extract(filename, '[^/]+$') as file_name,
+               cast(count(*) as bigint) as n_rows
+        from read_parquet('/root/testdata/sf0.01/events.parquet',
+                          filename=true)
+        group by 1
+    ),
+    t as (select cast(sum(n_rows) as bigint) as total,
+                 cast(count(*) as bigint) as n_files,
+                 cast(max(n_rows) as bigint) as mx from f)
+    select f.file_name, f.n_rows,
+           round(cast(f.n_rows as double) / cast(t.total as double), 6)
+               as row_share,
+           round(cast(t.mx as double)
+                 / (cast(t.total as double) / cast(t.n_files as double)),
+                 6) as skew_ratio
+    from f cross join t
+    order by f.n_rows desc, f.file_name
+    """,
+)
+def input_file_skew(spark, sf_dir):
+    """INPUT-FILE SKEW report — rows per physical parquet file with
+    each file's share and the table-wide max/mean skew ratio (the
+    small-files / hot-file diagnostic: a 1000-executor scan is paced
+    by its largest file, and a table of ten thousand 1 MB files pays
+    task-overhead instead of reading; this report is the first thing
+    to pull when a scan stage is slower than its byte count says it
+    should be — the lake-layout sibling of join_skew_diagnostic).
+    Implementation: input_file_name() rides the scan as metadata (no
+    extra I/O) and aggregates map-side to one row per file; filenames
+    normalize to basenames so the Spark file:// URI and the oracle's
+    raw path compare identically. Scale: output cardinality = file
+    count; the single 1-row totals attach is the whitelisted scalar
+    shape. The maintenance_compact entry is the FIX this report
+    motivates. Oracle note: file layout is PHYSICAL state that cannot
+    be replayed through a registered view, so the oracle reads the
+    driver's contract fixture dir (sf0.01) directly with
+    read_parquet(filename=true) — the one entry whose oracle pins a
+    path; the Spark side follows whatever sf_dir it is given."""
+    ev = _tbl(spark, sf_dir, "events")
+    f = (
+        ev.select(
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias(
+                "file_name"
+            )
+        )
+        .groupBy("file_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    t = f.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_files"),
+        F.max("n_rows").cast("bigint").alias("mx"),
+    )
+    return (
+        f.crossJoin(F.broadcast(t))
+        .select(
+            "file_name",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("row_share"),
+            F.round(
+                F.col("mx").cast("double")
+                / (
+                    F.col("total").cast("double")
+                    / F.col("n_files").cast("double")
+                ),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), "file_name")
+    )
+
+
+@register(
+    "erasure_cascade_audit",
+    """
+    with req as (
+        select c_custkey from customer
+        where ('0x' || substr(md5(cast(c_custkey as varchar)), 1, 8))::bigint
+              % 100 < 5
+    ),
+    o_flag as (
+        select o.o_orderkey,
+               case when r.c_custkey is null then 0 else 1 end as hit
+        from orders o left join req r on o.o_custkey = r.c_custkey
+    ),
+    c_row as (
+        select 'customer' as table_name,
+               cast(count(*) as bigint) as n_total,
+               cast(sum(case when ('0x' || substr(
+                   md5(cast(c_custkey as varchar)), 1, 8))::bigint % 100 < 5
+                   then 1 else 0 end) as bigint) as n_affected
+        from customer
+    ),
+    o_row as (
+        select 'orders', cast(count(*) as bigint),
+               cast(sum(hit) as bigint)
+        from o_flag
+    ),
+    l_row as (
+        select 'lineitem', cast(count(*) as bigint),
+               cast(sum(f.hit) as bigint)
+        from lineitem l
+        join o_flag f on l.l_orderkey = f.o_orderkey
+    ),
+    u as (
+        select * from c_row union all select * from o_row
+        union all select * from l_row
+    )
+    select table_name, n_total, n_affected,
+           round(cast(n_affected as double) / cast(n_total as double), 6)
+               as pct_affected
+    from u order by table_name
+    """,
+)
+def erasure_cascade_audit(spark, sf_dir):
+    """ERASURE-CASCADE AUDIT (right-to-be-forgotten sizing) — given a
+    deterministic 5% of customers as deletion requests (md5 bucket,
+    the mixture_weighted_sample discipline — a real deployment feeds
+    the request table instead), count the blast radius per table:
+    affected customers, their orders, and those orders' lineitems,
+    each with its fraction of the table. This is the sizing query a
+    platform team runs BEFORE executing a GDPR batch (does the
+    cascade touch 0.1% of the lake or 30%?); the left-anti complement
+    of the same joins is the retained table, and cdc_merge_apply /
+    upsert_day_overwrite are the apply machinery. ONE distributed
+    plan, long format: the request flag propagates by equi-joins
+    (broadcast request side; the orderkey join is the exchange every
+    lineitem-orders query pays), each table contributes one
+    conditional-aggregate row, three rows union — no driver-side
+    counts, no scalar attaches, no cross joins."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    l = _tbl(spark, sf_dir, "lineitem")
+    bucket = lambda col: (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    req = c.filter(bucket(F.col("c_custkey")) < 5).select("c_custkey")
+    o_flag = o.join(
+        F.broadcast(req), o["o_custkey"] == req["c_custkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    c_row = c.agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(bucket(F.col("c_custkey")) < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_affected"),
+    )
+    o_row = o_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("hit").cast("bigint").alias("n_affected"),
+    )
+    l_row = l.join(o_flag, l["l_orderkey"] == o_flag["o_orderkey"]).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("hit").cast("bigint").alias("n_affected"),
+    )
+    u = c_row.unionByName(o_row).unionByName(l_row)
+    return u.select(
+        "table_name",
+        "n_total",
+        "n_affected",
+        F.round(
+            F.col("n_affected").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("pct_affected"),
+    ).orderBy("table_name")

@@ -142,6 +142,9 @@ SCALAR_ATTACH_OK = {
     # the global-share denominator (1-row revenue total) rides one
     # attach over the 25-row nation frame
     "geo_rollup_share",
+    # the skew denominator (1-row total/count/max) rides one attach
+    # over the per-file frame
+    "input_file_skew",
 }
 
 

@@ -1140,3 +1140,62 @@ def test_behavior_entropy_bounds_and_brute(spark):
         assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
         if r["n_types"] == 1:
             assert r["entropy"] == 0.0
+
+
+def test_file_skew_multi_file_layout(spark):
+    """On a deliberately skewed multi-file layout the report must list
+    every file, shares must sum to 1, and skew_ratio must exceed 1."""
+    import os as _os
+    import tempfile
+
+    from database_extractor_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    d = tempfile.mkdtemp()
+    out = _os.path.join(d, "events.parquet")
+    # skewed layout: 90% of rows in one file, the rest split across 3
+    big = ev.filter(F.col("event_id") % 10 != 0).coalesce(1)
+    small = ev.filter(F.col("event_id") % 10 == 0).repartition(3)
+    big.write.mode("overwrite").parquet(out)
+    small.write.mode("append").parquet(out)
+    rows = QUERIES["input_file_skew"](spark, d).collect()
+    assert len(rows) >= 2
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    assert sum(r["row_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert rows[0]["skew_ratio"] > 1.0
+    shares = [r["n_rows"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_erasure_cascade_consistency(spark):
+    """Affected fractions reproduce from a driver-side recompute of
+    the md5 request bucket and the FK cascade."""
+    import hashlib
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = {
+        r["table_name"]: r
+        for r in QUERIES["erasure_cascade_audit"](spark, SF_DIR).collect()
+    }
+    cust = spark.read.parquet(
+        os.path.join(SF_DIR, "customer.parquet")
+    ).collect()
+    req = {
+        r["c_custkey"]
+        for r in cust
+        if int(hashlib.md5(str(r["c_custkey"]).encode()).hexdigest()[:8], 16)
+        % 100
+        < 5
+    }
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).collect()
+    o_hit = {o["o_orderkey"] for o in orders if o["o_custkey"] in req}
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).collect()
+    l_hit = sum(1 for l in li if l["l_orderkey"] in o_hit)
+    assert rows["customer"]["n_affected"] == len(req)
+    assert rows["orders"]["n_affected"] == len(o_hit)
+    assert rows["lineitem"]["n_affected"] == l_hit
+    assert rows["customer"]["n_total"] == len(cust)
+    for r in rows.values():
+        assert 0.0 <= r["pct_affected"] <= 1.0
