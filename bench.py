@@ -334,6 +334,11 @@ SECONDARY = [
     # scan) and GDPR cascade sizing (two equi-join chains, 3-row union)
     "input_file_skew",
     "erasure_cascade_audit",
+    # round-14 additions: ingestion-order centroid drift (10 x dim
+    # map-side agg + role fan-out pairing) and the lines-per-order
+    # Poissonness check (one orderkey exchange + exact moments)
+    "embedding_centroid_drift",
+    "order_dispersion_index",
 ]
 
 

@@ -141,7 +141,8 @@ _VERIFY_FIRST = [
 # cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
 # table_content_checksum, business_days_latency, column_masking_view,
 # streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
-# erasure_cascade_audit.
+# erasure_cascade_audit, embedding_centroid_drift,
+# order_dispersion_index.
 
 
 def _reorder_for_driver() -> None:

@@ -2711,3 +2711,123 @@ def knn_label_accuracy(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    with mx as (select max(vec_id) as m from embeddings),
+    b as (
+        select least(10, greatest(1,
+                   (vec_id * 10 + m.m - 1) // m.m)) as decile,
+               list_transform(embedding, x -> x::DOUBLE) as v
+        from embeddings, mx m
+    ),
+    cd as (
+        select decile, i.i,
+               round(sum(floor(v[i.i] * 1e9 + 0.5)::BIGINT)::BIGINT
+                     / count(*) / 1e9, 6) as cv
+        from b cross join range(1, 65) i(i)
+        group by decile, i.i
+    ),
+    cent as (
+        select decile, list(cv order by i) as c from cd group by decile
+    )
+    select a.decile as decile_from, bb.decile as decile_to,
+           round(list_dot_product(a.c, bb.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(bb.c, bb.c))), 6)
+               as centroid_cosine
+    from cent a join cent bb on bb.decile = a.decile + 1
+    order by decile_from
+    """,
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """EMBEDDING-DISTRIBUTION DRIFT across ingestion order — the
+    cosine between consecutive vec_id-decile CENTROIDS (is the corpus
+    the crawler is appending still the same distribution it started
+    with? a falling tail-cosine says the newest tranche moved, which
+    invalidates IVF centroids and quality-classifier calibration
+    alike — THE trigger for retraining both). Deciles reuse the exact
+    integer bucketing of vocab_growth_curve; per-decile centroids use
+    the _canonical_mean lane (1e-9-quantized integer sums, order
+    independent, 6-dp rounded — the Lloyd-training discipline, so
+    both engines produce IDENTICAL centroid literals); consecutive
+    pairs assemble by a role fan-out + group-by over the 10-row
+    centroid frame (each centroid feeds pair d as "from" and pair
+    d-1 as "to" — no self-join, so the single 1-row max attach is
+    not replayed), and the
+    cosine is the usual identical IEEE fold. Scale: one corpus scan
+    into a 10 x dim map-side-combinable aggregate; everything after
+    is 10 rows."""
+    e = _tbl(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("m"))
+    b = e.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(10),
+            F.greatest(F.lit(1), F.expr("(vec_id * 10 + m - 1) div m")),
+        ).alias("decile"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cd = (
+        b.select(
+            "decile",
+            F.posexplode(
+                F.expr("transform(v, x -> cast(floor(x * 1e9 + 0.5) as bigint))")
+            ).alias("i0", "q"),
+        )
+        .groupBy("decile", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.round(
+                F.sum("q").cast("bigint") / F.count("*") / F.lit(1e9), 6
+            ).alias("cv")
+        )
+    )
+    cent = cd.groupBy("decile").agg(
+        F.expr("array_sort(collect_list(struct(i, cv)))").alias("a")
+    ).select(
+        "decile", F.expr("transform(a, s -> s.cv)").alias("c")
+    )
+    # pair consecutive deciles WITHOUT consuming `cent` twice (a
+    # self-join would replay the 1-row max attach once per branch —
+    # the vocab_growth_curve lesson): each centroid row fans out to
+    # its two pair roles ("from" of pair d, "to" of pair d-1) and one
+    # group-by reassembles the pairs; arrays compare fine under max()
+    roles = cent.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("role"),
+                    F.col("decile").alias("pid"),
+                    F.col("c").alias("c"),
+                ),
+                F.struct(
+                    F.lit("b").alias("role"),
+                    (F.col("decile") - 1).alias("pid"),
+                    F.col("c").alias("c"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.role", "r.pid", "r.c")
+    pairs = (
+        roles.groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("role") == "a", F.col("c"))).alias("ca"),
+            F.max(F.when(F.col("role") == "b", F.col("c"))).alias("cb"),
+        )
+        .filter(F.col("ca").isNotNull() & F.col("cb").isNotNull())
+    )
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return pairs.select(
+        F.col("pid").alias("decile_from"),
+        (F.col("pid") + 1).alias("decile_to"),
+        F.round(
+            dot("ca", "cb")
+            / (F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb"))),
+            6,
+        ).alias("centroid_cosine"),
+    ).orderBy("decile_from")

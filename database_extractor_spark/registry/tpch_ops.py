@@ -2876,3 +2876,70 @@ def column_masking_view(spark, sf_dir):
         "c_mktsegment",
         "c_nationkey",
     ).orderBy("c_custkey")
+
+
+@register(
+    "order_dispersion_index",
+    """
+    with per_order as (
+        select o.o_orderpriority, o.o_orderkey,
+               cast(count(l.l_orderkey) as bigint) as k
+        from orders o
+        left join lineitem l on l.l_orderkey = o.o_orderkey
+        group by o.o_orderpriority, o.o_orderkey
+    ),
+    m as (
+        select o_orderpriority,
+               cast(count(*) as bigint) as n,
+               cast(sum(k) as bigint) as s,
+               cast(sum(k * k) as bigint) as sq
+        from per_order group by o_orderpriority
+    )
+    select o_orderpriority, n as n_orders,
+           round(cast(s as double) / cast(n as double), 6) as mean_lines,
+           round(cast(n * sq - s * s as double)
+                 / (cast(n as double) * cast(s as double)), 6)
+               as dispersion_index,
+           (n * sq - s * s > n * s) as overdispersed
+    from m
+    order by o_orderpriority
+    """,
+)
+def order_dispersion_index(spark, sf_dir):
+    """INDEX OF DISPERSION (variance-to-mean ratio) of lines-per-order,
+    per priority — the Poissonness check for count data (D = 1: orders
+    accumulate lines like independent arrivals; D > 1: bursty/clumped
+    — a few megabaskets carry the volume, which changes how you
+    partition the fulfillment workload; D < 1: regularized, e.g. a
+    cap is binding). The basket-size COUNTS come from one orderkey
+    equi-join (LEFT join so zero-line orders count as k=0 — dropping
+    them biases D upward), the per-priority moments are exact int64
+    (n*sq - s^2 <= n * max_k^2 * n — safe past 1e8 orders per group),
+    the verdict bit cross-multiplies exact integers (n*sq - s^2 >
+    n*s <=> D > 1, no FP boundary), and only the two display ratios
+    divide into doubles. Plan: the lineitem-orders exchange every
+    TPC-H query pays, then two map-side-combinable aggregates."""
+    o = _tbl(spark, sf_dir, "orders")
+    l = _tbl(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"], "left")
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(F.count("l_orderkey").cast("bigint").alias("k"))
+    )
+    m = per_order.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sq"),
+    )
+    n, s2, sq = F.col("n"), F.col("s"), F.col("sq")
+    return m.select(
+        "o_orderpriority",
+        n.alias("n_orders"),
+        F.round(s2.cast("double") / n.cast("double"), 6).alias("mean_lines"),
+        F.round(
+            (n * sq - s2 * s2).cast("double")
+            / (n.cast("double") * s2.cast("double")),
+            6,
+        ).alias("dispersion_index"),
+        (n * sq - s2 * s2 > n * s2).alias("overdispersed"),
+    ).orderBy("o_orderpriority")

@@ -1199,3 +1199,46 @@ def test_erasure_cascade_consistency(spark):
     assert rows["customer"]["n_total"] == len(cust)
     for r in rows.values():
         assert 0.0 <= r["pct_affected"] <= 1.0
+
+
+def test_centroid_drift_chain_and_identity(spark):
+    """9 consecutive pairs; cosines in [-1, 1]; a corpus whose halves
+    are identical distributions keeps tail cosines near 1 (fixture
+    embeddings are homogeneous by construction)."""
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_centroid_drift"](spark, SF_DIR).collect()
+    assert [(r["decile_from"], r["decile_to"]) for r in rows] == [
+        (i, i + 1) for i in range(1, 10)
+    ]
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+
+
+def test_dispersion_index_matches_brute(spark):
+    """D reproduces from a driver-side variance/mean recompute with
+    zero-line orders included."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    out = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["order_dispersion_index"](spark, SF_DIR).collect()
+    }
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).collect()
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).collect()
+    lines: dict = defaultdict(int)
+    for l in li:
+        lines[l["l_orderkey"]] += 1
+    per_prio: dict = defaultdict(list)
+    for o in orders:
+        per_prio[o["o_orderpriority"]].append(lines.get(o["o_orderkey"], 0))
+    for prio, ks in per_prio.items():
+        n, s, sq = len(ks), sum(ks), sum(k * k for k in ks)
+        want_d = (n * sq - s * s) / (n * s)
+        got = out[prio]
+        assert got["n_orders"] == n
+        assert got["mean_lines"] == pytest.approx(s / n, abs=1e-5)
+        assert got["dispersion_index"] == pytest.approx(want_d, abs=1e-5)
+        assert got["overdispersed"] == (n * sq - s * s > n * s)
