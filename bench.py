@@ -339,6 +339,9 @@ SECONDARY = [
     # Poissonness check (one orderkey exchange + exact moments)
     "embedding_centroid_drift",
     "order_dispersion_index",
+    # round-14 addition: MinHash-vs-SimHash pair-set agreement (both
+    # banded pipelines + one full-outer rollup)
+    "dedup_method_agreement",
 ]
 
 

@@ -142,7 +142,7 @@ _VERIFY_FIRST = [
 # table_content_checksum, business_days_latency, column_masking_view,
 # streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
 # erasure_cascade_audit, embedding_centroid_drift,
-# order_dispersion_index.
+# order_dispersion_index, dedup_method_agreement.
 
 
 def _reorder_for_driver() -> None:

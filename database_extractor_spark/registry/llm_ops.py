@@ -504,12 +504,18 @@ def streaming_minhash_dedup(spark, sf_dir):
     return back.select("doc_id").orderBy("doc_id")
 
 
-def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
-    """DuckDB oracle for dedup_simhash: replays the 60-bit md5 token hash,
-    the per-bit +1/-1 votes, the packed simhash, the 15-bit pigeonhole
-    band buckets, and the bit_count(xor) verification."""
+def _simhash_pair_ctes(
+    max_hamming: int = 6, bands: int = 4, prefix: str = ""
+) -> str:
+    """CTE block (no leading WITH) replaying the SimHash pipeline up to
+    the verified near-pair set ``{prefix}shp(id_a < id_b, hamming)``:
+    60-bit md5 token hash -> per-bit votes -> packed simhash -> 15-bit
+    pigeonhole band buckets -> bit_count(xor) verify. ``prefix``
+    namespaces every CTE so the block composes with the MinHash CTEs
+    (which own the names sh/banded/bb) in one oracle."""
     bits = D.SIMHASH_BITS
     width = bits // bands
+    q = prefix
     votes = ",\n               ".join(
         f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
         for i in range(bits)
@@ -521,32 +527,46 @@ def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
         f"{{'band': {b}, 'bucket': (sh >> {b * width}) & {(1 << width) - 1}}}"
         for b in range(bands)
     )
-    return rf"""
-    with toks as (
+    return rf"""{q}toks as (
         -- coalesce mirrors the engine (simhash_table) for NULL-text docs
         select doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) as t
         from documents
     ),
-    th as (select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h from toks),
-    v as (
+    {q}th as (select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h
+              from {q}toks),
+    {q}v as (
         select doc_id,
                {votes}
-        from th group by doc_id
+        from {q}th group by doc_id
     ),
-    s as (
+    {q}s as (
         select doc_id,
                {packed}
                as sh
-        from v
+        from {q}v
     ),
-    banded as (select doc_id, sh, unnest([{band_structs}]) as bb from s),
-    bb as (select doc_id, sh, bb.band as band, bb.bucket as bucket from banded)
-    select distinct a.doc_id as id_a, b.doc_id as id_b,
-           cast(bit_count(xor(a.sh, b.sh)) as integer) as hamming
-    from bb a join bb b on a.band = b.band and a.bucket = b.bucket
-                       and a.doc_id < b.doc_id
-    where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
-    """
+    {q}banded as (select doc_id, sh, unnest([{band_structs}]) as bb
+                  from {q}s),
+    {q}bb as (select doc_id, sh, bb.band as band, bb.bucket as bucket
+              from {q}banded),
+    {q}shp as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.sh, b.sh)) as integer) as hamming
+        from {q}bb a join {q}bb b on a.band = b.band and a.bucket = b.bucket
+                                 and a.doc_id < b.doc_id
+        where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    )"""
+
+
+def _simhash_oracle(max_hamming: int = 6, bands: int = 4) -> str:
+    """DuckDB oracle for dedup_simhash: replays the 60-bit md5 token hash,
+    the per-bit +1/-1 votes, the packed simhash, the 15-bit pigeonhole
+    band buckets, and the bit_count(xor) verification."""
+    return (
+        "\n    with "
+        + _simhash_pair_ctes(max_hamming, bands)
+        + "\n    select id_a, id_b, hamming from shp\n    "
+    )
 
 
 @register("dedup_simhash", _simhash_oracle())
@@ -2831,3 +2851,76 @@ def embedding_centroid_drift(spark, sf_dir):
             6,
         ).alias("centroid_cosine"),
     ).orderBy("decile_from")
+
+
+def _dedup_agreement_oracle() -> str:
+    """Compose the MinHash-LSH dup CTEs and the prefix-namespaced
+    SimHash pair CTEs into one oracle: pair-set overlap statistics."""
+    return (
+        _minhash_dup_ctes()
+        + ",\n    "
+        + _simhash_pair_ctes(prefix="sx_")
+        + """,
+    mh as (select id_a, id_b from dup),
+    sp as (select id_a, id_b from sx_shp),
+    u as (
+        select coalesce(m.id_a, s.id_a) as id_a,
+               coalesce(m.id_b, s.id_b) as id_b,
+               case when m.id_a is not null then 1 else 0 end as in_mh,
+               case when s.id_a is not null then 1 else 0 end as in_sh
+        from mh m full outer join sp s
+          on m.id_a = s.id_a and m.id_b = s.id_b
+    )
+    select cast(sum(in_mh) as bigint) as n_minhash,
+           cast(sum(in_sh) as bigint) as n_simhash,
+           cast(sum(in_mh * in_sh) as bigint) as n_both,
+           round(cast(sum(in_mh * in_sh) as double)
+                 / cast(count(*) as double), 6) as pair_jaccard
+    from u
+    """
+    )
+
+
+@register("dedup_method_agreement", _dedup_agreement_oracle())
+def dedup_method_agreement(spark, sf_dir):
+    """DEDUP-METHOD AGREEMENT — pair-set overlap between the two
+    production near-dup detectors: banded MinHash-LSH (64 lanes, 16
+    bands, agreeing-lane estimate >= 0.7) vs SimHash (60-bit, hamming
+    <= 6). The calibration evals (dedup_lsh_quality_eval /
+    simhash_quality_eval) each score ONE method against exact-Jaccard
+    truth; THIS entry answers the deployment question those leave
+    open — do the cheap and the thorough detector flag the SAME
+    pairs, i.e. can the pipeline run SimHash-only on low-value
+    slices? Low pair-Jaccard localizes where the methods disagree
+    (SimHash's token-frequency weighting vs MinHash's set semantics).
+    Plan: both pair pipelines are the registry's existing banded
+    equi-join shapes (never cartesian); the agreement rollup is ONE
+    full-outer join of two pair sets into a single row — the
+    quality-eval shape. Oracle: the two pipelines' shared CTE
+    builders compose (SimHash CTEs prefix-namespaced), so the replay
+    is bit-identical to both standalone entries."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    sigs = D.with_minhash(docs)
+    mh = (
+        D.estimate_jaccard(D.lsh_candidate_pairs(sigs), sigs)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    sp = D.simhash_near_pairs(docs, max_hamming=6).select("id_a", "id_b")
+    u = mh.withColumn("in_mh", F.lit(1)).join(
+        sp.withColumn("in_sh", F.lit(1)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    in_mh = F.coalesce("in_mh", F.lit(0))
+    in_sh = F.coalesce("in_sh", F.lit(0))
+    return u.agg(
+        F.sum(in_mh).cast("bigint").alias("n_minhash"),
+        F.sum(in_sh).cast("bigint").alias("n_simhash"),
+        F.sum(in_mh * in_sh).cast("bigint").alias("n_both"),
+        F.round(
+            F.sum(in_mh * in_sh).cast("double") / F.count("*"), 6
+        ).alias("pair_jaccard"),
+    )

@@ -1242,3 +1242,19 @@ def test_dispersion_index_matches_brute(spark):
         assert got["mean_lines"] == pytest.approx(s / n, abs=1e-5)
         assert got["dispersion_index"] == pytest.approx(want_d, abs=1e-5)
         assert got["overdispersed"] == (n * sq - s * s > n * s)
+
+
+def test_dedup_agreement_consistent_with_standalone_entries(spark):
+    """n_minhash / n_simhash equal the standalone entries' pair counts;
+    n_both <= min of the two; jaccard = both / union."""
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["dedup_method_agreement"](spark, SF_DIR).collect()[0]
+    n_sh = QUERIES["dedup_simhash"](spark, SF_DIR).count()
+    assert row["n_simhash"] == n_sh
+    assert row["n_both"] <= min(row["n_minhash"], row["n_simhash"])
+    union = row["n_minhash"] + row["n_simhash"] - row["n_both"]
+    if union:
+        assert row["pair_jaccard"] == pytest.approx(
+            row["n_both"] / union, abs=1e-5
+        )
