@@ -342,6 +342,11 @@ SECONDARY = [
     # round-14 addition: MinHash-vs-SimHash pair-set agreement (both
     # banded pipelines + one full-outer rollup)
     "dedup_method_agreement",
+    # round-14 additions: mergeable streaming digest (availableNow
+    # drain of the sum-of-hashes aggregate) and DAU/MAU stickiness
+    # (two partial-distinct exchanges over one scan)
+    "streaming_content_checksum",
+    "dau_mau_stickiness",
 ]
 
 

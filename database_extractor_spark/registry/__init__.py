@@ -142,7 +142,8 @@ _VERIFY_FIRST = [
 # table_content_checksum, business_days_latency, column_masking_view,
 # streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
 # erasure_cascade_audit, embedding_centroid_drift,
-# order_dispersion_index, dedup_method_agreement.
+# order_dispersion_index, dedup_method_agreement,
+# streaming_content_checksum, dau_mau_stickiness.
 
 
 def _reorder_for_driver() -> None:

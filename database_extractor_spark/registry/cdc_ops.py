@@ -1244,3 +1244,75 @@ def erasure_cascade_audit(spark, sf_dir):
             6,
         ).alias("pct_affected"),
     ).orderBy("table_name")
+
+
+@register(
+    "streaming_content_checksum",
+    """
+    with canon as (
+        select concat_ws('|',
+                   cast(event_id as varchar),
+                   cast(user_id as varchar),
+                   event_type,
+                   cast(epoch_us(ts) as varchar)) as c
+        from events
+    ),
+    h as (
+        select ('0x' || substr(md5(c), 1, 15))::bigint as h1,
+               ('0x' || substr(md5(c), 17, 15))::bigint as h2
+        from canon
+    )
+    select cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(h1 as decimal(38,0))) % 2305843009213693951
+                as bigint) as checksum_a,
+           cast(sum(cast(h2 as decimal(38,0))) % 2305843009213693951
+                as bigint) as checksum_b
+    from h
+    """,
+)
+def streaming_content_checksum(spark, sf_dir):
+    """STREAMING face of the content checksum — the same two-lane
+    order-independent digest accumulated BY THE STATE STORE across
+    micro-batches (sum-of-hashes is exactly the mergeable aggregate a
+    streaming engine needs: per-batch partials combine by addition,
+    so an availableNow drain over the static source must equal the
+    batch digest — and in production the always-on stream maintains
+    the lake's digest INCREMENTALLY, no full rescan per audit). The
+    canonical form here covers the events stream's stable identity
+    columns (id, user, type, epoch micros — doubles excluded: a
+    streaming feed's measure columns canonicalize at ingest, the
+    integer-cents discipline of table_content_checksum). Modular
+    reduction happens AFTER the final sum (decimal-38 state is exact
+    past 1e17 rows), matching the batch twin bit for bit."""
+    from database_extractor_spark.streaming import (
+        run_available_now,
+        stream_source,
+    )
+
+    stream = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+    )
+    h = stream.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(canon), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    m = F.lit(2305843009213693951)
+    agg = h.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(F.col("h1").cast("decimal(38,0)")) % m)
+        .cast("bigint")
+        .alias("checksum_a"),
+        (F.sum(F.col("h2").cast("decimal(38,0)")) % m)
+        .cast("bigint")
+        .alias("checksum_b"),
+    )
+    return run_available_now(spark, agg, output_mode="complete")

@@ -1372,3 +1372,88 @@ def user_behavior_entropy(spark, sf_dir):
             6,
         ).alias("entropy"),
     ).orderBy("user_id")
+
+
+@register(
+    "dau_mau_stickiness",
+    """
+    with d as (
+        select date_trunc('month', ts) as month,
+               cast(ts as date) as day, user_id
+        from events
+    ),
+    daily as (
+        select month, day,
+               cast(count(distinct user_id) as bigint) as dau
+        from d group by month, day
+    ),
+    monthly as (
+        select month, cast(count(distinct user_id) as bigint) as mau
+        from d group by month
+    ),
+    avg_d as (
+        select month,
+               cast(count(*) as bigint) as n_days,
+               cast(sum(dau) as bigint) as dau_sum
+        from daily group by month
+    )
+    select a.month, a.n_days, a.dau_sum, m.mau,
+           round(cast(a.dau_sum as double) / cast(a.n_days as double), 6)
+               as avg_dau,
+           round(cast(a.dau_sum as double)
+                 / (cast(a.n_days as double) * cast(m.mau as double)), 6)
+               as stickiness
+    from avg_d a join monthly m using (month)
+    order by a.month
+    """,
+)
+def dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU STICKINESS per calendar month — mean daily active users
+    over monthly active users (the engagement-frequency ratio every
+    product review opens with: 1.0 = every monthly user shows up every
+    day, ~0.03 = monthly users touch the product once). Exactness:
+    both distinct counts are exact (the HLL entries are the sketch
+    path when 2% error is acceptable at 100 TB — this is their exact
+    calibration reference at month grain), the month join is an
+    equi-join on the handful of month rows, and the two ratios divide
+    exact int64 sums once. Plan: one (month, day) distinct + one
+    month distinct — two map-side partial-distinct exchanges over the
+    same scan; everything after is months x 1 rows."""
+    ev = _tbl(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = d.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    monthly = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    avg_d = daily.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    return (
+        avg_d.join(F.broadcast(monthly), "month")
+        .select(
+            "month",
+            "n_days",
+            "dau_sum",
+            "mau",
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("avg_dau"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (
+                    F.col("n_days").cast("double")
+                    * F.col("mau").cast("double")
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

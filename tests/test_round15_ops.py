@@ -1258,3 +1258,59 @@ def test_dedup_agreement_consistent_with_standalone_entries(spark):
         assert row["pair_jaccard"] == pytest.approx(
             row["n_both"] / union, abs=1e-5
         )
+
+
+def test_streaming_checksum_equals_structure(spark):
+    """The streaming digest is consistent with a direct batch
+    recompute of the same canonical form."""
+    from database_extractor_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    srow = QUERIES["streaming_content_checksum"](spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+    )
+    m = F.lit(2305843009213693951)
+    brow = ev.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(F.col("h1").cast("decimal(38,0)")) % m)
+        .cast("bigint")
+        .alias("checksum_a"),
+    ).collect()[0]
+    assert srow["n_rows"] == brow["n_rows"]
+    assert srow["checksum_a"] == brow["checksum_a"]
+
+
+def test_stickiness_bounds_and_brute(spark):
+    """stickiness in (0, 1]; reproduces from a driver-side recompute."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["dau_mau_stickiness"](spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    months: dict = defaultdict(lambda: (set(), defaultdict(set)))
+    for e in ev:
+        mk = (e["ts"].year, e["ts"].month)
+        months[mk][0].add(e["user_id"])
+        months[mk][1][e["ts"].date()].add(e["user_id"])
+    for r in rows:
+        mk = (r["month"].year, r["month"].month)
+        mau_set, by_day = months[mk]
+        assert r["mau"] == len(mau_set)
+        assert r["n_days"] == len(by_day)
+        dau_sum = sum(len(s) for s in by_day.values())
+        assert r["dau_sum"] == dau_sum
+        want = dau_sum / (len(by_day) * len(mau_set))
+        assert r["stickiness"] == pytest.approx(want, abs=1e-5)
+        assert 0.0 < r["stickiness"] <= 1.0
