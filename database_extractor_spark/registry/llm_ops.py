@@ -1324,9 +1324,14 @@ def sim_pq_fixed(spark, sf_dir):
     )
 
 
+#: zero-denominator guarded (mirrors cosine_to_literal's 0.0 contract —
+#: the r14 self-audit closing the ADVICE-class latent divergence: a
+#: zero-norm vector would raw-divide to NaN in DuckDB but 0.0 in Spark)
 _LLOYD_COS = (
-    "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
-    " * sqrt(list_dot_product(c.c, c.c)))"
+    "case when sqrt(list_dot_product(e.v, e.v))"
+    " * sqrt(list_dot_product(c.c, c.c)) = 0 then 0.0"
+    " else list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
+    " * sqrt(list_dot_product(c.c, c.c))) end"
 )
 
 
@@ -2466,10 +2471,14 @@ def _matryoshka_oracle() -> str:
     dims = [8, 16, 32]
     trunc_arms = "\n        union all\n".join(
         f"""        select {d} as dim, q.qid, e.vec_id,
-               round(list_dot_product(e.v[1:{d}], q.qv[1:{d}])
+               round(case when sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))
+                               * sqrt(list_dot_product(q.qv[1:{d}],
+                                                       q.qv[1:{d}])) = 0
+                          then 0.0
+                          else list_dot_product(e.v[1:{d}], q.qv[1:{d}])
                      / (sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))
-                        * sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))),
-                     6) as c
+                        * sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}])))
+                     end, 6) as c
         from e cross join q where e.vec_id <> q.qid"""
         for d in dims
     )
@@ -2481,9 +2490,12 @@ def _matryoshka_oracle() -> str:
           where vec_id in ({ids})),
     exact as (
         select q.qid, e.vec_id,
-               round(list_dot_product(e.v, q.qv)
+               round(case when sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(q.qv, q.qv)) = 0
+                          then 0.0
+                          else list_dot_product(e.v, q.qv)
                      / (sqrt(list_dot_product(e.v, e.v))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 6) as c
+                        * sqrt(list_dot_product(q.qv, q.qv))) end, 6) as c
         from e cross join q where e.vec_id <> q.qid
         qualify row_number() over (
             partition by q.qid order by c desc, e.vec_id) <= 10
@@ -2644,9 +2656,12 @@ def _knn_label_oracle(k: int = 5) -> str:
         where e.vec_id <> q.qid
         qualify row_number() over (
             partition by q.qid order by
-            round(list_dot_product(e.v, q.qv)
+            round(case when sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)) = 0
+                       then 0.0
+                       else list_dot_product(e.v, q.qv)
                   / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+                     * sqrt(list_dot_product(q.qv, q.qv))) end, 6) desc,
             e.vec_id) <= {k}
     ),
     votes as (
