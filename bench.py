@@ -347,6 +347,9 @@ SECONDARY = [
     # (two partial-distinct exchanges over one scan)
     "streaming_content_checksum",
     "dau_mau_stickiness",
+    # round-14 addition: calendar-month acquisition/retention revenue
+    # split (customer-grain min agg + custkey equi-join + month rollup)
+    "new_vs_repeat_revenue",
 ]
 
 

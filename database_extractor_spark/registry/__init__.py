@@ -143,7 +143,8 @@ _VERIFY_FIRST = [
 # streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
 # erasure_cascade_audit, embedding_centroid_drift,
 # order_dispersion_index, dedup_method_agreement,
-# streaming_content_checksum, dau_mau_stickiness.
+# streaming_content_checksum, dau_mau_stickiness,
+# new_vs_repeat_revenue.
 
 
 def _reorder_for_driver() -> None:

@@ -2943,3 +2943,94 @@ def order_dispersion_index(spark, sf_dir):
         ).alias("dispersion_index"),
         (n * sq - s2 * s2 > n * s2).alias("overdispersed"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "new_vs_repeat_revenue",
+    """
+    with first_m as (
+        select o_custkey,
+               min(date_trunc('month', o_orderdate)) as m0
+        from orders group by o_custkey
+    ),
+    tagged as (
+        select date_trunc('month', o.o_orderdate) as month,
+               case when date_trunc('month', o.o_orderdate) = f.m0
+                    then 1 else 0 end as is_new,
+               cast(o.o_totalprice as decimal(28,4)) as p
+        from orders o join first_m f on o.o_custkey = f.o_custkey
+    )
+    select month,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(is_new) as bigint) as n_new_orders,
+           round(cast(sum(case when is_new = 1 then p end) as double), 2)
+               as revenue_new,
+           round(cast(sum(case when is_new = 0 then p end) as double), 2)
+               as revenue_repeat,
+           round(cast(sum(case when is_new = 1 then p else 0 end)
+                      as double)
+                 / cast(sum(p) as double), 6) as new_share
+    from tagged
+    group by month
+    order by month
+    """,
+)
+def new_vs_repeat_revenue(spark, sf_dir):
+    """NEW-vs-REPEAT revenue decomposition per calendar month — every
+    growth chart's first split: is this month's revenue acquisition
+    (customers in their FIRST month) or retention (returning
+    customers)? A rising total with a falling repeat share is churn
+    wearing a growth costume — the single most common misread this
+    query exists to prevent. cohort_revenue_ltv tracks each cohort
+    FORWARD through its own offsets; this is the calendar-month
+    TRANSPOSE management actually reviews. Exactness: the first-month
+    tag is an exact timestamp equality on month-truncated dates,
+    revenue sums through decimal(28,4); an all-new or all-repeat
+    month leaves the other lane NULL (sum over an empty CASE branch —
+    identical on both engines, and honest: zero repeat revenue and no
+    repeat orders are different facts); new_share divides
+    decimal-exact sums once. Plan: one customer-grain min-aggregate,
+    one custkey equi-join back to orders (the cohort_revenue_ltv
+    exchange), one month-grain rollup."""
+    o = _tbl(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("m0")
+    )
+    tagged = o.join(first_m, "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.when(
+            F.date_trunc("month", F.col("o_orderdate")) == F.col("m0"), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("o_totalprice").cast("decimal(28,4)").alias("p"),
+    )
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("is_new").cast("bigint").alias("n_new_orders"),
+            F.round(
+                F.sum(F.when(F.col("is_new") == 1, F.col("p"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue_new"),
+            F.round(
+                F.sum(F.when(F.col("is_new") == 0, F.col("p"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue_repeat"),
+            F.round(
+                F.sum(
+                    F.when(F.col("is_new") == 1, F.col("p")).otherwise(
+                        F.lit(0).cast("decimal(28,4)")
+                    )
+                ).cast("double")
+                / F.sum("p").cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("month")
+    )

@@ -1314,3 +1314,34 @@ def test_stickiness_bounds_and_brute(spark):
         want = dau_sum / (len(by_day) * len(mau_set))
         assert r["stickiness"] == pytest.approx(want, abs=1e-5)
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_new_vs_repeat_decomposition_closes(spark):
+    """revenue_new + revenue_repeat == month total; every customer's
+    first month books them as new; shares in [0, 1]."""
+    from collections import defaultdict
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["new_vs_repeat_revenue"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).collect()
+    first: dict = {}
+    for o in orders:
+        m = (o["o_orderdate"].year, o["o_orderdate"].month)
+        k = o["o_custkey"]
+        first[k] = min(first.get(k, m), m)
+    month_tot: dict = defaultdict(float)
+    month_new: dict = defaultdict(float)
+    for o in orders:
+        m = (o["o_orderdate"].year, o["o_orderdate"].month)
+        month_tot[m] += o["o_totalprice"]
+        if first[o["o_custkey"]] == m:
+            month_new[m] += o["o_totalprice"]
+    for r in rows:
+        m = (r["month"].year, r["month"].month)
+        got_new = r["revenue_new"] or 0.0
+        got_rep = r["revenue_repeat"] or 0.0
+        assert got_new + got_rep == pytest.approx(month_tot[m], abs=0.05)
+        assert got_new == pytest.approx(month_new[m], abs=0.05)
+        assert 0.0 <= r["new_share"] <= 1.0
+        assert r["n_new_orders"] <= r["n_orders"]
