@@ -57,94 +57,81 @@ del _m, _k, _v, _pkg
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-14 front (VERDICT r13 item 1): the 41 round-13
-    # additions — every entry that has NEVER had a driver correctness
-    # row (each passes the local full-registry DuckDB oracle sweep +
-    # per-entry tests) — followed by the 6 deferred/touched entries.
-    # Together 47 of the 50-slot window; the remaining slots go to
-    # round-14 additions appended at the end of this block.
-    # never-driver-verified (41, r13 additions):
-    "sim_ivf_auto",
-    "sim_lsh_recall_eval",
-    "text_repetition_scores",
-    "gopher_quality_filter",
-    "corpus_shard_manifest",
-    "corpus_export_order",
-    "length_outlier_filter",
-    "bitmap_exact_distinct",
-    "interval_coalesce",
-    "ngram_pmi_collocations",
-    "ngram_diversity_profile",
-    "tokenizer_fertility_eval",
-    "simhash_quality_eval",
-    "corpus_slice_jsd",
-    "event_path_trigrams",
-    "mixture_epoch_plan",
-    "dedup_threshold_sweep",
-    "user_rfm_segments",
-    "approx_topk_heavy_hitters",
-    "sql_parameterized",
-    "sql_pivot_clause",
-    "streaming_bitmap_distinct",
-    "pack_efficiency_eval",
-    "ngram_novelty_ratio",
-    "csv_corrupt_records",
-    "attribution_last_touch",
-    "activity_heatmap",
-    "event_path_markov",
-    "funnel_latency_percentiles",
-    "dup_cluster_histogram",
-    "per_source_quality_report",
-    "sql_join_hints",
-    "lang_id_confusion_eval",
-    "quality_gate_agreement",
-    "higher_order_funcs",
-    "json_corrupt_records",
-    "eval_split_decontaminated",
-    "embedding_norm_outliers",
-    "sql_identifier_clause",
-    "tpch_refresh_functions",
-    "order_to_ship_latency",
-    # deferred from the r13 window (3): single-operator set-op plans,
-    # untouched since r03, pytest- and sweep-covered every round:
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # touched in r13, re-verify (3): ccnet expr-string lnq rebuild;
-    # streaming ledger prior-id semi-join rewrite:
-    "ccnet_perplexity_buckets",
-    "streaming_minhash_dedup",
-    "streaming_curation_funnel",
-    # ---- round-14 additions (slots 48-50) ----
-    "bitmap_distinct_dictionary",
-    "sim_filtered_topk",
-    "hybrid_rank_fusion",
+    # ---- round-15 front (VERDICT r14 item 1): the 58 round-13/14
+    # additions that have NEVER had a driver correctness row (each
+    # passes the local full-registry DuckDB oracle sweep + per-entry
+    # tests; the r14 judge pre-verified all 58 green with the
+    # driver-equivalent compare). 58 > the 50-slot window, so the 50
+    # highest-value entries (analytics + eval compositions, touched
+    # oracles first) lead; the 8 thin-wrapper deferrals sit at
+    # positions 51-58 and lead the round-16 queue. The set membership
+    # (never-verified ⊆ _VERIFY_FIRST) is machine-checked by
+    # scripts/verify_all.py::check_contract — no more comment-tracking.
+    # -- window slots 1-50 --
+    "mixture_waterfill_allocation",  # oracle touched r15 (Decimal fix)
+    "dedup_method_agreement",
+    "source_shingle_overlap",
+    "mutual_nearest_neighbors",
+    "matryoshka_recall_eval",
+    "ivf_silhouette_eval",
+    "knn_label_accuracy",
+    "embedding_centroid_drift",
+    "embedding_cosine_histogram",
+    "embedding_dim_stats",
+    "quality_score_auc",
+    "calibration_reliability",
+    "token_label_chi2",
+    "readability_flesch",
+    "vocab_growth_curve",
+    "token_gini_by_source",
+    "user_behavior_entropy",
+    "ks_test_drift",
+    "ab_test_proportions",
+    "user_retention_curve",
+    "user_activity_streaks",
+    "dau_mau_stickiness",
+    "cohort_revenue_ltv",
+    "new_vs_repeat_revenue",
+    "revenue_pareto_by_nation",
+    "geo_rollup_share",
+    "market_basket_lift",
+    "multi_touch_attribution_linear",
+    "attribution_time_decay",
+    "order_dispersion_index",
+    "ohlc_bars",
+    "streaming_ohlc_bars",
+    "streaming_content_checksum",
+    "ewma_event_rate",
+    "interarrival_burstiness",
+    "cusum_changepoint",
+    "rolling_correlation",
+    "ts_autocorrelation",
+    "histogram_quantile_interp",
+    "event_debounce",
+    "incremental_agg_maintenance",
+    "inverted_index_postings",
+    "corpus_snapshot_diff",
+    "length_bucket_batching",
+    "content_defined_chunks",
+    "k_anonymity_audit",
+    "hll_intersection_estimate",
+    "join_skew_diagnostic",
+    "backfill_todo_ledger",
+    "erasure_cascade_audit",
+    # -- deferred to the round-16 window (8): thin SQL-front /
+    # checksum wrappers whose logic is pinned by pytest + the local
+    # sweep every round; input_file_skew's oracle is additionally
+    # fixture-hardcoded (ADVICE r14), so its driver row is the least
+    # informative of the 58 --
+    "sql_unpivot_clause",
+    "sql_group_by_all",
+    "column_masking_view",
+    "table_content_checksum",
+    "weighted_percentile",
+    "benford_digit_profile",
+    "business_days_latency",
+    "input_file_skew",
 ]
-# Round-15 front queue (the window was full at 50): the remaining
-# round-14 additions, all locally oracled + tested, never driver-
-# verified — incremental_agg_maintenance, inverted_index_postings,
-# corpus_snapshot_diff, sql_unpivot_clause, length_bucket_batching,
-# k_anonymity_audit, hll_intersection_estimate, join_skew_diagnostic,
-# mutual_nearest_neighbors, event_debounce, backfill_todo_ledger,
-# content_defined_chunks, user_activity_streaks, ks_test_drift,
-# market_basket_lift, quality_score_auc,
-# multi_touch_attribution_linear, calibration_reliability,
-# embedding_cosine_histogram, ohlc_bars, token_label_chi2,
-# embedding_dim_stats, readability_flesch, vocab_growth_curve,
-# interarrival_burstiness, benford_digit_profile, cusum_changepoint,
-# rolling_correlation, weighted_percentile, token_gini_by_source,
-# sql_group_by_all, ewma_event_rate, ivf_silhouette_eval,
-# ab_test_proportions, user_retention_curve,
-# histogram_quantile_interp, matryoshka_recall_eval,
-# revenue_pareto_by_nation, mixture_waterfill_allocation,
-# ts_autocorrelation, knn_label_accuracy, geo_rollup_share,
-# cohort_revenue_ltv, attribution_time_decay, source_shingle_overlap,
-# table_content_checksum, business_days_latency, column_masking_view,
-# streaming_ohlc_bars, user_behavior_entropy, input_file_skew,
-# erasure_cascade_audit, embedding_centroid_drift,
-# order_dispersion_index, dedup_method_agreement,
-# streaming_content_checksum, dau_mau_stickiness,
-# new_vs_repeat_revenue.
 
 
 def _reorder_for_driver() -> None:

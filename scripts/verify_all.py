@@ -34,6 +34,7 @@ from full_registry_sweep import TABLES, frame_key  # noqa: E402
 
 
 def check_contract() -> dict:
+    import glob
     import pathlib
 
     import __spark_entry__ as E
@@ -47,6 +48,24 @@ def check_contract() -> dict:
         "verify_first_leads": list(q)[: len(reg._VERIFY_FIRST)]
         == reg._VERIFY_FIRST,
     }
+    # VERDICT r14 item 5: machine-check the "never driver-verified" set
+    # instead of tracking it in comments. Every entry with no
+    # CORRECTNESS_r{N} row across all rounds MUST sit in _VERIFY_FIRST
+    # (the driver-window front queue), so a new entry cannot ship
+    # without being queued for driver verification. The full sweep
+    # below supplies the current-round local evidence for the tail
+    # beyond the 50-slot window.
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    driver_verified: set[str] = set()
+    for p in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        driver_verified |= set(json.load(open(p)))
+    never = [n for n in q if n not in driver_verified]
+    unqueued = [n for n in never if n not in reg._VERIFY_FIRST]
+    res["never_driver_verified"] = len(never)
+    res["never_verified_beyond_window"] = max(0, len(never) - 50)
+    res["unverified_entries_queued"] = not unqueued
+    if unqueued:
+        print(f"  UNQUEUED never-verified entries: {unqueued}", flush=True)
     sizes = {
         p.name: sum(1 for _ in open(p))
         for p in pathlib.Path(reg.__file__).parent.glob("*.py")
@@ -55,7 +74,12 @@ def check_contract() -> dict:
     res["split_invariant"] = res["max_module_lines"] < 4000
     res["ok"] = all(
         res[k]
-        for k in ("keys_identical", "verify_first_leads", "split_invariant")
+        for k in (
+            "keys_identical",
+            "verify_first_leads",
+            "split_invariant",
+            "unverified_entries_queued",
+        )
     )
     return res
 
