@@ -58,6 +58,30 @@ from database_extractor_spark.registry.text_graph_ops import (
 
 _N_EXPORT_SHARDS = 16
 
+
+def _round6(x: float) -> float:
+    """The driver-side twin of DuckDB ``round(x, 6)`` on a double.
+
+    DuckDB computes ``std::round(x * 10^6) / 10^6`` — half-away-from-
+    zero on the FP PRODUCT — verified empirically (ADVICE r14 follow-up):
+    stored 0.0001244999... has product 124.49999999999999 -> 124, while
+    stored 0.1234564999... has product exactly 123456.5 -> 123457. So
+    neither Decimal(repr(x)) (quantizes the shortest round-trip STRING;
+    the original ADVICE bug: repr '0.0001245' -> 0.000125) nor
+    Decimal(x) (quantizes the exact binary expansion; misses the
+    product-tie at 0.1234565 -> 0.123456) reproduces it. Emulate the
+    product rounding exactly: Decimal of the FP product (exact by
+    construction), quantized HALF_UP (= half away from zero), divided
+    back in FP. Python's built-in round is banker's — also wrong."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return (
+        float(
+            Decimal(x * 1e6).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        / 1e6
+    )
+
 _SHARD_SQL = (
     "('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint"
     f" % {_N_EXPORT_SHARDS}"
@@ -2040,13 +2064,17 @@ def quality_gate_agreement(spark, sf_dir):
            cast(len(list_filter(embedding, x -> x > 0)) as integer)
                as n_pos,
            len(list_filter(embedding, x -> x > 2.0)) > 0 as exists_gt2,
-           round(list_reduce(
-               list_concat([0.0::DOUBLE],
-                           list_transform(embedding::DOUBLE[], x -> x * x)),
-               (acc, x) -> acc + x), 6) as selfdot,
-           round(list_dot_product(embedding::DOUBLE[],
-                                  list_reverse(embedding::DOUBLE[])), 6)
-               as pal_dot
+           case when embedding is null then null
+                else round(list_reduce(
+                    list_concat([0.0::DOUBLE],
+                                list_transform(embedding::DOUBLE[],
+                                               x -> x * x)),
+                    (acc, x) -> acc + x), 6) end as selfdot,
+           case when embedding is null then null
+                else round(list_dot_product(embedding::DOUBLE[],
+                                            list_reverse(
+                                                embedding::DOUBLE[])), 6)
+                end as pal_dot
     from embeddings
     order by vec_id
     """,
@@ -2067,7 +2095,12 @@ def higher_order_funcs(spark, sf_dir):
     as F.aggregate via list_concat([0.0], ...) (r13 ADVICE): a bare
     list_reduce errors on empty lists and skips the init on 1-element
     lists, so both engines now share fold semantics on degenerate
-    inputs too. Pure per-row projection — no shuffle, no UDF."""
+    inputs too. NULL arrays are case-guarded in the oracle (r15):
+    DuckDB's list_concat([0.0], NULL) yields [0.0] (fold 0.0) and its
+    vectorized list_dot_product REJECTS null rows, while Spark's
+    aggregate/zip_with propagate NULL — the guard aligns both on NULL
+    (tests/test_oracle_hardening.py). Pure per-row projection — no
+    shuffle, no UDF."""
     e = _tbl(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     demb = F.expr("transform(embedding, x -> cast(x as double))")
@@ -3393,15 +3426,9 @@ def mixture_waterfill_allocation(spark, sf_dir):
             k = cand
     # re-check k=0 dominance handled by loop start; alloc decisions:
     s_k = prefix[k]
-    # half-up 6-dp rounding to mirror SQL ROUND (Python's built-in
-    # round is banker's — a tie at the 6th decimal would diverge)
-    from decimal import ROUND_HALF_UP, Decimal
-
-    level = float(
-        Decimal(repr((t - s_k) / (n - k))).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP
-        )
-    )
+    # half-up 6-dp rounding of the exact binary expansion to mirror
+    # SQL ROUND on the stored double (see _round6 for the repr trap)
+    level = _round6((t - s_k) / (n - k))
     rows = []
     for src, c in caps:
         saturated = c * (n - k) <= (t - s_k)
