@@ -310,6 +310,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     exact_groups: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: shingle -> minhash -> band -> bucket-join ->
     estimate -> cluster -> keep one survivor (min id) per duplicate group.
@@ -335,8 +336,14 @@ def minhash_dedup(
     # signatures feed three consumers (banding + two estimate joins) —
     # persist so the shingle/hash stage runs once; the loser set is tiny
     # relative to the corpus, so it is materialized eagerly and the
-    # signature cache released before returning the (lazy) survivor frame
-    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n).persist()
+    # signature cache released before returning the (lazy) survivor frame.
+    # Callers holding a PRE-COMPUTED signature table (the r15 persisted
+    # artifact — registry._cached_minhash_sigs) pass it via ``sigs`` and
+    # skip the shingle/hash stage entirely; a caller-owned frame is never
+    # unpersisted here.
+    caller_sigs = sigs is not None
+    if not caller_sigs:
+        sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n).persist()
     try:
         pairs = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
         scored = estimate_jaccard(pairs, sigs, id_col=id_col)
@@ -350,7 +357,8 @@ def minhash_dedup(
             losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
         losers.count()  # materialize off the signature cache
     finally:
-        sigs.unpersist(blocking=False)
+        if not caller_sigs:
+            sigs.unpersist(blocking=False)
     from database_extractor_spark.operators.relational import anti_join
 
     return anti_join(df, losers, on=id_col)
@@ -728,6 +736,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-pairs by SimHash: bucket on each of ``bands`` 15-bit bands of
     the 60-bit simhash (pigeonhole: any pair within Hamming distance
@@ -736,9 +745,17 @@ def simhash_near_pairs(
     bits happen to cluster — document like LSH recall), then verify
     ``bit_count(xor) <= max_hamming`` on candidates only.
 
+    ``sig_df`` (columns ``id_col``, ``sh``) skips the token/vote stage
+    when the caller holds a pre-computed signature table (the r15
+    persisted artifact — registry._cached_simhash_table).
+
     Output: (id_a, id_b, hamming).
     """
-    sh = simhash_table(df, id_col=id_col, text_col=text_col)
+    sh = (
+        sig_df
+        if sig_df is not None
+        else simhash_table(df, id_col=id_col, text_col=text_col)
+    )
     width = SIMHASH_BITS // bands
     banded = sh.select(
         id_col, "sh",

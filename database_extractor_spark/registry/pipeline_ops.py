@@ -1078,6 +1078,7 @@ def cumulative_distinct_users(spark, sf_dir):
                -ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
                     + 0.5) / 4294967296.0) / n_chars as k
         from documents
+        where n_chars > 0
     )
     select doc_id, n_chars, round(k, 6) as samp_key
     from k order by k limit 50
@@ -1096,8 +1097,11 @@ def weighted_sample_wor(spark, sf_dir):
     tests/test_round5_ops.py). For k large enough that k-row heaps
     strain the driver, the A-ExpJ skip-ahead variant applies per
     partition — not needed at k=50. Weight-proportional selection is how
-    corpus mixtures are drawn for LLM training runs."""
-    docs = _tbl(spark, sf_dir, "documents")
+    corpus mixtures are drawn for LLM training runs. Zero/NULL-weight
+    docs are excluded on both engines (degenerate audit r15): a
+    zero-weight item has zero selection probability by definition, and
+    the unguarded -ln(u)/0 is an ANSI crash, not an +inf."""
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     x = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )

@@ -548,10 +548,21 @@ def stat_funcs(spark, sf_dir):
     """Statistical aggregates (corr / stddev / variance / covariance /
     regression slope). Both engines use single-pass co-moment updates
     whose drift is ~1e-12 relative — orders of magnitude inside the
-    rounds applied on both sides, so the compare stays exact."""
+    rounds applied on both sides, so the compare stays exact. corr is
+    composed as try_divide(covar_samp, sd*sd) because Spark's built-in
+    corr THROWS under ANSI on a zero-variance group where DuckDB
+    returns NULL (degenerate audit r15) — the composition returns the
+    same NULL and is round-6-identical on non-degenerate groups."""
     li = _tbl(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity")
+                * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("qp_corr"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qp_cov"),

@@ -20,6 +20,8 @@ from database_extractor_spark.registry._base import (
     _tbl,
 )
 from database_extractor_spark.registry.llm_ops import (
+    _cached_minhash_sigs,
+    _cached_simhash_table,
     _jaccard_truth_ctes,
     _minhash_dup_ctes,
     _simhash_oracle,
@@ -706,7 +708,9 @@ def simhash_quality_eval(spark, sf_dir):
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     truth = D.ngram_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
-    pred = D.simhash_near_pairs(docs, max_hamming=6).select("id_a", "id_b")
+    pred = D.simhash_near_pairs(
+        docs, max_hamming=6, sig_df=_cached_simhash_table(spark, sf_dir)
+    ).select("id_a", "id_b")
     j = truth.withColumn("t", F.lit(1)).join(
         pred.withColumn("p", F.lit(1)), ["id_a", "id_b"], "full"
     )
@@ -1067,7 +1071,7 @@ def dedup_threshold_sweep(spark, sf_dir):
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     truth = D.ngram_jaccard_pairs(docs, threshold=0.5)
-    sigs = D.with_minhash(docs)
+    sigs = _cached_minhash_sigs(spark, sf_dir)
     pred = (
         D.estimate_jaccard(D.lsh_candidate_pairs(sigs), sigs)
         .filter(F.col("est_jaccard") >= 0.5)
@@ -3339,9 +3343,10 @@ def multi_touch_attribution_linear(spark, sf_dir):
     r"""
     with cap as (
         select source,
-               cast(sum(len(string_split_regex(lower(trim(text)), '\s+')))
-                    as bigint) as c
-        from documents group by source
+               cast(coalesce(
+                   sum(len(string_split_regex(lower(trim(text)), '\s+'))),
+                   0) as bigint) as c
+        from documents where source is not null group by source
     ),
     tot as (select cast(sum(c) as bigint) as t_all,
                    cast(count(*) as bigint) as n from cap),
@@ -3405,14 +3410,30 @@ def mixture_waterfill_allocation(spark, sf_dir):
     state (the Lloyd-centroid/slice-list discipline: sources are
     dozens, not millions) and re-emitted as plan literals joined back
     to the distributed caps frame by one broadcast equi-join."""
-    docs = _tbl(spark, sf_dir, "documents")
+    # NULL sources are excluded (the corpus_slice_jsd slice convention:
+    # unattributed docs get no budget line) and an all-NULL-text source
+    # coalesces to a 0-token cap instead of a NULL that crashes the
+    # driver-side int() — both latent-degenerate edges pinned by
+    # scripts/degenerate_oracle_audit.py (r15).
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
     cap = docs.groupBy("source").agg(
-        F.sum(F.size(T.tokens(F.lower(F.trim(F.col("text"))))))
+        F.coalesce(
+            F.sum(F.size(T.tokens(F.lower(F.trim(F.col("text")))))),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("c")
     )
     # bounded model-state collect: |sources| rows
     caps = sorted((r["source"], int(r["c"])) for r in cap.collect())
+    if not caps:
+        return spark.createDataFrame(
+            [],
+            "source string, cap_tokens bigint, alloc_tokens double,"
+            " saturated boolean",
+        )
     n = len(caps)
     t_all = sum(c for _, c in caps)
     t = t_all // 2

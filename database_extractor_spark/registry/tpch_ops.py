@@ -2936,9 +2936,14 @@ def order_dispersion_index(spark, sf_dir):
         "o_orderpriority",
         n.alias("n_orders"),
         F.round(s2.cast("double") / n.cast("double"), 6).alias("mean_lines"),
+        # try_divide = DuckDB's /: NULL (not a crash) when every order
+        # in a priority has zero lines (s = 0; degenerate audit r15) —
+        # dispersion of an all-empty group is undefined
         F.round(
-            (n * sq - s2 * s2).cast("double")
-            / (n.cast("double") * s2.cast("double")),
+            F.try_divide(
+                (n * sq - s2 * s2).cast("double"),
+                n.cast("double") * s2.cast("double"),
+            ),
             6,
         ).alias("dispersion_index"),
         (n * sq - s2 * s2 > n * s2).alias("overdispersed"),
