@@ -22,6 +22,9 @@ from database_extractor_spark.registry._base import (
     _tbl,
     _fixture_query_vec,
 )
+from database_extractor_spark.registry.llm_ops import (
+    _cos_guard,
+)
 from database_extractor_spark.registry.relational_ops import (
     _near_dup_oracle,
 )
@@ -530,7 +533,11 @@ def multimodal_resize(spark, sf_dir):
     "dedup_containment",
     r"""
     with words as (
-        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+        -- coalesce mirrors the engine's shingles(): NULL text -> the
+        -- single ''-shingle (degenerate audit r15)
+        select doc_id, string_split_regex(trim(coalesce(text, '')), '\s+')
+               as ws
+        from documents
     ),
     sh as (
         select doc_id, unnest(list_distinct(
@@ -692,11 +699,8 @@ def _rrf_oracle() -> str:
     q as (select embedding as qv from embeddings where vec_id = 0),
     vs as (
         select vec_id as doc_id,
-               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
-                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                              e.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(q.qv::DOUBLE[],
-                                                q.qv::DOUBLE[]))), 6)
+               round({_cos_guard("e.embedding::DOUBLE[]",
+                                 "q.qv::DOUBLE[]")}, 6)
                    as score
         from embeddings e, q
         where e.vec_id <> 0

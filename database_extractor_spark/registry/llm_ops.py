@@ -50,7 +50,12 @@ def dedup_fingerprint(spark, sf_dir):
     "dedup_ngram_jaccard",
     r"""
     with words as (
-        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+        -- coalesce mirrors the engine's shingles(): a NULL-text doc
+        -- gets the single ''-shingle (degenerate audit r15), exactly
+        -- like the minhash oracle's words CTE
+        select doc_id, string_split_regex(trim(coalesce(text, '')), '\s+')
+               as ws
+        from documents
     ),
     sh as (
         select doc_id, unnest(list_distinct(
@@ -589,14 +594,37 @@ def dedup_simhash(spark, sf_dir):
 
 _Q0 = "(select embedding from embeddings where vec_id = 0)"
 
+#: guarded cosine between a candidate row `e` and the query CTE `q` —
+#: the oracle twin of S.cosine's zero-norm -> 0.0 contract (degenerate
+#: audit r15: DuckDB's /0 is NULL, which silently reorders DESC top-k
+#: against the engine's 0.0 whenever a zero vector exists)
+def _cos_guard(a: str, b: str) -> str:
+    """Guarded cosine SQL between two DOUBLE[] expressions — the oracle
+    twin of S.cosine's zero-norm -> 0.0 contract (see _COS_EQ)."""
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"case when {na} * {nb} = 0 then 0.0"
+        f" else list_dot_product({a}, {b}) / ({na} * {nb}) end"
+    )
+
+
+_COS_EQ = (
+    "round(case when"
+    " sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) = 0"
+    " then 0.0"
+    " else list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) end, 6)"
+    " as cos"
+)
+
 @register(
     "sim_bruteforce_topk",
     f"""
     with q as (select embedding as qv from embeddings where vec_id = 0)
-    select vec_id,
-           round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+    select vec_id, {_COS_EQ}
     from embeddings e, q
     where e.vec_id <> 0
     order by cos desc, vec_id limit 10
@@ -614,10 +642,7 @@ def sim_bruteforce_topk(spark, sf_dir):
     "sim_partitioned_topk",
     f"""
     with q as (select embedding as qv, label as ql from embeddings where vec_id = 0)
-    select vec_id,
-           round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+    select vec_id, {_COS_EQ}
     from embeddings e, q
     where e.label = q.ql and e.vec_id <> 0
     order by cos desc, vec_id limit 5
@@ -633,13 +658,10 @@ def sim_partitioned_topk(spark, sf_dir):
 
 @register(
     "sim_filtered_topk",
-    """
+    f"""
     with q as (select embedding as qv, label as ql
                from embeddings where vec_id = 0)
-    select vec_id,
-           round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+    select vec_id, {_COS_EQ}
     from embeddings e, q
     where e.vec_id % 3 = 0 and e.label <> q.ql and e.vec_id <> 0
     order by cos desc, vec_id limit 8
@@ -709,9 +731,7 @@ _IVF_FIXED_ORACLE = f"""
     ),
     e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
     a as (
-        select e.vec_id, s.sid,
-               list_dot_product(e.v, s.sv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))) as c
+        select e.vec_id, s.sid, {_cos_guard("e.v", "s.sv")} as c
         from e cross join s
     ),
     assign as (
@@ -721,14 +741,11 @@ _IVF_FIXED_ORACLE = f"""
     q as (select v as qv from e where vec_id = 0),
     probes as (
         select s.sid from s, q
-        order by list_dot_product(s.sv, q.qv)
-                 / (sqrt(list_dot_product(s.sv, s.sv)) * sqrt(list_dot_product(q.qv, q.qv)))
-                 desc, s.sid
+        order by {_cos_guard("s.sv", "q.qv")} desc, s.sid
         limit 4
     )
     select e.vec_id,
-           round(list_dot_product(e.v, q.qv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+           round({_cos_guard("e.v", "q.qv")}, 6) as cos
     from e
       join assign on e.vec_id = assign.vec_id, q
     where e.vec_id <> 0 and assign.list_id in (select sid from probes)
@@ -781,7 +798,7 @@ def _auto_seed_vecs(sf_dir: str, n: int) -> list[tuple[int, list[float]]]:
 #: floor(sqrt(count * 16^2 / 2000) + 0.5) — so the oracle follows the
 #: corpus size with no per-sf string edits (every op is an
 #: exactly-rounded IEEE core op in both engines; see auto_n_lists).
-_IVF_AUTO_ORACLE = """
+_IVF_AUTO_ORACLE = f"""
     with nl as (
         select greatest(1, cast(floor(
             sqrt(count(*) * 256.0 / 2000) + 0.5) as int)) as n
@@ -793,9 +810,7 @@ _IVF_AUTO_ORACLE = """
     ),
     e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v from embeddings),
     a as (
-        select e.vec_id, s.sid,
-               list_dot_product(e.v, s.sv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))) as c
+        select e.vec_id, s.sid, {_cos_guard("e.v", "s.sv")} as c
         from e cross join s
     ),
     assign as (
@@ -805,14 +820,11 @@ _IVF_AUTO_ORACLE = """
     q as (select v as qv from e where vec_id = 0),
     probes as (
         select s.sid from s, q
-        order by list_dot_product(s.sv, q.qv)
-                 / (sqrt(list_dot_product(s.sv, s.sv)) * sqrt(list_dot_product(q.qv, q.qv)))
-                 desc, s.sid
+        order by {_cos_guard("s.sv", "q.qv")} desc, s.sid
         limit 4
     )
     select e.vec_id,
-           round(list_dot_product(e.v, q.qv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+           round({_cos_guard("e.v", "q.qv")}, 6) as cos
     from e
       join assign on e.vec_id = assign.vec_id, q
     where e.vec_id <> 0 and assign.list_id in (select sid from probes)
@@ -865,16 +877,11 @@ _RECALL_ORACLE = f"""
         select q.qid, e.vec_id
         from e join q on e.vec_id <> q.qid
         qualify row_number() over (partition by q.qid order by
-            round(list_dot_product(e.v, q.qv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            round({_cos_guard("e.v", "q.qv")}, 6) desc,
             e.vec_id) <= 10
     ),
     a as (
-        select e.vec_id, s.sid,
-               list_dot_product(e.v, s.sv)
-                 / (sqrt(list_dot_product(e.v, e.v))
-                    * sqrt(list_dot_product(s.sv, s.sv))) as c
+        select e.vec_id, s.sid, {_cos_guard("e.v", "s.sv")} as c
         from e cross join s
     ),
     assign as (
@@ -884,9 +891,7 @@ _RECALL_ORACLE = f"""
     probes as (
         select q.qid, s.sid from s cross join q
         qualify row_number() over (partition by q.qid order by
-            list_dot_product(s.sv, q.qv)
-              / (sqrt(list_dot_product(s.sv, s.sv))
-                 * sqrt(list_dot_product(q.qv, q.qv))) desc,
+            {_cos_guard("s.sv", "q.qv")} desc,
             s.sid) <= 4
     ),
     ann as (
@@ -897,9 +902,7 @@ _RECALL_ORACLE = f"""
           join q on q.qid = p.qid
         where e.vec_id <> p.qid
         qualify row_number() over (partition by p.qid order by
-            round(list_dot_product(e.v, q.qv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            round({_cos_guard("e.v", "q.qv")}, 6) desc,
             e.vec_id) <= 10
     )
     select x.qid as query_id,
@@ -1411,15 +1414,11 @@ def _ivf_kmeans_oracle(rounds: int = 2, nprobe: int = 4, k: int = 10) -> str:
     q as (select v as qv from e where vec_id = 0),
     probes as (
         select c.sid from {last} c, q
-        order by list_dot_product(c.c, q.qv)
-                 / (sqrt(list_dot_product(c.c, c.c))
-                    * sqrt(list_dot_product(q.qv, q.qv))) desc, c.sid
+        order by {_cos_guard("c.c", "q.qv")} desc, c.sid
         limit {nprobe}
     )
     select e.vec_id,
-           round(list_dot_product(e.v, q.qv)
-                 / (sqrt(list_dot_product(e.v, e.v))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+           round({_cos_guard("e.v", "q.qv")}, 6) as cos
     from e
       join assign on e.vec_id = assign.vec_id, q
     where e.vec_id <> 0 and assign.list_id in (select sid from probes)
@@ -1944,9 +1943,8 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
     ),
     q as (select embedding as qv, bucket as qb from b where vec_id = 0)
     select b.vec_id,
-           round(list_dot_product(b.embedding::DOUBLE[], q.qv::DOUBLE[])
-                 / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) as cos
+           round({_cos_guard("b.embedding::DOUBLE[]", "q.qv::DOUBLE[]")}, 6)
+               as cos
     from b, q
     where b.vec_id <> 0 and bit_count(xor(b.bucket, q.qb)) <= 2
     order by cos desc, vec_id limit 10
@@ -1995,9 +1993,7 @@ def _lsh_recall_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
         select q.qid, b.vec_id
         from b join q on b.vec_id <> q.qid
         qualify row_number() over (partition by q.qid order by
-            round(list_dot_product(b.v, q.qv)
-                  / (sqrt(list_dot_product(b.v, b.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            round({_cos_guard("b.v", "q.qv")}, 6) desc,
             b.vec_id) <= 10
     ),
     ann as (
@@ -2006,9 +2002,7 @@ def _lsh_recall_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
           on b.vec_id <> q.qid
          and bit_count(xor(b.bucket, q.qbucket)) <= 2
         qualify row_number() over (partition by q.qid order by
-            round(list_dot_product(b.v, q.qv)
-                  / (sqrt(list_dot_product(b.v, b.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 6) desc,
+            round({_cos_guard("b.v", "q.qv")}, 6) desc,
             b.vec_id) <= 10
     )
     select x.qid as query_id,
@@ -2848,10 +2842,13 @@ def knn_label_accuracy(spark, sf_dir):
         select decile, list(cv order by i) as c from cd group by decile
     )
     select a.decile as decile_from, bb.decile as decile_to,
-           round(list_dot_product(a.c, bb.c)
-                 / (sqrt(list_dot_product(a.c, a.c))
-                    * sqrt(list_dot_product(bb.c, bb.c))), 6)
-               as centroid_cosine
+           round(case when sqrt(list_dot_product(a.c, a.c))
+                           * sqrt(list_dot_product(bb.c, bb.c)) = 0
+                      then 0.0
+                      else list_dot_product(a.c, bb.c)
+                           / (sqrt(list_dot_product(a.c, a.c))
+                              * sqrt(list_dot_product(bb.c, bb.c))) end,
+                 6) as centroid_cosine
     from cent a join cent bb on bb.decile = a.decile + 1
     order by decile_from
     """,
@@ -2936,12 +2933,16 @@ def embedding_centroid_drift(spark, sf_dir):
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
+    # zero-norm guard (degenerate audit r15): an all-zero decile
+    # centroid yields cosine 0.0 on both engines, not ANSI-crash/NULL
+    drift_denom = F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb"))
     return pairs.select(
         F.col("pid").alias("decile_from"),
         (F.col("pid") + 1).alias("decile_to"),
         F.round(
-            dot("ca", "cb")
-            / (F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb"))),
+            F.when(drift_denom == F.lit(0.0), F.lit(0.0)).otherwise(
+                dot("ca", "cb") / drift_denom
+            ),
             6,
         ).alias("centroid_cosine"),
     ).orderBy("decile_from")

@@ -42,7 +42,12 @@ _FLAGSHIP_CASES = ", ".join(
         where ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-06'
         group by 1, 2
     )
-    select ts, {_FLAGSHIP_CASES} from binned group by ts order by ts
+    select ts, {_FLAGSHIP_CASES} from binned group by ts
+    -- dropna(how='all') parity (degenerate audit r15): a second whose
+    -- only points carry NULL values pivots to an all-NULL row, which
+    -- the engine (like the reference's pandas dropna) removes
+    having count(v) > 0
+    order by ts
     """,
 )
 def flagship_day_extract(spark, sf_dir):
@@ -369,9 +374,13 @@ def o18_tz_offset_dst(spark, sf_dir):
         from events
         where ts >= timestamp '2024-01-03' and ts < timestamp '2024-01-06'
         group by 1, 2
-    )
-    select strftime(date_trunc('day', tsb), '%Y-%m-%d') as d, count(distinct tsb) as n
-    from binned group by 1
+    ),
+    -- dropna(how='all') parity (degenerate audit r15): all-NULL-value
+    -- seconds are dropped by the engine pipeline before the day count
+    kept as (select tsb from binned group by tsb having count(v) > 0)
+    select strftime(date_trunc('day', tsb), '%Y-%m-%d') as d,
+           count(distinct tsb) as n
+    from kept group by 1
     """,
 )
 def o19_day_partition_counts(spark, sf_dir):

@@ -2946,10 +2946,16 @@ def join_skew_diagnostic(spark, sf_dir):
                  embedding::DOUBLE[] as bv
           from embeddings where vec_id % 2 = 1),
     pairs as (
+        -- zero-norm guard: cosine vs a zero vector is 0.0 on both
+        -- engines (degenerate audit r15; DuckDB /0 is NULL otherwise)
         select a_id, b_id,
-               round(list_dot_product(av, bv)
-                     / (sqrt(list_dot_product(av, av))
-                        * sqrt(list_dot_product(bv, bv))), 6) as cos
+               round(case when sqrt(list_dot_product(av, av))
+                               * sqrt(list_dot_product(bv, bv)) = 0
+                          then 0.0
+                          else list_dot_product(av, bv)
+                               / (sqrt(list_dot_product(av, av))
+                                  * sqrt(list_dot_product(bv, bv))) end,
+                     6) as cos
         from a join b using (label)
     ),
     na as (select a_id, b_id, cos,

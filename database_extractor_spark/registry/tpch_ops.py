@@ -1475,7 +1475,11 @@ def sql_recursive_spine(spark, sf_dir):
     "dedup_containment_capped",
     r"""
     with words as (
-        select doc_id, string_split_regex(trim(text), '\s+') as ws from documents
+        -- coalesce mirrors the engine's shingles(): NULL text -> the
+        -- single ''-shingle (degenerate audit r15)
+        select doc_id, string_split_regex(trim(coalesce(text, '')), '\s+')
+               as ws
+        from documents
     ),
     sh as (
         select doc_id, unnest(list_distinct(

@@ -115,29 +115,41 @@ def build_fixture(d: str) -> None:
         ev.append((eid, ts, uid, typ, val, '{"k": %d}' % k))
         eid += 1
 
-    # user 1: 8 events ALL at the same microsecond (total tie)
-    for i in range(8):
-        add(t0, 1, ["view", "click", "view", "signup", "click", "purchase",
-                    "view", "error"][i], float(i), i)
+    # user 1: 8 events ALL at the same microsecond (total tie). Values
+    # are a function of event_type: take-last over EXACTLY-tied
+    # timestamps with DIFFERING values is undefined in the reference
+    # itself (pandas/Flux `last` is input-order-dependent), so the
+    # fixture keeps the tie edge for ordering-sensitive operators while
+    # leaving take-last well-defined.
+    _tv = {"view": 2.0, "click": 4.0, "signup": 3.0, "purchase": 5.0,
+           "error": 7.0}
+    for i, typ in enumerate(["view", "click", "view", "signup", "click",
+                             "purchase", "view", "error"]):
+        add(t0, 1, typ, _tv[typ], i)
     # user 2: single event, NULL value
     ev.append((eid, t0 + datetime.timedelta(hours=1), 2, "view", None,
                '{"k": 0}'))
     eid += 1
     # user 3: purchase with NO prior touches
     add(t0 + datetime.timedelta(hours=2), 3, "purchase", 100.0, 3)
-    # user 4: regular funnel over 3 days, value=0 everywhere
+    # user 4: regular funnel over 3 days, value=0 everywhere; offset 3 h
+    # so no (second, type) bin overlaps user 1's tie cluster (tied ts
+    # with differing values is reference-undefined, see user 1)
     for dday in range(3):
         for j, typ in enumerate(["view", "click", "signup", "purchase"]):
-            add(t0 + datetime.timedelta(days=dday, minutes=j), 4, typ,
-                0.0, dday)
+            add(t0 + datetime.timedelta(hours=3, days=dday, minutes=j),
+                4, typ, 0.0, dday)
     # user 5: bursty then silent (inter-arrival edges), duplicate event
-    # values, all same type
+    # values, all same type; offset 30 min so its burst never shares a
+    # (second, type) bin with user 1's tie cluster
+    t5 = t0 + datetime.timedelta(minutes=30)
     for j in range(10):
-        add(t0 + datetime.timedelta(seconds=j), 5, "click", 7.0, j)
-    add(t0 + datetime.timedelta(days=6), 5, "click", 7.0, 99)
-    # user 6: strictly increasing values for monotone edges
+        add(t5 + datetime.timedelta(seconds=j), 5, "click", 7.0, j)
+    add(t5 + datetime.timedelta(days=6), 5, "click", 7.0, 99)
+    # user 6: strictly increasing values for monotone edges; 7 min
+    # offset keeps its first view out of user 1's tied 12:00:00 bin
     for j in range(15):
-        add(t0 + datetime.timedelta(minutes=13 * j), 6, "view",
+        add(t0 + datetime.timedelta(minutes=7 + 13 * j), 6, "view",
             float(j * j), j)
     w("events", pa.table({
         "event_id": pa.array([e[0] for e in ev], pa.int64()),
