@@ -104,16 +104,17 @@ def normalize_head(
             x = vals.reshape(n, dim)
             q = np.floor(x * 1e6 + 0.5)  # exact integers in doubles
             l2 = np.sqrt((q * q).sum(axis=1)) / 1e6
-            # a zero (or all-below-quantization) vector has no direction:
-            # emit NULL for its norm/components rather than silent inf/NaN
-            # (the registry fixture forbids zero vectors — this guard is
-            # for other callers of the public operator)
+            # a zero (or all-below-quantization) vector has no DIRECTION:
+            # its components normalize to NULL rather than silent inf/NaN.
+            # The NORM itself is well-defined (0.0) and stays non-null —
+            # the oracle's floor(x/l2...) hits DuckDB's /0 -> NULL for the
+            # same component rows (degenerate audit r15).
             zero = l2 == 0.0
             mask = zero if zero.any() else None
             safe = np.where(zero, 1.0, l2)
             cols = {
                 id_col: ids,
-                "l2": pa.array(np.floor(l2 * scale + 0.5) / scale, mask=mask),
+                "l2": pa.array(np.floor(l2 * scale + 0.5) / scale),
             }
             for i in range(head):
                 cols[f"v{i}"] = pa.array(

@@ -118,6 +118,38 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+def _payload_len(batch: pd.DataFrame, payload_col: str):
+    """(lengths int64, non-null mask) for a payload column that may hold
+    NULLs (a NULL source column means no payload — degenerate audit r15).
+    Null rows get a placeholder 0 length; callers MUST null out every
+    derived column via the mask (see _null_masked) so the integer-exact
+    formula path for real payloads stays byte-identical."""
+    raw = batch[payload_col]
+    mask = raw.notna()
+    n = pd.Series(0, index=batch.index, dtype="int64")
+    if mask.any():
+        n[mask] = raw[mask].map(len)
+    return n, mask
+
+
+def _null_masked(out: pd.DataFrame, mask, id_col: str = "doc_id") -> pd.DataFrame:
+    """Convert derived columns to nullable dtypes and NA the rows whose
+    payload was NULL — the all-NULL-metadata contract for NULL payloads
+    (the oracle mirrors it with `case when n is null` guards)."""
+    if mask.all():
+        return out
+    for c in out.columns:
+        if c == id_col:
+            continue
+        dt = str(out[c].dtype)
+        if dt.startswith("int"):
+            out[c] = out[c].astype("I" + dt[1:])
+        elif dt.startswith("float"):
+            out[c] = out[c].astype("Float64")
+        out.loc[~mask, c] = None
+    return out
+
+
 def fake_decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Deterministic FAKE decode standing in for decode_image_batch: derives
     (format, width, height) from the payload bytes alone, so the full
@@ -128,12 +160,13 @@ def fake_decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str =
       format = 'png' if n_bytes % 2 == 0 else 'jpeg'
       width  = 16 + n_bytes % 624
       height = 16 + (n_bytes * 7) % 464
+      NULL payload -> every derived column NULL
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n = b[payload_col].map(len).astype("int64")
-            yield pd.DataFrame(
+            n, mask = _payload_len(b, payload_col)
+            out = pd.DataFrame(
                 {
                     "doc_id": b[id_col].astype("int64"),
                     "n_bytes": n,
@@ -142,6 +175,7 @@ def fake_decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str =
                     "height": (16 + (n * 7) % 464).astype("int32"),
                 }
             )
+            yield _null_masked(out, mask, id_col)
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
@@ -226,10 +260,10 @@ def fake_decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n = b[payload_col].map(len).astype("int64")
+            n, mask = _payload_len(b, payload_col)
             sr = (n % 3).map({0: 8000, 1: 16000, 2: 44100}).astype("int32")
             ns = n * 4
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": b[id_col].astype("int64"),
                     "sample_rate": sr,
@@ -237,6 +271,7 @@ def fake_decode_audio(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
                     "duration_ms": (ns * 1000.0 / sr).round(4),
                 }
             )
+            yield _null_masked(out, mask, id_col)
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_META_SCHEMA)
 
@@ -340,13 +375,13 @@ def fake_resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n = b[payload_col].map(len).astype("int64")
+            n, mask = _payload_len(b, payload_col)
             sw = (16 + n % 624).astype("int64")
             sh = (16 + (n * 7) % 464).astype("int64")
             scale = (tw / sw).combine(th / sh, min).combine(1.0, min)
             w = (sw * scale).astype("int64").clip(lower=1)
             h = (sh * scale).astype("int64").clip(lower=1)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": b[id_col].astype("int64"),
                     "src_width": sw.astype("int32"),
@@ -356,5 +391,6 @@ def fake_resize_images(
                     "n_bytes_out": (w * h * 3).astype("int64"),
                 }
             )
+            yield _null_masked(out, mask, id_col)
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)

@@ -504,10 +504,18 @@ def robust_stats_mad(spark, sf_dir):
     select doc_id,
            cast(sw as integer) as src_width,
            cast(sh as integer) as src_height,
-           cast(greatest(1, cast(floor(sw * scale) as bigint)) as integer) as width,
-           cast(greatest(1, cast(floor(sh * scale) as bigint)) as integer) as height,
-           cast(greatest(1, cast(floor(sw * scale) as bigint))
-                * greatest(1, cast(floor(sh * scale) as bigint)) * 3 as bigint)
+           -- NULL payload -> all-NULL metadata (degenerate audit r15);
+           -- a bare greatest(1, NULL) would IGNORE the null and emit 1
+           cast(case when sw is null then null
+                     else greatest(1, cast(floor(sw * scale) as bigint))
+                end as integer) as width,
+           cast(case when sh is null then null
+                     else greatest(1, cast(floor(sh * scale) as bigint))
+                end as integer) as height,
+           cast(case when sw is null then null
+                     else greatest(1, cast(floor(sw * scale) as bigint))
+                         * greatest(1, cast(floor(sh * scale) as bigint)) * 3
+                end as bigint)
                as n_bytes_out
     from fit
     """,

@@ -2175,7 +2175,12 @@ _LANG_SQL_PARTS = {
     "text_lang_id",
     r"""
     with t as (
-        select doc_id, string_split_regex(lower(trim(text)), '\s+') as toks
+        -- coalesce: NULL text scores zero hits -> 'und' on both
+        -- engines (degenerate audit r15; NULL hit counts otherwise
+        -- fall through every CASE arm into the ELSE 'fr' branch)
+        select doc_id,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
+                   as toks
         from documents
     ),
     h as (
@@ -2228,7 +2233,10 @@ def multimodal_meta(spark, sf_dir):
     with b as (select doc_id, octet_length(encode(text)) as n from documents)
     select doc_id,
            cast(n as bigint) as n_bytes,
-           case when n % 2 = 0 then 'png' else 'jpeg' end as format,
+           -- NULL payload -> all-NULL metadata (degenerate audit r15);
+           -- without the guard a NULL n falls into the ELSE branch
+           case when n is null then null
+                when n % 2 = 0 then 'png' else 'jpeg' end as format,
            cast(16 + n % 624 as integer) as width,
            cast(16 + (n * 7) % 464 as integer) as height
     from b

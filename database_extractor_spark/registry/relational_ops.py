@@ -926,10 +926,17 @@ def profile_columns(spark, sf_dir):
     """
     with b as (select doc_id, octet_length(encode(text)) as n from documents)
     select doc_id,
-           cast(case n % 3 when 0 then 8000 when 1 then 16000 else 44100 end as integer) as sample_rate,
+           -- NULL payload -> all-NULL metadata (degenerate audit r15);
+           -- a bare CASE n % 3 sends NULL into the ELSE branch
+           cast(case when n is null then null
+                     when n % 3 = 0 then 8000
+                     when n % 3 = 1 then 16000
+                     else 44100 end as integer) as sample_rate,
            cast(n * 4 as bigint) as n_samples,
            round(n * 4 * 1000.0 /
-                 (case n % 3 when 0 then 8000 when 1 then 16000 else 44100 end), 4) as duration_ms
+                 (case when n % 3 = 0 then 8000
+                       when n % 3 = 1 then 16000
+                       else 44100 end), 4) as duration_ms
     from b
     """,
 )

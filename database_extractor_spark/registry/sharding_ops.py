@@ -3571,7 +3571,11 @@ def attribution_time_decay(spark, sf_dir):
     "source_shingle_overlap",
     r"""
     with words as (
-        select source, string_split_regex(lower(trim(text)), '\s+') as ws
+        -- coalesce mirrors the engine's shingles(): NULL text -> the
+        -- single ''-shingle (degenerate audit r15)
+        select source,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
+                   as ws
         from documents
     ),
     sh as (

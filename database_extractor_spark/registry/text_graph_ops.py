@@ -248,7 +248,10 @@ def _qc_oracle() -> str:
     select d.doc_id, d.lang, cast(len(d.t) as int) as n_tokens,
            round(1.0 / (1.0 + exp(-(ws.wsum / (1000.0 * ws.n)))), 6) as score,
            ws.wsum >= 0 as quality_pass
-    from docs d join ws on d.doc_id = ws.doc_id
+    -- LEFT join (degenerate audit r15): a NULL-text doc has no token
+    -- rows, but the scorer still emits its row with NULL score/pass —
+    -- an inner join silently drops it from the report
+    from docs d left join ws on d.doc_id = ws.doc_id
     order by d.doc_id
     """
 
@@ -324,7 +327,9 @@ def _qc_gate_oracle() -> str:
     select d.lang, cast(count(*) as bigint) as n_total,
            cast(sum(case when ws.wsum >= 0 then 1 else 0 end) as bigint)
                as n_pass
-    from docs d join ws on d.doc_id = ws.doc_id
+    -- LEFT join (degenerate audit r15): NULL-text docs count in
+    -- n_total and fail the gate (NULL wsum -> else 0)
+    from docs d left join ws on d.doc_id = ws.doc_id
     group by d.lang
     order by d.lang
     """
@@ -422,7 +427,10 @@ def quality_score_auc(spark, sf_dir):
     sc = docs.select(
         (F.col("lang") == "en").cast("long").alias("pos"),
         _qc_wsum(F.col("__toks")).cast("bigint").alias("s"),
-    )
+        # unscorable (NULL-text) docs are EXCLUDED from the eval — a
+        # rank eval cannot place a doc with no score (degenerate audit
+        # r15; the oracle's token join drops them for the same reason)
+    ).filter(F.col("s").isNotNull())
     g = sc.groupBy("s").agg(
         F.sum("pos").cast("bigint").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("q"),
@@ -533,7 +541,9 @@ def calibration_reliability(spark, sf_dir):
             / (F.lit(1.0) + F.exp(-(F.col("__wsum") / (100.0 * n)))),
             6,
         ).alias("score"),
-    )
+        # unscorable (NULL-text) docs are excluded — no calibration bin
+        # exists for a doc with no prediction (degenerate audit r15)
+    ).filter(F.col("score").isNotNull())
     return (
         sc.groupBy(
             F.floor(F.col("score") * 10).cast("int").alias("bin")

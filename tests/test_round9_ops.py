@@ -601,8 +601,10 @@ def test_stream_sink_replayed_batch_replaces_not_duplicates(tmp_path):
 
 
 def test_arrow_normalize_guards_zero_and_ragged(spark):
-    """The public operator must NULL out zero vectors (not emit inf/NaN)
-    and refuse ragged list columns loudly."""
+    """A zero vector's NORM is well-defined (0.0) but its direction is
+    not: components come back NULL (not inf/NaN) — the r15 degenerate-
+    audit contract shared with the DuckDB oracle. Ragged list columns
+    are refused loudly."""
     import pytest as _pytest
 
     from database_extractor_spark.operators.arrow_ext import normalize_head
@@ -613,7 +615,7 @@ def test_arrow_normalize_guards_zero_and_ragged(spark):
     )
     rows = {r["vec_id"]: r for r in normalize_head(df, head=2).collect()}
     assert rows[1]["l2"] == 5.0 and rows[1]["v0"] == 0.6
-    assert rows[2]["l2"] is None and rows[2]["v0"] is None
+    assert rows[2]["l2"] == 0.0 and rows[2]["v0"] is None
 
     # raggedness is only detectable (and only harmful) WITHIN a batch —
     # coalesce(1) forces both rows into one
