@@ -131,6 +131,12 @@ _VERIFY_FIRST = [
     "benford_digit_profile",
     "business_days_latency",
     "input_file_skew",
+    # -- round-15 additions (locally oracled + tested; queued behind
+    # the deferrals for the round-16 window) --
+    "l_diversity_audit",
+    "temporal_split_embargo",
+    "topk_membership_churn",
+    "ivf_nprobe_recall_curve",
 ]
 
 

@@ -3030,3 +3030,210 @@ def dedup_method_agreement(spark, sf_dir):
             F.sum(in_mh * in_sh).cast("double") / F.count("*"), 6
         ).alias("pair_jaccard"),
     )
+
+
+_NPROBE_CURVE_VALUES = [1, 2, 4, 8, 16]
+
+_NPROBE_CURVE_ORACLE = f"""
+    with e as (
+        select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
+        from embeddings
+    ),
+    q as (
+        select vec_id as qid, v as qv from e
+        where vec_id in ({", ".join(str(i) for i in _RECALL_QUERY_IDS)})
+    ),
+    s as (
+        select vec_id as sid, v as sv from e
+        where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    a as (
+        select e.vec_id, s.sid, {{cos_es}} as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a
+        qualify row_number() over (partition by vec_id order by c desc, sid) = 1
+    ),
+    pranks as (
+        select q.qid, s.sid,
+               row_number() over (partition by q.qid
+                                  order by {{cos_sq}} desc, s.sid)
+                   as prank
+        from s cross join q
+    ),
+    exact as (
+        select q.qid, e.vec_id
+        from e join q on e.vec_id <> q.qid
+        qualify row_number() over (partition by q.qid order by
+            round({{cos_eq}}, 6) desc, e.vec_id) <= 10
+    ),
+    cand as (
+        select p.qid, e.vec_id, p.prank,
+               round({{cos_eq}}, 6) as c
+        from e
+          join assign on e.vec_id = assign.vec_id
+          join pranks p on assign.list_id = p.sid
+          join q on q.qid = p.qid
+        where e.vec_id <> p.qid
+    ),
+    nv as (select unnest([{", ".join(str(n) for n in _NPROBE_CURVE_VALUES)}])
+                  as nprobe),
+    ann as (
+        select nv.nprobe, cand.qid, cand.vec_id
+        from cand join nv on cand.prank <= nv.nprobe
+        qualify row_number() over (partition by nv.nprobe, cand.qid
+                                   order by cand.c desc, cand.vec_id) <= 10
+    )
+    select nv.nprobe,
+           cast(coalesce(sum(case when ann.vec_id is not null
+                                  then 1 else 0 end), 0) as bigint)
+               as total_hits,
+           round(coalesce(sum(case when ann.vec_id is not null
+                                   then 1 else 0 end), 0)
+                 / cast((select count(*) from exact) as double), 6)
+               as mean_recall_at_10
+    from nv
+      left join exact x on true
+      left join ann on ann.nprobe = nv.nprobe and ann.qid = x.qid
+                   and ann.vec_id = x.vec_id
+    group by nv.nprobe
+    order by nv.nprobe
+""".format(
+    cos_es=_cos_guard("e.v", "s.sv"),
+    cos_sq=_cos_guard("s.sv", "q.qv"),
+    cos_eq=_cos_guard("e.v", "q.qv"),
+)
+
+
+@register("ivf_nprobe_recall_curve", _NPROBE_CURVE_ORACLE)
+def ivf_nprobe_recall_curve(spark, sf_dir):
+    """IVF RECALL-vs-NPROBE CURVE — the index TUNING knob measured as a
+    curve (distinct capability vs sim_recall_eval, which reports one
+    operating point at nprobe=4, and vs dedup_threshold_sweep, which
+    sweeps a dedup threshold: this sweeps the ANN latency/recall
+    trade-off itself, the number every deployment reads to pick its
+    nprobe). One scored candidate pass serves every curve point: all
+    16 lists get a per-query PROBE RANK (cosine of seed vs query, the
+    sim_recall_eval probe rule), every (query, candidate) in ANY list
+    is scored ONCE, and the five nprobe values {1,2,4,8,16} ride an
+    explode over that scored set — re-running the eval per nprobe (the
+    naive loop) would re-pay the assignment join five times, the
+    dedup_threshold_sweep lesson applied to ANN. Exact ground truth is
+    the one-scan panel-literal arm shared with sim_recall_eval. Output:
+    5 rows of (nprobe, total_hits, mean recall@10 over the 8-query
+    panel); recall at nprobe=16 is 1.0 by construction (all lists
+    probed = exact search), pinning the curve's right endpoint. Scale:
+    the candidate set is the nprobe=16 super-set — at production list
+    counts the curve is measured on nprobe << n_lists and the scored
+    rows stay ~= N * max_nprobe / n_lists per query."""
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = _fixture_recall_queries(sf_dir)
+    seeds = _fixture_seed_vecs(sf_dir)
+
+    # exact arm — identical shape to sim_recall_eval
+    rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    ex_structs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.round(
+                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
+            ).alias("c"),
+        )
+        for qid, qv in panel
+    ]
+    exact = (
+        e.withColumn("__vn", S.l2_norm(F.col("v")))
+        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    n_exact = 10 * len(panel)
+
+    # probe RANKS (1..16 per query) as a broadcast literal table — the
+    # sim_recall_eval probe rule without the top-4 cut
+    probe_rows = []
+    for qid, qv in panel:
+        ranked = sorted(
+            ((S._pycos(qv, vec), int(sid)) for sid, vec in seeds),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe_rows.extend(
+            (qid, sid, i + 1) for i, (_, sid) in enumerate(ranked)
+        )
+    probe_df = spark.createDataFrame(probe_rows, "qid int, sid int, prank int")
+
+    q = e.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        _cached_ann_index(
+            "ivf_fixed_v",
+            sf_dir,
+            spark,
+            lambda: S.ivf_assign(e, seeds, vec_col="v"),
+        )
+        .join(F.broadcast(probe_df), F.col("__list") == F.col("sid"))
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "prank",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("c"),
+        )
+    )
+    nrank = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("c"), "vec_id"
+    )
+    ann = (
+        cand.withColumn(
+            "nprobe",
+            F.explode(
+                F.array(*[F.lit(n) for n in _NPROBE_CURVE_VALUES])
+            ),
+        )
+        .filter(F.col("prank") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(nrank))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "nprobe", "qid", F.col("vec_id").alias("ann_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    # fan exact rows out to the 5 curve points via explode — a literal
+    # nv-frame cross join would plan a (bounded but lint-barred)
+    # BroadcastNestedLoopJoin for the same rows
+    ex = exact.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(n) for n in _NPROBE_CURVE_VALUES])),
+    )
+    return (
+        ex.join(
+            ann,
+            (ex["nprobe"] == ann["nprobe"])
+            & (ex["qid"] == ann["qid"])
+            & (ex["vec_id"] == ann["ann_id"]),
+            "left",
+        )
+        .groupBy(ex["nprobe"])
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("total_hits")
+        )
+        .select(
+            "nprobe",
+            "total_hits",
+            F.round(
+                F.col("total_hits") / F.lit(float(n_exact)), 6
+            ).alias("mean_recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )

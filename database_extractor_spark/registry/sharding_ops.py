@@ -2828,6 +2828,70 @@ def k_anonymity_audit(spark, sf_dir):
 
 
 @register(
+    "l_diversity_audit",
+    """
+    with g as (
+        select c_nationkey,
+               case when c_acctbal < 0 then 'negative'
+                    when c_acctbal < 1000 then 'low'
+                    when c_acctbal < 5000 then 'mid'
+                    else 'high' end as bal_band,
+               c_mktsegment
+        from customer
+    ),
+    cls as (
+        select c_nationkey, bal_band,
+               cast(count(*) as bigint) as n,
+               cast(count(distinct c_mktsegment) as bigint) as l
+        from g group by c_nationkey, bal_band
+    )
+    select c_nationkey, bal_band, n, l, l >= 3 as meets_l
+    from cls
+    order by c_nationkey, bal_band
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """L-DIVERSITY AUDIT — the privacy property k-anonymity cannot see
+    (distinct capability vs k_anonymity_audit: k bounds CLASS SIZE, l
+    bounds the SENSITIVE-VALUE variety inside a class — a 1000-row
+    class where everyone shares one market segment passes any k yet
+    leaks the sensitive attribute for every member; Machanavajjhala
+    et al. 2007, public). Quasi-identifier = (nation, account-balance
+    band — the same banding column_masking_view generalizes to);
+    sensitive attribute = market segment; each equivalence class
+    reports its size AND its distinct-sensitive count l, flagged
+    against l >= 3. Plan: one map-side-combinable aggregate with a
+    count(distinct) over the class key — at 100 TB this is one
+    shuffle of (class, segment) partials, the same cost shape as the
+    k-audit plus the distinct's dedup. Integer compares only — no FP
+    boundary. Band edges are exact double compares (the
+    column_masking_view discipline: fixture balances are 2-dp values
+    away from the thresholds)."""
+    c = _tbl(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cls = (
+        c.select("c_nationkey", band.alias("bal_band"), "c_mktsegment")
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+        )
+    )
+    return cls.select(
+        "c_nationkey",
+        "bal_band",
+        "n",
+        "l",
+        (F.col("l") >= 3).alias("meets_l"),
+    ).orderBy("c_nationkey", "bal_band")
+
+
+@register(
     "hll_intersection_estimate",
     """
     with a as (select distinct user_id from events

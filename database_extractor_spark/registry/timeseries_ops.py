@@ -1457,3 +1457,142 @@ def dau_mau_stickiness(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "temporal_split_embargo",
+    """
+    with s as (
+        select case when ts < timestamp '2024-01-20' then 'train'
+                    when ts < timestamp '2024-01-22' then 'embargo'
+                    else 'test' end as split,
+               ts, user_id
+        from events
+    )
+    select split,
+           cast(count(*) as bigint) as n_events,
+           cast(count(distinct user_id) as bigint) as n_users,
+           min(ts) as min_ts,
+           max(ts) as max_ts
+    from s group by split
+    order by split
+    """,
+)
+def temporal_split_embargo(spark, sf_dir):
+    """TEMPORAL train/test split with an EMBARGO gap — the third
+    leakage control, distinct from both md5 content splitting
+    (split_train_val_test: WHICH rows) and n-gram decontamination
+    (eval_split_decontaminated: shared CONTENT): this one blocks
+    leakage through TIME — autocorrelated signals let a model peek at
+    test-period state through train rows adjacent in time, so the
+    standard purge (de Prado's purged/embargoed CV, public) drops a
+    buffer window between the last train point and the first test
+    point. Train < 2024-01-20, a 2-day embargo is EXCLUDED from both
+    sides, test >= 2024-01-22. Output is the per-split audit row
+    (event/user counts + actual min/max ts) whose boundary columns
+    PROVE the gap: max(train.ts) < embargo start and min(test.ts) >=
+    embargo end are both visible in the result, so a downstream
+    consumer can assert the contract instead of trusting it. Plan:
+    one scan, a 3-way CASE, one map-side-combinable aggregate (the
+    distinct adds the usual per-split dedup exchange); the split
+    predicate is a timestamp compare that pushes to the parquet scan
+    when a consumer materializes one side. No FP anywhere."""
+    ev = _tbl(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-20").cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit("2024-01-22").cast("timestamp"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.select(split.alias("split"), "ts", "user_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "topk_membership_churn",
+    """
+    with a as (
+        select user_id, cast(count(*) as bigint) as n
+        from events
+        where ts >= timestamp '2024-01-01' and ts < timestamp '2024-01-16'
+        group by user_id
+        order by n desc, user_id limit 10
+    ),
+    b as (
+        select user_id, cast(count(*) as bigint) as n
+        from events
+        where ts >= timestamp '2024-01-16' and ts < timestamp '2024-01-31'
+        group by user_id
+        order by n desc, user_id limit 10
+    )
+    select cast((select count(*) from a join b using (user_id)) as bigint)
+               as n_stayed,
+           cast((select count(*) from a
+                 where user_id not in (select user_id from b)) as bigint)
+               as n_exited,
+           cast((select count(*) from b
+                 where user_id not in (select user_id from a)) as bigint)
+               as n_entered,
+           round(cast((select count(*) from a join b using (user_id))
+                      as double)
+                 / cast((select count(*) from a) +
+                        (select count(*) from b) -
+                        (select count(*) from a join b using (user_id))
+                        as double), 6) as topk_jaccard
+    """,
+)
+def topk_membership_churn(spark, sf_dir):
+    """TOP-K MEMBERSHIP CHURN between two adjacent periods — the
+    rank-STABILITY monitor (distinct capability vs
+    approx_topk_heavy_hitters, which reports ONE period's top-k, and
+    vs ks_test_drift, which compares full DISTRIBUTIONS: this tracks
+    whether the specific head entities a system pins resources on —
+    cache entries, review queues, capacity plans — are still the same
+    entities next period). Top-10 most-active users in the first half
+    of January vs the second half, reduced to the stayed/exited/
+    entered counts and the Jaccard of the two membership sets. Plan:
+    two TakeOrdered(10) heads share one scan via a half-month CASE
+    pivot... deliberately NOT: each half aggregates after its own
+    pushed time-range filter (partition pruning at 100 TB beats the
+    shared-scan trick — the flagship's DataFilters discipline), then
+    two 10-row frames full-outer-join driver-free and collapse to ONE
+    audit row of exact integer counts; ties at rank 10 break on
+    user_id on both engines."""
+    ev = _tbl(spark, sf_dir, "events")
+
+    def topk(lo: str, hi: str):
+        return (
+            ev.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "user_id")
+            .limit(10)
+        )
+
+    a = topk("2024-01-01", "2024-01-16").select("user_id")
+    b = topk("2024-01-16", "2024-01-31").select("user_id")
+    j = a.withColumn("in_a", F.lit(1)).join(
+        b.withColumn("in_b", F.lit(1)), "user_id", "full_outer"
+    )
+    in_a = F.coalesce("in_a", F.lit(0))
+    in_b = F.coalesce("in_b", F.lit(0))
+    return j.agg(
+        F.sum(in_a * in_b).cast("bigint").alias("n_stayed"),
+        F.sum(in_a * (F.lit(1) - in_b)).cast("bigint").alias("n_exited"),
+        F.sum((F.lit(1) - in_a) * in_b).cast("bigint").alias("n_entered"),
+        F.round(
+            F.sum(in_a * in_b).cast("double") / F.count("*").cast("double"),
+            6,
+        ).alias("topk_jaccard"),
+    )
