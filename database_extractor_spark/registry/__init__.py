@@ -137,6 +137,8 @@ _VERIFY_FIRST = [
     "temporal_split_embargo",
     "topk_membership_churn",
     "ivf_nprobe_recall_curve",
+    "char_entropy_quality",
+    "stratified_kfold_assignment",
 ]
 
 

@@ -1412,3 +1412,49 @@ def token_gini_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "stratified_kfold_assignment",
+    """
+    with r as (
+        select doc_id, lang,
+               row_number() over (
+                   partition by lang
+                   order by md5(cast(doc_id as varchar)), doc_id) as rk
+        from documents
+    )
+    select doc_id, lang, cast((rk - 1) % 5 as int) as fold
+    from r
+    order by doc_id
+    """,
+)
+def stratified_kfold_assignment(spark, sf_dir):
+    """STRATIFIED k-fold cross-validation assignment (k=5, stratum =
+    lang) — distinct capability vs split_train_val_test (a GLOBAL
+    hash split: small strata land unbalanced, a 10-doc language can
+    put 0 docs in val) and vs temporal_split_embargo (time-leakage
+    control): CV demands every stratum split into k near-equal folds
+    (max imbalance 1 document per stratum BY CONSTRUCTION — rank
+    modulo k), so per-fold eval metrics are comparable across folds
+    even for rare languages. Determinism: the within-stratum order is
+    md5(doc_id) (+ doc_id tiebreak) — a frozen pseudo-random shuffle,
+    portable across engines and stable as the corpus grows within a
+    stratum prefix. Plan: ONE window over the lang partition (the
+    stratum key is the shuffle key; at 100 TB each stratum sorts
+    independently — no global sort), then a per-row modulo."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).alias("rk")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            ((F.col("rk") - 1) % 5).cast("int").alias("fold"),
+        )
+        .orderBy("doc_id")
+    )

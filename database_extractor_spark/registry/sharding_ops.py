@@ -2197,12 +2197,20 @@ def json_corrupt_records(spark, sf_dir):
     ),
     words as (select doc_id, bkt,
                      string_split_regex(trim(text), '\s+') as ws from b),
-    sh as (
+    sh0 as (
         select doc_id, bkt, unnest(list_distinct(
             [array_to_string(ws[i:i+2], ' ')
              for i in range(1, greatest(len(ws) - 2, 1) + 1)]
         )) as s
         from words
+    ),
+    -- hot-shingle df cap (r15 sf10 anchor): corpus-wide boilerplate
+    -- shingles are non-discriminative for leakage and quadratic in the
+    -- join; df <= 100 never binds at fixture scale (max df: 7 at
+    -- sf0.01, 25 at sf0.1)
+    sh as (
+        select sh0.doc_id, sh0.bkt, sh0.s from sh0
+        qualify count(*) over (partition by s) <= 100
     ),
     tr as (select doc_id, s from sh where bkt < 80),
     ev as (select doc_id, s from sh where bkt >= 90),
@@ -2229,7 +2237,18 @@ def eval_split_decontaminated(spark, sf_dir):
     downstream (train docs stay; the EVAL side pays the removal, since
     eval sets are cheap and training tokens are not). Same
     inverted-index equi-join as decontaminate_ngram_overlap (shuffle on
-    the 8-byte shingle hash, never cartesian) + one LEFT ANTI join."""
+    the 8-byte shingle hash, never cartesian) + one LEFT ANTI join.
+
+    Hot-shingle df cap (r15, from the sf10 anchor): the join's cost is
+    sum over shingles of df_train x df_eval, and replica boilerplate
+    fattens exactly that tail — measured 164x wall-clock for 10x docs
+    UNCAPPED at sf10 (702 s), the dedup_containment lesson recurring.
+    Shingles held by > 100 documents are corpus boilerplate, not
+    leakage evidence (the GPT-3-style decontamination convention of
+    ignoring too-common n-grams), so both engines drop them BEFORE the
+    join; the cap NEVER BINDS at fixture scale (max df 7 at sf0.01, 25
+    at sf0.1 — driver rows unchanged) and bounds per-shingle fan-out
+    at 100^2 at any scale."""
     docs = _tbl(spark, sf_dir, "documents")
     bkt = (
         F.conv(
@@ -2237,7 +2256,7 @@ def eval_split_decontaminated(spark, sf_dir):
         ).cast("long")
         % 100
     )
-    sh = docs.select(
+    sh0 = docs.select(
         "doc_id",
         bkt.alias("bkt"),
         F.explode(
@@ -2246,6 +2265,8 @@ def eval_split_decontaminated(spark, sf_dir):
             )
         ).alias("s"),
     )
+    dfreq = sh0.groupBy("s").agg(F.count("*").alias("__df"))
+    sh = sh0.join(dfreq.filter(F.col("__df") <= 100), "s").drop("__df")
     tr = sh.filter(F.col("bkt") < 80).select(F.col("doc_id").alias("a"), "s")
     ev = sh.filter(F.col("bkt") >= 90).select(F.col("doc_id").alias("b"), "s")
     contaminated = (

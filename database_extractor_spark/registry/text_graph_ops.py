@@ -1971,3 +1971,78 @@ def vocab_growth_curve(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "char_entropy_quality",
+    """
+    with d as (
+        select doc_id, text, length(text) as n
+        from documents
+        where text is not null and length(text) > 0
+    ),
+    ch as (
+        select doc_id, n, unnest([substr(text, i, 1)
+                                  for i in range(1, n + 1)]) as c
+        from d
+    ),
+    cc as (
+        select doc_id, any_value(n) as n, c,
+               cast(count(*) as bigint) as k
+        from ch group by doc_id, c
+    )
+    select doc_id,
+           cast(any_value(n) as bigint) as n_chars,
+           cast(count(*) as bigint) as n_distinct_chars,
+           round(cast(sum(cast(
+               -(cast(k as double) / n) * ln(cast(k as double) / n)
+               as decimal(18,12))) as double), 6) as char_entropy
+    from cc
+    group by doc_id
+    order by doc_id
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Per-document CHARACTER-level Shannon entropy — the gibberish/
+    binary-spill detector (distinct capability vs entropy_profile,
+    which profiles the per-day EVENT-TYPE mix, and vs the word-level
+    quality lanes — gopher gates, repetition scores, lang-id: a doc of
+    base64 noise or one repeated character passes word-count gates but
+    sits at the entropy extremes; near-0 = degenerate repetition,
+    near-ln(alphabet) = encrypted/compressed spill. This is the
+    char-statistics leg of a quality stack, standard in crawl
+    cleaning). NULL/empty docs are excluded on both engines (no
+    distribution to measure — the quality_score_auc exclusion rule).
+    Exactness: the per-char probability and its -p*ln(p) term run the
+    identical IEEE sequence on both engines (the entropy_profile
+    discipline) and term sums go through decimal(18,12) so summation
+    order cannot drift; round 6 displays. Scale: one explode to
+    |total chars| rows, one (doc, char) map-side-combinable count,
+    one per-doc fold — the corpus-scan shape every text op pays, no
+    joins at all."""
+    d = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    ch = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, n), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(
+        F.first("n").alias("n"), F.count("*").cast("bigint").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    term = (-p * F.log(p)).cast("decimal(18,12)")
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.first("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct_chars"),
+            F.round(F.sum(term).cast("double"), 6).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -91,3 +91,63 @@ def test_ivf_nprobe_recall_curve_monotone_right_endpoint(spark):
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0
     assert rows[-1]["total_hits"] == 80  # 8 queries x top-10
+
+
+def test_char_entropy_extremes_and_exclusions(spark, tmp_path):
+    """A one-character-repeated doc scores exactly 0.0; a doc of k
+    distinct equiprobable chars scores round(ln k, 6); NULL/empty docs
+    are excluded (no distribution to measure)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_extractor_spark.registry import QUERIES
+
+    sf = str(tmp_path)
+    docs = [(1, "aaaaaaaa"), (2, "abcd"), (3, None), (4, "")]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array(
+                    [len(d[1]) if d[1] else 0 for d in docs], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["char_entropy_quality"](spark, sf).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["char_entropy"] == 0.0
+    assert got[1]["n_distinct_chars"] == 1
+    assert got[2]["char_entropy"] == round(math.log(4.0), 6)
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Within every stratum the five folds differ by at most one
+    document; folds partition the corpus; two invocations agree row
+    for row (frozen md5 shuffle)."""
+    from collections import Counter
+
+    from database_extractor_spark.registry import QUERIES, _tbl
+
+    rows = QUERIES["stratified_kfold_assignment"](spark, SF_DIR).collect()
+    assert len(rows) == _tbl(spark, SF_DIR, "documents").count()
+    per = Counter((r["lang"], r["fold"]) for r in rows)
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        sizes = [per.get((lang, f), 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    again = {
+        (r["doc_id"], r["fold"])
+        for r in QUERIES["stratified_kfold_assignment"](spark, SF_DIR)
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["fold"]) for r in rows}
