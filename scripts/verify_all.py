@@ -163,6 +163,13 @@ def main() -> None:
         action="store_true",
         help="skip the full sweep (contract + smoke + controls only)",
     )
+    ap.add_argument(
+        "--degenerate",
+        action="store_true",
+        help="also replay every entry on the edge-heavy degenerate "
+        "fixture (scripts/degenerate_oracle_audit.py) — the r15 "
+        "standing oracle self-audit",
+    )
     ap.add_argument("--only", default=None, help="comma-separated entries")
     args = ap.parse_args()
 
@@ -183,6 +190,20 @@ def main() -> None:
             f"{len(summary['sweep']['mismatch'])} mismatch, "
             f"{len(summary['sweep']['error'])} error "
             f"in {summary['sweep']['elapsed_sec']}s",
+            flush=True,
+        )
+
+    if args.degenerate:
+        from degenerate_oracle_audit import build_fixture
+
+        degen_dir = "/tmp/degenerate_sf"
+        build_fixture(degen_dir)
+        only = args.only.split(",") if args.only else None
+        summary["degenerate"] = run_sweep(spark, degen_dir, only)
+        print(
+            f"degenerate: {summary['degenerate']['match']} match, "
+            f"{len(summary['degenerate']['mismatch'])} mismatch, "
+            f"{len(summary['degenerate']['error'])} error",
             flush=True,
         )
 
