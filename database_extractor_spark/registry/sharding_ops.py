@@ -2265,6 +2265,17 @@ def eval_split_decontaminated(spark, sf_dir):
             )
         ).alias("s"),
     )
+    # drop hot shingles by joining back the df <= 100 keys. THREE
+    # formulations were measured at sf10 (r15) and this inner-join one
+    # wins decisively because its s-shuffle is REUSED: the SMJ leaves
+    # sh partitioned/sorted on s, so the tr x ev join below adds NO
+    # second exchange. A window count over s must sort the full
+    # 60M-row table INCLUDING the pre-filter hot partitions (432 s); a
+    # broadcast anti-join against the tiny hot set avoids this shuffle
+    # but then pays the full s-shuffle anyway inside tr x ev (352 s);
+    # the join-back runs 31.7 s. At sf0.1 all three read ~4.5-8 s (the
+    # doubled shingle explode dominates at toy scale) vs ~3.5 s
+    # uncapped — the price of the 702 -> 31.7 s sf10 fix.
     dfreq = sh0.groupBy("s").agg(F.count("*").alias("__df"))
     sh = sh0.join(dfreq.filter(F.col("__df") <= 100), "s").drop("__df")
     tr = sh.filter(F.col("bkt") < 80).select(F.col("doc_id").alias("a"), "s")
