@@ -350,6 +350,32 @@ def _stream_tmpdir(prefix: str) -> str:
     return base
 
 
+# The ONE committed-file shape for the jsonl sink's batch-scoped commits:
+# batch prefix + 16-hex job id + 32-hex task id. Every reader of a sink
+# directory (ledger rebuild AND the prior-signature file selection in
+# _stream_minhash_batch) must filter with THIS pattern — a looser glob
+# admits foreign/partial files the ledger excludes, desynchronizing the
+# dedup gate from the exactly-once ledger (ADVICE r15, medium).
+_COMMITTED_PART_RE_S = r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z"
+
+
+def _committed_parts(out: str) -> "dict[int, list[str]]":
+    """Committed part files under ``out`` grouped by batch id — the
+    single directory-listing primitive both gates share, so the ledger
+    and any file-reading consumer see the identical set by
+    construction."""
+    import glob as _glob
+    import re as _re
+
+    committed = _re.compile(_COMMITTED_PART_RE_S)
+    by_bid: dict[int, list[str]] = {}
+    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
+        m = committed.match(os.path.basename(f))
+        if m is not None:
+            by_bid.setdefault(int(m.group(1)), []).append(f)
+    return by_bid
+
+
 def _ledger_rebuild(store: dict, out: str, batch_id: int, parse_file) -> dict:
     """The shared running-ledger replay discipline for per-sink-directory
     cross-batch state (used by BOTH streaming gates — the curation
@@ -365,21 +391,13 @@ def _ledger_rebuild(store: dict, out: str, batch_id: int, parse_file) -> dict:
     -> list`` — no Spark job per read-back. Returns the ledger dict for
     ``out``. One definition so a change to the commit-name shape or the
     replay semantics cannot desynchronize the two gates."""
-    import glob as _glob
-    import re as _re
-
     ledger = store.setdefault(out, {})
     while len(store) > 32:
         oldest = next(k for k in store if k != out)
         del store[oldest]
     for bid in [b for b in ledger if b >= batch_id]:
         del ledger[bid]
-    committed = _re.compile(r"part-b(\d+)-[0-9a-f]{16}-[0-9a-f]{32}\.jsonl\Z")
-    by_bid: dict[int, list] = {}
-    for f in _glob.glob(os.path.join(out, "part-b*.jsonl")):
-        m = committed.match(os.path.basename(f))
-        if m is not None:
-            by_bid.setdefault(int(m.group(1)), []).append(f)
+    by_bid = _committed_parts(out)
     for bid, files in by_bid.items():
         if bid < batch_id and bid not in ledger:
             entries: list = []
@@ -481,19 +499,17 @@ def _stream_minhash_batch(spark, batch, batch_id, corpus_sigs, src_path, out):
         # — at sf1 the multi-MB plan string overflowed the stream
         # thread's stack inside Spark's redaction regex. Reading the
         # sink's own committed files keeps the ids distributed rows,
-        # byte-identical to the ledger (which is rebuilt from the same
-        # files); bid >= batch_id files are excluded exactly like the
-        # ledger's replay-void rule.
-        import glob as _glob
-        import re as _re
-
+        # byte-identical to the ledger BY CONSTRUCTION: both sides list
+        # the directory through _committed_parts (the strict committed
+        # shape — ADVICE r15: a loose part-b* glob admitted foreign /
+        # partially-written files the ledger excludes, and a name like
+        # part-bx.jsonl crashed the bid parse); bid >= batch_id files
+        # are excluded exactly like the ledger's replay-void rule.
         prior_files = [
             f
-            for f in _glob.glob(os.path.join(out, "part-b*.jsonl"))
-            if int(
-                _re.search(r"part-b(\d+)-", os.path.basename(f)).group(1)
-            )
-            < batch_id
+            for bid, files in _committed_parts(out).items()
+            if bid < batch_id
+            for f in files
         ]
         prior_df = spark.read.schema("doc_id bigint").json(prior_files)
         prior_sigs = _stream_source_sigs(spark, src_path).join(
@@ -3210,7 +3226,6 @@ def ivf_nprobe_recall_curve(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id")
     )
-    n_exact = 10 * len(panel)
 
     # probe RANKS (1..16 per query) as a broadcast literal table — the
     # sim_recall_eval probe rule without the top-4 cut
@@ -3282,13 +3297,20 @@ def ivf_nprobe_recall_curve(spark, sf_dir):
         .agg(
             F.sum(F.coalesce("hit", F.lit(0)))
             .cast("bigint")
-            .alias("total_hits")
+            .alias("total_hits"),
+            # denominator from the exact frame itself (each exact row
+            # appears once per nprobe group: the left join matches at
+            # most one ann row per (nprobe, qid, vec_id)) — NOT the
+            # 10*|panel| assumption, which diverges from the oracle's
+            # count(*) when a query has < 10 non-self candidates
+            # (ADVICE r15, low)
+            F.count("*").cast("double").alias("__n_exact"),
         )
         .select(
             "nprobe",
             "total_hits",
             F.round(
-                F.col("total_hits") / F.lit(float(n_exact)), 6
+                F.col("total_hits") / F.col("__n_exact"), 6
             ).alias("mean_recall_at_10"),
         )
         .orderBy("nprobe")

@@ -2558,7 +2558,8 @@ def incremental_agg_maintenance(spark, sf_dir):
     posting as (
         select term, doc_id,
                cast(count(*) as bigint) as tf,
-               list(pos order by pos) as positions
+               string_agg(cast(pos as varchar), ',' order by pos)
+                   as positions
         from toks group by term, doc_id
     ),
     dfreq as (
@@ -2576,7 +2577,12 @@ def inverted_index_postings(spark, sf_dir):
     serving, materialized as a first-class data product: one
     posexplode pass, one (term, doc) aggregate collecting the ORDERED
     position list (sort_array over collect_list — deterministic
-    regardless of shuffle arrival order), and a document-frequency gate
+    regardless of shuffle arrival order, then joined to a ','-string:
+    the driver's pandas canonicalizer cannot hash ARRAY cells —
+    CORRECTNESS_r15's one red row — so the postings ship in the
+    delimited encoding a real index segment file uses anyway; guarded
+    registry-wide by tests/test_plan_lint.py's no-complex-output-
+    columns check), and a document-frequency gate
     2 <= df <= 50 that drops hapax terms (index noise) AND stopword-
     grade terms whose posting lists grow with the corpus — the
     unbounded-posting hazard at 100 TB (the df-cap discipline of
@@ -2594,9 +2600,13 @@ def inverted_index_postings(spark, sf_dir):
     )
     posting = toks.groupBy("term", "doc_id").agg(
         F.count("*").cast("bigint").alias("tf"),
-        F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias(
-            "positions"
-        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("pos").cast("bigint"))),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
     )
     dfreq = (
         posting.groupBy("term")

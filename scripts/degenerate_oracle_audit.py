@@ -229,9 +229,17 @@ def build_fixture(d: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="/tmp/degenerate_sf")
+    # default is a per-run tempdir (ADVICE r15): a fixed shared /tmp
+    # path races with a concurrent verify_all --degenerate run
+    ap.add_argument("--dir", default=None)
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
+    if args.dir is None:
+        import tempfile
+
+        args.dir = os.environ.get(
+            "DEGENERATE_SF_DIR"
+        ) or tempfile.mkdtemp(prefix="degenerate_sf_")
 
     build_fixture(args.dir)
 

@@ -55,6 +55,27 @@ def norm_cell(v):
     return repr(v)
 
 
+def non_driver_comparable_cols(schema) -> list:
+    """Column names whose type the per-round driver cannot canonicalize.
+
+    The driver's comparator loads both result sets into pandas and
+    sort_values/factorizes every column — ARRAY/MAP/STRUCT cells arrive
+    as Python lists/dicts, which are unhashable and crash the compare
+    (CORRECTNESS_r15: inverted_index_postings, ``TypeError: unhashable
+    type: 'list'``). Any entry emitting a complex column can therefore
+    never earn a green driver row; encode as a delimited string or
+    explode instead. Enforced per-entry by both sweep scripts and by
+    tests/test_plan_lint.py::test_output_schema_is_driver_comparable —
+    the class-level guard VERDICT r15 item 1 asked for."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -91,6 +112,11 @@ def main() -> None:
     for name in names:
         try:
             df = queries[name](spark, args.sf_dir)
+            bad = non_driver_comparable_cols(df.schema)
+            if bad:
+                summary["mismatch"].append(name)
+                print(f"{name}: NON-DRIVER-COMPARABLE COLUMNS {bad}")
+                continue
             s_cols = df.columns
             s_rows = [tuple(r) for r in df.collect()]
             if name not in oracles:

@@ -30,7 +30,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from full_registry_sweep import TABLES, frame_key  # noqa: E402
+from full_registry_sweep import (  # noqa: E402
+    TABLES,
+    frame_key,
+    non_driver_comparable_cols,
+)
 
 
 def check_contract() -> dict:
@@ -111,6 +115,13 @@ def run_sweep(spark, sf_dir: str, only: list[str] | None) -> dict:
     for i, name in enumerate(names):
         try:
             df = queries[name](spark, sf_dir)
+            bad = non_driver_comparable_cols(df.schema)
+            if bad:
+                out["mismatch"].append(name)
+                print(
+                    f"  NON-DRIVER-COMPARABLE {name}: {bad}", flush=True
+                )
+                continue
             s_cols = df.columns
             s_rows = [tuple(r) for r in df.collect()]
             cur = con.execute(oracles[name])
@@ -194,9 +205,17 @@ def main() -> None:
         )
 
     if args.degenerate:
+        import tempfile
+
         from degenerate_oracle_audit import build_fixture
 
-        degen_dir = "/tmp/degenerate_sf"
+        # per-run fixture dir (ADVICE r15, low): a fixed /tmp path races
+        # with a concurrent verify or degenerate_oracle_audit run
+        # mid-rewrite and yields spurious mismatches; env override for
+        # reusing a prebuilt fixture across runs
+        degen_dir = os.environ.get(
+            "DEGENERATE_SF_DIR"
+        ) or tempfile.mkdtemp(prefix="degenerate_sf_")
         build_fixture(degen_dir)
         only = args.only.split(",") if args.only else None
         summary["degenerate"] = run_sweep(spark, degen_dir, only)

@@ -232,12 +232,12 @@ def test_discount_is_exact_decimal_in_double(con):
 
 
 def test_fixture_tables_are_single_parquet_files(con):
-    """input_file_skew's oracle replays the single-file contract-fixture
-    answer ('events.parquet', share 1.0, skew 1.0) because a registered
-    view cannot expose physical layout; if a regenerated fixture ever
-    ships a table as a multi-part directory, that oracle goes silently
-    vacuous — fail loudly HERE instead (ADVICE r14). Multi-file logic
-    itself is pinned by test_file_skew_multi_file_layout."""
+    """Every sf fixture table must be ONE parquet file: each oracle's
+    read_parquet view names the file path directly, and several
+    entries' docstrings reason from the single-file contract. (r16:
+    input_file_skew no longer depends on this — it materializes its own
+    bucketed lake and its oracle replays the bucketing logically — but
+    the fixture contract stays load-bearing for the views.)"""
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"

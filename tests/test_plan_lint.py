@@ -357,6 +357,25 @@ def test_plan_has_no_scale_antipatterns(name, spark):
     if name in EXECUTES_ON_BUILD:
         pytest.skip("executes on build; plan covered by dedicated tests")
     df = E.queries()[name](spark, SF_DIR)
+    # driver-comparability guard (VERDICT r15 item 1): the driver's
+    # pandas canonicalizer crashes on ARRAY/MAP/STRUCT cells
+    # (unhashable), so a complex output column means the entry can
+    # NEVER earn a green CORRECTNESS row — the inverted_index_postings
+    # r15 failure class. EXECUTES_ON_BUILD entries get the same check
+    # from both sweep scripts (non_driver_comparable_cols), which run
+    # every entry each round.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: output columns {complex_cols} are ARRAY/MAP/STRUCT — "
+        "the driver comparator cannot hash them; encode as a delimited "
+        "string or explode to scalar rows"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     if name in SCALAR_ATTACH_OK:

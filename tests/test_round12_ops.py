@@ -601,6 +601,30 @@ def test_streaming_minhash_batch_precedence_and_replay(spark, tmp_path):
     assert emitted_ids() == [300, 400]
     R._MINHASH_STREAM_LEDGER.pop(out, None)
 
+    # foreign / partially-written files in the sink dir (ADVICE r15,
+    # medium): names outside the strict committed shape must be invisible
+    # to BOTH the ledger and the prior-signature file selection — the
+    # old loose part-b* glob included them in the semi-join (and a
+    # non-numeric batch token crashed the bid parse), desynchronizing
+    # the dedup gate from the ledger. Re-replaying batch 1 with the
+    # foreign files present must neither crash nor change the output.
+    for foreign in ("part-b1-tmp.jsonl", "part-bx.jsonl"):
+        with open(_os.path.join(out, foreign), "w") as fh:
+            fh.write('{"doc_id": 999}\n')
+    assert set(R._committed_parts(out)) == {0, 1}
+    R._MINHASH_STREAM_LEDGER.pop(out, None)
+    R._stream_minhash_batch(spark, b1, 1, corpus_sigs, src, out)
+    committed = sorted(
+        i
+        for files in R._committed_parts(out).values()
+        for f in files
+        for i in (
+            json.loads(ln)["doc_id"] for ln in open(f) if ln.strip()
+        )
+    )
+    assert committed == [300, 400]
+    R._MINHASH_STREAM_LEDGER.pop(out, None)
+
 
 def test_pq_recall_eval_matches_python_replay(spark):
     """Full independent replay of the PQ recall eval in pure Python:

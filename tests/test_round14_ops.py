@@ -249,7 +249,9 @@ def test_incremental_agg_maintenance_never_rescans_history(spark):
 def test_inverted_index_postings_invariants(spark):
     """Postings invariants: positions strictly increasing and 0-based,
     tf == len(positions), every surviving term's df within [2, 50], and
-    the hot/hapax terms are really gone."""
+    the hot/hapax terms are really gone. Positions arrive as the
+    ','-joined string encoding (the driver comparator cannot hash ARRAY
+    cells — r15's one red row)."""
     from collections import Counter
 
     from database_extractor_spark.registry import QUERIES
@@ -258,7 +260,8 @@ def test_inverted_index_postings_invariants(spark):
     assert rows, "fixture should yield some postings"
     df_count = Counter(r["term"] for r in rows)
     for r in rows:
-        ps = r["positions"]
+        assert isinstance(r["positions"], str)
+        ps = [int(p) for p in r["positions"].split(",")]
         assert r["tf"] == len(ps)
         assert all(ps[i] < ps[i + 1] for i in range(len(ps) - 1))
         assert ps[0] >= 0
