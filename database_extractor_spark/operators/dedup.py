@@ -509,6 +509,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram-set Jaccard for all pairs sharing >= 1 shingle, via an
     inverted-index self-join (shuffle on shingle, never cartesian):
@@ -521,16 +522,23 @@ def ngram_jaccard_pairs(
     at corpus scale run AFTER minhash banding as the verification step
     (candidates only), or cap hot shingles as in lsh_candidate_pairs.
     This standalone form is the oracle-checkable reference semantics.
+
+    ``sh`` lets a caller hand in the pre-derived ``(id_col, s)`` shingle
+    table (the r16 persisted-artifact lane, the ``with_minhash(sigs=)``
+    discipline) — distinct xxhash64'd ``shingle_n``-grams per document,
+    exactly what the default derivation below produces; the tokenize +
+    explode stage is then skipped entirely.
     """
     # shingles are joined by 64-bit hash, not string: the inverted-index
     # shuffle ships 8-byte keys instead of n-gram text (collision odds at
     # 64 bits are ~|shingles|^2 / 2^65 — immaterial next to FP rounding)
-    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("s"),
-    )
+    if sh is None:
+        sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+            ).alias("s"),
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
     a, b = sh.alias("a"), sh.alias("b")

@@ -24,6 +24,7 @@ from database_extractor_spark.registry._base import (
 )
 from database_extractor_spark.registry.llm_ops import (
     _NORM,
+    _cached_shingle3,
 )
 
 # More relational / pipeline surface
@@ -1155,12 +1156,9 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     ids train, odd ids eval). Same inverted-index equi-join shape as
     exact Jaccard — shuffle on the 8-byte shingle hash, never a cartesian
     — because contamination checks at corpus scale are exactly a
-    cross-corpus near-dup sweep."""
-    docs = _tbl(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.transform(D.shingles(F.col("text"), 3), lambda s: F.xxhash64(s))).alias("s"),
-    )
+    cross-corpus near-dup sweep. Shingles come from the persisted
+    per-content artifact (r16; see llm_ops._cached_shingle3)."""
+    sh = _cached_shingle3(spark, sf_dir)
     tr = sh.filter(F.col("doc_id") % 2 == 0).withColumnRenamed("doc_id", "a")
     ev = sh.filter(F.col("doc_id") % 2 == 1).withColumnRenamed("doc_id", "b")
     common = tr.join(ev, "s").groupBy("a", "b").agg(F.count("*").alias("c"))

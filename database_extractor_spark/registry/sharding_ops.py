@@ -21,6 +21,7 @@ from database_extractor_spark.registry._base import (
 )
 from database_extractor_spark.registry.llm_ops import (
     _cached_minhash_sigs,
+    _cached_shingle3,
     _cached_simhash_table,
     _jaccard_truth_ctes,
     _minhash_dup_ctes,
@@ -2256,15 +2257,12 @@ def eval_split_decontaminated(spark, sf_dir):
         ).cast("long")
         % 100
     )
-    sh0 = docs.select(
-        "doc_id",
-        bkt.alias("bkt"),
-        F.explode(
-            F.transform(
-                D.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
-            )
-        ).alias("s"),
-    )
+    # shingles from the persisted per-content artifact (r16 — this
+    # entry previously paid the tokenize+explode TWICE, once under the
+    # df-cap aggregate and once under the join-back; the artifact read
+    # eliminates both). bkt is a scalar md5 of doc_id, recomputed on
+    # the artifact rows.
+    sh0 = _cached_shingle3(spark, sf_dir).withColumn("bkt", bkt)
     # drop hot shingles by joining back the df <= 100 keys. THREE
     # formulations were measured at sf10 (r15) and this inner-join one
     # wins decisively because its s-shuffle is REUSED: the SMJ leaves
@@ -2274,8 +2272,8 @@ def eval_split_decontaminated(spark, sf_dir):
     # broadcast anti-join against the tiny hot set avoids this shuffle
     # but then pays the full s-shuffle anyway inside tr x ev (352 s);
     # the join-back runs 31.7 s. At sf0.1 all three read ~4.5-8 s (the
-    # doubled shingle explode dominates at toy scale) vs ~3.5 s
-    # uncapped — the price of the 702 -> 31.7 s sf10 fix.
+    # doubled shingle explode dominated at toy scale pre-artifact) vs
+    # ~3.5 s uncapped — the price of the 702 -> 31.7 s sf10 fix.
     dfreq = sh0.groupBy("s").agg(F.count("*").alias("__df"))
     sh = sh0.join(dfreq.filter(F.col("__df") <= 100), "s").drop("__df")
     tr = sh.filter(F.col("bkt") < 80).select(F.col("doc_id").alias("a"), "s")

@@ -487,6 +487,41 @@ def streaming_bitmap_distinct(
     )
 
 
+def fold_user_stats_state(state, pdf, ts_col: str = "ts", val_col: str = "value"):
+    """The PURE per-batch state fold behind ``tws_user_stats`` — one
+    key's ``(n, max value, first ts, last ts)`` tuple folded with one
+    pandas batch. Extracted from the StatefulProcessor so the state
+    logic runs under plain pytest in every environment (VERDICT r15
+    item 7: the TWS Spark surface needs the protobuf state protocol,
+    broken in this container — the processor wiring stays gated, the
+    logic does not).
+
+    Contract pinned by tests/test_round15_ops.py: ``state=None`` means
+    no prior state; an empty batch is a no-op; all-NaN values leave max
+    untouched (a key whose every value is NULL reports max None, like
+    the batch ``F.max``); an all-NaT ts batch leaves the ts bounds
+    untouched instead of poisoning them (NaT compares false against
+    everything, so an unguarded min/max would wedge the state)."""
+    import pandas as pd
+
+    n, mx, first_ts, last_ts = (
+        state if state is not None else (0, None, None, None)
+    )
+    if not len(pdf):
+        return (n, mx, first_ts, last_ts)
+    n += len(pdf)
+    bmx = pdf[val_col].max(skipna=True)
+    if pd.notna(bmx):
+        mx = float(bmx) if mx is None else max(mx, float(bmx))
+    bfirst, blast = pdf[ts_col].min(), pdf[ts_col].max()
+    if pd.notna(bfirst):
+        bfirst = bfirst.to_pydatetime()
+        blast = blast.to_pydatetime()
+        first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
+        last_ts = blast if last_ts is None else max(last_ts, blast)
+    return (n, mx, first_ts, last_ts)
+
+
 def tws_user_stats(
     df: DataFrame,
     key_col: str = "user_id",
@@ -542,20 +577,12 @@ def tws_user_stats(
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            n, mx, first_ts, last_ts = (
-                self._st.get() if self._st.exists() else (0, None, None, None)
-            )
+            state = self._st.get() if self._st.exists() else None
             for pdf in rows:
-                if not len(pdf):
-                    continue
-                n += len(pdf)
-                bmx = pdf[val_col].max(skipna=True)
-                if pd.notna(bmx):
-                    mx = float(bmx) if mx is None else max(mx, float(bmx))
-                bfirst = pdf[ts_col].min().to_pydatetime()
-                blast = pdf[ts_col].max().to_pydatetime()
-                first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
-                last_ts = blast if last_ts is None else max(last_ts, blast)
+                state = fold_user_stats_state(state, pdf, ts_col, val_col)
+            if state is None:
+                state = (0, None, None, None)
+            n, mx, first_ts, last_ts = state
             self._st.update((n, mx, first_ts, last_ts))
             yield pd.DataFrame(
                 {
