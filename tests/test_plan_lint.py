@@ -145,6 +145,9 @@ SCALAR_ATTACH_OK = {
     # the skew denominator (1-row total/count/max) rides one attach
     # over the per-file frame
     "input_file_skew",
+    # the 1-row bootstrap-replicate summary attaches to the 1-row
+    # point-estimate aggregate
+    "metric_bootstrap_ci",
     # the decile denominator (1-row max(vec_id)) rides one attach
     # before the per-vector bucket assignment
     "embedding_centroid_drift",

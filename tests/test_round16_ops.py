@@ -1,0 +1,94 @@
+"""Round-16 additions: Poisson-bootstrap CI and Cohen's kappa."""
+
+import hashlib
+import os
+
+from tests.conftest import SF_DIR
+
+
+def test_metric_bootstrap_ci_python_replay(spark):
+    """Full independent replay of the Poisson bootstrap in pure Python:
+    same md5 millionth-lane, same inverse-CDF thresholds, same
+    per-replicate weighted means — the entry's one row must reproduce
+    exactly (6-dp roundings included)."""
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.registry.stats_ops import (
+        _N_BOOT_REPS,
+        _POIS1_CDF_PPM,
+    )
+
+    row = QUERIES["metric_bootstrap_ci"](spark, SF_DIR).collect()[0]
+
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))[
+        ["doc_id", "n_chars"]
+    ]
+    ests = []
+    for b in range(_N_BOOT_REPS):
+        sw = tw = 0
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            u = (
+                int(hashlib.md5(f"{doc_id}-{b}".encode()).hexdigest()[:8], 16)
+                % 1000000
+            )
+            w = sum(1 for t in _POIS1_CDF_PPM if u >= t)
+            sw += w * int(n_chars)
+            tw += w
+        if tw > 0:
+            ests.append(round(sw / tw, 6))
+    assert row["n_docs"] == len(pdf)
+    assert row["n_replicates"] == len(ests) == _N_BOOT_REPS
+    assert row["point_mean"] == round(float(pdf["n_chars"].mean()), 6)
+    assert row["boot_mean"] == round(sum(ests) / len(ests), 6)
+    # interpolated 2.5/97.5 quantiles, index p*(n-1) (percentile /
+    # quantile_cont semantics)
+    s = sorted(ests)
+
+    def q(p):
+        i = p * (len(s) - 1)
+        lo, hi = int(i), min(int(i) + 1, len(s) - 1)
+        return round(s[lo] + (i - lo) * (s[hi] - s[lo]), 6)
+
+    assert row["ci_lo"] == q(0.025)
+    assert row["ci_hi"] == q(0.975)
+    assert row["ci_lo"] <= row["boot_mean"] <= row["ci_hi"]
+
+
+def test_rater_agreement_kappa_replays_from_component_raters(spark):
+    """The kappa row must reproduce from the two component entries'
+    own outputs (contingency counts) and satisfy the kappa identity
+    (po - pe)/(1 - pe) at 6 dp."""
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["rater_agreement_kappa"](spark, SF_DIR).collect()[0]
+    g = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["gopher_quality_filter"](spark, SF_DIR).collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_pass"]
+        for r in QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
+    }
+    both = [d for d in g if d in q and q[d] is not None]
+    n11 = sum(1 for d in both if g[d] and q[d])
+    n10 = sum(1 for d in both if g[d] and not q[d])
+    n01 = sum(1 for d in both if not g[d] and q[d])
+    n00 = sum(1 for d in both if not g[d] and not q[d])
+    n = len(both)
+    assert (row["n_docs"], row["n11"], row["n10"], row["n01"], row["n00"]) == (
+        n,
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert row["po"] == round(po, 6)
+    assert row["pe"] == round(pe, 6)
+    if pe == 1.0:
+        assert row["kappa"] is None
+    else:
+        assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 2e-6
+        assert row["kappa"] <= 1.0
