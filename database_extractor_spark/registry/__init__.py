@@ -84,10 +84,12 @@ _VERIFY_FIRST = [
     "ivf_nprobe_recall_curve",
     "char_entropy_quality",
     "stratified_kfold_assignment",
-    # Slots 16-17: the r16 additions (stats_ops — Poisson-bootstrap CI
-    # and Cohen's kappa), locally oracled + tested, queued immediately.
+    # Slots 16-18: the r16 additions (stats_ops — Poisson-bootstrap CI,
+    # Cohen's kappa, facility-location coreset), locally oracled +
+    # tested, queued immediately.
     "metric_bootstrap_ci",
     "rater_agreement_kappa",
+    "facility_location_coreset",
     # ---- backlog rotation (VERDICT r15 item 6): with 352 entries and
     # a 50-slot window an entry waits ~7 rounds between driver rows;
     # the remaining slots re-verify the STALEST cohort (latest driver
@@ -125,7 +127,6 @@ _VERIFY_FIRST = [
     "dpp_partition_pruned_join",
     "python_datasource_sink_roundtrip",
     "dedup_exact_substring",
-    "dedup_exact_substring_apply",
 ]
 
 

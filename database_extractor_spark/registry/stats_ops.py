@@ -1,14 +1,16 @@
-"""Statistical-rigor operators (round 16): uncertainty quantification
-and chance-corrected agreement over corpus metrics.
+"""Statistical-rigor + subset-selection operators (round 16):
+uncertainty quantification, chance-corrected agreement, and submodular
+coreset selection over corpus data.
 
 Split rationale: sharding_ops sits near the 4k-line module-split
-invariant; this module holds the statistics family and registers LAST
+invariant; this module holds the round-16+ families and registers LAST
 so it may compose entries from every earlier module (the sharding_ops
 rule). Entry bodies follow the registry conventions documented in
 ``_base``.
 """
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_extractor_spark.registry._base import (
@@ -279,3 +281,187 @@ def rater_agreement_kappa(spark, sf_dir):
         )
         .alias("kappa"),
     )
+
+
+# ==========================================================================
+# Facility-location greedy coreset (round 16)
+# ==========================================================================
+
+_FL_POOL = 32
+_FL_K = 8
+_FL_QUANT = (
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0)"
+    " as bigint))"
+)
+
+
+def _facility_oracle() -> str:
+    """Unrolled-CTE replay of the facility-location greedy (the MMR
+    oracle pattern applied to coverage selection): dots are exact
+    bigints of 1e6-quantized embeddings, per-step gains are exact
+    hugeint sums, ties break on candidate id. Every CTE is MATERIALIZED
+    (the MMR lesson: naive inlining expands the chain exponentially).
+    cover{i} LEFT-joins the selected candidate's dots with a coalesce
+    fallback so a pool exhausted before step K degrades to fewer output
+    rows instead of wiping the cover table."""
+    parts = [f"""
+    with emb as materialized (
+        select vec_id,
+               [cast(round(cast(x as double) * 1000000.0) as bigint)
+                for x in embedding] as e
+        from embeddings
+    ),
+    cand as materialized (
+        select vec_id as c_id, e as ce from emb
+        where vec_id % 16 = 1 order by vec_id limit {_FL_POOL}
+    ),
+    d as materialized (
+        select emb.vec_id as x_id, cand.c_id,
+               cast(list_dot_product(emb.e::DOUBLE[], cand.ce::DOUBLE[])
+                    as bigint) as dot
+        from emb, cand
+    ),
+    cover0 as materialized (
+        select vec_id as x_id, cast(0 as bigint) as cv from emb
+    ),
+    sel0 as materialized (
+        select cast(null as bigint) as c_id, 0 as rank,
+               cast(0 as hugeint) as gain
+        where false
+    )"""]
+    for i in range(1, _FL_K + 1):
+        parts.append(f""",
+    g{i} as materialized (
+        select d.c_id, sum(greatest(c0.cv, d.dot)) as gain
+        from d join cover{i - 1} c0 on d.x_id = c0.x_id
+        where d.c_id not in (select c_id from sel{i - 1})
+        group by d.c_id
+    ),
+    s{i} as materialized (
+        select c_id, {i} as rank, gain from g{i}
+        order by gain desc, c_id limit 1
+    ),
+    sel{i} as materialized (
+        select * from sel{i - 1} union all select * from s{i}
+    ),
+    cover{i} as materialized (
+        select c0.x_id, greatest(c0.cv, coalesce(dd.dot, c0.cv)) as cv
+        from cover{i - 1} c0
+        left join d dd on dd.x_id = c0.x_id
+                      and dd.c_id = (select c_id from s{i})
+    )""")
+    parts.append(f"""
+    select cast(rank as int) as rank, c_id as vec_id,
+           cast(gain as double) as coverage
+    from sel{_FL_K} order by rank""")
+    return "".join(parts)
+
+
+def _facility_dots_plan(
+    spark: SparkSession, sf_dir: str, cand_vecs: list
+) -> DataFrame:
+    """The DISTRIBUTED stage of facility_location_coreset: one
+    projection computing, per corpus vector, the array of exact-bigint
+    dots against the literal candidate matrix — no join, no explode;
+    the candidate matrix is bounded model state (<= 32 x 64 bigints)
+    baked in as one expr literal (the _qc_weights / minhash-lane
+    discipline: one parsed string, not 2048 Py4J Column round-trips).
+    Exposed separately so tests/test_plan_lint.py can assert the lazy
+    pre-checkpoint plan."""
+    from database_extractor_spark.registry._base import _tbl
+
+    mat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+            for vec in cand_vecs
+        )
+        + ")"
+    )
+    return _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform({mat}, c -> aggregate(zip_with({_FL_QUANT}, c,"
+            " (x, y) -> x * y), 0L, (acc, v) -> acc + v))"
+        ).alias("d"),
+    )
+
+
+@register("facility_location_coreset", _facility_oracle())
+def facility_location_coreset(spark, sf_dir):
+    """FACILITY-LOCATION GREEDY CORESET — pick K=8 vectors from a
+    deterministic candidate pool that together best COVER the whole
+    corpus: greedy argmax of sum_x max(cover(x), <x, c>), the classic
+    monotone-submodular selection (lazy/stochastic greedy is its
+    production accelerant) behind "choose a representative subset for
+    annotation / eval seeding / distillation". Distinct capability vs
+    mmr_diversified_topk: MMR selects for relevance-to-a-QUERY with a
+    diversity penalty and its greedy runs driver-side over a 50-row
+    pool; facility location has NO query — its objective is coverage
+    of the FULL corpus, so the expensive half (corpus-wide marginal
+    gains) must stay distributed. Plan: the candidate pool (vec_id %
+    16 == 1, first 32) is bounded model state; ONE checkpointed
+    projection computes each corpus vector's dot array against the
+    literal candidate matrix (no join — the scored table a deployment
+    would persist); each greedy step is then a SINGLE map-side-
+    combinable global aggregate (32 exact decimal sums of
+    greatest(cover, dot) expressions over the SAME array column, cover
+    = greatest over the already-selected positions) returning one row.
+    Exactness: 1e6-quantized bigint dots (the MMR rule incl. the
+    float->double widen), decimal(38)/hugeint gain sums, ties on
+    candidate id; coverage is cast to double only at the edge, from
+    identical integers on both engines. At 100 TB: K scans of an
+    N x pool bigint table; the selection state never exceeds
+    pool x dim ints. Early pool exhaustion (degenerate fixtures)
+    yields fewer rows on both engines."""
+    emb_q = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_FL_QUANT).alias("e")
+    )
+    cands = (
+        emb_q.filter(F.col("vec_id") % 16 == 1)
+        .orderBy("vec_id")
+        .limit(_FL_POOL)
+        .collect()
+    )  # bounded model state: <= 32 x 64 bigints
+    if not cands:
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, coverage double"
+        )
+    cand_ids = [int(r["vec_id"]) for r in cands]
+    d = _facility_dots_plan(
+        spark, sf_dir, [list(r["e"]) for r in cands]
+    ).localCheckpoint(eager=True)
+
+    selected: list[int] = []  # candidate-array indices, insertion order
+    out: list[tuple[int, int, float]] = []
+    zero = F.lit(0).cast("long")
+    while len(out) < _FL_K and len(selected) < len(cand_ids):
+        cover = (
+            zero
+            if not selected
+            else F.greatest(
+                zero, *[F.element_at("d", j + 1) for j in selected]
+            )
+        )
+        gains_row = d.agg(
+            *[
+                F.sum(
+                    F.greatest(cover, F.element_at("d", j + 1)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias(f"g{j}")
+                for j in range(len(cand_ids))
+            ]
+        ).collect()[0]
+        best = max(
+            (
+                (int(gains_row[f"g{j}"]), -cand_ids[j], j)
+                for j in range(len(cand_ids))
+                if j not in selected
+            ),
+        )
+        gain, _, j = best
+        selected.append(j)
+        out.append((len(out) + 1, cand_ids[j], float(gain)))
+    d.unpersist()
+    return spark.createDataFrame(out, "rank int, vec_id bigint, coverage double")

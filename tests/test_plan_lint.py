@@ -64,6 +64,10 @@ EXECUTES_ON_BUILD = {
     # runs its availableNow stream on build; the per-batch joins are the
     # incremental_minhash_dedup plan linted above
     "streaming_minhash_dedup",
+    # collects its bounded 32-candidate pool + runs the greedy loop on
+    # build (returned frame is the 8-row selection literal); the
+    # distributed dot stage is linted by test_facility_dots_prechk_plan
+    "facility_location_coreset",
 }
 
 #: entries allowed to contain Arrow-batched Python stages
@@ -217,6 +221,10 @@ def test_local_checkpoint_usage_is_pinned():
         # hinted plan is re-derived and BroadcastHashJoin-pinned by
         # test_round13_ops.test_sql_join_hints_forces_broadcast_without_stats
         ("registry/sharding_ops.py", "sql_join_hints"),
+        # r16: the candidate dot-array table is checkpointed once before
+        # the greedy loop; lazy twin linted by
+        # test_facility_dots_prechk_plan below
+        ("registry/stats_ops.py", "facility_location_coreset"),
     }
     root = pathlib.Path(pkg.__file__).parent
     found = set()
@@ -314,6 +322,22 @@ def test_funnel_corpus_fp_prechk_plan(spark):
     df = _funnel_corpus_fp(spark, SF_DIR, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _assert_no_antipatterns(plan, "streaming_curation_funnel[corpus-fp]")
+
+
+def test_facility_dots_prechk_plan(spark):
+    """facility_location_coreset's dot-array subplan (hidden behind the
+    eager localCheckpoint) must itself be free of the scale
+    anti-patterns: one embeddings scan -> literal-matrix transform — no
+    join, no explode, no Python stage."""
+    from database_extractor_spark.registry.stats_ops import (
+        _facility_dots_plan,
+    )
+
+    cand_vecs = [[i * 7 + j for j in range(64)] for i in range(4)]
+    df = _facility_dots_plan(spark, SF_DIR, cand_vecs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_antipatterns(plan, "facility_location_coreset[dots]")
+    assert "Join" not in plan, "dot stage must be a pure projection"
 
 
 def test_streaming_minhash_corpus_prechk_plan(spark):

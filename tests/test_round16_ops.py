@@ -92,3 +92,52 @@ def test_rater_agreement_kappa_replays_from_component_raters(spark):
     else:
         assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 2e-6
         assert row["kappa"] <= 1.0
+
+
+def test_facility_location_greedy_python_replay(spark):
+    """Full independent replay of the facility-location greedy in pure
+    Python/numpy: same 1e6 quantization, same candidate pool rule, same
+    exact-integer coverage sums and id tie-breaks — ranks, ids, and
+    coverage values must reproduce exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.registry.stats_ops import (
+        _FL_K,
+        _FL_POOL,
+    )
+
+    rows = QUERIES["facility_location_coreset"](spark, SF_DIR).collect()
+
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    E = {
+        int(r.vec_id): np.array(
+            [round(float(x) * 1e6) for x in r.embedding], dtype=np.int64
+        )
+        for r in pdf.itertuples()
+    }
+    cand_ids = sorted(v for v in E if v % 16 == 1)[:_FL_POOL]
+    cover = {x: 0 for x in E}
+    selected: list[int] = []
+    expect = []
+    while len(expect) < _FL_K and len(selected) < len(cand_ids):
+        best = None
+        for c in cand_ids:
+            if c in selected:
+                continue
+            gain = sum(
+                max(cover[x], int(E[x] @ E[c])) for x in E
+            )
+            if best is None or (gain, -c) > (best[0], -best[1]):
+                best = (gain, c)
+        gain, c = best
+        selected.append(c)
+        for x in E:
+            cover[x] = max(cover[x], int(E[x] @ E[c]))
+        expect.append((len(expect) + 1, c, float(gain)))
+    got = [(r["rank"], r["vec_id"], r["coverage"]) for r in rows]
+    assert got == expect
+    # coverage is monotone nondecreasing (submodular greedy invariant)
+    covs = [g for _, _, g in got]
+    assert covs == sorted(covs)
