@@ -465,3 +465,112 @@ def facility_location_coreset(spark, sf_dir):
         out.append((len(out) + 1, cand_ids[j], float(gain)))
     d.unpersist()
     return spark.createDataFrame(out, "rank int, vec_id bigint, coverage double")
+
+
+# ==========================================================================
+# Canary / memorization leak scan (round 16)
+# ==========================================================================
+
+_CANARY_SRC_DOCS = (7, 21, 98)
+_CANARY_LEN = 24
+
+
+def _canary_oracle() -> str:
+    rows = []
+    for i, d in enumerate(_CANARY_SRC_DOCS, start=1):
+        needle = (
+            f"(select substr(trim(text), 1, {_CANARY_LEN}) "
+            f"from documents where doc_id = {d})"
+        )
+        rows.append(f"""
+    select {i} as canary_id, cast({d} as bigint) as src_doc_id,
+           cast(coalesce(len({needle}), 0) as int) as needle_len,
+           cast(coalesce(sum(case when {needle} is not null
+                                   and len({needle}) > 0
+                                   and contains(text, {needle})
+                              then 1 else 0 end), 0) as bigint) as n_docs_hit,
+           cast(coalesce(sum(case when {needle} is not null
+                                   and len({needle}) > 0
+                                   and contains(text, {needle})
+                              then (len(text) - len(replace(text, {needle}, '')))
+                                   // len({needle})
+                              else 0 end), 0) as bigint) as n_occurrences
+    from documents where text is not null""")
+    return " union all ".join(rows) + " order by canary_id"
+
+
+@register("canary_leak_scan", _canary_oracle())
+def canary_leak_scan(spark, sf_dir):
+    """CANARY / MEMORIZATION LEAK SCAN — exact multi-needle substring
+    audit: given a set of known canary strings, count the documents and
+    total occurrences of each across the WHOLE corpus. This is the
+    memorization-control primitive (the BIG-bench canary-GUID
+    discipline): a training pipeline scans every release for its
+    planted canaries and for known eval needles, and a nonzero hit
+    outside the expected source is a leak. Distinct capability vs
+    decontaminate_ngram_overlap (fuzzy n-gram OVERLAP between two
+    corpus sides) — this is EXACT needle containment for a small known
+    set, the cheap audit that runs on every release. Fixture needles
+    are planted deterministically (the first 24 chars of three fixed
+    docs), so hits are guaranteed nonzero (the source doc plus the
+    fixture's exact duplicates) and the oracle replays the same
+    extraction. Plan: the needles are bounded model state (3 short
+    strings); the scan is ONE pass with literal contains/replace
+    expressions folded into a single global aggregate — no join, no
+    shuffle beyond the 1-row reduce; occurrence counts use the
+    portable length-difference identity. NULL/short source texts
+    degrade to 0-hit rows identically on both engines. At 100 TB: one
+    vectorized substring pass; thousands of needles would move to an
+    Aho-Corasick mapInPandas stage — documented threshold, not needed
+    for the canary-set sizes this audit runs at."""
+    docs = _tbl(spark, sf_dir, "documents")
+    needles = {
+        d: (r["__n"] if r is not None else None)
+        for d in _CANARY_SRC_DOCS
+        for r in [
+            docs.filter(F.col("doc_id") == d)
+            .select(
+                F.substring(F.trim(F.col("text")), 1, _CANARY_LEN).alias("__n")
+            )
+            .head()
+        ]
+    }  # bounded model state: 3 needles <= 24 chars
+    scan = docs.filter(F.col("text").isNotNull())
+    aggs = []
+    for i, d in enumerate(_CANARY_SRC_DOCS, start=1):
+        nd = needles[d]
+        if nd is None or len(nd) == 0:
+            aggs.append(F.lit(0).cast("bigint").alias(f"h{i}"))
+            aggs.append(F.lit(0).cast("bigint").alias(f"o{i}"))
+            continue
+        hit = F.col("text").contains(F.lit(nd))
+        occ = (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(nd))))
+            / F.lit(len(nd))
+        ).cast("bigint")
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"h{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit, occ).otherwise(0)).cast("bigint").alias(f"o{i}")
+        )
+    one = scan.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("canary_id"),
+                F.lit(d).cast("bigint").alias("src_doc_id"),
+                F.lit(
+                    len(needles[d]) if needles[d] is not None else 0
+                ).cast("int").alias("needle_len"),
+                F.col(f"h{i}").alias("n_docs_hit"),
+                F.col(f"o{i}").alias("n_occurrences"),
+            )
+            for i, d in enumerate(_CANARY_SRC_DOCS, start=1)
+        ]
+    )
+    return (
+        one.select(F.explode(structs).alias("c"))
+        .select("c.*")
+        .orderBy("canary_id")
+    )

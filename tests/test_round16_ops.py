@@ -141,3 +141,39 @@ def test_facility_location_greedy_python_replay(spark):
     # coverage is monotone nondecreasing (submodular greedy invariant)
     covs = [g for _, _, g in got]
     assert covs == sorted(covs)
+
+
+def test_canary_leak_scan_python_replay(spark):
+    """Pure-Python replay of the needle extraction and containment /
+    occurrence counts; every planted canary must hit at least its own
+    source document."""
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.registry.stats_ops import (
+        _CANARY_LEN,
+        _CANARY_SRC_DOCS,
+    )
+
+    rows = {
+        r["canary_id"]: r
+        for r in QUERIES["canary_leak_scan"](spark, SF_DIR).collect()
+    }
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))[
+        ["doc_id", "text"]
+    ]
+    texts = {
+        int(r.doc_id): r.text for r in pdf.itertuples() if r.text is not None
+    }
+    for i, d in enumerate(_CANARY_SRC_DOCS, start=1):
+        src = texts.get(d)
+        needle = src.strip()[:_CANARY_LEN] if src is not None else ""
+        if not needle:
+            assert rows[i]["n_docs_hit"] == 0 == rows[i]["n_occurrences"]
+            continue
+        hits = [t for t in texts.values() if needle in t]
+        occs = sum(t.count(needle) for t in hits)
+        assert rows[i]["src_doc_id"] == d
+        assert rows[i]["needle_len"] == len(needle)
+        assert rows[i]["n_docs_hit"] == len(hits) >= 1
+        assert rows[i]["n_occurrences"] == occs >= 1
