@@ -2271,11 +2271,18 @@ def eval_split_decontaminated(spark, sf_dir):
     # 60M-row table INCLUDING the pre-filter hot partitions (432 s); a
     # broadcast anti-join against the tiny hot set avoids this shuffle
     # but then pays the full s-shuffle anyway inside tr x ev (352 s);
-    # the join-back runs 31.7 s. At sf0.1 all three read ~4.5-8 s (the
-    # doubled shingle explode dominated at toy scale pre-artifact) vs
-    # ~3.5 s uncapped — the price of the 702 -> 31.7 s sf10 fix.
+    # the join-back runs 31.7 s. The merge HINT is load-bearing (r16):
+    # the shingle artifact gives Spark REAL size stats (a parquet read,
+    # unlike the unestimable explode it replaced), so AQE silently
+    # re-planned the join-back as a BroadcastHashJoin — the rejected
+    # 352 s formulation — and the sf10 anchor read 502 s. Forcing SMJ
+    # restores the shared s-exchange; sf10 re-measured 15.7 s — 2x
+    # BETTER than the r15 anchor (31.7), because the artifact also
+    # removed the doubled shingle derive (BASELINE.md r16).
     dfreq = sh0.groupBy("s").agg(F.count("*").alias("__df"))
-    sh = sh0.join(dfreq.filter(F.col("__df") <= 100), "s").drop("__df")
+    sh = sh0.join(
+        dfreq.filter(F.col("__df") <= 100).hint("merge"), "s"
+    ).drop("__df")
     tr = sh.filter(F.col("bkt") < 80).select(F.col("doc_id").alias("a"), "s")
     ev = sh.filter(F.col("bkt") >= 90).select(F.col("doc_id").alias("b"), "s")
     contaminated = (
