@@ -177,3 +177,31 @@ def test_canary_leak_scan_python_replay(spark):
         assert rows[i]["needle_len"] == len(needle)
         assert rows[i]["n_docs_hit"] == len(hits) >= 1
         assert rows[i]["n_occurrences"] == occs >= 1
+
+
+def test_eval_split_dfcap_joinback_stays_sortmerge(spark):
+    """The df-cap join-back's merge hint is LOAD-BEARING (BASELINE r16):
+    the shingle artifact's real parquet statistics made AQE re-plan the
+    join-back as a BroadcastHashJoin — the formulation the r15 sf10
+    shoot-out measured at 352 s (vs 15.7 s shipped) — while sf0.1
+    looked fine. Pin the shape: every __df-cap filter must feed a Sort
+    on the shingle key (an SMJ input), never a BroadcastExchange."""
+    import re
+
+    from database_extractor_spark.registry import QUERIES
+
+    df = QUERIES["eval_split_decontaminated"](spark, SF_DIR)
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    cap_lines = [
+        i for i, l in enumerate(lines) if "Filter" in l and "__df" in l
+    ]
+    assert cap_lines, "df-cap filter missing from the plan"
+    for i in cap_lines:
+        above = "\n".join(lines[max(0, i - 3) : i])
+        assert re.search(r"Sort \[s#\d+L ASC", above), (
+            "df-cap filter is not an SMJ input:\n" + above
+        )
+        assert "BroadcastExchange" not in above, (
+            "df-cap join-back re-planned as broadcast — the rejected "
+            "352 s formulation:\n" + above
+        )
