@@ -84,13 +84,15 @@ _VERIFY_FIRST = [
     "ivf_nprobe_recall_curve",
     "char_entropy_quality",
     "stratified_kfold_assignment",
-    # Slots 16-19: the r16 additions (stats_ops — Poisson-bootstrap CI,
-    # Cohen's kappa, facility-location coreset, canary leak scan),
-    # locally oracled + tested, queued immediately.
+    # Slots 16-20: the r16 additions (stats_ops — Poisson-bootstrap CI,
+    # Cohen's kappa, facility-location coreset, canary leak scan, IVF
+    # maintenance monitor), locally oracled + tested, queued
+    # immediately.
     "metric_bootstrap_ci",
     "rater_agreement_kappa",
     "facility_location_coreset",
     "canary_leak_scan",
+    "ivf_index_maintenance",
     # ---- backlog rotation (VERDICT r15 item 6): with 352 entries and
     # a 50-slot window an entry waits ~7 rounds between driver rows;
     # the remaining slots re-verify the STALEST cohort (latest driver
@@ -126,7 +128,6 @@ _VERIFY_FIRST = [
     "split_train_val_test",
     "share_of_total_agg",
     "dpp_partition_pruned_join",
-    "python_datasource_sink_roundtrip",
 ]
 
 

@@ -574,3 +574,114 @@ def canary_leak_scan(spark, sf_dir):
         .select("c.*")
         .orderBy("canary_id")
     )
+
+
+# ==========================================================================
+# IVF index maintenance monitor (round 16)
+# ==========================================================================
+
+def _ivf_maint_oracle() -> str:
+    from database_extractor_spark.registry.llm_ops import (
+        _FIXED_SEED_IDS,
+        _cos_guard,
+    )
+
+    inc = (
+        "('0x' || substr(md5(cast(vec_id as varchar)), 1, 8))::bigint"
+        " % 5 = 0"
+    )
+    return f"""
+    with s as (
+        select vec_id as sid, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings
+        where vec_id between {_FIXED_SEED_IDS[0]} and {_FIXED_SEED_IDS[-1]}
+    ),
+    e as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v
+          from embeddings),
+    a as (
+        select e.vec_id, s.sid, {_cos_guard("e.v", "s.sv")} as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a
+        qualify row_number() over (partition by vec_id
+                                   order by c desc, sid) = 1
+    ),
+    f as (select list_id, {inc} as incoming from assign)
+    select cast(list_id as int) as list_id,
+           cast(sum(case when incoming then 0 else 1 end) as bigint)
+               as n_existing,
+           cast(sum(case when incoming then 1 else 0 end) as bigint)
+               as n_incoming,
+           case when sum(case when incoming then 0 else 1 end) = 0 then null
+                else cast(1000000 * sum(case when incoming then 1 else 0 end)
+                          // sum(case when incoming then 0 else 1 end)
+                          as bigint) end as growth_ppm,
+           cast(count(*) as bigint) as n_total
+    from f group by list_id order by list_id
+    """
+
+
+@register("ivf_index_maintenance", _ivf_maint_oracle())
+def ivf_index_maintenance(spark, sf_dir):
+    """IVF INDEX MAINTENANCE MONITOR — per-list growth under
+    incremental ingest against the FROZEN production quantizer: split
+    the indexed corpus into the existing set and an incoming batch
+    (deterministic md5 bucket, 20%), and report per inverted list how
+    many vectors each cohort contributes and the growth rate in ppm.
+    This is the INDEX LIFECYCLE capability the ANN family lacked:
+    sim_recall_eval scores answer quality, ivf_silhouette_eval scores
+    partition quality at build time — this one monitors DRIFT of
+    arriving data against a quantizer that no longer sees it, the
+    number a deployment alarms on to schedule a retrain (a list whose
+    growth_ppm is a multiple of its peers means new content the frozen
+    centroids cannot spread). Plan: assignments come from the SAME
+    persisted index artifact the search entries serve from
+    (_cached_ann_index('ivf_fixed_v') — maintenance reads the index,
+    it never re-derives it), then one hash aggregate on the 16 list
+    ids. Growth is exact integer ppm (1e6-scaled div), NULL for an
+    empty existing list rather than a divide-by-zero. At 100 TB the
+    monitor costs one scan of the (vec_id, list) index table."""
+    from database_extractor_spark.operators import similarity as S
+    from database_extractor_spark.registry.llm_ops import (
+        _cached_ann_index,
+        _fixture_seed_vecs,
+    )
+
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    idx = _cached_ann_index(
+        "ivf_fixed_v",
+        sf_dir,
+        spark,
+        lambda: S.ivf_assign(e, _fixture_seed_vecs(sf_dir), vec_col="v"),
+    ).select("vec_id", F.col("__list").alias("list_id"))
+    incoming = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+        == 0
+    )
+    agg = idx.groupBy(F.col("list_id").cast("int").alias("list_id")).agg(
+        F.sum(F.when(incoming, 0).otherwise(1)).cast("bigint").alias(
+            "n_existing"
+        ),
+        F.sum(F.when(incoming, 1).otherwise(0)).cast("bigint").alias(
+            "n_incoming"
+        ),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    return agg.select(
+        "list_id",
+        "n_existing",
+        "n_incoming",
+        F.when(F.col("n_existing") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr("1000000L * n_incoming div n_existing").cast("bigint")
+        )
+        .alias("growth_ppm"),
+        "n_total",
+    ).orderBy("list_id")

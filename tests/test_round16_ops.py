@@ -205,3 +205,34 @@ def test_eval_split_dfcap_joinback_stays_sortmerge(spark):
             "df-cap join-back re-planned as broadcast — the rejected "
             "352 s formulation:\n" + above
         )
+
+
+def test_ivf_index_maintenance_invariants(spark):
+    """Cohort counts must partition the corpus exactly; growth is the
+    exact integer ppm of each list's cohort counts; the md5 incoming
+    bucket replays from the entry's own assignment universe."""
+    import hashlib
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = QUERIES["ivf_index_maintenance"](spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).count()
+    assert sum(r["n_total"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["n_existing"] + r["n_incoming"] == r["n_total"]
+        if r["n_existing"] == 0:
+            assert r["growth_ppm"] is None
+        else:
+            assert r["growth_ppm"] == (
+                1000000 * r["n_incoming"]
+            ) // r["n_existing"]
+    # the incoming cohort is the deterministic md5 %5 bucket
+    n_inc = sum(r["n_incoming"] for r in rows)
+    expect_inc = sum(
+        1
+        for v in range(n_vecs)
+        if int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 5 == 0
+    )
+    assert n_inc == expect_inc
