@@ -225,6 +225,7 @@ def main() -> None:
             "DEGENERATE_SF_DIR"
         ) or tempfile.mkdtemp(prefix="degenerate_sf_")
         build_fixture(degen_dir)
+        summary["degenerate_dir"] = degen_dir
         only = args.only.split(",") if args.only else None
         summary["degenerate"] = run_sweep(spark, degen_dir, only)
         print(
@@ -245,9 +246,14 @@ def main() -> None:
             ("degenerate", f"DEGEN_r{args.round}.json"),
         ):
             if key in summary:
+                src = (
+                    "degenerate edge fixture"
+                    if key == "degenerate"
+                    else args.sf_dir
+                )
                 with open(os.path.join(repo, fname), "w") as f:
                     json.dump(
-                        {"head": head, "sf_dir": args.sf_dir, **summary[key]},
+                        {"head": head, "sf_dir": src, **summary[key]},
                         f,
                         indent=1,
                         default=str,
