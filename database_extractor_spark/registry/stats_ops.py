@@ -17,11 +17,7 @@ from database_extractor_spark.registry._base import (
     register,
     _tbl,
 )
-from database_extractor_spark.registry.streaming_bpe_ops import (
-    gopher_quality_filter,
-)
 from database_extractor_spark.registry.text_graph_ops import (
-    quality_classifier_score,
     _qc_wsum_sql,
 )
 from database_extractor_spark.registry.streaming_bpe_ops import (
@@ -231,16 +227,59 @@ def rater_agreement_kappa(spark, sf_dir):
     division. Degenerate guard: when either rater is constant
     (pe = 1), kappa is undefined and NULL on both engines. Plan: ONE
     token explode + ONE per-doc aggregate computes BOTH raters'
-    features (the two entries it composes each pay that scan alone),
-    then a 1-row contingency reduce — at 100 TB this is one shuffle
-    keyed on doc_id, map-side combinable."""
-    g = gopher_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("a_keep")
+    features, then a 1-row contingency reduce — at 100 TB this is one
+    shuffle keyed on doc_id, map-side combinable. The one-scan form is
+    LOAD-BEARING (r16 sf10 anchor): composing the two registry entries
+    and joining their frames read 130.7 s at sf10 — 5x the SUM of the
+    entries run alone (26.1 s) — while this formulation reads in single
+    digits; the classifier's weight sum folds into the SAME
+    exploded-token aggregate as the gopher counts (per-token
+    md5-bucket weight — an integer sum identical to the entry's array
+    fold), so the text is tokenized exactly once. The component
+    entries stay importable for their own outputs; kappa shares their
+    DEFINITIONS (stopword list, weight table, decision rules), not
+    their plans."""
+    from database_extractor_spark.operators import text as T
+    from database_extractor_spark.registry.text_graph_ops import _qc_weights
+
+    t = (
+        _tbl(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),
+        )
     )
-    q = quality_classifier_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_pass").alias("b_keep")
+    stop_arr = F.expr(
+        "array(" + ",".join(f"'{w}'" for w in T.STOPWORDS["en"]) + ")"
     )
-    r = g.join(q, "doc_id")
+    warr = F.expr("array(" + ",".join(f"{v}L" for v in _qc_weights()) + ")")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 64
+    ).cast("int")
+    a = t.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("tok")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.sum(F.element_at(warr, bucket + 1)).cast("bigint").alias("wsum"),
+    )
+    a_keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.lit(50) * F.col("n_stop") >= F.lit(3) * F.col("n_words"))
+        & (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"))
+    )
+    r = a.select(a_keep.alias("a_keep"), (F.col("wsum") >= 0).alias("b_keep"))
     c = r.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.when(F.col("a_keep") & F.col("b_keep"), 1).otherwise(0))
