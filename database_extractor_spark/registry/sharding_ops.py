@@ -41,9 +41,6 @@ from database_extractor_spark.registry.streaming_bpe_ops import (
     bpe_encode_tokens,
     gopher_quality_filter,
 )
-from database_extractor_spark.registry.text_graph_ops import (
-    quality_classifier_score,
-)
 
 # Training-export sharding (round 13)
 # ==========================================================================
@@ -2022,16 +2019,17 @@ def quality_gate_agreement(spark, sf_dir):
     rate: the sanity check run before swapping one quality gate for
     another in a curation funnel (high disagreement means the swap
     silently changes the corpus; the disagreement cells are exactly the
-    documents to sample and read). Composes two already-oracled per-doc
-    gates with one equi-join and one aggregate; the oracle replays both
-    gates AND the agreement arithmetic."""
-    g = gopher_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("gopher_keep")
+    documents to sample and read). Both gates' decisions come from the
+    shared ONE-SCAN helper (streaming_bpe_ops.quality_rater_decisions —
+    r16: composing the two entries' FRAMES re-paid both tokenize
+    pipelines plus a doc_id join, 130.7 s at sf10 vs single digits
+    one-scan); the oracle replays both gates AND the agreement
+    arithmetic."""
+    from database_extractor_spark.registry.streaming_bpe_ops import (
+        quality_rater_decisions,
     )
-    c = quality_classifier_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_pass").alias("cls_keep")
-    )
-    j = g.join(c, "doc_id")
+
+    j = quality_rater_decisions(spark, sf_dir)
     both = F.sum(
         F.when(F.col("gopher_keep") & F.col("cls_keep"), 1).otherwise(0)
     ).cast("bigint")

@@ -231,55 +231,21 @@ def rater_agreement_kappa(spark, sf_dir):
     shuffle keyed on doc_id, map-side combinable. The one-scan form is
     LOAD-BEARING (r16 sf10 anchor): composing the two registry entries
     and joining their frames read 130.7 s at sf10 — 5x the SUM of the
-    entries run alone (26.1 s) — while this formulation reads in single
-    digits; the classifier's weight sum folds into the SAME
-    exploded-token aggregate as the gopher counts (per-token
-    md5-bucket weight — an integer sum identical to the entry's array
-    fold), so the text is tokenized exactly once. The component
-    entries stay importable for their own outputs; kappa shares their
-    DEFINITIONS (stopword list, weight table, decision rules), not
-    their plans."""
-    from database_extractor_spark.operators import text as T
-    from database_extractor_spark.registry.text_graph_ops import _qc_weights
+    entries run alone (26.1 s) — while this formulation reads 4.1 s;
+    both raters' decisions come from the shared
+    streaming_bpe_ops.quality_rater_decisions helper (one exploded-
+    token aggregate computing the gopher counts AND the classifier's
+    md5-bucket weight sum — definitions shared with the component
+    entries, plans not), the same substrate quality_gate_agreement
+    reads."""
+    from database_extractor_spark.registry.streaming_bpe_ops import (
+        quality_rater_decisions,
+    )
 
-    t = (
-        _tbl(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),
-        )
+    r = quality_rater_decisions(spark, sf_dir).select(
+        F.col("gopher_keep").alias("a_keep"),
+        F.col("cls_keep").alias("b_keep"),
     )
-    stop_arr = F.expr(
-        "array(" + ",".join(f"'{w}'" for w in T.STOPWORDS["en"]) + ")"
-    )
-    warr = F.expr("array(" + ",".join(f"{v}L" for v in _qc_weights()) + ")")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % 64
-    ).cast("int")
-    a = t.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_words"),
-        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
-        F.sum(
-            F.when(F.array_contains(stop_arr, F.col("tok")), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_stop"),
-        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.sum(F.element_at(warr, bucket + 1)).cast("bigint").alias("wsum"),
-    )
-    a_keep = (
-        (F.col("n_words") >= 20)
-        & (F.col("n_words") <= 100000)
-        & (F.col("sum_len") >= 3 * F.col("n_words"))
-        & (F.col("sum_len") <= 10 * F.col("n_words"))
-        & (F.lit(50) * F.col("n_stop") >= F.lit(3) * F.col("n_words"))
-        & (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"))
-    )
-    r = a.select(a_keep.alias("a_keep"), (F.col("wsum") >= 0).alias("b_keep"))
     c = r.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.when(F.col("a_keep") & F.col("b_keep"), 1).otherwise(0))

@@ -23,6 +23,7 @@ from database_extractor_spark.registry.llm_ops import (
     _stream_tmpdir,
 )
 from database_extractor_spark.registry.text_graph_ops import (
+    _qc_weights,
     _qc_wsum,
     _qc_wsum_sql,
 )
@@ -906,6 +907,62 @@ def text_repetition_scores(spark, sf_dir):
 
 
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+
+def quality_rater_decisions(spark, sf_dir):
+    """Per-document decisions of BOTH quality raters — the Gopher rule
+    gate and the hashed-feature linear classifier — from ONE token
+    explode and ONE doc_id-keyed aggregate: (doc_id, gopher_keep,
+    cls_keep). The one-scan form is LOAD-BEARING (r16 sf10 anchors):
+    composing the two registry ENTRIES' frames re-pays both tokenize
+    pipelines plus a doc_id join — measured 130.7 s at sf10, 5x the sum
+    of the entries run alone — while this helper reads in single
+    digits. Consumers (quality_gate_agreement, rater_agreement_kappa)
+    share the raters' DEFINITIONS (stopword list, weight table,
+    integer decision rules), not their plans; universe = documents
+    with >= 1 token (both oracles' ``t`` CTE)."""
+    t = (
+        _tbl(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),
+        )
+    )
+    stop_arr = F.expr(
+        "array(" + ",".join(f"'{w}'" for w in T.STOPWORDS["en"]) + ")"
+    )
+    warr = F.expr("array(" + ",".join(f"{v}L" for v in _qc_weights()) + ")")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 64
+    ).cast("int")
+    a = t.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("tok")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.sum(F.element_at(warr, bucket + 1)).cast("bigint").alias("wsum"),
+    )
+    gopher_keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.lit(50) * F.col("n_stop") >= F.lit(3) * F.col("n_words"))
+        & (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"))
+    )
+    return a.select(
+        "doc_id",
+        gopher_keep.alias("gopher_keep"),
+        (F.col("wsum") >= 0).alias("cls_keep"),
+    )
 
 _GOPHER_ORACLE = rf"""
     with t as (
