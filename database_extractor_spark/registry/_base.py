@@ -62,6 +62,20 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_source(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _path_bytes(path: str) -> int:
+    """On-disk bytes of a fixture table (single file or multi-part
+    directory) — the cheap driver-side stat that gates SF-linear
+    broadcasts (ADVICE r16: a dim that grows with SF must fall back to
+    a shuffle join past a size threshold instead of OOMing)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, p))
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
 _QVEC_CACHE: dict[str, tuple[list[float], int]] = {}
 
 

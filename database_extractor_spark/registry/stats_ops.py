@@ -529,17 +529,25 @@ def canary_leak_scan(spark, sf_dir):
     Aho-Corasick mapInPandas stage — documented threshold, not needed
     for the canary-set sizes this audit runs at."""
     docs = _tbl(spark, sf_dir, "documents")
-    needles = {
-        d: (r["__n"] if r is not None else None)
-        for d in _CANARY_SRC_DOCS
-        for r in [
+    needles = {}  # bounded model state: 3 needles <= 24 chars
+    for d in _CANARY_SRC_DOCS:
+        picked = (
             docs.filter(F.col("doc_id") == d)
             .select(
                 F.substring(F.trim(F.col("text")), 1, _CANARY_LEN).alias("__n")
             )
-            .head()
-        ]
-    }  # bounded model state: 3 needles <= 24 chars
+            .take(2)
+        )
+        # ADVICE r16: the oracle's scalar subquery errors loudly on a
+        # duplicated doc_id; an unordered head() here would instead pick
+        # an arbitrary row and surface as a confusing hash mismatch —
+        # fail the same way the oracle does.
+        if len(picked) > 1:
+            raise ValueError(
+                f"canary source doc_id={d} is duplicated in the fixture; "
+                "the oracle's scalar subquery would error — fix the fixture"
+            )
+        needles[d] = picked[0]["__n"] if picked else None
     scan = docs.filter(F.col("text").isNotNull())
     aggs = []
     for i, d in enumerate(_CANARY_SRC_DOCS, start=1):

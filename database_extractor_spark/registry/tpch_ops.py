@@ -24,6 +24,7 @@ from database_extractor_spark.registry._base import (
     register,
     _tbl,
     _parquet_fingerprint,
+    _path_bytes,
 )
 
 # Round 6: TPC-H canon (Q1/Q5/Q18), rank windows, rolling outliers,
@@ -2452,8 +2453,18 @@ def market_basket_lift(spark, sf_dir):
     (explode / count), so nothing rescans the fact join."""
     li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ADVICE r16: the part dim grows 200k x SF rows — SF-linear, so an
+    # unconditional broadcast is unbounded model state by this repo's
+    # own discipline. Gate on the on-disk footprint: the 2-column
+    # projection of part stays broadcastable far past sf10 (~6 MB/SF
+    # on disk), but past the gate the plan degrades gracefully to the
+    # shuffle join rather than OOMing the driver. The "ONE exchange"
+    # claim below holds in the broadcast regime; in the fallback regime
+    # the dim join adds its own exchange by design.
+    part_bytes = _path_bytes(os.path.join(sf_dir, "part.parquet"))
+    dim = pt if part_bytes > 512 * 1024 * 1024 else F.broadcast(pt)
     arr = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(dim, li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )

@@ -167,7 +167,10 @@ def test_canary_leak_scan_python_replay(spark):
     }
     for i, d in enumerate(_CANARY_SRC_DOCS, start=1):
         src = texts.get(d)
-        needle = src.strip()[:_CANARY_LEN] if src is not None else ""
+        # strip(' ') not strip(): both engines trim SPACES only (F.trim /
+        # DuckDB trim), so the replay must not strip tabs/newlines that
+        # the engines would keep (ADVICE r16)
+        needle = src.strip(" ")[:_CANARY_LEN] if src is not None else ""
         if not needle:
             assert rows[i]["n_docs_hit"] == 0 == rows[i]["n_occurrences"]
             continue
