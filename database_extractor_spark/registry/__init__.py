@@ -58,76 +58,72 @@ del _m, _k, _v, _pkg
 # not listed follows in definition order (the round-2-green block).
 
 _VERIFY_FIRST = [
-    # ---- round-16 front (VERDICT r15 items 1-2) ----
-    # Slot 1: the round's one red driver row — positions re-encoded as
-    # a ','-joined string so the driver's pandas canonicalizer can hash
-    # it (the r15 TypeError); oracle updated in lockstep.
-    "inverted_index_postings",
-    # Slots 2-9: the 8 r14 thin-wrapper deferrals, never driver-
-    # verified (judge-swept green in r15). input_file_skew additionally
-    # carries the r16 de-vacuated oracle (self-materialized bucketed
-    # lake, logically replayable shares/ratio).
-    "sql_unpivot_clause",
-    "sql_group_by_all",
-    "column_masking_view",
-    "table_content_checksum",
-    "weighted_percentile",
-    "benford_digit_profile",
-    "business_days_latency",
-    "input_file_skew",
-    # Slots 10-15: the 6 r15 additions, never driver-verified (judge-
-    # swept green in r15). ivf_nprobe_recall_curve carries the r16
-    # denominator fix (count the exact frame, not 10*|panel| — ADVICE).
-    "l_diversity_audit",
-    "temporal_split_embargo",
-    "topk_membership_churn",
-    "ivf_nprobe_recall_curve",
-    "char_entropy_quality",
-    "stratified_kfold_assignment",
-    # Slots 16-20: the r16 additions (stats_ops — Poisson-bootstrap CI,
-    # Cohen's kappa, facility-location coreset, canary leak scan, IVF
-    # maintenance monitor), locally oracled + tested, queued
-    # immediately.
-    "metric_bootstrap_ci",
-    "rater_agreement_kappa",
-    "facility_location_coreset",
+    # ---- round-17 front ----
+    # Slot 1: the r17 addition (scale-safe MNN via (label, IVF-cell)
+    # buckets off the persisted auto-sized quantizer), never
+    # driver-verified.
+    "mutual_nearest_neighbors_bucketed",
+    # Slots 2-3: the two entries whose plans changed this round (ADVICE
+    # r16: deterministic canary needle pick; size-gated part broadcast)
+    # — changed code re-earns its driver row.
     "canary_leak_scan",
-    "ivf_index_maintenance",
-    # ---- backlog rotation (VERDICT r15 item 6): with 352 entries and
-    # a 50-slot window an entry waits ~7 rounds between driver rows;
-    # the remaining slots re-verify the STALEST cohort (latest driver
-    # row r9), so cumulative driver evidence ages uniformly instead of
-    # pooling on the newest entries. All pass the local sweep at HEAD.
-    "map_funcs",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "cluster_balanced_sample",
-    "semdedup_prune",
-    "multimodal_meta",
-    "multimodal_decode",
-    "text_chunking",
-    "embedding_near_dup",
-    "pandas_ema",
-    "xml_source_roundtrip",
-    "range_join_counts",
-    "stat_funcs",
-    "stratified_sample",
-    "dedup_canonical_pick",
-    "maintenance_compact",
-    "scalar_subquery",
-    "federated_join",
-    "bucketed_join_colocated",
-    "python_datasource_scan",
-    "schema_evolution_merge",
-    "join_full_outer",
-    "text_bigram_logprob",
-    "embedding_centroids",
-    "scd2_user_history",
-    "funnel_conversion",
-    "cohort_retention",
-    "split_train_val_test",
-    "share_of_total_agg",
-    "dpp_partition_pruned_join",
+    "market_basket_lift",
+    # ---- stale-cohort rotation (VERDICT r16 item 3): with 358 entries
+    # and a 50-slot window, driver evidence must age uniformly — this
+    # round re-verifies the STALEST cohorts: the full r9 batch (15
+    # entries, 8 rounds stale) and the first 32 of the r10 batch by
+    # name (the rest of r10 + r11 lead the r18 queue). All pass the
+    # local sweep at HEAD; >=80% of this window predates r12
+    # (47/50 = 94%).
+    # r9 cohort (complete):
+    "cogroup_pandas_asof",
+    "collation_ci_group",
+    "dedup_exact_substring",
+    "dedup_exact_substring_apply",
+    "graph_khop_reachability",
+    "hll_sketch_union_distinct",
+    "lateral_topk_per_key",
+    "observed_metrics_extract",
+    "pivot_multi_agg",
+    "python_datasource_sink_roundtrip",
+    "python_datasource_stream_sink",
+    "runtime_bloom_join",
+    "string_agg_ordered",
+    "try_funcs",
+    "url_domain_cap",
+    # r10 cohort (first 32 by name):
+    "approx_distinct",
+    "approx_percentile_sketch",
+    "cap_per_group",
+    "cdc_merge_apply",
+    "cumulative_distinct_users",
+    "data_quality_checks",
+    "dedup_containment",
+    "embedding_dedup_clusters",
+    "embedding_quantize_int8",
+    "entropy_profile",
+    "equal_freq_binning",
+    "filtered_agg",
+    "gap_fill_linear",
+    "hard_negative_mining",
+    "mixture_weighted_sample",
+    "mode_agg",
+    "multimodal_resize",
+    "null_safe_join",
+    "pack_sequences",
+    "posexplode_tokens",
+    "profile_columns",
+    "psi_drift",
+    "robust_stats_mad",
+    "rolling_median",
+    "salted_agg",
+    "salted_join_agg",
+    "text_bm25",
+    "text_edit_distance_pairs",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_source_roundtrip",
 ]
 
 

@@ -659,6 +659,13 @@ def text_bm25(spark, sf_dir):
     attached via the 1-row scalar broadcast, per-(doc,term) score in the
     identical IEEE sequence the oracle states, decimal-exact per-doc sum.
     Docs containing no query term emit no row (score 0 by omission)."""
+    return _text_bm25_frame(spark, sf_dir)
+
+
+def _text_bm25_frame(spark, sf_dir):
+    """The text_bm25 plan as a shared helper (r17 composition lint:
+    frames are shared through named helpers, never by invoking another
+    entry's callable). Consumers: text_bm25, hybrid_rank_fusion."""
     docs = _tbl(spark, sf_dir, "documents")
     q_terms = ["data", "table", "query"]
     k1, b = 1.2, 0.75
@@ -757,7 +764,7 @@ def hybrid_rank_fusion(spark, sf_dir):
     commutative — order-safe without decimal lanes)."""
     k_pool, k_rrf = 50, 60.0
     bm = (
-        text_bm25(spark, sf_dir)
+        _text_bm25_frame(spark, sf_dir)
         .select("doc_id", F.col("bm25").alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(k_pool)

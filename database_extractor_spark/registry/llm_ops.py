@@ -2328,6 +2328,14 @@ _LANG_SQL_PARTS = {
 def text_lang_id(spark, sf_dir):
     """Stopword-vote language ID (strict winner or 'und'); oracle
     reimplements the identical heuristic in SQL."""
+    return _lang_id_frame(spark, sf_dir)
+
+
+def _lang_id_frame(spark, sf_dir):
+    """The text_lang_id plan as a shared helper (r17 composition lint:
+    frames are shared through named helpers, never by invoking another
+    entry's callable). Consumers: text_lang_id,
+    lang_id_confusion_eval."""
     return T.with_lang_id(_tbl(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 

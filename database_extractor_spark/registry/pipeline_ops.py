@@ -275,6 +275,14 @@ def pack_sequences(spark, sf_dir):
     serialize on a single window partition; sharding first (doc_id % 16
     here; a file/date key in production) keeps the window partitioned and
     parallel while preserving intra-shard determinism."""
+    return _pack_sequences_frame(spark, sf_dir)
+
+
+def _pack_sequences_frame(spark, sf_dir):
+    """The pack_sequences plan as a shared helper (r17 composition
+    lint: frames are shared through named helpers, never by invoking
+    another entry's callable). Consumers: pack_sequences,
+    pack_efficiency_eval."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",

@@ -699,6 +699,16 @@ def dedup_clusters(spark, sf_dir):
     doc_id in the component; keep one row per cluster downstream). The
     oracle recomputes the same components with a recursive-CTE transitive
     closure, so the iterative Spark fixpoint is checked end-to-end."""
+    return _dedup_clusters_frame(spark, sf_dir)
+
+
+def _dedup_clusters_frame(spark, sf_dir):
+    """The dedup_clusters plan as a shared helper — the sanctioned
+    frame-sharing route (r17 composition lint: entries may share
+    DEFINITIONS through named helpers; an entry invoking another
+    entry's callable hides re-paid scans, the r16 kappa incident).
+    Consumers: dedup_clusters, dedup_canonical_pick,
+    dup_cluster_histogram."""
     pairs = D.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
     return D.connected_components(pairs.select("id_a", "id_b"))
 
@@ -741,7 +751,7 @@ def dedup_canonical_pick(spark, sf_dir):
     construction, so the window shuffles on cluster_id and parallelizes
     across clusters. The oracle replays clustering (recursive-CTE
     closure) and the same election window."""
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = _dedup_clusters_frame(spark, sf_dir)
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
     j = clusters.join(docs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -26,20 +26,20 @@ from database_extractor_spark.registry.llm_ops import (
     _jaccard_truth_ctes,
     _minhash_dup_ctes,
     _simhash_oracle,
+    _lang_id_frame,
     _stream_tmpdir,
-    text_lang_id,
 )
 from database_extractor_spark.registry.pipeline_ops import (
-    pack_sequences,
+    _pack_sequences_frame,
 )
 from database_extractor_spark.registry.relational_ops import (
-    dedup_clusters,
+    _dedup_clusters_frame,
 )
 from database_extractor_spark.registry.streaming_bpe_ops import (
     _GOPHER_ORACLE,
+    _bpe_encode_frame,
     _bpe_encode_oracle,
-    bpe_encode_tokens,
-    gopher_quality_filter,
+    _gopher_gate_frame,
 )
 
 # Training-export sharding (round 13)
@@ -645,7 +645,7 @@ def tokenizer_fertility_eval(spark, sf_dir):
     sized join to (doc_id, lang, n_chars) and a per-lang rollup; the
     oracle replays training AND encoding AND the rollup, so drift in any
     stage breaks the hash."""
-    enc = bpe_encode_tokens(spark, sf_dir)
+    enc = _bpe_encode_frame(spark, sf_dir)
     docs = _tbl(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -1413,7 +1413,7 @@ def pack_efficiency_eval(spark, sf_dir):
     audit a DIFFERENT packing if the packer's literals ever change —
     the composition discipline of per_source_quality_report), plus one
     extra keyed aggregate on the packer's own frame."""
-    packed = pack_sequences(spark, sf_dir)
+    packed = _pack_sequences_frame(spark, sf_dir)
     bins = packed.groupBy("shard", "pack_seq").agg(
         F.sum("n_tokens").cast("bigint").alias("fill")
     )
@@ -1821,11 +1821,12 @@ def dup_cluster_histogram(spark, sf_dir):
     CC, never all-pairs) plus two tiny keyed aggregates; only multi-doc
     clusters appear (singletons are the complement and would dominate
     the histogram without adding signal)."""
-    # compose the dedup_clusters ENTRY itself (review r13: restating the
-    # pair generator + threshold here would desynchronize the histogram
-    # from the clustering it reports on — its oracle already derives
-    # from ORACLE["dedup_clusters"])
-    cl = dedup_clusters(spark, sf_dir)
+    # compose the shared dedup_clusters FRAME helper (review r13:
+    # restating the pair generator + threshold here would desynchronize
+    # the histogram from the clustering it reports on; r17 composition
+    # lint: the sharing goes through the named helper, not the entry
+    # callable — its oracle already derives from ORACLE["dedup_clusters"])
+    cl = _dedup_clusters_frame(spark, sf_dir)
     sizes = cl.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("size")
     )
@@ -1874,7 +1875,7 @@ def per_source_quality_report(spark, sf_dir):
     oracled Gopher gate with one broadcast-sized source join and a
     per-source rollup, so the oracle replays gate AND rollup. All
     ratios pure bigint division."""
-    g = gopher_quality_filter(spark, sf_dir).select(
+    g = _gopher_gate_frame(spark, sf_dir).select(
         "doc_id", "n_words", "keep"
     )
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1973,7 +1974,7 @@ def lang_id_confusion_eval(spark, sf_dir):
     (no hits / tie) swallows real text. One broadcast-sized join of the
     per-doc prediction to the label column + a |langs|^2-bounded
     aggregate; the oracle replays the identifier AND the rollup."""
-    pred = text_lang_id(spark, sf_dir)
+    pred = _lang_id_frame(spark, sf_dir)
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
         pred.join(docs, "doc_id")

@@ -698,3 +698,145 @@ def ivf_index_maintenance(spark, sf_dir):
         .alias("growth_ppm"),
         "n_total",
     ).orderBy("list_id")
+
+
+# ==========================================================================
+# Scale-safe mutual nearest neighbors (round 17, VERDICT r16 item 1)
+# ==========================================================================
+
+def _mnn_cells_oracle() -> str:
+    from database_extractor_spark.registry.llm_ops import _cos_guard
+
+    return f"""
+    with nl as (
+        select greatest(1, cast(floor(
+            sqrt(count(*) * 256.0 / 2000) + 0.5) as int)) as n
+        from embeddings
+    ),
+    s as (
+        select vec_id as sid, list_transform(embedding, x -> x::DOUBLE) as sv
+        from embeddings, nl where vec_id >= 1 and vec_id <= nl.n
+    ),
+    e as (select vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) as v
+          from embeddings),
+    a0 as (
+        select e.vec_id, s.sid, {_cos_guard("e.v", "s.sv")} as c
+        from e cross join s
+    ),
+    assign as (
+        select vec_id, sid as list_id from a0
+        qualify row_number() over (partition by vec_id
+                                   order by c desc, sid) = 1
+    ),
+    ea as (
+        select e.vec_id, e.label, e.v, assign.list_id
+        from e join assign on e.vec_id = assign.vec_id
+    ),
+    a as (select vec_id as a_id, label, list_id, v as av
+          from ea where vec_id % 2 = 0),
+    b as (select vec_id as b_id, label, list_id, v as bv
+          from ea where vec_id % 2 = 1),
+    pairs as (
+        select a_id, b_id,
+               round({_cos_guard("av", "bv")}, 6) as cos
+        from a join b using (label, list_id)
+    ),
+    na as (select a_id, b_id, cos,
+                  row_number() over (partition by a_id
+                                     order by cos desc, b_id) as ra
+           from pairs),
+    nb as (select a_id, b_id,
+                  row_number() over (partition by b_id
+                                     order by cos desc, a_id) as rb
+           from pairs)
+    select na.a_id, na.b_id, na.cos
+    from na join nb on na.a_id = nb.a_id and na.b_id = nb.b_id
+    where na.ra = 1 and nb.rb = 1
+    order by na.a_id
+    """
+
+
+@register("mutual_nearest_neighbors_bucketed", _mnn_cells_oracle())
+def mutual_nearest_neighbors_bucketed(spark, sf_dir):
+    """SCALE-SAFE MUTUAL NEAREST NEIGHBORS — the deployment shape of
+    sharding_ops.mutual_nearest_neighbors (VERDICT r16 item 1): the
+    fixed-label twin is the oracle-exact reference semantics but
+    quadratic per label (its sf10 anchor could not complete, >35 min);
+    THIS entry sub-buckets the candidate join by (label, IVF cell)
+    using the SAME persisted auto-sized quantizer lane the sim_ivf_*
+    family serves from — n_lists = similarity.auto_n_lists(N) grows
+    with the corpus (sqrt rule: 160 cells at the 200k-vector sf10
+    corpus), so per-bucket sides stay bounded and total pair volume
+    stays ~linear in N instead of Sum_label |A_l| x |B_l|. Semantics:
+    reciprocal top-1 cosine WITHIN the (label, cell) bucket — the
+    standard ANN-shortlist approximation of MNN mining (LASER/CCMatrix
+    mine candidates from an index, never brute force); the invariant
+    pinned by test: any fixed-label mutual pair whose members share a
+    cell is preserved here (restricting a candidate set keeps its max
+    when the max is in the set). Plan: assignment is read from the
+    persisted content-keyed index artifact (computed ONCE per fixture
+    — maintenance/search/mining all read the same table, the
+    ivf_index_maintenance discipline); per-side L2 norms hoisted into
+    the side projections; the bucket join is an equi-join on
+    (label, cell); two partitioned windows extract each side's top-1
+    with deterministic id tie-break; mutual filter is one equi-join of
+    the rank-1 sets. Artifact-consumer plan note (VERDICT r16 item 5):
+    the pair join is a self-read of the artifact — both sides scale
+    together, so no broadcast pin is needed; either SMJ or
+    shuffled-hash is the wanted shape at every SF. Cosines are rounded
+    to 6 dp before ranking; every step replays in DuckDB from the
+    IEEE-exact auto_n_lists formula, so the oracle follows any corpus
+    size with one SQL string."""
+    from pyspark.sql import Window
+
+    from database_extractor_spark.operators import similarity as S
+    from database_extractor_spark.registry.llm_ops import (
+        _auto_seed_vecs,
+        _cached_ann_index,
+    )
+
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = S.auto_n_lists(e.count())
+    assigned = _cached_ann_index(
+        "ivf_auto_mnn_v",
+        sf_dir,
+        spark,
+        lambda: S.ivf_assign(e, _auto_seed_vecs(sf_dir, n), vec_col="v"),
+    )
+    a = assigned.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        "label",
+        F.col("__list").alias("cell"),
+        F.col("v").alias("av"),
+        S.l2_norm(F.col("v")).alias("an"),
+    )
+    b = assigned.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("__list").alias("cell_b"),
+        F.col("v").alias("bv"),
+        S.l2_norm(F.col("v")).alias("bn"),
+    )
+    denom = F.col("an") * F.col("bn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        S.dot(F.col("av"), F.col("bv")) / denom
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("cell") == F.col("cell_b")),
+    ).select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
+    na = pairs.withColumn("ra", F.row_number().over(wa)).filter("ra = 1")
+    nb = pairs.withColumn("rb", F.row_number().over(wb)).filter("rb = 1")
+    return (
+        na.select("a_id", "b_id", "cos")
+        .join(nb.select("a_id", "b_id"), ["a_id", "b_id"])
+        .orderBy("a_id")
+    )

@@ -545,6 +545,14 @@ def bpe_encode_tokens(spark, sf_dir):
     words are single tokens. The oracle replays training AND encoding
     (merges folded via list_reduce in rank order), so a drift in either
     half breaks the hash."""
+    return _bpe_encode_frame(spark, sf_dir)
+
+
+def _bpe_encode_frame(spark, sf_dir):
+    """The bpe_encode_tokens plan as a shared helper (r17 composition
+    lint: frames are shared through named helpers, never by invoking
+    another entry's callable). Consumers: bpe_encode_tokens,
+    tokenizer_fertility_eval."""
     merges = _bpe_trained_merges(spark, sf_dir)
     docs = _tbl(spark, sf_dir, "documents")
     words = docs.select(
@@ -1011,6 +1019,14 @@ def gopher_quality_filter(spark, sf_dir):
     Spark-first: one explode + one per-doc aggregate (four conditional
     sums over the token stream) + a projection of comparisons — a
     single shuffled aggregate keyed on doc_id at any scale."""
+    return _gopher_gate_frame(spark, sf_dir)
+
+
+def _gopher_gate_frame(spark, sf_dir):
+    """The gopher_quality_filter plan as a shared helper (r17
+    composition lint: frames are shared through named helpers, never by
+    invoking another entry's callable). Consumers:
+    gopher_quality_filter, per_source_quality_report."""
     t = _tbl(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("tok"),

@@ -448,3 +448,52 @@ def test_plan_has_no_scale_antipatterns(name, spark):
             "MapInArrow",
         ):
             assert node not in plan, f"{name}: unexpected Python stage {node} in plan"
+
+
+def test_no_entry_frame_composition():
+    """Composition lint (VERDICT r16 item 4): an entry body must never
+    invoke another entry's callable (plan composition) — the r16 kappa
+    incident showed a frame composition silently re-pays every
+    component's heavy stages (two token explodes + a join, 130.7 s at
+    sf10 for a one-scan-able statistic). Definitions may be shared, and
+    ONLY through named ``_helper`` frames (quality_rater_decisions,
+    _dedup_clusters_frame, _gopher_gate_frame, ...) that are visible,
+    greppable cost-sharing points. Walks every registry entry's source
+    AST and fails on (a) a call whose target name is another entry's
+    function, or (b) any ``QUERIES[...]`` subscript call."""
+    import ast
+    import inspect
+    import textwrap
+
+    from database_extractor_spark.registry import QUERIES
+
+    entry_fn_names = {fn.__name__ for fn in QUERIES.values()}
+    violations = []
+    for name, fn in QUERIES.items():
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            called = None
+            if isinstance(f, ast.Name):
+                called = f.id
+            elif isinstance(f, ast.Attribute):
+                called = f.attr
+            elif (
+                isinstance(f, ast.Subscript)
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "QUERIES"
+            ):
+                violations.append((name, "QUERIES[...](...)"))
+                continue
+            if (
+                called in entry_fn_names
+                and called != fn.__name__
+            ):
+                violations.append((name, called))
+    assert not violations, (
+        "entries composing other entries' frames (use a shared _helper "
+        f"instead): {violations}"
+    )

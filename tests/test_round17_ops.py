@@ -54,3 +54,57 @@ def test_market_basket_lift_broadcast_gate(spark):
     df = QUERIES["market_basket_lift"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mnn_bucketed_preserves_shared_cell_mutual_pairs(spark):
+    """The bucketed variant's pinned invariant: restricting a candidate
+    set keeps its max when the max is in the set — so every fixed-label
+    mutual pair whose two members land in the SAME IVF cell must
+    reappear in the bucketed result. Also: every bucketed pair shares
+    label AND cell by construction."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import similarity as S
+    from database_extractor_spark.registry import QUERIES
+    from database_extractor_spark.registry.llm_ops import (
+        _auto_seed_vecs,
+        _cached_ann_index,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["mutual_nearest_neighbors"](spark, SF_DIR).collect()
+    }
+    bucketed = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["mutual_nearest_neighbors_bucketed"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert bucketed, "bucketed MNN returned no pairs"
+
+    e = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = S.auto_n_lists(e.count())
+    assigned = _cached_ann_index(
+        "ivf_auto_mnn_v",
+        SF_DIR,
+        spark,
+        lambda: S.ivf_assign(e, _auto_seed_vecs(SF_DIR, n), vec_col="v"),
+    )
+    cell = {
+        r["vec_id"]: (r["label"], r["__list"])
+        for r in assigned.select("vec_id", "label", "__list").collect()
+    }
+    for a, b in exact:
+        if cell[a] == cell[b]:
+            assert (a, b) in bucketed, (
+                f"shared-cell mutual pair ({a},{b}) lost by bucketing"
+            )
+    for a, b in bucketed:
+        assert cell[a] == cell[b]
