@@ -88,6 +88,69 @@ def check_contract() -> dict:
     return res
 
 
+def check_sweep_head() -> dict:
+    """VERDICT r16 item 2: the committed SWEEP_r{N} artifact must cover
+    the code at HEAD. In r16 the final commit rewrote an entry's plan
+    AFTER the sweep was recorded, silently lapsing the sweep-at-HEAD
+    guarantee (the judge re-swept it by hand). This check fails when the
+    newest committed sweep artifact's head is not HEAD *modulo
+    artifact-only commits* — i.e. any path changed between the
+    artifact's head and HEAD that is not a root-level artifact
+    (*.json / *.md) or docs/ means the sweep no longer covers the code.
+    Enforced in --quick (the judge's round-close invocation); pass
+    --allow-stale-sweep for mid-round contract checks."""
+    import glob
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _num(p):
+        return int(re.search(r"SWEEP_r(\d+)\.json$", p).group(1))
+
+    sweeps = sorted(glob.glob(os.path.join(repo, "SWEEP_r*.json")), key=_num)
+    if not sweeps:
+        return {"ok": False, "reason": "no SWEEP_r*.json artifact committed"}
+    latest = sweeps[-1]
+    art_head = json.load(open(latest)).get("head")
+    res = {"artifact": os.path.basename(latest), "artifact_head": art_head}
+    if not art_head:
+        return {**res, "ok": False, "reason": "artifact has no head field"}
+
+    def _git(*args):
+        return subprocess.run(
+            ["git", "-C", repo, *args],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+
+    try:
+        cur = _git("rev-parse", "HEAD")
+        art_full = _git("rev-parse", art_head)
+    except subprocess.CalledProcessError as exc:
+        return {**res, "ok": False, "reason": f"git: {exc.stderr.strip()}"}
+    res["head"] = cur[:7]
+    if art_full == cur:
+        return {**res, "ok": True, "code_paths_changed": []}
+    try:
+        changed = _git(
+            "diff", "--name-only", f"{art_full}..{cur}"
+        ).splitlines()
+    except subprocess.CalledProcessError as exc:
+        return {**res, "ok": False, "reason": f"git diff: {exc.stderr.strip()}"}
+    artifact_only = re.compile(r"^(?:[^/]+\.(?:json|md)|docs/.*)$")
+    bad = [p for p in changed if not artifact_only.match(p)]
+    res["code_paths_changed"] = bad
+    res["ok"] = not bad
+    if bad:
+        res["reason"] = (
+            f"{os.path.basename(latest)} was swept at {art_head} but HEAD "
+            f"changed code since: {bad[:10]} — re-run verify_all --round N"
+        )
+    return res
+
+
 def run_entry_smoke(spark) -> dict:
     import __spark_entry__ as E
 
@@ -183,6 +246,12 @@ def main() -> None:
     )
     ap.add_argument("--only", default=None, help="comma-separated entries")
     ap.add_argument(
+        "--allow-stale-sweep",
+        action="store_true",
+        help="report but do not fail the sweep-at-HEAD check (mid-round "
+        "use; the round-close --quick run must pass it)",
+    )
+    ap.add_argument(
         "--round",
         type=int,
         default=None,
@@ -194,6 +263,15 @@ def main() -> None:
 
     summary: dict = {"contract": check_contract()}
     print(f"contract: {summary['contract']}", flush=True)
+
+    sweep_head = check_sweep_head()
+    print(f"sweep_head: {sweep_head}", flush=True)
+    # enforce only in --quick without a fresh --round write: the judge's
+    # round-close invocation; a --round run supersedes the committed
+    # artifact it is about to rewrite, and --allow-stale-sweep is the
+    # documented mid-round escape
+    if args.quick and not args.allow_stale_sweep and args.round is None:
+        summary["sweep_head"] = sweep_head
 
     from database_extractor_spark.session import create_spark_client
 
@@ -241,6 +319,7 @@ def main() -> None:
     if args.round is not None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         head = os.popen("git -C %s rev-parse --short HEAD" % repo).read().strip()
+        head_full = os.popen("git -C %s rev-parse HEAD" % repo).read().strip()
         for key, fname in (
             ("sweep", f"SWEEP_r{args.round}.json"),
             ("degenerate", f"DEGEN_r{args.round}.json"),
@@ -253,7 +332,8 @@ def main() -> None:
                 )
                 with open(os.path.join(repo, fname), "w") as f:
                     json.dump(
-                        {"head": head, "sf_dir": src, **summary[key]},
+                        {"head": head, "head_full": head_full,
+                         "sf_dir": src, **summary[key]},
                         f,
                         indent=1,
                         default=str,
