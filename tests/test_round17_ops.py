@@ -108,3 +108,52 @@ def test_mnn_bucketed_preserves_shared_cell_mutual_pairs(spark):
             )
     for a, b in bucketed:
         assert cell[a] == cell[b]
+
+
+def test_artifact_consumer_audit_derivation_and_shapes(spark):
+    """VERDICT r16 item 5 plumbing: the artifact-consumer audit must
+    (a) mechanically find every known consumer — new consumers enroll
+    by construction, so a missing name here means the derivation broke
+    — and (b) find no over-threshold unbounded artifact broadcast at
+    this fixture (artifacts are tiny here, so any violation means the
+    size gate itself broke). The scaled-fixture runs live in the
+    BASELINE.md census."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "artifact_consumer_audit",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "artifact_consumer_audit.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    consumers = set(mod.consumer_entries())
+    for must in (
+        "mutual_nearest_neighbors_bucketed",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "eval_split_decontaminated",
+        "ivf_index_maintenance",
+        "semdedup_prune",
+    ):
+        assert must in consumers, f"consumer derivation lost {must}"
+
+    from database_extractor_spark.registry import QUERIES
+
+    art = mod.max_artifact_bytes(SF_DIR)
+    for name in ("dedup_minhash_lsh", "mutual_nearest_neighbors_bucketed"):
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits = mod.unbounded_artifact_broadcasts(plan)
+        if hits:
+            assert art <= 10 * 1024 * 1024, (
+                f"{name}: over-threshold artifact broadcast {hits}"
+            )
