@@ -779,9 +779,12 @@ def mutual_nearest_neighbors_bucketed(spark, sf_dir):
     — maintenance/search/mining all read the same table, the
     ivf_index_maintenance discipline); per-side L2 norms hoisted into
     the side projections; the bucket join is an equi-join on
-    (label, cell); two partitioned windows extract each side's top-1
-    with deterministic id tie-break; mutual filter is one equi-join of
-    the rank-1 sets. Artifact-consumer plan note (VERDICT r16 item 5):
+    (label, cell); BOTH sides' top-1 ranks ride the SAME pair frame as
+    two sequential partitioned windows with deterministic id tie-break,
+    and the mutual filter is one conjunctive predicate — never the
+    branch-and-join shape that re-plans the pair pipeline per side
+    (measured 329 s vs 9.8 s at sf10, BASELINE.md r17). Artifact-
+    consumer plan note (VERDICT r16 item 5):
     the pair join is a self-read of the artifact — both sides scale
     together, so no broadcast pin is needed; either SMJ or
     shuffled-hash is the wanted shape at every SF. Cosines are rounded
@@ -831,12 +834,19 @@ def mutual_nearest_neighbors_bucketed(spark, sf_dir):
         (F.col("label") == F.col("label_b"))
         & (F.col("cell") == F.col("cell_b")),
     ).select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+    # BOTH ranks ride ONE pair frame as two sequential partitioned
+    # windows, then one conjunctive filter — the fixed-label twin's
+    # na/nb branch-and-join shape re-plans the bucket join + cos fold
+    # once per branch plus a rank-1 equi-join (measured 329 s at sf10);
+    # this single-pass shape reads 9.8 s on identical pair volume. The
+    # ranks are independent of each other, so filtering ra=1 AND rb=1
+    # on the fully-ranked frame is exactly the mutual-top-1 set.
     wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), "b_id")
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), "a_id")
-    na = pairs.withColumn("ra", F.row_number().over(wa)).filter("ra = 1")
-    nb = pairs.withColumn("rb", F.row_number().over(wb)).filter("rb = 1")
     return (
-        na.select("a_id", "b_id", "cos")
-        .join(nb.select("a_id", "b_id"), ["a_id", "b_id"])
+        pairs.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter("ra = 1 and rb = 1")
+        .select("a_id", "b_id", "cos")
         .orderBy("a_id")
     )
