@@ -1002,22 +1002,49 @@ def edit_distance_pairs(
     # floor division explicitly: a plain double-division + int cast TRUNCATES
     # in Spark but ROUNDS in DuckDB, silently shifting band membership
     band = F.floor(F.col(len_col) / band_width).cast("int").alias("__band")
+    # r17 census fix (326 s at sf0.1): the full O(len^2) Levenshtein DP
+    # ran on EVERY within-band pair. Two sound cuts, neither changing a
+    # single output row:
+    # 1. a 32-bucket char-histogram LOWER BOUND computed once per doc —
+    #    one edit changes the bucketed histogram by <= 2 (substitution
+    #    moves one count each way; insert/delete one), so
+    #    L1(hist_a, hist_b) <= 2 * lev; pairs failing
+    #    L1 <= 2 * max_dist skip the DP entirely (64 int ops vs a
+    #    ~len*max_dist DP; random non-dup pairs nearly all fail here);
+    # 2. the bounded 3-arg levenshtein on survivors — banded DP
+    #    O(len * max_dist) instead of O(len^2), returning -1 past the
+    #    threshold (the filter the unbounded form re-derived).
+    chars = "abcdefghijklmnopqrstuvwxyz0123456 "
+    hist = F.array(
+        *[
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.lit(c)))
+            for c in chars
+        ]
+    )
     b = df.filter(F.col(len_col) <= max_len).select(
-        id_col, text_col, *group_cols, band
+        id_col, text_col, *group_cols, band, hist.alias("__h")
     )
     on = ["__band", *group_cols]
     lhs, rhs = b.alias("a"), b.alias("b")
+    l1 = F.aggregate(
+        F.zip_with(F.col("a.__h"), F.col("b.__h"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    lev = F.levenshtein(
+        F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), max_dist
+    ).cast("int")
     return (
         lhs.join(rhs, on=on)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(l1 <= 2 * max_dist)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
-            .cast("int")
-            .alias("lev"),
+            lev.alias("lev"),
         )
-        .filter(F.col("lev") <= max_dist)
+        .filter(F.col("lev") >= 0)
     )
 
 

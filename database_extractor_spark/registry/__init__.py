@@ -68,13 +68,17 @@ _VERIFY_FIRST = [
     # — changed code re-earns its driver row.
     "canary_leak_scan",
     "market_basket_lift",
+    # Slots 4-5: the r17 additions (KS drift test, conformal
+    # threshold), locally oracled + tested, queued immediately.
+    "drift_ks_test",
+    "conformal_threshold",
     # ---- stale-cohort rotation (VERDICT r16 item 3): with 358 entries
     # and a 50-slot window, driver evidence must age uniformly — this
     # round re-verifies the STALEST cohorts: the full r9 batch (15
-    # entries, 8 rounds stale) and the first 32 of the r10 batch by
+    # entries, 8 rounds stale) and the first 30 of the r10 batch by
     # name (the rest of r10 + r11 lead the r18 queue). All pass the
     # local sweep at HEAD; >=80% of this window predates r12
-    # (47/50 = 94%).
+    # (45/50 = 90%).
     # r9 cohort (complete):
     "cogroup_pandas_asof",
     "collation_ci_group",
@@ -122,8 +126,6 @@ _VERIFY_FIRST = [
     "text_edit_distance_pairs",
     "text_lang_id",
     "text_quality",
-    "text_repetition",
-    "text_source_roundtrip",
 ]
 
 

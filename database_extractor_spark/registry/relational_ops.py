@@ -106,13 +106,33 @@ def approx_distinct(spark, sf_dir):
     hash-deterministic, so the value cannot flap between runs). The oracle
     states the exact distinct for both columns. The genuinely-approximate
     regime (default rsd=0.05 on the full user_id domain) keeps its
-    bounded-error property pin in tests/test_timeseries_ops.py."""
+    bounded-error property pin in tests/test_timeseries_ops.py.
+
+    r17 census fix (144.6 s at sf0.1 -> sub-second): mixing the two
+    rsd=0.005 HLL sketches into the SAME aggregate as two Expand-based
+    COUNT(DISTINCT)s made Spark key the partial aggregate on
+    (day, gid, distinct-col) — one ~48 KB p=16 register array PER
+    (day x distinct value) group instead of per day, exploding sketch
+    state with corpus cardinality. The sketch pass and the exact pass
+    now run as separate day-keyed aggregates joined on |days| rows —
+    each is map-side combinable with bounded state, the shape a 100 TB
+    rollup needs anyway."""
     ev = _tbl(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hll = ev.groupBy(day).agg(
         F.approx_count_distinct("event_type", 0.005).alias("approx_event_types"),
         F.approx_count_distinct("user_id", 0.005).alias("approx_users"),
+    )
+    exact = ev.groupBy(day).agg(
         F.count_distinct("event_type").alias("exact_event_types"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    return hll.join(exact, "day").select(
+        "day",
+        "approx_event_types",
+        "approx_users",
+        "exact_event_types",
+        "exact_users",
     )
 
 

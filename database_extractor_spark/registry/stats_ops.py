@@ -10,7 +10,7 @@ rule). Entry bodies follow the registry conventions documented in
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_extractor_spark.registry._base import (
@@ -849,4 +849,299 @@ def mutual_nearest_neighbors_bucketed(spark, sf_dir):
         .filter("ra = 1 and rb = 1")
         .select("a_id", "b_id", "cos")
         .orderBy("a_id")
+    )
+
+
+# ==========================================================================
+# Two-sample KS drift test + split-conformal threshold (round 17)
+# ==========================================================================
+
+@register(
+    "drift_ks_test",
+    """
+    with e as (
+        select value,
+               case when date_part('day', ts) <= 15 then 1 else 0 end as ia
+        from events where value is not null
+    ),
+    pv as (
+        select value,
+               cast(sum(ia) as bigint) as a_cnt,
+               cast(sum(1 - ia) as bigint) as b_cnt
+        from e group by value
+    ),
+    n as (select cast(sum(a_cnt) as bigint) as n_a,
+                 cast(sum(b_cnt) as bigint) as n_b
+          from pv),
+    c as (
+        select value,
+               sum(a_cnt) over w as ca,
+               sum(b_cnt) over w as cb
+        from pv
+        window w as (order by value
+                     rows between unbounded preceding and current row)
+    )
+    select n.n_a, n.n_b,
+           cast(max(abs(c.ca * n.n_b - c.cb * n.n_a)) as bigint) as ks_num,
+           case when n.n_a = 0 or n.n_b = 0 then null
+                else round(max(abs(c.ca * n.n_b - c.cb * n.n_a))
+                           / (cast(n.n_a as double) * cast(n.n_b as double)),
+                           6) end as ks_stat
+    from c cross join n
+    group by n.n_a, n.n_b
+    """,
+)
+def drift_ks_test(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST — the proper
+    distribution-equality statistic next to psi_drift's binned
+    heuristic (DISTINCT capability: PSI depends on an arbitrary binning
+    and saturates; KS is the exact sup-norm distance between the two
+    empirical CDFs, the number a drift monitor can threshold with known
+    distribution-free behavior). Samples: event values in the first
+    half of the month vs the second (the release-over-release drift
+    axis). Exactness: D = max |F_A - F_B| is computed on the INTEGER
+    lattice — max over values of |cum_a * n_b - cum_b * n_a| — so the
+    argmax and the statistic numerator are exact bigints; ONE double
+    division at the end (identical IEEE both engines), NULL on an
+    empty side rather than inf. Scale: per-value counts are a
+    map-side-combinable aggregate whose cardinality is bounded by the
+    VALUE DOMAIN (the 0.01 grid), not the row count; the cumulative
+    sums use the two-level distributed prefix-sum (16-wide value
+    buckets: intra-bucket partitioned window + a bounded carry array
+    broadcast back — the cumulative_distinct_users shape, no global
+    single-task window); the final max is one 1-row reduce."""
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ia = F.when(
+        F.dayofmonth(F.col("ts").cast("timestamp")) <= 15, 1
+    ).otherwise(0)
+    pv = ev.select(F.col("value"), ia.alias("ia")).groupBy("value").agg(
+        F.sum("ia").cast("bigint").alias("a_cnt"),
+        F.sum(1 - F.col("ia")).cast("bigint").alias("b_cnt"),
+    )
+    bucket = F.floor(F.col("value") / 16).cast("long").alias("bk")
+    d = pv.withColumn("bk", bucket)
+    w = (
+        Window.partitionBy("bk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_bucket = d.groupBy("bk").agg(
+        F.sum("a_cnt").alias("ta"), F.sum("b_cnt").alias("tb")
+    )
+    carry = (
+        per_bucket.agg(
+            F.sort_array(F.collect_list(F.struct("bk", "ta", "tb"))).alias("a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.bk as bk, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.ta)"
+                    " as ca0, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.tb)"
+                    " as cb0))"
+                )
+            ).alias("s")
+        )
+        .select("s.bk", "s.ca0", "s.cb0")
+    )
+    cum = (
+        d.withColumn("ia_run", F.sum("a_cnt").over(w))
+        .withColumn("ib_run", F.sum("b_cnt").over(w))
+        .join(F.broadcast(carry), "bk")
+        .select(
+            (F.col("ia_run") + F.col("ca0")).alias("ca"),
+            (F.col("ib_run") + F.col("cb0")).alias("cb"),
+        )
+    )
+    n = pv.agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        F.sum("b_cnt").cast("bigint").alias("n_b"),
+    )
+    diff = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(diff).cast("bigint").alias("ks_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("ks_num")
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("ks_stat"),
+        )
+    )
+
+
+_CONF_SPLIT_SQL = (
+    "('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::bigint % 10"
+)
+
+
+@register(
+    "conformal_threshold",
+    f"""
+    with e as (
+        select event_id, event_type, value,
+               {_CONF_SPLIT_SQL} < 8 as is_cal
+        from events where value is not null
+    ),
+    pred as (
+        select event_type,
+               cast(sum(cast(value as decimal(18,6))) as double) / count(*)
+                   as mu
+        from e where is_cal group by event_type
+    ),
+    cal as (
+        select abs(e.value - p.mu) as score
+        from e join pred p using (event_type) where e.is_cal
+    ),
+    n as (select cast(count(*) as bigint) as n_cal from cal),
+    k as (select n_cal, (9 * (n_cal + 1) + 9) // 10 as k from n),
+    q as (
+        select k.n_cal, k.k, s.score as qhat
+        from (select score,
+                     row_number() over (order by score) as rn
+              from cal) s join k on s.rn = k.k
+    ),
+    tst as (
+        select cast(count(*) as bigint) as n_test,
+               cast(sum(case when abs(e.value - p.mu) <= q.qhat
+                        then 1 else 0 end) as bigint) as n_covered
+        from e join pred p using (event_type) cross join q
+        where not e.is_cal
+    )
+    select q.n_cal, q.k, round(q.qhat, 6) as qhat,
+           tst.n_test, tst.n_covered,
+           cast(1000000 * tst.n_covered // tst.n_test as bigint)
+               as coverage_ppm
+    from q cross join tst
+    """,
+)
+def conformal_threshold(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION THRESHOLD — distribution-free
+    calibrated error bounds, the eval-rigor capability next to
+    metric_bootstrap_ci (DISTINCT: the bootstrap quantifies uncertainty
+    OF AN AGGREGATE; conformal calibrates a PER-PREDICTION guarantee —
+    "90% of future errors fall under qhat" — with the finite-sample
+    k = ceil((n+1)(1-alpha)) correction, no distributional assumption;
+    Vovk et al., the standard recipe for calibrated thresholds on any
+    scorer). Setup: deterministic md5 80/20 calibration/test split of
+    events (the split_train_val_test lane); the "model" is the
+    per-event-type mean value fitted on calibration ONLY (decimal-exact
+    sum/count so mu is bit-identical cross-engine); nonconformity score
+    = |value - mu|; qhat = the k-th smallest calibration score as an
+    EXACT ORDER STATISTIC (k = (9(n+1)+9) div 10, pure integer); the
+    held-out coverage is reported in exact integer ppm — at alpha=0.1
+    it lands >= 900000 by the conformal guarantee (pytest-pinned).
+    Scale: one aggregate for the model (|event_types| rows, broadcast
+    back), the k-th order statistic via per-score counts + the
+    two-level distributed prefix-sum over 16-wide score buckets (value
+    domain-bounded, no global window, no sort of the corpus), coverage
+    one more scan. The qhat pick uses cumulative count >= k on the
+    distinct-score lattice — ties collapse, exactly like the SQL
+    row_number pick."""
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket10 = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    e = ev.select(
+        "event_id", "event_type", "value", (bucket10 < 8).alias("is_cal")
+    )
+    pred = (
+        e.filter("is_cal")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mu")
+        )
+    )
+    cal = (
+        e.filter("is_cal")
+        .join(F.broadcast(pred), "event_type")
+        .select(F.abs(F.col("value") - F.col("mu")).alias("score"))
+    )
+    # distinct-score lattice with counts, then the two-level prefix sum
+    sc = cal.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
+    d = sc.withColumn("bk", F.floor(F.col("score") / 16).cast("long"))
+    w = (
+        Window.partitionBy("bk")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        d.groupBy("bk")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sort_array(F.collect_list(F.struct("bk", "t"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (s, i) -> struct(s.bk as bk, "
+                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.t)"
+                    " as c0))"
+                )
+            ).alias("s")
+        )
+        .select("s.bk", "s.c0")
+    )
+    cum = (
+        d.withColumn("run", F.sum("c").over(w))
+        .join(F.broadcast(carry), "bk")
+        .select("score", (F.col("run") + F.col("c0")).alias("cum"))
+    )
+    nk = cal.agg(F.count("*").cast("bigint").alias("n_cal")).select(
+        "n_cal",
+        F.expr("(9 * (n_cal + 1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    q = (
+        cum.crossJoin(F.broadcast(nk))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("score").alias("qhat"))
+    )
+    tst = (
+        e.filter(~F.col("is_cal"))
+        .join(F.broadcast(pred), "event_type")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.first("qhat").alias("__qhat"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) <= F.col("qhat"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return tst.select(
+        "n_cal",
+        "k",
+        F.round(F.col("__qhat"), 6).alias("qhat"),
+        "n_test",
+        "n_covered",
+        F.expr("cast(1000000 * n_covered div n_test as bigint)").alias(
+            "coverage_ppm"
+        ),
     )

