@@ -68,9 +68,10 @@ _VERIFY_FIRST = [
     # — changed code re-earns its driver row.
     "canary_leak_scan",
     "market_basket_lift",
-    # Slots 4-5: the r17 additions (KS drift test, conformal
-    # threshold), locally oracled + tested, queued immediately.
-    "drift_ks_test",
+    # Slot 4: the r17 addition (split-conformal threshold), locally
+    # oracled + tested, queued immediately. (A drift_ks_test draft was
+    # withdrawn in-round: ks_test_drift already carries that exact
+    # capability — the distinct-capability bar held.)
     "conformal_threshold",
     # ---- stale-cohort rotation (VERDICT r16 item 3): with 358 entries
     # and a 50-slot window, driver evidence must age uniformly — this
@@ -126,6 +127,7 @@ _VERIFY_FIRST = [
     "text_edit_distance_pairs",
     "text_lang_id",
     "text_quality",
+    "text_repetition",
 ]
 
 

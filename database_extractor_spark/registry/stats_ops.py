@@ -853,138 +853,8 @@ def mutual_nearest_neighbors_bucketed(spark, sf_dir):
 
 
 # ==========================================================================
-# Two-sample KS drift test + split-conformal threshold (round 17)
+# Split-conformal threshold (round 17)
 # ==========================================================================
-
-@register(
-    "drift_ks_test",
-    """
-    with e as (
-        select value,
-               case when date_part('day', ts) <= 15 then 1 else 0 end as ia
-        from events where value is not null
-    ),
-    pv as (
-        select value,
-               cast(sum(ia) as bigint) as a_cnt,
-               cast(sum(1 - ia) as bigint) as b_cnt
-        from e group by value
-    ),
-    n as (select cast(sum(a_cnt) as bigint) as n_a,
-                 cast(sum(b_cnt) as bigint) as n_b
-          from pv),
-    c as (
-        select value,
-               sum(a_cnt) over w as ca,
-               sum(b_cnt) over w as cb
-        from pv
-        window w as (order by value
-                     rows between unbounded preceding and current row)
-    )
-    select n.n_a, n.n_b,
-           cast(max(abs(c.ca * n.n_b - c.cb * n.n_a)) as bigint) as ks_num,
-           case when n.n_a = 0 or n.n_b = 0 then null
-                else round(max(abs(c.ca * n.n_b - c.cb * n.n_a))
-                           / (cast(n.n_a as double) * cast(n.n_b as double)),
-                           6) end as ks_stat
-    from c cross join n
-    group by n.n_a, n.n_b
-    """,
-)
-def drift_ks_test(spark, sf_dir):
-    """TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST — the proper
-    distribution-equality statistic next to psi_drift's binned
-    heuristic (DISTINCT capability: PSI depends on an arbitrary binning
-    and saturates; KS is the exact sup-norm distance between the two
-    empirical CDFs, the number a drift monitor can threshold with known
-    distribution-free behavior). Samples: event values in the first
-    half of the month vs the second (the release-over-release drift
-    axis). Exactness: D = max |F_A - F_B| is computed on the INTEGER
-    lattice — max over values of |cum_a * n_b - cum_b * n_a| — so the
-    argmax and the statistic numerator are exact bigints; ONE double
-    division at the end (identical IEEE both engines), NULL on an
-    empty side rather than inf. Scale: per-value counts are a
-    map-side-combinable aggregate whose cardinality is bounded by the
-    VALUE DOMAIN (the 0.01 grid), not the row count; the cumulative
-    sums use the two-level distributed prefix-sum (16-wide value
-    buckets: intra-bucket partitioned window + a bounded carry array
-    broadcast back — the cumulative_distinct_users shape, no global
-    single-task window); the final max is one 1-row reduce."""
-    ev = _tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    ia = F.when(
-        F.dayofmonth(F.col("ts").cast("timestamp")) <= 15, 1
-    ).otherwise(0)
-    pv = ev.select(F.col("value"), ia.alias("ia")).groupBy("value").agg(
-        F.sum("ia").cast("bigint").alias("a_cnt"),
-        F.sum(1 - F.col("ia")).cast("bigint").alias("b_cnt"),
-    )
-    bucket = F.floor(F.col("value") / 16).cast("long").alias("bk")
-    d = pv.withColumn("bk", bucket)
-    w = (
-        Window.partitionBy("bk")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    per_bucket = d.groupBy("bk").agg(
-        F.sum("a_cnt").alias("ta"), F.sum("b_cnt").alias("tb")
-    )
-    carry = (
-        per_bucket.agg(
-            F.sort_array(F.collect_list(F.struct("bk", "ta", "tb"))).alias("a")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (s, i) -> struct(s.bk as bk, "
-                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.ta)"
-                    " as ca0, "
-                    "aggregate(slice(a, 1, i), 0L, (acc, t) -> acc + t.tb)"
-                    " as cb0))"
-                )
-            ).alias("s")
-        )
-        .select("s.bk", "s.ca0", "s.cb0")
-    )
-    cum = (
-        d.withColumn("ia_run", F.sum("a_cnt").over(w))
-        .withColumn("ib_run", F.sum("b_cnt").over(w))
-        .join(F.broadcast(carry), "bk")
-        .select(
-            (F.col("ia_run") + F.col("ca0")).alias("ca"),
-            (F.col("ib_run") + F.col("cb0")).alias("cb"),
-        )
-    )
-    n = pv.agg(
-        F.sum("a_cnt").cast("bigint").alias("n_a"),
-        F.sum("b_cnt").cast("bigint").alias("n_b"),
-    )
-    diff = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
-    return (
-        cum.crossJoin(F.broadcast(n))
-        .groupBy("n_a", "n_b")
-        .agg(F.max(diff).cast("bigint").alias("ks_num"))
-        .select(
-            "n_a",
-            "n_b",
-            "ks_num",
-            F.when(
-                (F.col("n_a") == 0) | (F.col("n_b") == 0),
-                F.lit(None).cast("double"),
-            )
-            .otherwise(
-                F.round(
-                    F.col("ks_num")
-                    / (
-                        F.col("n_a").cast("double")
-                        * F.col("n_b").cast("double")
-                    ),
-                    6,
-                )
-            )
-            .alias("ks_stat"),
-        )
-    )
-
 
 _CONF_SPLIT_SQL = (
     "('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::bigint % 10"

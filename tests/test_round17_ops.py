@@ -159,33 +159,6 @@ def test_artifact_consumer_audit_derivation_and_shapes(spark):
             )
 
 
-def test_drift_ks_test_python_replay(spark):
-    """Exact replay of the KS lattice in pure Python: same half-month
-    split, same integer numerator max, same single division."""
-    import pandas as pd
-
-    from database_extractor_spark.registry import QUERIES
-
-    row = QUERIES["drift_ks_test"](spark, SF_DIR).collect()[0]
-    pdf = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))[
-        ["ts", "value"]
-    ].dropna(subset=["value"])
-    pdf["ia"] = (pd.to_datetime(pdf["ts"]).dt.day <= 15).astype(int)
-    g = pdf.groupby("value")["ia"].agg(["sum", "count"]).sort_index()
-    a_cnt = g["sum"].astype(int)
-    b_cnt = (g["count"] - g["sum"]).astype(int)
-    na, nb = int(a_cnt.sum()), int(b_cnt.sum())
-    ca = cb = 0
-    best = 0
-    for v in g.index:
-        ca += int(a_cnt[v])
-        cb += int(b_cnt[v])
-        best = max(best, abs(ca * nb - cb * na))
-    assert row["n_a"] == na and row["n_b"] == nb
-    assert row["ks_num"] == best
-    assert row["ks_stat"] == round(best / (float(na) * float(nb)), 6)
-
-
 def test_conformal_threshold_guarantee(spark):
     """The conformal pieces must be internally consistent: k is the
     exact finite-sample index ceil(0.9*(n+1)); qhat is the k-th
