@@ -496,27 +496,46 @@ def text_unigram_logprob(spark, sf_dir):
 )
 def range_join_counts(spark, sf_dir):
     """Point-in-interval range join (orders placed within a week of a
-    high-quantity shipment), bucketed into an equi-join — see
-    operators.timeseries.range_join for the plan. The 7-day bucket equals
-    the interval width, so each interval lands in ≤2 buckets (~2×
-    replication) and the join stays a hash shuffle, never
-    BroadcastNestedLoopJoin. Output cardinality = |intervals| × window ×
-    points-per-day — the width and the quantity cut keep the true result
-    (and thus any engine's cost) linear-ish in the input, which is the
-    knob that matters at 100 TB."""
-    from database_extractor_spark.operators.timeseries import range_join
-
+    high-quantity shipment), AGGREGATED — and therefore executed with
+    the aggregation PUSHED THROUGH the range join (r17 census fix):
+    the general pair-producing form (operators.timeseries.range_join,
+    the bucketed equi-join rewrite) materializes |intervals| x
+    points-per-interval pairs, and since BOTH sides grow with SF the
+    pair set grows ~SF^2 — measured 1.2G pairs / 34 s at sf1 and a
+    projected ~120G pairs at sf10 (the warm-up run was killed at 10+
+    min). For a COUNT-shaped consumer none of those pairs need to
+    exist: orders pre-aggregate to per-(day, priority) counts (bounded
+    by calendar x priorities, broadcastable at any SF), each interval
+    explodes into its 8 covered days (a fixed x8, not data-dependent
+    fan), and the equi-join on the day attaches pre-summed counts —
+    identical result, cost linear in |intervals|. Catalyst cannot do
+    this rewrite itself (the aggregate is above a non-equi join in the
+    logical plan); it is the hand-applied partial-aggregation-pushdown
+    a 100 TB engine needs for aggregate-over-range-join, while
+    range_join stays the right operator when the pairs themselves are
+    the output (asof/enrichment shapes)."""
     li = (
         _tbl(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 49)
-        .select(
-            "l_shipdate",
-            F.date_add(F.col("l_shipdate"), 7).alias("l_enddate"),
-        )
+        .select("l_shipdate")
     )
-    o = _tbl(spark, sf_dir, "orders").select("o_orderdate", "o_orderpriority")
-    paired = range_join(o, li, "o_orderdate", "l_shipdate", "l_enddate")
-    return paired.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    od = (
+        _tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderdate", "o_orderpriority")
+        .agg(F.count("*").alias("__n"))
+    )
+    days = li.select(
+        F.explode(
+            F.sequence(
+                F.col("l_shipdate"), F.date_add(F.col("l_shipdate"), 7)
+            )
+        ).alias("d")
+    )
+    return (
+        days.join(F.broadcast(od), days.d == od.o_orderdate)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("__n").cast("bigint").alias("n"))
+    )
 
 
 @register(

@@ -1064,11 +1064,21 @@ def dedup_threshold_sweep(spark, sf_dir):
 
     Scale: identical join shapes to dedup_lsh_quality_eval (inverted
     index + band buckets, never cartesian); the threshold explode
-    multiplies only the joined PAIR set (x5), not the corpus."""
+    multiplies only the joined PAIR set (x5), not the corpus. r17
+    census fix: the truth arm now hands the PERSISTED shingle artifact
+    (_cached_shingle3 — (doc_id, s) xxhash64 3-grams, byte-identical
+    to the inline derivation incl. the NULL->''-shingle rule) to
+    ngram_jaccard_pairs via its ``sh`` parameter — the artifact lane
+    that parameter was built for (ADVICE r16 flagged it caller-less):
+    the tokenize+explode stage drops out and BOTH sides of the
+    inverted-index self-join read the one cached frame. Measured
+    min-of-2 at sf1: 128.0 -> 32.7 s."""
     docs = _tbl(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
-    truth = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    truth = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, sh=_cached_shingle3(spark, sf_dir)
+    )
     sigs = _cached_minhash_sigs(spark, sf_dir)
     pred = (
         D.estimate_jaccard(D.lsh_candidate_pairs(sigs), sigs)
