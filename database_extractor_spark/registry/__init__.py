@@ -73,13 +73,18 @@ _VERIFY_FIRST = [
     # withdrawn in-round: ks_test_drift already carries that exact
     # capability — the distinct-capability bar held.)
     "conformal_threshold",
+    # Slots 6-7: plans changed in-round by the census fixes
+    # (aggregation pushdown; shingle-artifact truth arm) — changed
+    # code re-earns its driver row.
+    "range_join_counts",
+    "dedup_threshold_sweep",
     # ---- stale-cohort rotation (VERDICT r16 item 3): with 358 entries
     # and a 50-slot window, driver evidence must age uniformly — this
     # round re-verifies the STALEST cohorts: the full r9 batch (15
     # entries, 8 rounds stale) and the first 30 of the r10 batch by
     # name (the rest of r10 + r11 lead the r18 queue). All pass the
     # local sweep at HEAD; >=80% of this window predates r12
-    # (45/50 = 90%).
+    # (43/50 = 86%).
     # r9 cohort (complete):
     "cogroup_pandas_asof",
     "collation_ci_group",
@@ -126,8 +131,6 @@ _VERIFY_FIRST = [
     "text_bm25",
     "text_edit_distance_pairs",
     "text_lang_id",
-    "text_quality",
-    "text_repetition",
 ]
 
 
