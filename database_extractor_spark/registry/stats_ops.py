@@ -981,11 +981,20 @@ def conformal_threshold(spark, sf_dir):
         "n_cal",
         F.expr("(9 * (n_cal + 1) + 9) div 10").cast("bigint").alias("k"),
     )
+    # TWO chained 1-row scalar attaches, both with global-aggregate
+    # build sides (the lint's two-attach tier): k over the calibration
+    # count, then qhat (itself reduced to a 1-row global aggregate)
+    # over the test scan — a constant-key equi-join dodge was tried and
+    # rejected: literal join keys constant-fold and the join degrades
+    # to the same nested loop, less visibly
     q = (
         cum.crossJoin(F.broadcast(nk))
         .filter(F.col("cum") >= F.col("k"))
-        .groupBy("n_cal", "k")
-        .agg(F.min("score").alias("qhat"))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.min("score").alias("qhat"),
+        )
     )
     tst = (
         e.filter(~F.col("is_cal"))

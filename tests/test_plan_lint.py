@@ -90,6 +90,14 @@ ARROW_OK = {
 #: "attach a scalar in-plan" shape. The nested loop degenerates to a
 #: constant-time single-row probe per stream row — O(n), not quadratic —
 #: and it replaces a driver-side .count() that cost a whole extra job.
+#: entries allowed TWO chained scalar attaches — every nested-loop build
+#: side is still shape-checked as a 1-row global aggregate below
+SCALAR_ATTACH_OK_2 = {
+    # conformal: k over the 1-row calibration count, then qhat (itself a
+    # 1-row global aggregate) over the test scan
+    "conformal_threshold",
+}
+
 SCALAR_ATTACH_OK = {
     "text_tfidf",
     "text_unigram_logprob",
@@ -125,6 +133,7 @@ SCALAR_ATTACH_OK = {
     # KS sample sizes (n1, n2) ride one 1-row attach over the pooled
     # value-grid aggregate
     "ks_test_drift",
+
     # the basket-universe order count (1-row COUNT DISTINCT) rides one
     # attach; the pair self-join and marginal joins are all equi-joins
     "market_basket_lift",
@@ -405,9 +414,28 @@ def test_plan_has_no_scale_antipatterns(name, spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
-    if name in SCALAR_ATTACH_OK:
-        assert plan.count("BroadcastNestedLoopJoin") <= 1, (
-            f"{name}: only the single scalar-attach nested-loop join is allowed"
+    if name in SCALAR_ATTACH_OK or name in SCALAR_ATTACH_OK_2:
+        cap = 2 if name in SCALAR_ATTACH_OK_2 else 1
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= cap, (
+            f"{name}: only {cap} scalar-attach nested-loop join(s) allowed"
+        )
+        # EVERY IdentityBroadcastMode exchange (the BNLJ build side) must
+        # be the 1-row global-aggregate shape — count must match, so a
+        # second broadcast of something multi-row cannot hide behind the
+        # cap
+        import re as _re
+
+        builds = _re.findall(
+            r"BroadcastExchange IdentityBroadcastMode[^\n]*\n[\s:]*\+- "
+            r"(?:(?:Project|Filter)[ \[][^\n]*\n[\s:]*\+- ){0,8}"
+            r"(?:Object)?HashAggregate\(keys=\[\]",
+            plan,
+        )
+        assert len(builds) >= n_bnlj, (
+            f"{name}: {n_bnlj} nested-loop joins but only {len(builds)} "
+            f"1-row global-aggregate build sides — a multi-row broadcast "
+            f"is hiding behind the scalar-attach cap:\n{plan}"
         )
         if "BroadcastNestedLoopJoin" in plan:
             # the whitelisted shape is O(n): the broadcast side must be a
