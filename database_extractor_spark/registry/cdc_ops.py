@@ -1360,11 +1360,13 @@ def streaming_content_checksum(spark, sf_dir):
     reduction happens AFTER the final sum (decimal-38 state is exact
     past 1e17 rows), matching the batch twin bit for bit."""
     from database_extractor_spark.streaming import (
+        adaptive_state_partitions,
         run_available_now,
         stream_source,
     )
 
-    stream = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    _src = os.path.join(sf_dir, "events.parquet")
+    stream = stream_source(spark, _src)
     canon = F.concat_ws(
         "|",
         F.col("event_id").cast("string"),
@@ -1390,4 +1392,9 @@ def streaming_content_checksum(spark, sf_dir):
         .cast("bigint")
         .alias("checksum_b"),
     )
-    return run_available_now(spark, agg, output_mode="complete")
+    return run_available_now(
+        spark,
+        agg,
+        output_mode="complete",
+        state_partitions=adaptive_state_partitions(spark, _src),
+    )

@@ -68,11 +68,21 @@ def streaming_dedup(spark, sf_dir):
     dropDuplicatesWithinWatermark in production for time-bounded state).
     One availableNow pass over the fixture equals the batch DISTINCT
     oracle."""
-    from database_extractor_spark.streaming import run_available_now, stream_source
+    from database_extractor_spark.streaming import (
+        adaptive_state_partitions,
+        run_available_now,
+        stream_source,
+    )
 
-    s = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    s = stream_source(spark, src)
     dd = s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return run_available_now(spark, dd, output_mode="append")
+    return run_available_now(
+        spark,
+        dd,
+        output_mode="append",
+        state_partitions=adaptive_state_partitions(spark, src),
+    )
 
 
 @register(
@@ -92,13 +102,19 @@ def streaming_incremental_sink(spark, sf_dir):
         stream_source,
     )
 
+    from database_extractor_spark.streaming import adaptive_state_partitions
+
     base = tempfile.mkdtemp(prefix="inc_sink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    s = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    s = stream_source(spark, src)
     filtered = s.filter("event_type = 'purchase'").select("event_id", "user_id", "value")
     result = None
+    n_state = adaptive_state_partitions(spark, src)
     for _ in range(2):
-        result = run_available_now_to_parquet(spark, filtered, out, ckpt)
+        result = run_available_now_to_parquet(
+            spark, filtered, out, ckpt, state_partitions=n_state
+        )
     return result
 
 

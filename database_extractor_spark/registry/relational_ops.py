@@ -822,9 +822,14 @@ def streaming_join_static(spark, sf_dir):
     hourly aggregate, executed with the availableNow trigger. Oracle =
     the equivalent batch join/aggregate, proving the incremental plan
     converges to the batch answer."""
-    from database_extractor_spark.streaming import run_available_now, stream_source
+    from database_extractor_spark.streaming import (
+        adaptive_state_partitions,
+        run_available_now,
+        stream_source,
+    )
 
-    stream = stream_source(spark, os.path.join(sf_dir, "events.parquet"))
+    _src = os.path.join(sf_dir, "events.parquet")
+    stream = stream_source(spark, _src)
     cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
     agg = joined.groupBy(
@@ -834,7 +839,9 @@ def streaming_join_static(spark, sf_dir):
         F.count("*").alias("n"),
         R.exact_sum("value", "sum_val", scale=6),
     )
-    return run_available_now(spark, agg)
+    return run_available_now(
+        spark, agg, state_partitions=adaptive_state_partitions(spark, _src)
+    )
 
 
 @register(
@@ -903,7 +910,11 @@ def streaming_stream_stream_join(spark, sf_dir):
     bounded-state form of the batch equi+range join the oracle runs.
     Inner matches emit immediately in append mode, so availableNow over
     the bounded fixture yields exactly the batch pair set."""
-    from database_extractor_spark.streaming import run_available_now, stream_source
+    from database_extractor_spark.streaming import (
+        adaptive_state_partitions,
+        run_available_now,
+        stream_source,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
     clicks = (
@@ -924,7 +935,12 @@ def streaming_stream_stream_join(spark, sf_dir):
             "c_user = p_user and p_ts > c_ts and p_ts <= c_ts + interval 1 hour"
         ),
     )
-    return run_available_now(spark, joined.select("click_id", "purchase_id"), output_mode="append")
+    return run_available_now(
+        spark,
+        joined.select("click_id", "purchase_id"),
+        output_mode="append",
+        state_partitions=adaptive_state_partitions(spark, path),
+    )
 
 
 @register(

@@ -347,9 +347,14 @@ def streaming_quality_gate(spark, sf_dir):
     ARRIVAL rather than as a post-hoc scan. Keep decisions are the exact
     integer weight-sum predicate, so there is no FP boundary to drift
     between micro-batch and batch execution."""
-    from database_extractor_spark.streaming import run_available_now, stream_source
+    from database_extractor_spark.streaming import (
+        adaptive_state_partitions,
+        run_available_now,
+        stream_source,
+    )
 
-    stream = stream_source(spark, os.path.join(sf_dir, "documents.parquet"))
+    _src = os.path.join(sf_dir, "documents.parquet")
+    stream = stream_source(spark, _src)
     toks = T.tokens(F.lower(F.trim(F.col("text"))))
     scored = stream.select("lang", _qc_wsum(toks).alias("__wsum"))
     agg = scored.groupBy("lang").agg(
@@ -358,7 +363,9 @@ def streaming_quality_gate(spark, sf_dir):
         .cast("bigint")
         .alias("n_pass"),
     )
-    return run_available_now(spark, agg)
+    return run_available_now(
+        spark, agg, state_partitions=adaptive_state_partitions(spark, _src)
+    )
 
 
 def _auc_oracle() -> str:

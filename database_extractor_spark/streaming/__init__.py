@@ -83,6 +83,46 @@ def stream_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
     return stream
 
 
+def source_bytes(path: str) -> int:
+    """Total bytes under a source path (file, or directory tree — the
+    shape stream_source monitors). Missing paths count 0 so sizing
+    degrades to the floor instead of raising inside a plan builder."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def adaptive_state_partitions(
+    spark: SparkSession, *paths: str, bytes_per_partition: int = 32 << 20
+) -> int:
+    """Scale-ADAPTIVE shuffle/state partition count for a one-shot
+    availableNow drain, derived from the source size (guide §2: derive
+    partitioning from input size, never a constant tuned for one box).
+
+    Why it exists: a stateful micro-batch commits one state-store delta
+    file (+ fsync) PER shuffle partition PER batch, and AQE does not
+    coalesce streaming exchanges — so a small drain at the session
+    default (cores-sized, e.g. 32) pays 32 file commits to aggregate a
+    2 MB fixture. Measured on streaming_event_counts at sf0.1:
+    addBatch 6.2–9.3 s at 32 state partitions vs 0.6–2.8 s at 4 in the
+    same session (A/B, this round). One partition per ~32 MB of source,
+    floor 2; CAPPED at the session's current shuffle-partition conf so
+    a real cluster's sizing always wins at scale — the adaptive value
+    only ever LOWERS parallelism for small sources, and a restarted
+    checkpointed query keeps its recorded partitioning (Spark pins
+    state partitioning in the offset log metadata)."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = sum(source_bytes(p) for p in paths)
+    return max(2, min(cur, total // bytes_per_partition + 1))
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -107,6 +147,7 @@ def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",
     timeout_sec: int = 120,
+    state_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Execute a streaming aggregation with the ``availableNow`` trigger
     into an in-memory sink and return the result table (batch DataFrame).
@@ -115,25 +156,41 @@ def run_available_now(
     in the bucket, then stop" (reference main.py:36-43) — but exactly-once
     and incremental. For a real deployment swap the memory sink for a
     parquet/Delta sink + checkpoint dir and keep the same plan.
+
+    ``state_partitions`` (usually :func:`adaptive_state_partitions`):
+    shuffle/state partition count for THIS query, applied as a conf
+    window held through awaitTermination — the micro-batch thread reads
+    ``spark.sql.shuffle.partitions`` when it plans batch 0, after
+    ``start()`` returns, so the window must outlive the drain. Output is
+    partition-count-invariant; only the per-batch state-commit fan-out
+    changes.
     """
+    from database_extractor_spark.session import conf_window
+
     name = f"avail_now_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    confs = (
+        {"spark.sql.shuffle.partitions": str(state_partitions)}
+        if state_partitions
+        else {}
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow query {name!r} did not finish within "
-                f"{timeout_sec}s; refusing to return a partial result"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
+    with conf_window(spark, confs):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"availableNow query {name!r} did not finish within "
+                    f"{timeout_sec}s; refusing to return a partial result"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(name)
 
 
@@ -143,6 +200,7 @@ def run_available_now_to_parquet(
     out_dir: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    state_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Exactly-once incremental run: availableNow into a parquet sink with
     a checkpoint. Re-running against an unchanged source processes ZERO
@@ -153,25 +211,38 @@ def run_available_now_to_parquet(
 
     Scale: the checkpoint makes this restartable mid-run too — a killed job
     resumes from committed offsets; sink files are committed atomically per
-    micro-batch by the streaming file-sink log."""
-    q = (
-        streaming_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    micro-batch by the streaming file-sink log.
+
+    ``state_partitions``: as in :func:`run_available_now`; on a RESTART
+    against an existing checkpoint Spark takes the stateful partitioning
+    from the offset-log metadata, so a changed value never corrupts state
+    (and the adaptive value is a pure function of source size anyway)."""
+    from database_extractor_spark.session import conf_window
+
+    confs = (
+        {"spark.sql.shuffle.partitions": str(state_partitions)}
+        if state_partitions
+        else {}
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow parquet sink did not finish within "
-                f"{timeout_sec}s; refusing to return a partial result"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
+    with conf_window(spark, confs):
+        q = (
+            streaming_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"availableNow parquet sink did not finish within "
+                    f"{timeout_sec}s; refusing to return a partial result"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.read.parquet(out_dir)
 
 
@@ -229,7 +300,12 @@ def streaming_first_seen(spark: SparkSession, events_path: str) -> DataFrame:
     """End-to-end stateful streaming: stream-read events -> per-user
     first-seen + count via the custom stateful operator -> availableNow."""
     stream = stream_source(spark, events_path)
-    return run_available_now(spark, first_seen_per_key(stream), output_mode="update")
+    return run_available_now(
+        spark,
+        first_seen_per_key(stream),
+        output_mode="update",
+        state_partitions=adaptive_state_partitions(spark, events_path),
+    )
 
 
 def streaming_event_counts(spark: SparkSession, events_path: str, every: str = "1 minute") -> DataFrame:
@@ -240,7 +316,9 @@ def streaming_event_counts(spark: SparkSession, events_path: str, every: str = "
     — pinned by the driver oracle."""
     stream = stream_source(spark, events_path)
     agg = windowed_counts(stream, "ts", ("event_type",), every)
-    return run_available_now(spark, agg)
+    return run_available_now(
+        spark, agg, state_partitions=adaptive_state_partitions(spark, events_path)
+    )
 
 
 def streaming_session_windows(
@@ -270,7 +348,12 @@ def streaming_session_windows(
             F.col("count").alias("n"),
         )
     )
-    return run_available_now(spark, agg, output_mode="complete")
+    return run_available_now(
+        spark,
+        agg,
+        output_mode="complete",
+        state_partitions=adaptive_state_partitions(spark, events_path),
+    )
 
 
 def streaming_hopping_counts(
@@ -301,7 +384,12 @@ def streaming_hopping_counts(
         .count()
         .withColumnRenamed("count", "n")
     )
-    return run_available_now(spark, agg, output_mode="complete")
+    return run_available_now(
+        spark,
+        agg,
+        output_mode="complete",
+        state_partitions=adaptive_state_partitions(spark, events_path),
+    )
 
 
 def streaming_merge_upsert(
@@ -479,7 +567,12 @@ def streaming_bitmap_distinct(
             "__bm"
         )
     )
-    snap = run_available_now(spark, per_bucket, output_mode="complete")
+    snap = run_available_now(
+        spark,
+        per_bucket,
+        output_mode="complete",
+        state_partitions=adaptive_state_partitions(spark, events_path),
+    )
     return (
         snap.groupBy(key_col, "day")
         .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("bigint").alias("n_users"))
@@ -624,7 +717,10 @@ def streaming_tws_user_stats(spark: SparkSession, events_path: str) -> DataFrame
         },
     ):
         return run_available_now(
-            spark, tws_user_stats(stream), output_mode="update"
+            spark,
+            tws_user_stats(stream),
+            output_mode="update",
+            state_partitions=adaptive_state_partitions(spark, events_path),
         )
 
 
@@ -664,4 +760,9 @@ def streaming_ohlc_bars(
             F.count("*").cast("bigint").alias("n"),
         )
     )
-    return run_available_now(spark, agg, output_mode="complete")
+    return run_available_now(
+        spark,
+        agg,
+        output_mode="complete",
+        state_partitions=adaptive_state_partitions(spark, events_path),
+    )
