@@ -543,17 +543,32 @@ def join_broadcast_agg(spark, sf_dir):
     """,
 )
 def join_star_5way(spark, sf_dir):
-    """TPC-H-Q5-shaped star join; small dims broadcast, facts shuffle on
-    join keys once each."""
+    """TPC-H-Q5-shaped star join, built FACT-FIRST: lineitem is the
+    stream side of every join, the dimensions hash in around it.
+
+    r17 (guide §3.1 — check the build side): the original
+    customer→orders→lineitem order made Catalyst broadcast the pruned
+    LINEITEM scan (its 4-column estimate fell under the 10 MB
+    threshold, while the (customer ⋈ orders) intermediate has no usable
+    size estimate without CBO) — the fact table was collected to the
+    driver and shipped to every executor, the inverted build choice.
+    Fact-first ordering leaves each dimension as a leaf with an honest
+    file-size estimate: orders/customer auto-broadcast while they fit
+    and degrade to a shuffle join at scale on their own (no forced
+    broadcast of an SF-linear side); supplier/nation stay hinted. One
+    scan of lineitem, zero fact-side exchanges before the 25-group
+    aggregate. Measured min-of-5 at sf0.1: 1.83 s -> see
+    OPTIMIZATION_r17.md; plan diff: BroadcastExchange(lineitem) ->
+    BroadcastExchange(orders/customer), fact side streamed."""
     c = _tbl(spark, sf_dir, "customer")
     o = _tbl(spark, sf_dir, "orders")
     li = _tbl(spark, sf_dir, "lineitem")
     s = _tbl(spark, sf_dir, "supplier")
     n = _tbl(spark, sf_dir, "nation")
     j = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")

@@ -214,10 +214,10 @@ def test_local_checkpoint_usage_is_pinned():
         # spaced-symbol vocab aggregated once per bpe_train_merges call;
         # lazy twin linted by test_bpe_words_prechk_plan below
         ("registry/streaming_bpe_ops.py", "_bpe_words"),
-        # corpus signature table materialized once before the stream
-        # starts (the _funnel_corpus_fp discipline); lazy twin linted by
-        # test_streaming_minhash_corpus_prechk_plan below
-        ("registry/llm_ops.py", "streaming_minhash_dedup"),
+        # (r17: streaming_minhash_dedup no longer checkpoints — its
+        # corpus signatures come from the persisted artifact, a plain
+        # columnar scan; the artifact BUILD plan is with_minhash's,
+        # linted by test_streaming_minhash_corpus_prechk_plan)
         # r13 ADVICE cap: dropped sets past MATERIALIZE_COLLECT_CAP are
         # localCheckpoint'ed instead of driver-collected; the
         # pre-checkpoint candidate/verify plan is the SAME plan the
@@ -350,10 +350,11 @@ def test_facility_dots_prechk_plan(spark):
 
 
 def test_streaming_minhash_corpus_prechk_plan(spark):
-    """streaming_minhash_dedup's corpus signature subplan (hidden behind
-    the eager localCheckpoint taken before start()) must itself be free
-    of the scale anti-patterns: one documents scan -> shingle explode ->
-    64-lane min aggregate."""
+    """The corpus-signature BUILD plan streaming_minhash_dedup depends on
+    (r17: served from the persisted artifact, whose builder is exactly
+    this with_minhash subplan) must itself be free of the scale
+    anti-patterns: one documents scan -> shingle explode -> 64-lane min
+    aggregate."""
     from pyspark.sql import functions as F
 
     from database_extractor_spark.operators import dedup as D
