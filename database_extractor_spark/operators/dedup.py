@@ -265,17 +265,45 @@ def lsh_candidate_pairs(
     """
     banded = lsh_band_buckets(df, id_col, sig_col, bands, num_hashes)
 
-    # cap pathological buckets (see docstring)
+    # cap pathological buckets (see docstring). The window (count over
+    # partitionBy(band, bucket), sort-based, spills) stays the cap
+    # mechanism because its memory is bounded even on a degenerate
+    # million-member bucket — the collect_list below only ever sees
+    # buckets the cap already passed (<= max_bucket ids, ~8 KB).
     sized = banded.withColumn(
         "__bsize", F.count("*").over(__bucket_window())
     ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
 
-    a = sized.alias("a")
-    b = sized.alias("b")
+    # r17 (guide §2.4/§3): within-bucket pairing by IN-ROW generation
+    # from one sorted id list per bucket, not a self equi-join. The
+    # self-join shape planned as a broadcast hash join of the bucket
+    # table against itself, and a broadcast build side CANNOT reuse the
+    # stream side's exchange — the whole explode -> shuffle -> sort ->
+    # window subtree executed twice per call (plan evidence:
+    # plans/r17/dedup_minhash_lsh_pairs_before.txt, nodes 5-12 repeated
+    # as 15-23 under a BroadcastExchange). The aggregate below consumes
+    # the window's existing (band, bucket) partitioning — no new
+    # exchange — and emits exactly the (id_a < id_b) pairs the join
+    # produced; per-bucket pair fan-out stays bounded by max_bucket².
+    ids = sized.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("__ids")) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, on=["band", "bucket"], how="inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        ids.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
     return pairs
