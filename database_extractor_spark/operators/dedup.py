@@ -653,25 +653,66 @@ def containment_pairs_capped(
     informative shingles. Docs whose shingles are ALL capped (pure
     boilerplate) drop out of the result rather than matching everything.
     """
+    # r17 plan restructure (guide §2.3/§2.4; before-plan at sf1:
+    # plans/r17/dedup_containment_capped_sf1_before.txt): the df-cap
+    # join-back + self-join + sizes shape derived the shingle-explode
+    # subtree SIX times per run (each of the a-side / b-side / sizes
+    # branches re-built both the explode and the df-count aggregate,
+    # with the b-side and the cap table as SF-linear broadcasts). Now
+    # the shingle stream is shuffled on the shingle hash ONCE; the
+    # document-frequency cap is a count window over that partitioning
+    # (sort-based, spills — safe on a degenerate hot shingle);
+    # surviving buckets aggregate in place (no exchange) to one sorted
+    # id list of <= df_cap members, and the DIRECTED pair stream is
+    # generated in-row from the unordered pairs + their mirror, exactly
+    # the pair set the self equi-join produced. ONE explode, no
+    # SF-linear broadcasts; per-bucket state and fan-out bounded by
+    # df_cap. shingles() is distinct-per-doc, so the window count ==
+    # count(distinct doc) without a distinct expansion.
+    from pyspark.sql import Window
+
     sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col),
         F.explode(
             F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
         ).alias("s"),
     )
-    # document frequency per shingle hash; shingles() is distinct-per-doc,
-    # so count(*) == count(distinct doc) without the distinct expansion
-    kept = sh.join(
-        sh.groupBy("s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= df_cap),
-        "s",
-    ).drop("__df")
+    kept = (
+        sh.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("__df") <= df_cap)
+        .drop("__df")
+    )
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = kept.alias("a"), kept.alias("b")
-    common = (
-        a.join(b, on="s")
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ids = kept.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("__ids")) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    common_u = (
+        ids.select(F.explode(pair_structs).alias("__p"))
+        .groupBy(F.col("__p.u").alias("id_a"), F.col("__p.v").alias("id_b"))
         .agg(F.count("*").alias("common"))
+    )
+    # containment is DIRECTED: mirror the unordered pair counts
+    # (common(a,b) == common(b,a)) before attaching the per-doc
+    # denominator of each direction's source doc
+    common = common_u.unionByName(
+        common_u.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "common",
+        )
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     return (
