@@ -686,33 +686,23 @@ def containment_pairs_capped(
     ids = kept.groupBy("s").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
     )
+    # containment is DIRECTED, so generate ORDERED pairs in-row (every
+    # x paired with every y != x — a union of the aggregate with its
+    # mirror would reference the pair subtree twice and re-derive it;
+    # ids within one bucket are distinct docs, so y != x is exact)
     pair_structs = F.flatten(
         F.transform(
             F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("__ids"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("__ids")) - i - F.lit(1), F.lit(0)),
-                ),
+            lambda x: F.transform(
+                F.filter(F.col("__ids"), lambda y: y != x),
                 lambda y: F.struct(x.alias("u"), y.alias("v")),
             ),
         )
     )
-    common_u = (
+    common = (
         ids.select(F.explode(pair_structs).alias("__p"))
         .groupBy(F.col("__p.u").alias("id_a"), F.col("__p.v").alias("id_b"))
         .agg(F.count("*").alias("common"))
-    )
-    # containment is DIRECTED: mirror the unordered pair counts
-    # (common(a,b) == common(b,a)) before attaching the per-doc
-    # denominator of each direction's source doc
-    common = common_u.unionByName(
-        common_u.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "common",
-        )
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     return (
