@@ -1831,27 +1831,34 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     # max -> per-order global max m1, #suppliers at m1, runner-up m2;
     # max_other = m1 unless this supplier is the UNIQUE holder of m1, in
     # which case m2.
+    #
+    # r17 (guide §2.4 — share one partitioning): the per-order stats
+    # used to be two AGGREGATE+JOIN round-trips over ms, which
+    # referenced (and re-aggregated) the ms subtree three times — four
+    # lineitem scans in the sf1 plan. The same stats are order-grain
+    # functions of ms rows, i.e. two chained windows over ONE
+    # partitionBy(l_orderkey) — a single exchange+sort, no join-backs.
+    # Plan: 10 Exchanges -> 7, lineitem scans 4 -> 2
+    # (plans/r17/tpch_q21_waiting_suppliers_sf1_{before,after}.txt);
+    # same-session A/B at sf1: 5.70/10.47 -> 4.58/5.16 s (min/median),
+    # identical 31 rows.
     ms = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
-    per_order = ms.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.max("ms").alias("m1"),
+    w = Window.partitionBy("l_orderkey")
+    e1 = ms.select(
+        "l_orderkey", "l_suppkey", "ms",
+        F.count("*").over(w).alias("n_supp"),
+        F.max("ms").over(w).alias("m1"),
     )
-    tops = (
-        ms.join(per_order, "l_orderkey")
-        .groupBy("l_orderkey", "n_supp", "m1")
-        .agg(
-            F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).alias("cnt1"),
-            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).alias("m2"),
-        )
+    e2 = e1.select(
+        "l_orderkey", "l_suppkey", "ms", "n_supp", "m1",
+        F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).over(w).alias("cnt1"),
+        F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).over(w).alias("m2"),
     )
-    max_other = (
-        ms.join(tops, "l_orderkey")
-        .select(
-            "l_orderkey", "l_suppkey", "n_supp",
-            F.when(
-                (F.col("ms") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
-            ).otherwise(F.col("m1")).alias("max_other"),
-        )
+    max_other = e2.select(
+        "l_orderkey", "l_suppkey", "n_supp",
+        F.when(
+            (F.col("ms") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
+        ).otherwise(F.col("m1")).alias("max_other"),
     )
     s = _tbl(spark, sf_dir, "supplier")
     n = _tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
