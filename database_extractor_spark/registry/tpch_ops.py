@@ -390,6 +390,7 @@ def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
+    small_core = False
     if materialize:
         # materialize the ~4k-edge supported core ONCE (round 7: the only
         # checkpoint — deg and the orientation joins re-derive from it for
@@ -399,6 +400,17 @@ def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
         # two broadcast joins over the tiny checkpointed core instead of
         # re-materializing a relabeled copy.
         pairs = pairs.localCheckpoint(eager=True)
+        # r17 (guide §3.1): a localCheckpoint ERASES size statistics —
+        # LogicalRDD reports the default (huge) sizeInBytes — so every
+        # join over the core planned as a sort-merge join (8 SMJ / 17
+        # Exchanges in the sf1 plan) even though the supported core is
+        # a few thousand edges. The checkpoint is already materialized,
+        # so counting it is free: gate broadcasts on the MEASURED edge
+        # count (the connected_components driver_max_edges discipline —
+        # a bounded, size-gated broadcast, never an unconditional hint
+        # on an SF-linear side). A core past the gate keeps the SMJ
+        # plan, which is the right shape for a genuinely large core.
+        small_core = pairs.count() <= 2_000_000
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionAll(pairs.select(F.col("pb").alias("node")))
@@ -414,6 +426,8 @@ def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
     # and |V| is part-key-bounded); at larger id domains widen to a
     # (d, node) struct key — same joins, same comparisons.
     keyed = deg.select("node", (F.col("d") * F.lit(1 << 32) + F.col("node")).alias("k"))
+    if small_core:
+        keyed = F.broadcast(keyed)
     ka = keyed.alias("ka")
     kb = keyed.alias("kb")
     edges = (
@@ -425,8 +439,8 @@ def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
         )
     )
     e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    e2 = (F.broadcast(edges) if small_core else edges).alias("e2")
+    e3 = (F.broadcast(edges) if small_core else edges).alias("e3")
     tri = e1.join(
         e2, (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi") < F.col("e2.hi"))
     ).join(
