@@ -378,12 +378,19 @@ def minhash_dedup(
         dup_pairs = scored.filter(F.col("est_jaccard") >= threshold)
         if exact_groups:
             clusters = connected_components(dup_pairs.select("id_a", "id_b"))
+            # r17: no persist+count here — connected_components returns
+            # either a driver union-find LOCAL literal (small graphs) or
+            # a localCheckpoint'ed label table (large graphs), so the
+            # loser projection re-derives for pennies and never touches
+            # the signature subtree. The old per-call persist was also
+            # never released (the survivor frame holds it), so a long
+            # session leaked one cache entry per invocation.
             losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
                 F.col("doc_id").alias(id_col)
-            ).persist()
+            )
         else:
             losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
-        losers.count()  # materialize off the signature cache
+            losers.count()  # materialize off the signature cache
     finally:
         if not caller_sigs:
             sigs.unpersist(blocking=False)
