@@ -2356,8 +2356,10 @@ def text_lang_id(spark, sf_dir):
 def _lang_id_frame(spark, sf_dir):
     """The text_lang_id plan as a shared helper (r17 composition lint:
     frames are shared through named helpers, never by invoking another
-    entry's callable). Consumers: text_lang_id,
-    lang_id_confusion_eval."""
+    entry's callable). Consumers: text_lang_id (lang_id_confusion_eval
+    reads with_lang_id directly since r18 — its label column lives on
+    the same documents row, so the shared doc_id-keyed frame would
+    force a self-join it does not need)."""
     return T.with_lang_id(_tbl(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 

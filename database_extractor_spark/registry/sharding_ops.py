@@ -26,7 +26,6 @@ from database_extractor_spark.registry.llm_ops import (
     _jaccard_truth_ctes,
     _minhash_dup_ctes,
     _simhash_oracle,
-    _lang_id_frame,
     _stream_tmpdir,
 )
 from database_extractor_spark.registry.pipeline_ops import (
@@ -1981,13 +1980,18 @@ def lang_id_confusion_eval(spark, sf_dir):
     recall panel and the LSH precision/recall evals — an identifier you
     have not scored against labels is a guess. Off-diagonal mass tells
     you which language pairs the stopword lists confuse and where 'und'
-    (no hits / tie) swallows real text. One broadcast-sized join of the
-    per-doc prediction to the label column + a |langs|^2-bounded
-    aggregate; the oracle replays the identifier AND the rollup."""
-    pred = _lang_id_frame(spark, sf_dir)
-    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    (no hits / tie) swallows real text. ONE scan + a |langs|^2-bounded
+    aggregate: lang_pred and the label live on the SAME documents row,
+    so the r17 shape's doc_id self-join (second scan + broadcast of a
+    documents-derived column — an SF-linear build side at corpus scale)
+    was pure overhead; r18 removes it (guide §2.4 — identical 10-row
+    matrix, 2.25 -> 0.66 s together with the with_lang_id
+    single-tokenize fix). The oracle replays the identifier AND the
+    rollup."""
+    from database_extractor_spark.operators import text as T
+
     return (
-        pred.join(docs, "doc_id")
+        T.with_lang_id(_tbl(spark, sf_dir, "documents"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("lang", "lang_pred")
