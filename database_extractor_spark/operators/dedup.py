@@ -262,6 +262,15 @@ def lsh_candidate_pairs(
     across millions of docs) are capped at ``max_bucket`` members and
     dropped — at that size the docs are duplicates of each other anyway
     and are better handled by the exact-dedup pass that precedes this.
+
+    PRECONDITION (ADVICE r17): ``id_col`` must be distinct per input row
+    — every caller feeds one signature row per document, and
+    lsh_band_buckets emits exactly one (id, band) row per band, so ids
+    within a bucket are distinct by construction. The in-row generation
+    below pairs by POSITION (i < j), which on duplicate id rows would
+    emit id_a == id_b self-pairs the old strict a.id < b.id join
+    excluded; a defensive id_a != id_b filter is deliberately NOT paid
+    in the hot pair stream.
     """
     banded = lsh_band_buckets(df, id_col, sig_col, bands, num_hashes)
 
@@ -279,9 +288,11 @@ def lsh_candidate_pairs(
     # self-join shape planned as a broadcast hash join of the bucket
     # table against itself, and a broadcast build side CANNOT reuse the
     # stream side's exchange — the whole explode -> shuffle -> sort ->
-    # window subtree executed twice per call (plan evidence:
-    # plans/r17/dedup_minhash_lsh_pairs_before.txt, nodes 5-12 repeated
-    # as 15-23 under a BroadcastExchange). The aggregate below consumes
+    # window subtree executed twice per call (plan evidence, captured
+    # r18 after ADVICE r17 flagged the r17 citation as missing:
+    # plans/r18/dedup_minhash_lsh_pairs_{before,after}.txt — 2 scans /
+    # 7 Exchanges / 2 Windows / 1 BroadcastExchange collapse to
+    # 1 / 4 / 1 / 0, identical 257 pairs at sf0.1). The aggregate below consumes
     # the window's existing (band, bucket) partitioning — no new
     # exchange — and emits exactly the (id_a < id_b) pairs the join
     # produced; per-bucket pair fan-out stays bounded by max_bucket².

@@ -410,7 +410,14 @@ def _triangle_count_plan(spark, sf_dir, materialize: bool = True) -> DataFrame:
         # a bounded, size-gated broadcast, never an unconditional hint
         # on an SF-linear side). A core past the gate keeps the SMJ
         # plan, which is the right shape for a genuinely large core.
-        small_core = pairs.count() <= 2_000_000
+        # r18 (ADVICE r17): the gate was 2M edges — borrowed from the
+        # driver union-find bound, but a BROADCAST of 2M (lo, hi) rows
+        # builds a ~130 MB hash relation on the driver AND every
+        # executor, three times over (keyed + e2 + e3). 500k edges
+        # (~32 MB built) keeps the broadcast comfortably inside the
+        # default 1g driver heap; the sf1 core is ~4k edges, far below
+        # either bound.
+        small_core = pairs.count() <= 500_000
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionAll(pairs.select(F.col("pb").alias("node")))

@@ -164,6 +164,14 @@ def run_available_now(
     ``start()`` returns, so the window must outlive the drain. Output is
     partition-count-invariant; only the per-batch state-commit fan-out
     changes.
+
+    CONCURRENCY (ADVICE r17): the conf window mutates the session-global
+    ``spark.sql.shuffle.partitions`` for up to ``timeout_sec`` — a batch
+    query whose plan is COMPILED concurrently in the same session would
+    silently inherit the lowered count. Every caller in this engine
+    drains single-threaded (one entry invocation at a time); do not run
+    this helper concurrently with batch plan compilation until Spark
+    exposes per-query shuffle-partition scoping on writeStream.
     """
     from database_extractor_spark.session import conf_window
 
@@ -213,7 +221,8 @@ def run_available_now_to_parquet(
     resumes from committed offsets; sink files are committed atomically per
     micro-batch by the streaming file-sink log.
 
-    ``state_partitions``: as in :func:`run_available_now`; on a RESTART
+    ``state_partitions``: as in :func:`run_available_now` (including its
+    CONCURRENCY caveat — the conf window is session-global); on a RESTART
     against an existing checkpoint Spark takes the stateful partitioning
     from the offset-log metadata, so a changed value never corrupts state
     (and the adaptive value is a pure function of source size anyway)."""
