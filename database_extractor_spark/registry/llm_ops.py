@@ -2764,19 +2764,29 @@ def matryoshka_recall_eval(spark, sf_dir):
     exact top-10, over the frozen 8-query panel. Completes the
     index-COMPRESSION eval family: PQ quantizes subspaces, int8
     quantizes values, THIS truncates trailing dimensions (the MRL
-    deployment pattern — retrieve with a cheap prefix, rerank with the
-    full vector — and the recall curve here tells you how many dims
-    the retrieval tier can drop). One corpus scan per arm: the panel
-    vectors (and their prefixes) are plan LITERALS, so the truncated
-    arm is 8 queries x 3 dims = 24 extra dot folds per row exploded
-    from one scan — no join against a query table at all, and each
-    prefix norm is folded once per row and shared across its 8
-    queries. Rankings round to 6 dp with a vec_id tiebreak before the
+    deployment pattern — retrieve with a cheap prefix, rerank with
+    the full vector — and the recall curve here tells you how many dims
+    the retrieval tier can drop). One corpus scan per arm, and the
+    panel rides a 32-row LOCAL RELATION broadcast-joined to the scan
+    (r18, VERDICT r17 item 5: the former 8-query x 4-arm literal-panel
+    struct explode built a 43k-char plan and spent ~2 s PER INVOCATION
+    in driver-side expression construction — flat across SF, the
+    sim_pq_fixed disease; the join keeps the same 24 dot folds per row
+    but the plan is generic in the panel, 12k chars, DF-build+noop
+    3.25 -> 1.75 s min, bit-identical 24 rows). Query norms stay
+    precomputed driver-side in the panel rows (the cosine_to_literal
+    FP contract: python fold == engine fold), each prefix norm is
+    still folded once per (row, dim) and shared across its 8 queries.
+    Rankings round to 6 dp with a vec_id tiebreak before the
     top-10 window (the sim_recall_eval discipline that keeps the
     DuckDB replay hash-identical). Scale: the corpus is never
     shuffled — both arms are scan + per-query TakeOrdered-shaped
     windows over panel-bounded groups; this is the once-per-index
     eval, not the serving path."""
+    import math
+
+    from database_extractor_spark.operators.similarity import _pydot
+
     e = _tbl(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -2784,60 +2794,56 @@ def matryoshka_recall_eval(spark, sf_dir):
     panel = _fixture_recall_queries(sf_dir)
     dims = [8, 16, 32]
 
-    # exact arm (full 64 dims): literal-panel explode, one shared norm
-    ex_structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.round(
-                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
-            ).alias("c"),
-        )
-        for qid, qv in panel
-    ]
+    rows = []
+    for qid, qv in panel:
+        rows.append((64, int(qid), qv, math.sqrt(_pydot(qv, qv))))
+        for d in dims:
+            pref = qv[:d]
+            rows.append((d, int(qid), pref, math.sqrt(_pydot(pref, pref))))
+    pdf = spark.createDataFrame(
+        rows, "dim int, qid int, qv array<double>, qn double"
+    )
+
+    # same guarded cosine as cosine_to_literal, with the query norm a
+    # panel COLUMN instead of a folded literal (denominator keeps the
+    # |v| * |q| multiplication order)
+    c = F.round(
+        F.when(F.col("__vn") * F.col("qn") == 0, F.lit(0.0)).otherwise(
+            S.dot(F.col("pv"), F.col("qv")) / (F.col("__vn") * F.col("qn"))
+        ),
+        6,
+    )
+
+    # exact arm (full 64 dims): one shared row norm, 8-row panel cross
     rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
     exact = (
-        e.withColumn("__vn", S.l2_norm(F.col("v")))
-        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
-        .select(
-            "vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c")
-        )
+        e.withColumn("pv", F.col("v"))
+        .withColumn("__vn", S.l2_norm(F.col("pv")))
+        .join(F.broadcast(pdf.filter(F.col("dim") == 64)))
+        .withColumn("c", c)
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank))
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id")
     )
 
-    # truncated arms: per dim, slice the row vector once (norm shared
-    # across the 8 queries), literal prefixes of the panel vectors
-    tr_structs = []
-    for d in dims:
-        for qid, qv in panel:
-            tr_structs.append(
-                F.struct(
-                    F.lit(d).alias("dim"),
-                    F.lit(int(qid)).alias("qid"),
-                    F.round(
-                        S.cosine_to_literal(
-                            F.col(f"__v{d}"), qv[:d], F.col(f"__n{d}")
-                        ),
-                        6,
-                    ).alias("c"),
-                )
-            )
-    tr = e
-    for d in dims:
-        tr = tr.withColumn(f"__v{d}", F.slice("v", 1, d)).withColumn(
-            f"__n{d}", S.l2_norm(F.col(f"__v{d}"))
-        )
+    # truncated arms: explode the 3 prefixes once per row (norm folded
+    # once per (row, dim), shared across the 8 queries), join on dim
+    slices = F.array(
+        *[
+            F.struct(F.lit(d).alias("dim"), F.slice("v", 1, d).alias("pv"))
+            for d in dims
+        ]
+    )
     rank_d = Window.partitionBy("dim", "qid").orderBy(F.desc("c"), "vec_id")
     trunc_top = (
-        tr.select("vec_id", F.explode(F.array(*tr_structs)).alias("qc"))
+        e.select("vec_id", F.explode(slices).alias("sl"))
         .select(
-            "vec_id",
-            F.col("qc.dim").alias("dim"),
-            F.col("qc.qid").alias("qid"),
-            F.col("qc.c").alias("c"),
+            "vec_id", F.col("sl.dim").alias("dim"), F.col("sl.pv").alias("pv")
         )
+        .withColumn("__vn", S.l2_norm(F.col("pv")))
+        .join(F.broadcast(pdf.filter(F.col("dim") != 64)), "dim")
+        .withColumn("c", c)
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank_d))
         .filter(F.col("rn") <= 10)
@@ -2933,45 +2939,54 @@ def knn_label_accuracy(spark, sf_dir):
         "label",
     )
     panel = _fixture_recall_queries(sf_dir)
-    true_labels = {
-        int(r["vec_id"]): int(r["label"])
-        for r in _tbl(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id").isin(_RECALL_QUERY_IDS))
-        .select("vec_id", "label")
-        .collect()
-    }
-    structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.lit(true_labels[int(qid)]).alias("true_label"),
-            F.round(
-                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
-            ).alias("c"),
-        )
-        for qid, qv in panel
-    ]
+    # r18 (VERDICT r17 item 5, the matryoshka treatment): the 8-query
+    # literal-panel struct explode spent ~1.1 s per invocation building
+    # driver-side expressions, plus an EAGER collect for the true
+    # labels; the panel (with its python-folded query norms — the
+    # cosine_to_literal FP contract) now rides an 8-row local relation
+    # broadcast-crossed to the scan, and the labels attach LAZILY to
+    # the 8 picked rows at the end (cast to keep the r17 schema). Same
+    # folds per row, same 6-dp + vec_id ranking discipline.
+    import math
+
+    from database_extractor_spark.operators.similarity import _pydot
+
+    pdf = spark.createDataFrame(
+        [(int(qid), qv, math.sqrt(_pydot(qv, qv))) for qid, qv in panel],
+        "qid int, qv array<double>, qn double",
+    )
+    c = F.round(
+        F.when(F.col("__vn") * F.col("qn") == 0, F.lit(0.0)).otherwise(
+            S.dot(F.col("v"), F.col("qv")) / (F.col("__vn") * F.col("qn"))
+        ),
+        6,
+    )
     rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
     nn = (
         e.withColumn("__vn", S.l2_norm(F.col("v")))
-        .select("vec_id", "label", F.explode(F.array(*structs)).alias("qc"))
-        .select(
-            "vec_id",
-            "label",
-            F.col("qc.qid").alias("qid"),
-            F.col("qc.true_label").alias("true_label"),
-            F.col("qc.c").alias("c"),
-        )
+        .join(F.broadcast(pdf))
+        .withColumn("c", c)
+        .select("vec_id", "label", "qid", "c")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank))
         .filter(F.col("rn") <= 5)
     )
-    votes = nn.groupBy("qid", "true_label", F.col("label").alias("pred_label")).agg(
+    votes = nn.groupBy("qid", F.col("label").alias("pred_label")).agg(
         F.count("*").cast("bigint").alias("n_votes")
+    )
+    true_lbl = (
+        _tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(_RECALL_QUERY_IDS))
+        .select(
+            F.col("vec_id").cast("int").alias("qid"),
+            F.col("label").cast("int").alias("true_label"),
+        )
     )
     pick = Window.partitionBy("qid").orderBy(F.desc("n_votes"), "pred_label")
     return (
         votes.withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
+        .join(F.broadcast(true_lbl), "qid")
         .select(
             F.col("qid").alias("query_id"),
             "true_label",
