@@ -162,6 +162,100 @@ def _py_bucket(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) ->
     return b
 
 
+def _literal_cosine_sql(vec_sql: str, lit_vec: Sequence[float], vnorm_sql: str) -> str:
+    """SQL text of ``cosine_to_literal(col(vec_sql), lit_vec, col(vnorm_sql))``
+    — the same guarded fold (zero-denominator -> 0.0, |v| * |q| order,
+    query norm python-folded per the _pydot contract), produced as ONE
+    string so a caller assembling a whole panel/centroid set pays a
+    single Py4J call instead of ~12 per literal vector (r18, VERDICT
+    r17 item 5: the 16-centroid struct loops cost ~1 s of driver-side
+    expression construction PER INVOCATION, flat across SF). ``{x!r}D``
+    literals round-trip doubles exactly (the _query_lit discipline);
+    the CASE / aggregate / zip_with expressions parse to the identical
+    Catalyst tree the Column-API form builds, so results stay
+    bit-identical (oracle-verified per call site)."""
+    import math
+
+    vec = [float(x) for x in lit_vec]
+    qn = math.sqrt(_pydot(vec, vec))
+    arr = "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+    dot_sql = (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    denom = f"({vnorm_sql} * {qn!r}D)"
+    return f"(CASE WHEN {denom} = 0.0D THEN 0.0D ELSE {dot_sql} / {denom} END)"
+
+
+def neg_cosine_struct_array(
+    vec_sql: str,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    vnorm_sql: str,
+) -> Column:
+    """``array<struct<nc: double, sid: int>>`` of NEGATED cosines against
+    a literal centroid set, from one SQL string (see _literal_cosine_sql)
+    — array_min / array_sort over it picks rank-1/rank-2 centroids by
+    (nc asc, sid asc), the IVF argmin discipline. ``vec_sql`` /
+    ``vnorm_sql`` are SQL column references (simple identifiers)."""
+    parts = [
+        "struct(-"
+        + _literal_cosine_sql(vec_sql, vec, vnorm_sql)
+        + f" as nc, {int(sid)} as sid)"
+        for sid, vec in cents
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def panel_cosine_struct_array(
+    vec_sql: str,
+    panel: Sequence[tuple[int, Sequence[float]]],
+    vnorm_sql: str,
+    round_dp: int = 6,
+) -> Column:
+    """``array<struct<qid: int, c: double>>`` of ROUNDED cosines against
+    the literal query panel, from one SQL string — the recall evals'
+    exact-arm explode payload (6-dp rounding before ranking, the
+    sim_recall_eval discipline)."""
+    parts = [
+        f"struct({int(qid)} as qid, round("
+        + _literal_cosine_sql(vec_sql, qv, vnorm_sql)
+        + f", {int(round_dp)}) as c)"
+        for qid, qv in panel
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def panel_l2_struct_array(
+    vec_sql: str,
+    panel: Sequence[tuple[int, Sequence[float]]],
+    dxx_sql: str,
+    round_dp: int = 6,
+) -> Column:
+    """``array<struct<qid: int, d: double>>`` of ROUNDED squared-L2
+    distances ``|x|^2 - 2<x,q> + |q|^2`` against the literal query
+    panel, from one SQL string (the _literal_cosine_sql discipline for
+    the PQ eval's distance panel; ``dxx_sql`` references the shared
+    per-row |x|^2 fold). Bit-identical to the Column-API form: same
+    literal round-trip, same left-assoc add order, |q|^2 python-folded
+    per the _pydot contract."""
+    parts = []
+    for qid, qv in panel:
+        vec = [float(x) for x in qv]
+        qq = _pydot(vec, vec)
+        arr = "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+        dot_sql = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        parts.append(
+            f"struct({int(qid)} as qid, round("
+            f"{dxx_sql} - 2.0D * {dot_sql} + {qq!r}D, {int(round_dp)}) as d)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def _pydot(a: Sequence[float], b: Sequence[float]) -> float:
     """Driver-side sequential-fold dot product. ONE shared definition:
     this fold order must mirror DuckDB's list_dot_product and the
@@ -298,16 +392,10 @@ def lloyd_rounds_cosine(
     dim = len(seeds[0][1])
     cents = [(int(s), [float(x) for x in v]) for s, v in seeds]
     for _ in range(rounds):
-        vnorm = F.col("__vnorm")
-        structs = [
-            F.struct(
-                (-cosine_to_literal(F.col(vec_col), v, vnorm)).alias("nc"),
-                F.lit(s).alias("sid"),
-            )
-            for s, v in cents
-        ]
+        # r18: fold set from ONE SQL string (see neg_cosine_struct_array)
+        structs = neg_cosine_struct_array(f"`{vec_col}`", cents, "`__vnorm`")
         assigned = df.withColumn("__vnorm", l2_norm(F.col(vec_col))).select(
-            F.array_min(F.array(*structs))["sid"].alias("__list"),
+            F.array_min(structs)["sid"].alias("__list"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         )
         rows = (
@@ -377,19 +465,11 @@ def ivf_assign(
     once, persisted/laid out by ``list_col``, and served to every query,
     so repeat searches pay only the probe-pruned scan, not n_lists x dim
     multiply-adds per row per query."""
-    vnorm = F.col("__vnorm")
-    structs = [
-        F.struct(
-            (-cosine_to_literal(F.col(vec_col), [float(v) for v in vec], vnorm)).alias(
-                "nc"
-            ),
-            F.lit(int(sid)).alias("sid"),
-        )
-        for sid, vec in seeds
-    ]
+    # r18: fold set from ONE SQL string (see neg_cosine_struct_array)
+    structs = neg_cosine_struct_array(f"`{vec_col}`", seeds, "`__vnorm`")
     return (
         df.withColumn("__vnorm", l2_norm(F.col(vec_col)))
-        .withColumn(list_col, F.array_min(F.array(*structs))["sid"])
+        .withColumn(list_col, F.array_min(structs)["sid"])
         .drop("__vnorm")
     )
 

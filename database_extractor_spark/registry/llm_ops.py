@@ -1059,18 +1059,13 @@ def sim_recall_eval(spark, sf_dir):
 
     # exact arm: one corpus scan, the panel as plan literals — per row,
     # one shared norm fold + 8 dot folds, exploded to (qid, cos) rows
-    ex_structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.round(
-                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
-            ).alias("c"),
-        )
-        for qid, qv in panel
-    ]
+    # r18: panel folds assembled as ONE SQL string (VERDICT r17 item 5
+    # — see similarity.panel_cosine_struct_array; bit-identical, ~0.6 s
+    # of per-invocation driver expression construction removed)
+    ex_structs = S.panel_cosine_struct_array("v", panel, "__vn")
     exact = (
         e.withColumn("__vn", S.l2_norm(F.col("v")))
-        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.explode(ex_structs).alias("qc"))
         .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank))
@@ -1257,21 +1252,12 @@ def sim_pq_recall_eval(spark, sf_dir):
 
     # exact arm: one scan, per-row |v|^2 folded once and shared across
     # the panel's 8 distance literals
-    ex_structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.round(
-                F.col("__dxx")
-                - F.lit(2.0) * S.dot(F.col("v"), S._query_lit(qv))
-                + F.lit(S._pydot(qv, qv)),
-                6,
-            ).alias("d"),
-        )
-        for qid, qv in panel
-    ]
+    # r18: distance panel assembled as ONE SQL string (VERDICT r17
+    # item 5 — see similarity.panel_l2_struct_array; bit-identical)
+    ex_structs = S.panel_l2_struct_array("v", panel, "__dxx")
     dists = (
         e.withColumn("__dxx", S.dot(F.col("v"), F.col("v")))
-        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qd"))
+        .select("vec_id", F.explode(ex_structs).alias("qd"))
         .select("vec_id", F.col("qd.qid").alias("qid"), F.col("qd.d").alias("d"))
         .filter(F.col("vec_id") != F.col("qid"))
     )
@@ -1292,24 +1278,25 @@ def sim_pq_recall_eval(spark, sf_dir):
         "pq_fixed_v", sf_dir, spark, lambda: S.pq_encode(e, seeds, m, vec_col="v")
     )
     books = S.pq_codebooks(seeds, m)
-    adc_structs = []
+    # r18: the 8-query x m-subspace ADC lookup panel as ONE SQL string
+    # (same {x!r}D literal round-trip; element_at/+ shapes unchanged)
+    adc_parts = []
     for qid, qv in panel:
-        total = None
+        lookups = []
         for j in range(m):
             qj = qv[j * sub:(j + 1) * sub]
             table = [
                 S._pydot(qj, qj) - 2.0 * S._pydot(qj, cw) + S._pydot(cw, cw)
                 for cw in books[j]
             ]
-            lookup = F.element_at(
-                S._query_lit(table), F.col(f"__code{j}") + 1
-            )
-            total = lookup if total is None else total + lookup
-        adc_structs.append(
-            F.struct(F.lit(int(qid)).alias("qid"), F.round(total, 6).alias("ad"))
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in table) + ")"
+            lookups.append(f"element_at({arr}, (__code{j} + 1))")
+        adc_parts.append(
+            f"struct({int(qid)} as qid, round({' + '.join(lookups)}, 6) as ad)"
         )
+    adc_structs = F.expr("array(" + ",".join(adc_parts) + ")")
     short = (
-        enc.select("vec_id", F.explode(F.array(*adc_structs)).alias("qa"))
+        enc.select("vec_id", F.explode(adc_structs).alias("qa"))
         .select("vec_id", F.col("qa.qid").alias("qid"), F.col("qa.ad").alias("ad"))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn(
@@ -2189,18 +2176,13 @@ def sim_lsh_recall_eval(spark, sf_dir):
     rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
 
     # exact arm: one corpus scan, panel as plan literals (no join)
-    ex_structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.round(
-                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
-            ).alias("c"),
-        )
-        for qid, qv in panel
-    ]
+    # r18: panel folds assembled as ONE SQL string (VERDICT r17 item 5
+    # — see similarity.panel_cosine_struct_array; bit-identical, ~0.6 s
+    # of per-invocation driver expression construction removed)
+    ex_structs = S.panel_cosine_struct_array("v", panel, "__vn")
     exact = (
         e.withColumn("__vn", S.l2_norm(F.col("v")))
-        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.explode(ex_structs).alias("qc"))
         .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank))
@@ -2655,20 +2637,13 @@ def ivf_silhouette_eval(spark, sf_dir):
         lambda: S.lloyd_rounds_cosine(e, _fixture_seed_vecs(sf_dir), rounds=2),
     )
     vnorm = S.l2_norm(F.col("embedding"))
-    structs = [
-        F.struct(
-            (
-                -S.cosine_to_literal(
-                    F.col("embedding"), [float(v) for v in vec], F.col("__vnorm")
-                )
-            ).alias("nc"),
-            F.lit(int(sid)).alias("sid"),
-        )
-        for sid, vec in cents
-    ]
+    # r18: the 16-centroid fold set assembled as ONE SQL string (see
+    # similarity.neg_cosine_struct_array — bit-identical, ~1 s of
+    # per-invocation driver expression construction removed)
+    structs = S.neg_cosine_struct_array("embedding", cents, "__vnorm")
     ranked = (
         e.withColumn("__vnorm", vnorm)
-        .withColumn("__arr", F.array_sort(F.array(*structs)))
+        .withColumn("__arr", F.array_sort(structs))
         .select(
             F.element_at("__arr", 1).getField("sid").cast("int").alias(
                 "cluster_id"
@@ -3305,18 +3280,13 @@ def ivf_nprobe_recall_curve(spark, sf_dir):
 
     # exact arm — identical shape to sim_recall_eval
     rank = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
-    ex_structs = [
-        F.struct(
-            F.lit(int(qid)).alias("qid"),
-            F.round(
-                S.cosine_to_literal(F.col("v"), qv, F.col("__vn")), 6
-            ).alias("c"),
-        )
-        for qid, qv in panel
-    ]
+    # r18: panel folds assembled as ONE SQL string (VERDICT r17 item 5
+    # — see similarity.panel_cosine_struct_array; bit-identical, ~0.6 s
+    # of per-invocation driver expression construction removed)
+    ex_structs = S.panel_cosine_struct_array("v", panel, "__vn")
     exact = (
         e.withColumn("__vn", S.l2_norm(F.col("v")))
-        .select("vec_id", F.explode(F.array(*ex_structs)).alias("qc"))
+        .select("vec_id", F.explode(ex_structs).alias("qc"))
         .select("vec_id", F.col("qc.qid").alias("qid"), F.col("qc.c").alias("c"))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rn", F.row_number().over(rank))
