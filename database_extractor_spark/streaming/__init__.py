@@ -515,6 +515,7 @@ def streaming_python_datasource(
     ts_integral) so the DuckDB oracle can replay the formula rows and
     match hashes bit-for-bit.
     """
+    from database_extractor_spark.session import conf_window
     from database_extractor_spark.sources.custom import register_synthetic_source
 
     register_synthetic_source(spark)
@@ -531,17 +532,31 @@ def streaming_python_datasource(
         F.max("value").alias("max_value"),
     )
     name = f"pyds_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # r18 streaming audit: this is a STATEFUL complete-mode aggregate —
+    # the one streaming entry that planned its state store at the
+    # session's full shuffle-partition count (one delta file + fsync
+    # per partition per micro-batch over a ~2000-row synthetic source).
+    # Same adaptive discipline as adaptive_state_partitions, with the
+    # in-memory source's row count as the size proxy (~50k rows per
+    # state partition, floor 2, capped at the session conf so a real
+    # deployment's sizing wins); held through the drain because batch 0
+    # plans after start() returns (see run_available_now).
+    n_state = max(2, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        rows // 50_000 + 2,
+    ))
+    with conf_window(spark, {"spark.sql.shuffle.partitions": str(n_state)}):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
