@@ -50,6 +50,31 @@ ARTIFACT_FNS = {
     "_cached_shingle3",
 }
 
+#: r18 (VERDICT r17 item 7): every artifact lane keeps an UNCACHED timed
+#: control — an entry (or bench pseudo-query) that derives the lane's
+#: substrate inline so the bench always carries the honest derivation
+#: cost next to the artifact-served consumers. This table is the
+#: CONTRACT: controls_audit() fails if a control disappears or its code
+#: starts reaching an artifact read (directly or through one wrapper
+#: level). Moving one of these onto an artifact requires updating this
+#: table in the same commit — i.e. explicitly, never silently.
+UNCACHED_CONTROLS = {
+    # minhash/simhash signature lane (BASELINE.md r15 table: "control:
+    # dedup_minhash_pairs (raw, UNcached by design)")
+    "signatures": [("bench", "_dedup_minhash_pairs")],
+    # 3-gram shingle lane (BASELINE.md r16 table: ngram_jaccard keeps
+    # the inline derivation "and doubles as the uncached headline
+    # control"; containment_capped is the second inline face)
+    "shingle3": [
+        ("entry", "dedup_ngram_jaccard"),
+        ("entry", "dedup_containment_capped"),
+    ],
+    # ANN index lane (IVF/PQ/LSH): the exact brute-force path stays
+    # inline — both as its own headline entry and as the exact arm the
+    # recall evals re-derive per invocation
+    "ann_index": [("entry", "sim_bruteforce_topk")],
+}
+
 #: operators that bound a subtree's output regardless of input size —
 #: a broadcast of a bounded derivation of an artifact is fine
 BOUNDING = (
@@ -100,6 +125,68 @@ def consumer_entries() -> list[str]:
             wraps.add(nm)
     targets = ARTIFACT_FNS | wraps
     return [n for n, fn in QUERIES.items() if _called_names(fn) & targets]
+
+
+def controls_audit() -> dict:
+    """Spark-free check of the UNCACHED_CONTROLS contract: each declared
+    control still exists AND still derives its substrate inline (no
+    artifact-fn reach, directly or through one registry-helper level).
+    Returns {"ok": bool, "violations": [...]}; wired into
+    verify_all --quick so a silent lane switch fails the round gate."""
+    import database_extractor_spark.registry as reg
+    from database_extractor_spark.registry import QUERIES
+
+    wraps = set()
+    for nm in dir(reg):
+        obj = getattr(reg, nm)
+        if (
+            callable(obj)
+            and nm.startswith("_")
+            and getattr(obj, "__module__", "").startswith(
+                "database_extractor_spark.registry"
+            )
+            and _called_names(obj) & ARTIFACT_FNS
+        ):
+            wraps.add(nm)
+    targets = ARTIFACT_FNS | wraps
+
+    violations = []
+    for lane, controls in UNCACHED_CONTROLS.items():
+        for kind, name in controls:
+            if kind == "entry":
+                fn = QUERIES.get(name)
+                if fn is None:
+                    violations.append(
+                        {"lane": lane, "control": name, "problem": "entry removed"}
+                    )
+                    continue
+            else:  # bench pseudo-query
+                import bench as B
+
+                fn = getattr(B, name, None)
+                if fn is None:
+                    violations.append(
+                        {"lane": lane, "control": name,
+                         "problem": "bench pseudo-query removed"}
+                    )
+                    continue
+                # the pseudo-query is appended to the timed secondary
+                # list inside main() (bench.py:469) — check the source
+                # so this stays a spark-free static assertion
+                bench_src = inspect.getsource(B)
+                if f'secondary_fns.append(("{name.lstrip("_")}"' not in bench_src:
+                    violations.append(
+                        {"lane": lane, "control": name,
+                         "problem": "no longer timed by bench.py"}
+                    )
+            hit = _called_names(fn) & targets
+            if hit:
+                violations.append(
+                    {"lane": lane, "control": name,
+                     "problem": f"switched to artifact: {sorted(hit)}"}
+                )
+    return {"ok": not violations, "violations": violations,
+            "lanes": {k: [n for _k, n in v] for k, v in UNCACHED_CONTROLS.items()}}
 
 
 def _node_depth(line: str) -> tuple[int, str] | None:

@@ -264,6 +264,14 @@ def main() -> None:
     summary: dict = {"contract": check_contract()}
     print(f"contract: {summary['contract']}", flush=True)
 
+    # r18 (VERDICT r17 item 7): the artifact-lane uncached-control
+    # contract — spark-free static check; a control entry silently
+    # removed or switched onto an artifact fails the round gate
+    from artifact_consumer_audit import controls_audit
+
+    summary["artifact_controls"] = controls_audit()
+    print(f"artifact_controls: {summary['artifact_controls']}", flush=True)
+
     sweep_head = check_sweep_head()
     print(f"sweep_head: {sweep_head}", flush=True)
     # enforce only in --quick without a fresh --round write: the judge's
