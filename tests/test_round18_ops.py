@@ -89,6 +89,29 @@ def test_containment_skew_guard_on_hot_shingle_fixture(spark):
     assert w == g
 
 
+def test_lsh_pairs_stay_in_row_no_self_join(spark):
+    """VERDICT r17 item 4 (the eval_split precedent): pin the r17
+    lsh_candidate_pairs shape so a stats shift (e.g. the signature
+    artifact growing real size estimates) can never bring back the
+    bucket SELF-JOIN whose broadcast build side re-derived the whole
+    banded subtree. The pair plan must carry NO join of any kind, NO
+    BroadcastExchange, and exactly one Window (the bucket cap) over
+    one derivation of the signature source."""
+    from pyspark.sql import functions as F
+
+    from database_extractor_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    sigs = D.with_minhash(docs, "text")
+    plan = _plan(D.lsh_candidate_pairs(sigs))
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/SHJ
+    assert "BroadcastExchange" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_lang_id_single_tokenize_projection(spark):
     """The r18 with_lang_id rewrite materializes the token array once:
     the plan must contain exactly ONE split() of the text column (the
